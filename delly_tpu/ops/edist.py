@@ -1,0 +1,231 @@
+"""Edit distance (Levenshtein) in NW / SHW / HW modes.
+
+This module fills the role of the vendored edlib (reference src/edlib.{h,cpp})
+with two implementations written from scratch:
+
+- exact host implementations (numpy, row-vectorized DP) including the
+  alignment path with edlib's traceback preference (up > left > diagonal)
+  and leftmost optimal end location;
+- batched device kernels (JAX/XLA) for the DISTANCE task, which is the
+  genotyping hot loop (reference coverage.h:107-115 `_editDistanceHW` and
+  genotype.h:21-29 `_editDistanceNW`). The device formulation is a
+  row-scan with a min-plus prefix scan per row, vectorized over the batch.
+
+Modes (edlib.h:36-62):
+  NW  - global; distance D[m][n]
+  SHW - prefix; distance min_j D[m][j], free gap after query in target
+  HW  - infix; free target prefix (D[0][j] = 0) and suffix (min over j)
+
+Alignment op codes (edlib.h:84-87):
+  0 = MATCH, 1 = INSERT (consumes query only), 2 = DELETE (consumes target
+  only), 3 = MISMATCH.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+EDOP_MATCH, EDOP_INSERT, EDOP_DELETE, EDOP_MISMATCH = 0, 1, 2, 3
+
+MODE_NW, MODE_SHW, MODE_HW = 0, 1, 2
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) exact implementation
+# ---------------------------------------------------------------------------
+
+def _dp_matrix(query: np.ndarray, target: np.ndarray, mode: int) -> np.ndarray:
+    """Full (m+1) x (n+1) DP matrix, row-vectorized."""
+    m, n = len(query), len(target)
+    D = np.empty((m + 1, n + 1), dtype=np.int32)
+    if mode == MODE_HW:
+        D[0] = 0
+    else:
+        D[0] = np.arange(n + 1, dtype=np.int32)
+    j_idx = np.arange(1, n + 1, dtype=np.int32)
+    for i in range(1, m + 1):
+        sub = (query[i - 1] != target).astype(np.int32)
+        cand = np.minimum(D[i - 1, :-1] + sub, D[i - 1, 1:] + 1)
+        # Horizontal chains: D[i][j] = min_k<=j (cand[k] + (j - k)), plus the
+        # boundary D[i][0] feeding the first horizontal step.
+        run = np.minimum.accumulate(
+            np.concatenate(([np.int32(i)], cand - j_idx)))
+        D[i, 0] = i
+        D[i, 1:] = np.minimum(cand, run[1:] + j_idx)
+    return D
+
+
+def edit_distance(query, target, mode: int = MODE_NW, k: int = -1):
+    """Distance + leftmost end location. Returns (dist, end_loc).
+
+    dist == -1 if k >= 0 and the distance exceeds k (edlib semantics).
+    end_loc is the 0-based index of the last aligned target char (n-1 for NW;
+    -1 convention not used by callers we mirror).
+    """
+    q = np.frombuffer(query.encode(), dtype=np.uint8) if isinstance(query, str) else query
+    t = np.frombuffer(target.encode(), dtype=np.uint8) if isinstance(target, str) else target
+    if len(q) == 0:
+        if mode == MODE_NW:
+            d, e = len(t), len(t) - 1
+        else:
+            d, e = 0, -1
+        return (d, e) if (k < 0 or d <= k) else (-1, -1)
+    D = _dp_matrix(q, t, mode)
+    last = D[-1]
+    if mode == MODE_NW:
+        dist = int(last[-1])
+        end = len(t) - 1
+    else:
+        end1 = int(np.argmin(last))  # leftmost optimum
+        dist = int(last[end1])
+        end = end1 - 1
+    if k >= 0 and dist > k:
+        return -1, -1
+    return dist, end
+
+
+def align(query, target, mode: int = MODE_NW, k: int = -1):
+    """Distance, end location, and alignment path (edlib TASK_PATH role).
+
+    Returns (dist, end_loc, ops: np.ndarray uint8). ops covers
+    target[start..end_loc] where start is implied by the path. Traceback
+    preference matches edlib.cpp obtainAlignmentTraceback: up (INSERT) first,
+    then left (DELETE), then diagonal.
+    """
+    q = np.frombuffer(query.encode(), dtype=np.uint8) if isinstance(query, str) else query
+    t = np.frombuffer(target.encode(), dtype=np.uint8) if isinstance(target, str) else target
+    m, n = len(q), len(t)
+    D = _dp_matrix(q, t, mode) if m else None
+    if m == 0:
+        if mode == MODE_NW:
+            return n, n - 1, np.full(n, EDOP_DELETE, dtype=np.uint8)
+        return 0, -1, np.zeros(0, dtype=np.uint8)
+    last = D[-1]
+    if mode == MODE_NW:
+        dist, endj = int(last[-1]), n
+    else:
+        endj = int(np.argmin(last))
+        dist = int(last[endj])
+    if k >= 0 and dist > k:
+        return -1, -1, np.zeros(0, dtype=np.uint8)
+    ops = []
+    i, j = m, endj
+    free_top = (mode == MODE_HW)
+    while i > 0:
+        cur = D[i, j]
+        if D[i - 1, j] + 1 == cur:  # up: INSERT
+            ops.append(EDOP_INSERT)
+            i -= 1
+        elif j > 0 and D[i, j - 1] + 1 == cur:  # left: DELETE
+            ops.append(EDOP_DELETE)
+            j -= 1
+        else:  # diagonal
+            ops.append(EDOP_MATCH if q[i - 1] == t[j - 1] else EDOP_MISMATCH)
+            i -= 1
+            j -= 1
+    if not free_top:
+        while j > 0:
+            ops.append(EDOP_DELETE)
+            j -= 1
+    ops.reverse()
+    return dist, endj - 1, np.asarray(ops, dtype=np.uint8)
+
+
+def infix_start(ops: np.ndarray, end_loc: int) -> int:
+    """Start position in target of an HW alignment (util.h:86-94)."""
+    t_idx = end_loc - int(np.count_nonzero(ops != EDOP_INSERT))
+    return t_idx + 1 if t_idx >= 0 else 0
+
+
+# ---------------------------------------------------------------------------
+# Device (JAX) batched DISTANCE kernels
+# ---------------------------------------------------------------------------
+
+def _device_fns():
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("mode",))
+    def batched_edit_distance(queries, qlens, targets, tlens, mode):
+        """Batched edit distance, one (query, target) pair per row.
+
+        queries: (B, M) uint8, qlens: (B,) int32
+        targets: (B, N) uint8, tlens: (B,) int32
+        mode: MODE_NW / MODE_SHW / MODE_HW
+
+        Returns (B,) int32 distances.
+
+        DP is a scan over the M query rows; each step is elementwise over the
+        N target columns plus a min-plus prefix scan (associative_scan), all
+        vectorized over the batch dimension -> maps onto the TPU VPU with
+        (B, N) tiles resident in VMEM.
+        """
+        B, M = queries.shape
+        N = targets.shape[1]
+        BIG = jnp.int32(1 << 20)
+        jpos = jnp.arange(1, N + 1, dtype=jnp.int32)  # (N,)
+        col_valid = jpos[None, :] <= tlens[:, None]  # (B, N)
+
+        if mode == MODE_HW:
+            row0 = jnp.zeros((B, N + 1), dtype=jnp.int32)
+        else:
+            row0 = jnp.broadcast_to(
+                jnp.arange(N + 1, dtype=jnp.int32)[None, :], (B, N + 1)
+            ).astype(jnp.int32)
+        # Mask out-of-range target columns so they never win the minimum.
+        row0 = jnp.where(
+            jnp.arange(N + 1)[None, :] <= tlens[:, None], row0, BIG)
+
+        def step(prev, qi_and_i):
+            qi, i = qi_and_i  # qi: (B,), i: scalar row index (1-based)
+            active = i <= qlens  # (B,)
+            sub = (qi[:, None] != targets).astype(jnp.int32)  # (B, N)
+            cand = jnp.minimum(prev[:, :-1] + sub, prev[:, 1:] + 1)
+            cand = jnp.where(col_valid, cand, BIG)
+            # Horizontal chain: D[j] = min(cand[j], min_{k<j}(D-chain)) via
+            # prefix-min of (cand[k] - k) then + j.
+            head = jnp.broadcast_to(i[None].astype(jnp.int32), (B, 1))  # z[0] = D[i][0] = i
+            shifted = jnp.concatenate([head, cand - jpos[None, :]], axis=1)
+            run = jax.lax.associative_scan(jnp.minimum, shifted, axis=1)
+            newrow_body = jnp.minimum(cand, run[:, 1:] + jpos[None, :])
+            newrow = jnp.concatenate(
+                [jnp.full((B, 1), i, dtype=jnp.int32), newrow_body], axis=1)
+            newrow = jnp.where(
+                jnp.arange(N + 1)[None, :] <= tlens[:, None], newrow, BIG)
+            newrow = jnp.where(active[:, None], newrow, prev)
+            return newrow, None
+
+        rows = jnp.arange(1, M + 1, dtype=jnp.int32)
+        final, _ = jax.lax.scan(step, row0, (queries.T, rows))
+        if mode == MODE_NW:
+            dist = final[jnp.arange(B), tlens]
+        else:
+            masked = jnp.where(
+                jnp.arange(N + 1)[None, :] <= tlens[:, None], final, BIG)
+            dist = jnp.min(masked, axis=1)
+        return dist
+
+    return batched_edit_distance
+
+
+_batched = None
+
+
+def batched_edit_distance(queries, qlens, targets, tlens, mode=MODE_NW):
+    """JIT-compiled batched edit distance on the default JAX backend."""
+    global _batched
+    if _batched is None:
+        _batched = _device_fns()
+    import jax.numpy as jnp
+    return _batched(
+        jnp.asarray(queries), jnp.asarray(qlens, dtype=jnp.int32),
+        jnp.asarray(targets), jnp.asarray(tlens, dtype=jnp.int32), mode)
+
+
+def edit_distance_hw_score(dist: int, qlen: int, flank_quality: float) -> float:
+    """Reference coverage.h:107-115 score transform."""
+    if dist == -1:
+        return 0.0
+    return ((1.0 - flank_quality) * qlen) / (dist + 1)

@@ -1,0 +1,124 @@
+"""Multiple sequence alignment for split-read consensus (sr engine).
+
+Reference: src/msa.h — LCS similarity matrix, UPGMA guide tree, progressive
+profile alignment with end-free Gotoh, coverage-gated column consensus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from delly_tpu.ops.gotoh import GAP, DnaScore, gotoh
+
+
+def lcs(s1: str, s2: str) -> int:
+    """Longest common subsequence length (msa.h:10-30), vectorized DP.
+
+    Row recurrence: on a match the diagonal+1 candidate always dominates
+    (LCS grows by at most one per char), so the in-row dependency reduces
+    to a prefix max.
+    """
+    a = np.frombuffer(s1.encode(), dtype=np.uint8)
+    b = np.frombuffer(s2.encode(), dtype=np.uint8)
+    m, n = len(a), len(b)
+    prev = np.zeros(n + 1, dtype=np.int32)
+    for i in range(1, m + 1):
+        cur = np.empty(n + 1, dtype=np.int32)
+        cur[0] = 0
+        match = prev[:-1] + (a[i - 1] == b)
+        np.maximum(match, prev[1:], out=match)
+        cur[1:] = np.maximum.accumulate(match)
+        prev = cur
+    return int(prev[-1])
+
+
+def distance_matrix(seqs: list) -> np.ndarray:
+    """Similarity percent matrix (msa.h:32-44)."""
+    num = len(seqs)
+    d = np.full((2 * num + 1, 2 * num + 1), -1, dtype=np.int64)
+    for i in range(num):
+        for j in range(i + 1, num):
+            d[i][j] = (lcs(seqs[i], seqs[j]) * 100) // min(
+                len(seqs[i]), len(seqs[j]))
+    return d
+
+
+def upgma(d: np.ndarray, num: int):
+    """Guide tree (msa.h:46-89). Returns (root, phylogeny array)."""
+    p = np.full((2 * num + 1, 3), -1, dtype=np.int64)
+    nn = num
+    while nn < 2 * num + 1:
+        # closestPair: first maximum in row-major order, strict >
+        sub = d[:nn, :nn]
+        dmax = sub.max() if nn > 0 else -1
+        if dmax == -1:
+            break
+        flat = int(np.argmax(sub))
+        di, dj = divmod(flat, nn)
+        p[di][0] = nn
+        p[dj][0] = nn
+        p[nn][1] = di
+        p[nn][2] = dj
+        # updateDistanceMatrix (msa.h:62-72)
+        for i in range(nn):
+            if p[i][0] == -1:
+                a = int(d[di][i] if di < i else d[i][di])
+                b = int(d[dj][i] if dj < i else d[i][dj])
+                q = a + b
+                # C++ integer division truncates toward zero.
+                d[i][nn] = q // 2 if q >= 0 else -((-q) // 2)
+        d[:di, di] = -1
+        d[di, di + 1 : nn + 1] = -1
+        d[:dj, dj] = -1
+        d[dj, dj + 1 : nn + 1] = -1
+        nn += 1
+    return (nn - 1 if nn > 0 else 0), p
+
+
+def palign(seqs: list, p: np.ndarray, root: int, sc: DnaScore) -> np.ndarray:
+    """Progressive alignment (msa.h:91-109)."""
+    if p[root][1] == -1 and p[root][2] == -1:
+        s = seqs[root]
+        return np.frombuffer(s.encode(), dtype=np.uint8)[None, :].copy()
+    a1 = palign(seqs, p, int(p[root][1]), sc)
+    a2 = palign(seqs, p, int(p[root][2]), sc)
+    _, merged = gotoh(a1, a2, ac=(True, True), sc=sc)
+    return merged
+
+
+def consensus(align: np.ndarray, min_clique_size: int) -> str:
+    """Coverage-gated column consensus (msa.h:111-173)."""
+    nrows, ncols = align.shape
+    nongap = align != GAP
+    first = np.where(nongap.any(axis=1), nongap.argmax(axis=1), ncols)
+    rev_last = nongap[:, ::-1].argmax(axis=1)
+    last = np.where(nongap.any(axis=1), ncols - 1 - rev_last, -1)
+    col = np.arange(ncols)
+    fl = (first[:, None] <= col[None, :]) & (col[None, :] <= last[:, None])
+    cov = fl.sum(axis=0)
+    cov_threshold = max(2, min(min_clique_size, nrows))
+    out = []
+    # counts per column: A C G T other
+    upper = np.char.upper(
+        np.frombuffer(align.tobytes(), dtype="S1").reshape(align.shape))
+    counts = np.zeros((5, ncols), dtype=np.int32)
+    for k, ch in enumerate(b"ACGT"):
+        counts[k] = ((upper == bytes([ch])) & fl).sum(axis=0)
+    counts[4] = fl.sum(axis=0) - counts[:4].sum(axis=0)
+    for j in range(ncols):
+        if cov[j] >= cov_threshold:
+            max_idx = int(np.argmax(counts[:, j]))  # first max (ties)
+            if max_idx < 4:
+                out.append("ACGT"[max_idx])
+    return "".join(out)
+
+
+def msa(seqs: list, min_clique_size: int, sc: DnaScore | None = None):
+    """msa.h:185-239. Returns (support, consensus string)."""
+    sc = sc or DnaScore()
+    num = len(seqs)
+    d = distance_matrix(seqs)
+    root, p = upgma(d, num)
+    align = palign(seqs, p, int(root), sc)
+    cs = consensus(align, min_clique_size)
+    return align.shape[0], cs

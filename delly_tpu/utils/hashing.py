@@ -1,0 +1,68 @@
+"""Deterministic 64-bit read-name hashing.
+
+The reference identifies reads by hash (util.h:501-542). The only semantic
+requirements carried into downstream logic are:
+
+1. ids are deterministic per qname and collision-resistant,
+2. for paired-end reads, id(READ1) == id(READ2) - 1 (util.h:519-527:
+   ``if (flag & BAM_FREAD1) --seed``), which the SR clique counter uses to
+   count a fragment once (cluster.h:289-298).
+
+We use the same outer recipe (hash_string combined with a hash_range over
+the qname via the boost golden-ratio combine) in 64-bit arithmetic.
+"""
+
+from __future__ import annotations
+
+MASK64 = (1 << 64) - 1
+
+
+def hash_string(s: str) -> int:
+    """Reference tags.h:260-267 (unsigned 32-bit arithmetic)."""
+    h = 37
+    for ch in s.encode():
+        h = ((h * 54059) ^ (ch * 76963)) & 0xFFFFFFFF
+    return h
+
+
+def _fnv1a64(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & MASK64
+    return h
+
+
+def hash_combine(seed: int, value: int) -> int:
+    """boost::hash_combine golden-ratio mix (64-bit)."""
+    seed ^= (value + 0x9E3779B97F4A7C15 + ((seed << 6) & MASK64) + (seed >> 2)) & MASK64
+    return seed & MASK64
+
+
+def hash_sr(qname: str, flag: int) -> int:
+    """Short-read id (util.h:519-527): READ1 gets id - 1."""
+    seed = hash_combine(hash_string(qname), _fnv1a64(qname.encode()))
+    if (flag & 64) and seed > 0:  # BAM_FREAD1
+        seed -= 1
+    return seed
+
+
+def hash_lr(qname: str) -> int:
+    """Long-read id (util.h:529-542)."""
+    return hash_combine(hash_string(qname), _fnv1a64(qname.encode()))
+
+
+def hash_pair(qname: str, tid: int, pos: int, mtid: int, mpos: int) -> int:
+    """Pair key as seen from the first read (util.h:501-508)."""
+    seed = hash_string(qname)
+    for v in (tid, pos, mtid, mpos):
+        seed = hash_combine(seed, v & MASK64)
+    return seed
+
+
+def hash_pair_mate(qname: str, tid: int, pos: int, mtid: int, mpos: int) -> int:
+    """Pair key as seen from the second read (util.h:510-517)."""
+    seed = hash_string(qname)
+    for v in (mtid, mpos, tid, pos):
+        seed = hash_combine(seed, v & MASK64)
+    return seed

@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+
+from delly_tpu.ops.edist import (
+    MODE_HW, MODE_NW, MODE_SHW, align, batched_edit_distance, edit_distance,
+    infix_start,
+)
+
+
+def brute_nw(q, t):
+    m, n = len(q), len(t)
+    D = np.zeros((m + 1, n + 1), dtype=int)
+    D[:, 0] = np.arange(m + 1)
+    D[0, :] = np.arange(n + 1)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            D[i][j] = min(D[i - 1][j - 1] + (q[i - 1] != t[j - 1]),
+                          D[i - 1][j] + 1, D[i][j - 1] + 1)
+    return D
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_host_nw_vs_brute(seed):
+    rng = np.random.default_rng(seed)
+    q = rand_seq(rng, int(rng.integers(1, 40)))
+    t = rand_seq(rng, int(rng.integers(1, 40)))
+    D = brute_nw(q, t)
+    d, e = edit_distance(q, t, MODE_NW)
+    assert d == D[-1, -1]
+    assert e == len(t) - 1
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_host_hw_shw_vs_brute(seed):
+    rng = np.random.default_rng(seed + 100)
+    q = rand_seq(rng, int(rng.integers(1, 25)))
+    t = rand_seq(rng, int(rng.integers(1, 60)))
+    # HW: min over all substrings
+    D = brute_nw(q, t)
+    D_hw = D.copy()
+    # redo with free top row
+    m, n = len(q), len(t)
+    D_hw[0, :] = 0
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            D_hw[i][j] = min(D_hw[i - 1][j - 1] + (q[i - 1] != t[j - 1]),
+                             D_hw[i - 1][j] + 1, D_hw[i][j - 1] + 1)
+        D_hw[i][0] = i
+    d, e = edit_distance(q, t, MODE_HW)
+    assert d == D_hw[-1].min()
+    assert e == int(np.argmin(D_hw[-1])) - 1
+    d, e = edit_distance(q, t, MODE_SHW)
+    assert d == D[-1].min()
+
+
+def test_align_path_consistency():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        q = rand_seq(rng, int(rng.integers(1, 30)))
+        t = rand_seq(rng, int(rng.integers(1, 50)))
+        for mode in (MODE_NW, MODE_SHW, MODE_HW):
+            d, e, ops = align(q, t, mode)
+            # ops consume full query
+            q_consumed = int(np.count_nonzero(ops != 2))
+            assert q_consumed == len(q)
+            # edit cost along path == distance
+            cost = int(np.count_nonzero(ops != 0))
+            assert cost == d
+            if mode == MODE_NW:
+                assert int(np.count_nonzero(ops != 1)) == len(t)
+            # target span covered = end - start + 1
+            start = infix_start(ops, e)
+            t_consumed = int(np.count_nonzero(ops != 1))
+            if mode == MODE_HW:
+                assert t_consumed == e - start + 1
+
+
+def test_batched_device_matches_host():
+    rng = np.random.default_rng(11)
+    B = 17
+    queries, targets = [], []
+    for _ in range(B):
+        queries.append(rand_seq(rng, int(rng.integers(1, 35))))
+        targets.append(rand_seq(rng, int(rng.integers(1, 70))))
+    from delly_tpu.ops.dna import encode_batch
+    qarr, qlens = encode_batch(queries, 40)
+    tarr, tlens = encode_batch(targets, 80)
+    for mode in (MODE_NW, MODE_SHW, MODE_HW):
+        dev = np.asarray(batched_edit_distance(qarr, qlens, tarr, tlens, mode))
+        for i in range(B):
+            d, _ = edit_distance(queries[i], targets[i], mode)
+            assert dev[i] == d, (i, mode, queries[i], targets[i])

@@ -1,0 +1,70 @@
+import os
+
+import numpy as np
+import pytest
+
+from delly_tpu.io.bam import BamFile, FUNMAP, CSOFT_CLIP
+from delly_tpu.io.bgzf import bgzf_compress, bgzf_decompress
+from delly_tpu.io.fasta import FastaFile
+
+EXAMPLE = "/root/reference/example"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(EXAMPLE), reason="example data not available"
+)
+
+
+def test_bgzf_roundtrip():
+    data = os.urandom(200000) + b"tail"
+    assert bgzf_decompress(bgzf_compress(data)) == data
+    assert bgzf_decompress(bgzf_compress(b"")) == b""
+
+
+def test_fasta_matches_fai():
+    fa = FastaFile(os.path.join(EXAMPLE, "ref.fa"))
+    assert fa.names == ["18"]
+    assert fa.lengths["18"] == 200001
+    seq = fa.fetch("18")
+    assert len(seq) == 200001
+    assert set(seq.upper()) <= set("ACGTN")
+
+
+def test_sr_bam_header_and_records():
+    bam = BamFile(os.path.join(EXAMPLE, "sr.bam"))
+    assert bam.header.names == ["18"]
+    assert bam.header.lengths == [200001]
+    n = 0
+    npaired = 0
+    lastpos = -1
+    for rec in bam:
+        n += 1
+        if rec.flag & 1:
+            npaired += 1
+        if not rec.flag & FUNMAP:
+            assert rec.pos >= lastpos  # coordinate sorted
+            lastpos = rec.pos
+        assert len(rec.seq) == rec.l_qseq
+    assert n > 1000
+    assert npaired == n  # sr.bam is a paired-end library
+
+
+def test_lr_bam_records():
+    bam = BamFile(os.path.join(EXAMPLE, "lr.bam"))
+    assert bam.header.names == ["18"]
+    lens = [rec.l_qseq for rec in bam]
+    assert len(lens) > 50
+    assert max(lens) > 1000  # long reads
+
+
+def test_cigar_walk_consistency():
+    bam = BamFile(os.path.join(EXAMPLE, "sr.bam"))
+    for i, rec in enumerate(bam):
+        if rec.flag & FUNMAP:
+            continue
+        # query-consuming ops must sum to l_qseq (no hard clips in sr.bam soft path)
+        qlen = int(
+            rec.cigar_lens[np.isin(rec.cigar_ops, [0, 1, 4, 7, 8])].sum()
+        )
+        assert qlen == rec.l_qseq
+        if i > 500:
+            break
