@@ -1,0 +1,136 @@
+"""Command-line interface mirroring the reference's subcommands.
+
+Reference: src/delly.cpp (dispatch), per-driver option blocks.
+Subcommands: sr, lr, asm, cnv, merge, filter.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_sr(sub):
+    p = sub.add_parser("sr", help="SV discovery in short-read data")
+    p.add_argument("-t", "--svtype", default="ALL")
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-x", "--exclude", default="")
+    p.add_argument("-o", "--outfile", default="-")
+    p.add_argument("-q", "--map-qual", type=int, default=1)
+    p.add_argument("-r", "--qual-tra", type=int, default=20)
+    p.add_argument("-s", "--mad-cutoff", type=int, default=9)
+    p.add_argument("-c", "--minclip", type=int, default=25)
+    p.add_argument("-z", "--min-clique-size", type=int, default=2)
+    p.add_argument("-m", "--minrefsep", type=int, default=25)
+    p.add_argument("-n", "--maxreadsep", type=int, default=40)
+    p.add_argument("-p", "--max-reads", type=int, default=20)
+    p.add_argument("-v", "--vcffile", default="")
+    p.add_argument("-u", "--geno-qual", type=int, default=5)
+    p.add_argument("-d", "--dump", default="")
+    p.add_argument("-a", "--max-geno-count", type=int, default=250)
+    p.add_argument("--threads", type=int, default=4)
+    p.add_argument("input_files", nargs="+")
+    return p
+
+
+def _add_lr(sub):
+    p = sub.add_parser("lr", help="SV discovery in long-read data")
+    p.add_argument("-t", "--svtype", default="ALL")
+    p.add_argument("-y", "--technology", default="ont",
+                   choices=["ont", "pb"])
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-x", "--exclude", default="")
+    p.add_argument("-o", "--outfile", default="-")
+    p.add_argument("-q", "--map-qual", type=int, default=10)
+    p.add_argument("-c", "--minclip", type=int, default=25)
+    p.add_argument("-z", "--min-clique-size", type=int, default=2)
+    p.add_argument("-m", "--minrefsep", type=int, default=30)
+    p.add_argument("-n", "--maxreadsep", type=int, default=75)
+    p.add_argument("-p", "--max-reads", type=int, default=15)
+    p.add_argument("-v", "--vcffile", default="")
+    p.add_argument("-u", "--geno-qual", type=int, default=5)
+    p.add_argument("-d", "--dump", default="")
+    p.add_argument("-a", "--max-geno-count", type=int, default=500)
+    p.add_argument("-e", "--methyl", action="store_true")
+    p.add_argument("--threads", type=int, default=4)
+    p.add_argument("input_files", nargs="+")
+    return p
+
+
+def _svtypes_to_set(svtype: str) -> set:
+    """util.h:371-412."""
+    from delly_tpu.utils.tags import SVT_TRANS
+    if svtype == "ALL":
+        return set()
+    out = set()
+    m = {
+        "DEL": [2], "INS": [4], "DUP": [3], "INV": [0, 1],
+        "INV_3to3": [0], "INV_5to5": [1],
+        "BND": [SVT_TRANS, SVT_TRANS + 1, SVT_TRANS + 2, SVT_TRANS + 3],
+        "BND_3to3": [SVT_TRANS], "BND_5to5": [SVT_TRANS + 1],
+        "BND_3to5": [SVT_TRANS + 2], "BND_5to3": [SVT_TRANS + 3],
+    }
+    for tok in svtype.split(","):
+        if tok not in m:
+            raise SystemExit(
+                "Please specify a valid SV type, i.e., -t INV or -t DEL,INV")
+        out.update(m[tok])
+    return out
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    parser = argparse.ArgumentParser(
+        prog="delly-tpu",
+        description="TPU-native structural variant discovery and genotyping")
+    sub = parser.add_subparsers(dest="command")
+    _add_sr(sub)
+    _add_lr(sub)
+    sub.add_parser("asm", help="SV discovery in assemblies (round 2)")
+    sub.add_parser("cnv", help="CNV discovery (read-depth)")
+    sub.add_parser("merge", help="merge SV site lists")
+    sub.add_parser("filter", help="somatic/germline filtering")
+    args, extra = parser.parse_known_args(argv)
+
+    if args.command == "sr":
+        from delly_tpu.models.config import SrConfig
+        from delly_tpu.models.sr import run_sr
+        cfg = SrConfig(
+            genome=args.genome, files=args.input_files,
+            outfile=args.outfile, exclude=args.exclude,
+            vcffile=args.vcffile, dumpfile=args.dump,
+            svtset=_svtypes_to_set(args.svtype),
+            min_map_qual=args.map_qual, min_tra_qual=args.qual_tra,
+            mad_cutoff=args.mad_cutoff, min_clip=args.minclip,
+            min_clique_size=args.min_clique_size,
+            min_ref_sep=args.minrefsep, max_read_sep=args.maxreadsep,
+            max_read_per_sv=args.max_reads, min_geno_qual=args.geno_qual,
+            max_geno_read_count=args.max_geno_count,
+            max_threads=args.threads)
+        return run_sr(cfg)
+    if args.command == "lr":
+        from delly_tpu.models.config import LrConfig
+        from delly_tpu.models.lr import run_lr
+        cfg = LrConfig(
+            genome=args.genome, files=args.input_files,
+            outfile=args.outfile, exclude=args.exclude,
+            vcffile=args.vcffile, dumpfile=args.dump,
+            technology=args.technology,
+            svtset=_svtypes_to_set(args.svtype),
+            min_map_qual=args.map_qual, min_clip=args.minclip,
+            min_clique_size=args.min_clique_size,
+            min_ref_sep=args.minrefsep, max_read_sep=args.maxreadsep,
+            max_read_per_sv=args.max_reads, min_geno_qual=args.geno_qual,
+            max_geno_read_count=args.max_geno_count, methyl=args.methyl,
+            max_threads=args.threads)
+        return run_lr(cfg)
+    if args.command in ("cnv", "merge", "filter", "asm"):
+        print(f"delly-tpu {args.command}: not yet implemented in this round",
+              file=sys.stderr)
+        return 1
+    parser.print_help()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,212 @@
+"""VCF writing/reading for SV records.
+
+Mirrors the role of src/modvcf.h vcfOutput/vcfParse. Output is VCF text
+(or bgzipped VCF for .vcf.gz / .bcf output paths; a native BCF2 codec is on
+the roadmap). Header lines, INFO/FORMAT ordering, ID padding and filter
+rules match the reference.
+"""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+import io
+import os
+
+from delly_tpu.io.bgzf import bgzf_compress
+from delly_tpu.version import SVMETHOD
+
+HEADER_LINES = [
+    '##ALT=<ID=DEL,Description="Deletion">',
+    '##ALT=<ID=DUP,Description="Duplication">',
+    '##ALT=<ID=INV,Description="Inversion">',
+    '##ALT=<ID=BND,Description="Translocation">',
+    '##ALT=<ID=INS,Description="Insertion">',
+    '##FILTER=<ID=LowQual,Description="Poor quality and insufficient number of PEs and SRs.">',
+    '##INFO=<ID=CIEND,Number=2,Type=Integer,Description="PE confidence interval around END">',
+    '##INFO=<ID=CIPOS,Number=2,Type=Integer,Description="PE confidence interval around POS">',
+    '##INFO=<ID=CHR2,Number=1,Type=String,Description="Chromosome for POS2 coordinate in case of an inter-chromosomal translocation">',
+    '##INFO=<ID=POS2,Number=1,Type=Integer,Description="Genomic position for CHR2 in case of an inter-chromosomal translocation">',
+    '##INFO=<ID=END,Number=1,Type=Integer,Description="End position of the structural variant">',
+    '##INFO=<ID=PE,Number=1,Type=Integer,Description="Paired-end support of the structural variant">',
+    '##INFO=<ID=MAPQ,Number=1,Type=Integer,Description="Median mapping quality of paired-ends">',
+    '##INFO=<ID=SRMAPQ,Number=1,Type=Integer,Description="Median mapping quality of split-reads">',
+    '##INFO=<ID=SR,Number=1,Type=Integer,Description="Split-read support">',
+    '##INFO=<ID=SRQ,Number=1,Type=Float,Description="Split-read consensus alignment quality">',
+    '##INFO=<ID=CONSENSUS,Number=1,Type=String,Description="Split-read consensus sequence">',
+    '##INFO=<ID=CONSBP,Number=1,Type=Integer,Description="Consensus SV breakpoint position">',
+    '##INFO=<ID=CE,Number=1,Type=Float,Description="Consensus sequence entropy">',
+    '##INFO=<ID=CT,Number=1,Type=String,Description="Paired-end signature induced connection type">',
+    '##INFO=<ID=SVLEN,Number=1,Type=Integer,Description="SV length; negative for DEL, positive for DUP/INV/INS.">',
+    '##INFO=<ID=IMPRECISE,Number=0,Type=Flag,Description="Imprecise structural variation">',
+    '##INFO=<ID=PRECISE,Number=0,Type=Flag,Description="Precise structural variation">',
+    '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="Type of structural variant">',
+    '##INFO=<ID=SVMETHOD,Number=1,Type=String,Description="Type of approach used to detect SV">',
+    '##INFO=<ID=INSLEN,Number=1,Type=Integer,Description="Predicted length of the insertion">',
+    '##INFO=<ID=HOMLEN,Number=1,Type=Integer,Description="Breakpoint homology length">',
+    '##INFO=<ID=SUBTYPE,Number=1,Type=String,Description="SV subtype: INS:ME:ALU, INS:ME:LINE1, INS:ME:SVA, INS:NUMT, INS:LTR, INS:HERVK, INS:TR, or DEL:TR">',
+    '##INFO=<ID=ALLELEID,Number=1,Type=Integer,Description="Identifier of the merged locus">',
+    '##INFO=<ID=NALLELE,Number=1,Type=Integer,Description="Number of distinct alleles at this locus">',
+    '##INFO=<ID=AC,Number=A,Type=Integer,Description="Allele count">',
+    '##INFO=<ID=AN,Number=1,Type=Integer,Description="Total number of alleles">',
+    '##INFO=<ID=INSSTRAND,Number=1,Type=String,Description="Insertion strand for MEIs">',
+    '##INFO=<ID=TRPERIOD,Number=1,Type=Integer,Description="Tandem repeat period in bp">',
+    '##INFO=<ID=TRCOPIES,Number=1,Type=Float,Description="Tandem repeat copy number">',
+    '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+    '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred-scaled genotype likelihoods for RR,RA,AA genotypes">',
+    '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">',
+    '##FORMAT=<ID=FT,Number=1,Type=String,Description="Per-sample genotype filter">',
+    '##FORMAT=<ID=RC,Number=1,Type=Integer,Description="Raw high-quality read counts or base counts for the SV">',
+    '##FORMAT=<ID=RCL,Number=1,Type=Integer,Description="Raw high-quality read counts or base counts for the left control region">',
+    '##FORMAT=<ID=RCR,Number=1,Type=Integer,Description="Raw high-quality read counts or base counts for the right control region">',
+    '##FORMAT=<ID=RDCN,Number=1,Type=Integer,Description="Read-depth based copy-number estimate for autosomal sites">',
+    '##FORMAT=<ID=DR,Number=1,Type=Integer,Description="# high-quality reference pairs">',
+    '##FORMAT=<ID=DV,Number=1,Type=Integer,Description="# high-quality variant pairs">',
+    '##FORMAT=<ID=RR,Number=1,Type=Integer,Description="# high-quality reference junction reads">',
+    '##FORMAT=<ID=RV,Number=1,Type=Integer,Description="# high-quality variant junction reads">',
+    '##FORMAT=<ID=HP,Number=4,Type=Integer,Description="Haplotype-specific junction read counts (HP1_ref,HP1_alt,HP2_ref,HP2_alt)">',
+    '##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase set identifier from HP-tagged alignments">',
+    '##FORMAT=<ID=MR,Number=4,Type=Integer,Description="Methylation % for REF allele [SV start left/right, SV end left/right]">',
+    '##FORMAT=<ID=MA,Number=4,Type=Integer,Description="Methylation % for ALT allele [SV start left/right, SV end left/right]">',
+    '##FORMAT=<ID=MNC,Number=4,Type=Integer,Description="Unique CpG sites observed per window [SV start left/right, SV end left/right]">',
+    '##FORMAT=<ID=MDV,Number=4,Type=Integer,Description="Avg. read depth per CpG site per window [SV start left/right, SV end left/right]">',
+]
+
+FORMAT_KEYS = ["GT", "GQ", "PL", "FT", "RCL", "RC", "RCR", "RDCN", "DR",
+               "DV", "RR", "RV", "HP", "PS", "MR", "MA", "MNC", "MDV"]
+
+IUPAC_ALT = {
+    "U": "T", "R": "A", "Y": "C", "S": "C", "W": "A", "K": "G", "M": "A",
+    "B": "C", "D": "A", "H": "A", "V": "A",
+}
+
+
+def replace_iupac(alleles: str) -> str:
+    """modvcf.h:101-133: sanitize IUPAC codes in the ALT allele only."""
+    out = []
+    in_tag = 0
+    in_ref = True
+    for ch in alleles:
+        if ch == ",":
+            in_ref = False
+        if (in_ref or in_tag or ch in "ACGTNacgtn<>][,"):
+            out.append(ch)
+            if ch == "<":
+                in_tag = 1
+            elif ch == "]":
+                in_tag = 0 if in_tag == 2 else 2
+            elif ch == "[":
+                in_tag = 0 if in_tag == 3 else 3
+            elif ch == ">" and in_tag == 1:
+                in_tag = 0
+        else:
+            out.append(IUPAC_ALT.get(ch.upper(), "N"))
+    return "".join(out)
+
+
+def fmt_float(x: float) -> str:
+    """htslib-style %g float formatting."""
+    s = f"{x:g}"
+    return s
+
+
+class VcfWriter:
+    def __init__(self, path: str, chrom_names, chrom_lens, samples,
+                 genome_path: str = ""):
+        self.path = path
+        self.samples = list(samples)
+        buf = io.StringIO()
+        buf.write("##fileformat=VCFv4.2\n")
+        buf.write('##FILTER=<ID=PASS,Description="All filters passed">\n')
+        today = datetime.date.today()
+        buf.write(f"##fileDate={today.strftime('%Y%m%d')}\n")
+        for line in HEADER_LINES:
+            buf.write(line + "\n")
+        if genome_path:
+            buf.write(f"##reference={genome_path}\n")
+        for name, ln in zip(chrom_names, chrom_lens):
+            buf.write(f"##contig=<ID={name},length={ln}>\n")
+        cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+                "INFO", "FORMAT"] + self.samples
+        buf.write("\t".join(cols) + "\n")
+        self._buf = buf
+
+    def write_record(self, chrom, pos1, vid, ref, alt, qual, filt, info_pairs,
+                     sample_fields):
+        """info_pairs: list of (key, value-or-None-for-flag);
+        sample_fields: list of dicts keyed by FORMAT_KEYS subset."""
+        info = ";".join(k if v is None else f"{k}={v}" for k, v in info_pairs)
+        row = [chrom, str(pos1), vid, ref, alt, str(qual), filt, info,
+               ":".join(FORMAT_KEYS)]
+        for sf in sample_fields:
+            row.append(":".join(str(sf.get(k, ".")) for k in FORMAT_KEYS))
+        self._buf.write("\t".join(row) + "\n")
+
+    def close(self):
+        data = self._buf.getvalue()
+        if self.path == "-":
+            import sys
+            sys.stdout.write(data)
+            return
+        if self.path.endswith(".gz") or self.path.endswith(".bcf"):
+            # .bcf output currently emits bgzipped VCF (readable by htslib
+            # tooling via vcf.gz); a native BCF2 encoder is planned.
+            with open(self.path, "wb") as fh:
+                fh.write(bgzf_compress(data.encode()))
+        else:
+            with open(self.path, "w") as fh:
+                fh.write(data)
+
+
+def format_gt(gt, phased=False) -> str:
+    if gt is None:
+        return "./."
+    sep = "|" if phased else "/"
+    return f"{gt[0]}{sep}{gt[1]}"
+
+
+class VcfReader:
+    """Minimal VCF text/.gz reader used by merge/filter/re-genotyping."""
+
+    def __init__(self, path: str):
+        self.path = path
+        if path.endswith(".gz") or path.endswith(".bcf"):
+            with open(path, "rb") as fh:
+                raw = fh.read()
+            from delly_tpu.io.bgzf import bgzf_decompress
+            text = bgzf_decompress(raw).decode()
+        else:
+            with open(path) as fh:
+                text = fh.read()
+        self.header_lines = []
+        self.samples = []
+        self.records = []
+        for line in text.split("\n"):
+            if not line:
+                continue
+            if line.startswith("##"):
+                self.header_lines.append(line)
+            elif line.startswith("#CHROM"):
+                cols = line.split("\t")
+                self.samples = cols[9:]
+            else:
+                self.records.append(parse_vcf_line(line))
+
+
+def parse_vcf_line(line: str) -> dict:
+    cols = line.rstrip("\n").split("\t")
+    info = {}
+    for item in cols[7].split(";"):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            info[k] = v
+        else:
+            info[item] = True
+    rec = {
+        "chrom": cols[0], "pos": int(cols[1]), "id": cols[2], "ref": cols[3],
+        "alt": cols[4], "qual": cols[5], "filter": cols[6], "info": info,
+    }
+    if len(cols) > 8:
+        fmt = cols[8].split(":")
+        rec["samples"] = [dict(zip(fmt, c.split(":"))) for c in cols[9:]]
+    return rec

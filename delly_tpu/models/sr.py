@@ -1,0 +1,417 @@
+"""Short-read SV discovery engine (``delly sr`` equivalent).
+
+Reference: src/delly.h (driver), src/shortpe.h (PE/SR scan + assembly +
+mergeSort). Host CPU handles BAM decoding, CIGAR walks and clustering;
+MSA/realignment DP and genotyping edit distances run through the ops layer.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from delly_tpu.io.bam import (
+    BamFile, FDUP, FMUNMAP, FPAIRED, FQCFAIL, FSECONDARY, FSUPPLEMENTARY,
+    FUNMAP,
+)
+from delly_tpu.io.fasta import FastaFile
+from delly_tpu.models.cluster import BamAlignRecord, cluster_pe, cluster_sr
+from delly_tpu.models.junctions import extract_junctions_sr, fetch_svs
+from delly_tpu.models.refine import adjust_orientation, align_consensus
+from delly_tpu.ops.gotoh import DnaScore
+from delly_tpu.ops.msa import msa
+from delly_tpu.utils.hashing import (
+    hash_pair, hash_pair_mate, hash_sr, hash_string,
+)
+from delly_tpu.utils.stats import (
+    get_library_params, get_variability, parse_exclude_intervals,
+)
+from delly_tpu.utils.tags import (
+    SVT_TRANS, StructuralVariantRecord, is_translocation, isize_mapping_pos,
+)
+
+
+def _log(msg: str) -> None:
+    print(f"[{time.strftime('%Y-%b-%d %H:%M:%S')}] {msg}", file=sys.stderr)
+
+
+def first_pair_obs(rec, last_aligned_reads: set) -> bool:
+    """tags.h:269-274. Note the reference looks up hash_string(qname) in a
+    set keyed by hash_sr seeds (dead path kept for fidelity)."""
+    if rec.tid == rec.mtid:
+        return rec.pos < rec.mpos or (
+            rec.pos == rec.mpos
+            and hash_string(rec.qname) not in last_aligned_reads)
+    return rec.tid < rec.mtid
+
+
+def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
+    """shortpe.h:285-533."""
+    header = bams[0].header
+    nsvt = 2 * SVT_TRANS
+    sr_br = [[] for _ in range(nsvt)]
+    bam_records = [[] for _ in range(nsvt)]
+    _log("Paired-end and split-read scanning")
+    for file_c, bam in enumerate(bams):
+        matetra = {}
+        read_bp = {}
+        per_file_sr = [[] for _ in range(nsvt)]
+        for ref_index in range(header.n_targets):
+            if not valid_regions[ref_index]:
+                continue
+            mate_map = {}
+            last_aligned_pos = 0
+            last_aligned_reads = set()
+            for rec in bam.records(tid=ref_index):
+                if rec.flag & (FQCFAIL | FDUP | FUNMAP):
+                    continue
+                if rec.mapq < cfg.min_map_qual or rec.tid < 0:
+                    continue
+                seed = hash_sr(rec.qname, rec.flag)
+                extract_junctions_sr(read_bp, seed, rec, cfg.min_ref_sep,
+                                     cfg.min_clip)
+                # Paired-end clustering
+                if not rec.flag & FPAIRED:
+                    continue
+                if libs[file_c].median == 0:
+                    continue
+                if rec.flag & (FSECONDARY | FSUPPLEMENTARY):
+                    continue
+                if rec.mtid < 0 or rec.flag & FMUNMAP:
+                    continue
+                if not valid_regions[rec.mtid]:
+                    continue
+                if rec.tid != rec.mtid and rec.mapq < cfg.min_tra_qual:
+                    continue
+                svt = isize_mapping_pos(rec.flag, rec.tid, rec.pos, rec.mtid,
+                                        rec.mpos, rec.tlen,
+                                        libs[file_c].maxISizeCutoff)
+                if svt == -1:
+                    continue
+                if cfg.svtset and svt not in cfg.svtset:
+                    continue
+                if svt == 2 and libs[file_c].maxISizeCutoff > abs(rec.tlen):
+                    continue
+                if rec.pos > last_aligned_pos:
+                    last_aligned_reads.clear()
+                    last_aligned_pos = rec.pos
+                if first_pair_obs(rec, last_aligned_reads):
+                    last_aligned_reads.add(seed)
+                    hv = hash_pair(rec.qname, rec.tid, rec.pos, rec.mtid,
+                                   rec.mpos)
+                    entry = (rec.mapq, rec.alignment_length())
+                    if is_translocation(svt):
+                        matetra[hv] = entry
+                    else:
+                        mate_map[hv] = entry
+                else:
+                    hv = hash_pair_mate(rec.qname, rec.tid, rec.pos, rec.mtid,
+                                        rec.mpos)
+                    store = matetra if is_translocation(svt) else mate_map
+                    ent = store.get(hv)
+                    if ent is None or not ent[0]:
+                        continue
+                    pair_quality = min(ent[0], rec.mapq)
+                    alen_mate = ent[1]
+                    del store[hv]
+                    bam_records[svt].append(BamAlignRecord(
+                        tid=rec.tid, pos=rec.pos, mtid=rec.mtid, mpos=rec.mpos,
+                        alen=rec.alignment_length(), malen=alen_mate,
+                        median=libs[file_c].median, mad=libs[file_c].mad,
+                        maxNormalISize=libs[file_c].maxNormalISize,
+                        flag=rec.flag, mapQuality=pair_quality))
+                    libs[file_c].abnormal_pairs += 1
+        for jv in read_bp.values():
+            jv.sort(key=lambda j: j.sort_key())
+        fetch_sr_only(cfg, read_bp, per_file_sr)
+        for svt in range(nsvt):
+            sr_br[svt].extend(per_file_sr[svt])
+
+    _log("Split-read clustering")
+    for svt in range(nsvt):
+        if cfg.svtset and svt not in cfg.svtset:
+            continue
+        if not sr_br[svt]:
+            continue
+        sr_br[svt].sort(key=lambda r: r.sort_key())
+        cluster_sr(sr_br[svt], sr_svs, svt, cfg.nchr, cfg.max_read_sep,
+                   cfg.graph_pruning, cfg.min_clique_size)
+
+    _log("Paired-end clustering")
+    varisize = get_variability(libs)
+    for svt in range(nsvt):
+        if cfg.svtset and svt not in cfg.svtset:
+            continue
+        if not bam_records[svt]:
+            continue
+        bam_records[svt].sort(key=lambda r: r.sort_key())
+        cluster_pe(bam_records[svt], svs, varisize, svt, cfg.graph_pruning,
+                   cfg.min_clique_size)
+
+    # Track split-reads (shortpe.h:514-525)
+    for svt in range(nsvt):
+        for r in sr_br[svt]:
+            if r.svid != -1 and r.rstart != -1:
+                if r.rstart < header.lengths[r.chr]:
+                    sr_store[r.chr][(r.rstart, r.id)] = r.svid
+                if r.chr != r.chr2 and r.rstart < header.lengths[r.chr2]:
+                    sr_store[r.chr2][(r.rstart, r.id)] = r.svid
+
+
+def fetch_sr_only(cfg, read_bp, br):
+    """shortpe.h:456-461 (no bridgeInsertions in sr mode)."""
+    from delly_tpu.models.junctions import (
+        select_deletions, select_duplications, select_insertions,
+        select_inversions, select_translocations,
+    )
+    s = cfg.svtset
+    if not s or 2 in s:
+        select_deletions(read_bp, br, cfg.max_read_sep, cfg.min_ref_sep)
+    if not s or 3 in s:
+        select_duplications(read_bp, br, cfg.max_read_sep, cfg.min_ref_sep)
+    if not s or 0 in s or 1 in s:
+        select_inversions(read_bp, br, cfg.max_read_sep, cfg.min_ref_sep)
+    if not s or 4 in s:
+        select_insertions(read_bp, br, cfg.max_read_sep, cfg.min_ref_sep)
+    if not s or any(t in s for t in range(SVT_TRANS, SVT_TRANS + 4)):
+        select_translocations(read_bp, br, cfg.max_read_sep)
+
+
+def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
+    """shortpe.h:48-282."""
+    header = bams[0].header
+    _log("Split-read assembly")
+    sc = DnaScore(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_ext)
+    tra_store = [dict() for _ in svs]  # seq -> qual (insertion ordered)
+    for ref_index in range(header.n_targets):
+        if not valid_regions[ref_index]:
+            continue
+        if not sr_store[ref_index]:
+            continue
+        seq = fasta.fetch(header.names[ref_index])
+        hits = set(pos for pos, _h in sr_store[ref_index])
+        seq_store = [dict() for _ in svs]
+        for bam in bams:
+            for rec in bam.records(tid=ref_index):
+                if rec.flag & (FQCFAIL | FDUP | FUNMAP | FSECONDARY
+                               | FSUPPLEMENTARY):
+                    continue
+                if rec.mapq < cfg.min_map_qual or rec.tid < 0:
+                    continue
+                if rec.pos not in hits:
+                    continue
+                seed = hash_sr(rec.qname, rec.flag)
+                svid = sr_store[ref_index].get((rec.pos, seed))
+                if svid is None:
+                    continue
+                sequence = rec.seq
+                bp_point = False
+                if is_translocation(svs[svid].svt):
+                    bp_point = rec.tid == svs[svid].chr2
+                elif svs[svid].svt == 0:
+                    bp_point = rec.pos + 25 > svs[svid].svStart
+                elif svs[svid].svt == 1:
+                    bp_point = rec.pos + 25 > svs[svid].svEnd
+                sequence = adjust_orientation(sequence, bp_point,
+                                              svs[svid].svt)
+                if len(seq_store[svid]) < cfg.max_read_per_sv:
+                    if is_translocation(svs[svid].svt):
+                        if sequence not in tra_store[svid]:
+                            tra_store[svid][sequence] = rec.mapq
+                    else:
+                        if sequence not in seq_store[svid]:
+                            seq_store[svid][sequence] = rec.mapq
+
+        for svid in range(len(svs)):
+            if is_translocation(svs[svid].svt):
+                continue
+            if svs[svid].chr != ref_index:
+                continue
+            if len(seq_store[svid]) <= 1:
+                svs[svid].consensus = ""
+                svs[svid].srSupport = 0
+                svs[svid].srAlignQuality = 0
+                continue
+            seqs = list(seq_store[svid].keys())
+            _, svs[svid].consensus = msa(seqs, cfg.min_clique_size, sc)
+            if not align_consensus(cfg, header.lengths, seq, None, svs[svid]):
+                svs[svid].consensus = ""
+                svs[svid].srSupport = 0
+                svs[svid].srAlignQuality = 0
+            else:
+                quals = sorted(seq_store[svid].values())
+                svs[svid].mapq = sum(quals)
+                svs[svid].srMapQuality = quals[len(quals) // 2]
+                svs[svid].srSupport = len(seq_store[svid])
+
+    # Translocations (shortpe.h:208-273)
+    for ref_index2 in range(header.n_targets):
+        if not valid_regions[ref_index2]:
+            continue
+        snd_seq = None
+        for ref_index in range(ref_index2 + 1, header.n_targets):
+            if not valid_regions[ref_index]:
+                continue
+            seq = None
+            for svid in range(len(svs)):
+                if not is_translocation(svs[svid].svt):
+                    continue
+                if svs[svid].chr != ref_index or svs[svid].chr2 != ref_index2:
+                    continue
+                if len(tra_store[svid]) <= 1:
+                    svs[svid].consensus = ""
+                    svs[svid].srSupport = 0
+                    svs[svid].srAlignQuality = 0
+                    continue
+                if seq is None:
+                    seq = fasta.fetch(header.names[ref_index])
+                if snd_seq is None:
+                    snd_seq = fasta.fetch(header.names[ref_index2])
+                seqs = list(tra_store[svid].keys())
+                _, svs[svid].consensus = msa(seqs, cfg.min_clique_size, sc)
+                if not align_consensus(cfg, header.lengths, seq, snd_seq,
+                                       svs[svid]):
+                    svs[svid].consensus = ""
+                    svs[svid].srSupport = 0
+                    svs[svid].srAlignQuality = 0
+                else:
+                    quals = sorted(tra_store[svid].values())
+                    svs[svid].mapq = sum(quals)
+                    svs[svid].srMapQuality = quals[len(quals) // 2]
+                    svs[svid].srSupport = len(tra_store[svid])
+
+
+def merge_sort(pe: list, sr: list) -> None:
+    """Augment PE SVs with SR info; append SR-only SVs (shortpe.h:536-621)."""
+    pe.sort(key=lambda s: s.sort_key())
+    sr.sort(key=lambda s: s.sort_key())
+    import bisect
+    for svt in range(10):
+        for i in range(len(sr)):
+            if sr[i].svt != svt:
+                continue
+            if sr[i].srSupport == 0 or sr[i].srAlignQuality == 0:
+                continue
+            search_window = 500
+            sv_exists = False
+            key = (sr[i].chr, max(0, sr[i].svStart - search_window))
+            lo = bisect.bisect_left(
+                pe, key, key=lambda s: (s.chr, s.svStart))
+            it = lo
+            while it < len(pe) and abs(pe[it].svStart - sr[i].svStart) < search_window:
+                other = pe[it]
+                it += 1
+                if other.svt != svt or other.precise:
+                    continue
+                if sr[i].chr != other.chr or sr[i].chr2 != other.chr2:
+                    continue
+                if (other.svStart + other.ciposlow < sr[i].svStart
+                        < other.svStart + other.ciposhigh
+                        and other.svEnd + other.ciendlow < sr[i].svEnd
+                        < other.svEnd + other.ciendhigh):
+                    sv_exists = True
+                    other.svStart = sr[i].svStart
+                    other.svEnd = sr[i].svEnd
+                    other.ciposlow = sr[i].ciposlow
+                    other.ciposhigh = sr[i].ciposhigh
+                    other.ciendlow = sr[i].ciendlow
+                    other.ciendhigh = sr[i].ciendhigh
+                    other.srMapQuality = sr[i].srMapQuality
+                    other.srSupport = sr[i].srSupport
+                    other.insLen = sr[i].insLen
+                    other.homLen = sr[i].homLen
+                    other.srAlignQuality = sr[i].srAlignQuality
+                    other.precise = True
+                    other.consensus = sr[i].consensus
+                    other.consBp = sr[i].consBp
+                    other.mapq += sr[i].mapq
+            if sv_exists:
+                continue
+            # SR-only: suppress precise duplicates (shortpe.h:584-613)
+            prec_window = 10
+            precise_duplicate = False
+            for j in range(i + 1, len(sr)):
+                if abs(sr[i].svStart - sr[j].svStart) > prec_window:
+                    break
+                if sr[i].svt != sr[j].svt:
+                    continue
+                if sr[i].chr != sr[j].chr or sr[i].chr2 != sr[j].chr2:
+                    continue
+                if (sr[j].svStart + sr[j].ciposlow <= sr[i].svStart
+                        <= sr[j].svStart + sr[j].ciposhigh
+                        and sr[j].svEnd + sr[j].ciendlow <= sr[i].svEnd
+                        <= sr[j].svEnd + sr[j].ciendhigh):
+                    if (sr[i].srSupport < sr[j].srSupport
+                            or (i < j and sr[i].srSupport == sr[j].srSupport)):
+                        precise_duplicate = True
+            for j in range(i - 1, -1, -1):
+                if abs(sr[i].svStart - sr[j].svStart) > prec_window:
+                    break
+                if sr[i].svt != sr[j].svt:
+                    continue
+                if sr[i].chr != sr[j].chr or sr[i].chr2 != sr[j].chr2:
+                    continue
+                if (sr[j].svStart + sr[j].ciposlow < sr[i].svStart
+                        < sr[j].svStart + sr[j].ciposhigh
+                        and sr[j].svEnd + sr[j].ciendlow < sr[i].svEnd
+                        < sr[j].svEnd + sr[j].ciendhigh):
+                    if (sr[i].srSupport < sr[j].srSupport
+                            or (i < j and sr[i].srSupport == sr[j].srSupport)):
+                        precise_duplicate = True
+            if not precise_duplicate:
+                import copy
+                pe.append(copy.deepcopy(sr[i]))
+                pe.sort(key=lambda s: s.sort_key())
+
+
+def run_sr(cfg) -> int:
+    """Main sr driver (delly.h:86-196)."""
+    from delly_tpu.models.genotype_sr import annotate_coverage
+    from delly_tpu.models.vcf_out import vcf_output
+
+    bams = [BamFile(f) for f in cfg.files]
+    header = bams[0].header
+    cfg.nchr = header.n_targets
+    if not cfg.sample_names:
+        import os
+        cfg.sample_names = [
+            b.header.sample_name(os.path.splitext(os.path.basename(f))[0])
+            for b, f in zip(bams, cfg.files)]
+    fasta = FastaFile(cfg.genome)
+    valid_regions = parse_exclude_intervals(cfg.exclude or None, header)
+    libs = [get_library_params(b, valid_regions, cfg.mad_cutoff,
+                               cfg.mad_normal_cutoff) for b in bams]
+    for i, lib in enumerate(libs):
+        if lib.rs == 0:
+            print(f"Sample has not enough data to estimate library "
+                  f"parameters! File: {cfg.files[i]}", file=sys.stderr)
+            return 1
+
+    svs: list = []
+    if not cfg.vcffile:
+        sr_svs: list = []
+        sr_store = [dict() for _ in range(cfg.nchr)]
+        scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs)
+        assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store,
+                             sr_svs)
+        merge_sort(svs, sr_svs)
+    else:
+        from delly_tpu.models.vcf_in import vcf_parse
+        svs = vcf_parse(cfg.vcffile, header)
+
+    svs.sort(key=lambda s: s.sort_key())
+    for i, sv in enumerate(svs):
+        sv.id = i
+
+    jct_map, rc_map, span_map = [], [], []
+    if svs:
+        jct_map, rc_map, span_map = annotate_coverage(cfg, bams, fasta, libs,
+                                                      svs)
+    vcf_output(cfg, header, svs, jct_map, rc_map, span_map)
+    _log("Sample statistics")
+    for i, lib in enumerate(libs):
+        print(f"Sample:{cfg.sample_names[i]},ReadSize={lib.rs},"
+              f"Median={lib.median},MAD={lib.mad},"
+              f"UniqueDiscordantPairs={lib.abnormal_pairs}", file=sys.stderr)
+    _log("Done.")
+    return 0

@@ -1,0 +1,103 @@
+"""Genotype and copy-number likelihood math.
+
+Reference: src/bolog.h. Double-precision host math (the per-site vectors are
+tiny); the batched JAX variant used by the genotyping engine computes the
+same quantities across all sites at once.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+SMALLEST_GL = -1000
+
+# phred -> prob lookup, phred2prob[i] = 10^(-i/10) (bolog.h:11-20)
+PHRED2PROB = np.power(10.0, -(np.arange(0, -10 * SMALLEST_GL + 1) / 10.0))
+
+
+def compute_gls(mapq_ref, mapq_alt):
+    """Diploid RR/RA/AA genotype likelihoods (bolog.h:23-85).
+
+    Returns (gl: [AA, RA, RR] floats as stored by the reference into the
+    gls array slots [2]=gl0 etc, gq, gt, pl) where gt is one of
+    ((1,1),(0,1),(0,0)) or None for missing.
+    """
+    gl = [0.0, 0.0, 0.0]
+    pe_depth = len(mapq_ref) + len(mapq_alt)
+    for q in mapq_ref:
+        p = PHRED2PROB[q]
+        gl[0] += math.log10(p)
+        gl[1] += math.log10(p + (1.0 - p))
+        gl[2] += math.log10(1.0 - p)
+    for q in mapq_alt:
+        p = PHRED2PROB[q]
+        gl[0] += math.log10(1.0 - p)
+        gl[1] += math.log10((1.0 - p) + p)
+        gl[2] += math.log10(p)
+    gl[1] += -pe_depth * math.log10(2.0)
+    gl_best = 0
+    gl_best_val = gl[0]
+    for geno in (1, 2):
+        if gl[geno] >= gl_best_val:
+            gl_best_val = gl[geno]
+            gl_best = geno
+    for geno in range(3):
+        gl[geno] -= gl_best_val
+        gl[geno] = max(gl[geno], SMALLEST_GL)
+    pl = [int(round(-10 * gl[0])), int(round(-10 * gl[1])),
+          int(round(-10 * gl[2]))]
+    if pe_depth and (pl[0] + pl[1] + pl[2]) > 0:
+        total = (PHRED2PROB[pl[0]] + PHRED2PROB[pl[1]] + PHRED2PROB[pl[2]])
+        arg = 1 - 1 / total
+        likelihood = math.log10(arg) if arg > 0 else SMALLEST_GL
+        likelihood = max(likelihood, SMALLEST_GL)
+        gq = int(round(-10 * likelihood))
+        if gl_best == 0:
+            gt = (1, 1)
+        elif gl_best == 1:
+            gt = (0, 1)
+        else:
+            gt = (0, 0)
+        # GL array layout as written: gls[2]=gl[0], gls[1]=gl[1], gls[0]=gl[2]
+        gls = (float(gl[2]), float(gl[1]), float(gl[0]))
+        pls = [max(0, int(round(-10.0 * g))) for g in gls]
+        return gls, gq, gt, pls
+    return None, 0, None, None
+
+
+def compute_cnls(mean: float, sd: float, ploidy: float, max_cn: int = 10):
+    """Copy-number likelihoods CN0..CN{max_cn-1} (bolog.h:88-133).
+
+    Returns (gl list rescaled by best, gq, varqual, best_cn).
+    """
+    def norm_pdf(x):
+        return math.exp(-0.5 * ((x - mean) / sd) ** 2) / (sd * math.sqrt(2 * math.pi))
+
+    gl = []
+    for geno in range(max_cn):
+        prob = norm_pdf(geno)
+        v = math.log10(prob) if prob > 0 else SMALLEST_GL
+        gl.append(max(v, SMALLEST_GL))
+    best = 0
+    best2 = 1
+    if gl[best] < gl[best2]:
+        best, best2 = 1, 0
+    for geno in range(2, max_cn):
+        if gl[geno] > gl[best2]:
+            if gl[geno] > gl[best]:
+                best2 = best
+                best = geno
+            else:
+                best2 = geno
+    gl_obs = max(math.log10(norm_pdf(mean)), SMALLEST_GL)
+    pl_variant = int(round(-10 * gl_obs))
+    pl_ploidy = int(round(-10 * gl[int(round(ploidy))]))
+    varqual = pl_ploidy - pl_variant
+    pl_best = int(round(-10 * gl[best]))
+    pl_best2 = int(round(-10 * gl[best2]))
+    gq = pl_best2 - pl_best
+    best_val = gl[best]
+    gl = [g - best_val for g in gl]
+    return gl, gq, varqual, best
