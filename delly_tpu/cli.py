@@ -41,17 +41,25 @@ def _add_lr(sub):
     p.add_argument("-g", "--genome", required=True)
     p.add_argument("-x", "--exclude", default="")
     p.add_argument("-o", "--outfile", default="-")
-    p.add_argument("-q", "--map-qual", type=int, default=10)
+    p.add_argument("-q", "--map-qual", type=int, default=1)
     p.add_argument("-c", "--minclip", type=int, default=25)
-    p.add_argument("-z", "--min-clique-size", type=int, default=2)
+    p.add_argument("-z", "--min-clique-size", type=int, default=3)
     p.add_argument("-m", "--minrefsep", type=int, default=30)
-    p.add_argument("-n", "--maxreadsep", type=int, default=75)
+    p.add_argument("-n", "--maxreadsep", type=int, default=500)
     p.add_argument("-p", "--max-reads", type=int, default=15)
+    p.add_argument("-w", "--cons-window", type=int, default=1000)
+    p.add_argument("-f", "--flank-size", type=int, default=100)
+    p.add_argument("--flank-quality", type=float, default=0.9)
+    p.add_argument("-i", "--indel-size", type=int, default=10000)
+    p.add_argument("-k", "--mei-minfrac", type=float, default=0.8)
+    p.add_argument("-r", "--tr-minfrac", type=float, default=0.85)
+    p.add_argument("-j", "--methyl-window", type=int, default=1000)
+    p.add_argument("-e", "--methyl-prob", type=int, default=128)
+    p.add_argument("--min-cpg-depth", type=int, default=5)
     p.add_argument("-v", "--vcffile", default="")
     p.add_argument("-u", "--geno-qual", type=int, default=5)
     p.add_argument("-d", "--dump", default="")
-    p.add_argument("-a", "--max-geno-count", type=int, default=500)
-    p.add_argument("-e", "--methyl", action="store_true")
+    p.add_argument("-a", "--max-geno-count", type=int, default=250)
     p.add_argument("--threads", type=int, default=4)
     p.add_argument("input_files", nargs="+")
     return p
@@ -121,7 +129,14 @@ def main(argv=None) -> int:
             min_clique_size=args.min_clique_size,
             min_ref_sep=args.minrefsep, max_read_sep=args.maxreadsep,
             max_read_per_sv=args.max_reads, min_geno_qual=args.geno_qual,
-            max_geno_read_count=args.max_geno_count, methyl=args.methyl,
+            max_geno_read_count=args.max_geno_count,
+            min_cons_window=args.cons_window,
+            min_flank_size=args.flank_size,
+            flank_quality=args.flank_quality,
+            indelsize=args.indel_size,
+            mei_min_frac=args.mei_minfrac, tr_min_frac=args.tr_minfrac,
+            methyl_window=args.methyl_window, methyl_prob=args.methyl_prob,
+            min_cpg_depth=args.min_cpg_depth,
             max_threads=args.threads)
         return run_lr(cfg)
     if args.command in ("cnv", "merge", "filter", "asm"):

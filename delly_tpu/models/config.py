@@ -64,17 +64,16 @@ class LrConfig:
     sample_names: list = field(default_factory=list)
     svtset: set = field(default_factory=set)
     technology: str = "ont"
-    min_map_qual: int = 10
+    min_map_qual: int = 1
     min_geno_qual: int = 5
     min_clip: int = 25
-    min_clique_size: int = 2
+    min_clique_size: int = 3
     min_ref_sep: int = 30
-    max_read_sep: int = 75
-    max_geno_read_count: int = 500
+    max_read_sep: int = 500
+    max_geno_read_count: int = 250
     max_read_per_sv: int = 15
     graph_pruning: int = 1000
-    min_cons_window: int = 250
-    min_cons_size: int = 2
+    min_cons_window: int = 1000
     max_threads: int = 4
     indel_extension: float = 0.5  # ont preset; pb = 0.7 (tegua.h:419-420)
     match: int = 5
@@ -84,11 +83,12 @@ class LrConfig:
     flank_quality: float = 0.9
     mei_min_frac: float = 0.8
     tr_min_frac: float = 0.85
-    min_flank_size: int = 50
+    min_flank_size: int = 100
     indelsize: int = 10000
     geno_cap: int = 25
-    min_cpg_depth: int = 3
-    methyl: bool = False
+    methyl_window: int = 1000
+    methyl_prob: int = 128
+    min_cpg_depth: int = 5
     nchr: int = 0
 
     def __post_init__(self):

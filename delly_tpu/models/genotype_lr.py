@@ -1,0 +1,407 @@
+"""Long-read SV genotyping.
+
+Reference: src/genotype.h (genotypeLR). For every primary read spanning an
+SV breakpoint, centered REF / ALT / read probe windows are cut and scored
+with NW edit distance; the REF-ALT edit-distance delta becomes a
+per-read phred-like quality (capped at genoCap). Haplotype (HP/PS) tags
+feed phased counts; methylation accumulates per allele.
+
+TPU mapping: the breakpoint probe alignments are collected as jobs during
+the host scan and scored with the batched device NW kernel
+(ops.edist.batched_edit_distance), bucketed by padded length — the same
+device pipeline the short-read genotyper uses. The read-level cap gating
+(maxGenoReadCount) depends only on the order candidate reads are seen,
+not on alignment outcomes (genotype.h:230-233: the jctMap-size gate can
+only fire after the readSV-counter gate), so collect-then-batch is
+outcome-equivalent to the reference's streaming loop.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from delly_tpu.io.bam import (
+    CDEL, CDIFF, CEQUAL, CHARD_CLIP, CINS, CMATCH, CREF_SKIP, CSOFT_CLIP,
+    FDUP, FQCFAIL, FSECONDARY, FSUPPLEMENTARY, FUNMAP,
+)
+from delly_tpu.models.methyl import (
+    MethylAccum, accumulate_methyl, build_methyl_calls, finalize_methyl_info,
+)
+from delly_tpu.models.svanno import annotate_sv
+from delly_tpu.ops.edist import MODE_NW, batched_edit_distance
+from delly_tpu.utils.tags import is_translocation, revcomp
+
+
+def read_start_clip(rec) -> int:
+    """Read start including a leading clip (genotype.h:31-42)."""
+    rp = rec.pos
+    if rec.n_cigar:
+        op = rec.cigar_ops[0]
+        if op in (CSOFT_CLIP, CHARD_CLIP):
+            ol = int(rec.cigar_lens[0])
+            rp = rp - ol if rp > ol else 0
+    return rp
+
+
+def read_end_clip(rec) -> int:
+    """Read end including a trailing clip (genotype.h:44-57)."""
+    rp = rec.pos
+    if rec.n_cigar:
+        for op, ol in zip(rec.cigar_ops, rec.cigar_lens):
+            if op in (CMATCH, CEQUAL, CDIFF, CDEL, CREF_SKIP):
+                rp += int(ol)
+        if rec.cigar_ops[-1] in (CSOFT_CLIP, CHARD_CLIP):
+            rp += int(rec.cigar_lens[-1])
+    return rp
+
+
+def find_seq_bp(rec, pos: int) -> int:
+    """Sequence offset of reference position `pos` (genotype.h:59-91)."""
+    rp = rec.pos
+    sp = 0
+    n = rec.n_cigar
+    if n == 0:
+        return -1
+    ops = rec.cigar_ops
+    lens = rec.cigar_lens
+    for i in range(n):
+        op = ops[i]
+        ol = int(lens[i])
+        if op in (CMATCH, CEQUAL, CDIFF):
+            # per-base check happens before the advance (genotype.h:69-70),
+            # so pos == rp + ol falls through to the next op
+            if pos < rp + ol:
+                return sp + max(0, pos - rp)
+            rp += ol
+            sp += ol
+        elif op == CDEL:
+            rp += ol
+            if rp >= pos:
+                return sp
+        elif op == CINS:
+            sp += ol
+        elif op == CREF_SKIP:
+            rp += ol
+            if rp >= pos:
+                return sp
+        elif op in (CSOFT_CLIP, CHARD_CLIP):
+            sp += ol
+    if ops[n - 1] in (CSOFT_CLIP, CHARD_CLIP):
+        return sp - int(lens[n - 1])
+    return -1
+
+
+@dataclass
+class _Job:
+    """One read x SV genotyping unit (>=1 breakpoint alignments)."""
+    file_c: int
+    svid: int
+    rec_idx: int
+    pairs: list  # [(ref_probe, alt_probe, probe, probe_for_alt), ...]
+    candidates: list  # breakpoint positions the read overlaps
+
+
+def _probe_rc_needed(svt: int, pos: int, sv) -> bool:
+    """Whether the read probe is reverse-complemented for the ALT
+    alignment (genotype.h:277-283)."""
+    return ((svt == 0 and pos == sv.svEnd)
+            or (svt == 1 and pos == sv.svStart)
+            or (svt == 5 and pos == sv.svEnd)
+            or (svt == 6 and pos == sv.svStart))
+
+
+def _score_jobs(jobs: list, flank_quality: float):
+    """Batched NW edit distances for all job pairs, bucketed by length."""
+    flat = []  # (job_idx, pair_idx, which, query, target)
+    for ji, job in enumerate(jobs):
+        for pi, (ref_p, alt_p, probe, probe_rc) in enumerate(job.pairs):
+            flat.append((ji, pi, 0, ref_p, probe))
+            flat.append((ji, pi, 1, alt_p, probe_rc))
+    results = {}
+    if not flat:
+        return results
+    # bucket by padded shape to bound compile count
+    def bucket(n):
+        b = 64
+        while b < n:
+            b *= 2
+        return b
+
+    buckets = {}
+    for item in flat:
+        key = (bucket(len(item[3])), bucket(len(item[4])))
+        buckets.setdefault(key, []).append(item)
+    for (m, n), items in buckets.items():
+        B = len(items)
+        q = np.zeros((B, m), dtype=np.uint8)
+        t = np.zeros((B, n), dtype=np.uint8)
+        ql = np.zeros(B, dtype=np.int32)
+        tl = np.zeros(B, dtype=np.int32)
+        for i, (_, _, _, qs, ts) in enumerate(items):
+            qb = qs.encode()
+            tb = ts.encode()
+            q[i, :len(qb)] = np.frombuffer(qb, dtype=np.uint8)
+            t[i, :len(tb)] = np.frombuffer(tb, dtype=np.uint8)
+            ql[i] = len(qb)
+            tl[i] = len(tb)
+        dists = np.asarray(batched_edit_distance(q, ql, t, tl, MODE_NW))
+        for i, (ji, pi, which, qs, _) in enumerate(items):
+            results[(ji, pi, which)] = (int(dists[i]), len(qs))
+    return results
+
+
+def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
+    """genotype.h:93-397. Mutates jctMap/rcMap/methylMap in place and
+    annotates SVs (alleles + MEI/TR) on the fly."""
+    if not svs:
+        return
+    header = bams[0].header
+    n_files = len(bams)
+    read_sv = [dict() for _ in range(n_files)]  # svid -> candidate count
+    methyl_accum = [
+        {sv.id: MethylAccum() for sv in svs} for _ in range(n_files)]
+    dump_rows = []
+
+    print("SV annotation", file=sys.stderr)
+    w = math.log10(cfg.flank_quality / (1.0 - cfg.flank_quality))
+
+    for ref_index in range(header.n_targets):
+        bp_map = []  # (pos, svid)
+        for sv in svs:
+            if sv.chr == ref_index:
+                bp_map.append((sv.svStart, sv.id))
+            if sv.chr2 == ref_index:
+                bp_map.append((sv.svEnd, sv.id))
+        if not bp_map:
+            continue
+        bp_map.sort()
+        bp_pos = np.asarray([b[0] for b in bp_map], dtype=np.int64)
+        chrom_len = header.lengths[ref_index]
+        seq = fasta.fetch(header.names[ref_index]).upper()
+
+        # Symbolic ALT alleles + MEI/TR annotation (genotype.h:155-163)
+        for sv in svs:
+            if sv.chr == ref_index and not sv.alleles:
+                from delly_tpu.models.genotype_sr import _add_alleles
+                sv.alleles = _add_alleles(
+                    seq[sv.svStart - 1:sv.svStart],
+                    header.names[sv.chr2], sv)
+            if sv.chr == ref_index and not is_translocation(sv.svt):
+                annotate_sv(cfg, header.lengths, seq, sv)
+
+        for file_c in range(n_files):
+            cov_bases = np.zeros(chrom_len, dtype=np.int32)
+            jobs = []
+            job_recs = []  # BamRecord per job (for methyl/HP pass)
+            for rec in bams[file_c].records(tid=ref_index):
+                if rec.flag & (FSECONDARY | FQCFAIL | FDUP | FUNMAP):
+                    continue
+                if rec.mapq < cfg.min_map_qual or rec.tid < 0:
+                    continue
+                # Coverage track over M/=/X ops
+                rp = rec.pos
+                for op, ol in zip(rec.cigar_ops, rec.cigar_lens):
+                    ol = int(ol)
+                    if op in (CMATCH, CEQUAL, CDIFF):
+                        lo = rp
+                        hi = min(rp + ol, chrom_len)
+                        if hi > lo:
+                            cov_bases[lo:hi] += 1
+                        rp += ol
+                    elif op in (CDEL, CREF_SKIP):
+                        rp += ol
+
+                # Primary alignments only for genotyping
+                if rec.flag & (FQCFAIL | FDUP | FUNMAP | FSUPPLEMENTARY
+                               | FSECONDARY):
+                    continue
+                if rec.l_qseq < 2 * cfg.min_flank_size:
+                    continue
+
+                r_start = read_start_clip(rec) + cfg.min_flank_size
+                r_end = read_end_clip(rec)
+                if r_end <= cfg.min_flank_size:
+                    continue
+                r_end -= cfg.min_flank_size
+                if r_start >= r_end:
+                    continue
+                lo = int(np.searchsorted(bp_pos, r_start, side="left"))
+                hi = int(np.searchsorted(bp_pos, r_end, side="right"))
+                if lo >= hi:
+                    continue
+                process = sorted({bp_map[i][1] for i in range(lo, hi)})
+
+                sequence = None
+                for svid in process:
+                    sv = svs[svid]
+                    cnt = read_sv[file_c].get(svid, 0)
+                    if cnt >= cfg.max_geno_read_count:
+                        continue
+                    read_sv[file_c][svid] = cnt + 1
+
+                    candidates = []
+                    if (sv.chr == ref_index and r_start <= sv.svStart
+                            <= r_end):
+                        candidates.append(sv.svStart)
+                    if (sv.chr2 == ref_index and r_start <= sv.svEnd
+                            <= r_end):
+                        candidates.append(sv.svEnd)
+                    if not candidates:
+                        continue
+
+                    pairs = []
+                    for pos in candidates:
+                        sp_bp = find_seq_bp(rec, pos)
+                        if sp_bp < 0:
+                            continue
+                        cons_bp = sv.consBp
+                        if pos == sv.svEnd:
+                            cons_bp += sv.insLen
+                        r_start_off = pos - max(0, pos - sp_bp)
+                        r_end_off = min(pos + rec.l_qseq - sp_bp,
+                                        chrom_len) - pos
+                        c_start_off = cons_bp - max(0, cons_bp - sp_bp)
+                        c_end_off = min(cons_bp + rec.l_qseq - sp_bp,
+                                        len(sv.consensus)) - cons_bp
+                        offset = min(r_start_off, c_start_off, r_end_off,
+                                     c_end_off)
+                        if offset < cfg.min_flank_size:
+                            continue
+                        if (not is_translocation(sv.svt)
+                                and 2 * offset < cfg.min_cons_window):
+                            continue
+                        if sequence is None:
+                            sequence = rec.seq
+                        ref_p = seq[pos - offset:pos + offset]
+                        alt_p = sv.consensus[cons_bp - offset:
+                                             cons_bp + offset]
+                        probe = sequence[sp_bp - offset:sp_bp + offset]
+                        probe_alt = (revcomp(probe)
+                                     if _probe_rc_needed(sv.svt, pos, sv)
+                                     else probe)
+                        pairs.append((ref_p, alt_p, probe, probe_alt))
+                    if pairs:
+                        jobs.append(_Job(file_c, svid, len(job_recs),
+                                         pairs, candidates))
+                        job_recs.append((rec, sequence))
+
+            # Device-batched NW scoring, then sequential tally
+            results = _score_jobs(jobs, cfg.flank_quality)
+            meth_cache = {}
+            for ji, job in enumerate(jobs):
+                sv = svs[job.svid]
+                rec, sequence = job_recs[job.rec_idx]
+                jct = jct_map[file_c][job.svid]
+                if (len(jct.ref) + len(jct.alt)) >= cfg.max_geno_read_count:
+                    continue
+                refedsum = 0
+                altedsum = 0
+                n_inform = 0
+                for pi, (ref_p, alt_p, _probe, _probe_rc) in enumerate(
+                        job.pairs):
+                    ref_score, ref_len = results[(ji, pi, 0)]
+                    alt_score, alt_len = results[(ji, pi, 1)]
+                    score_a = ((1.0 - cfg.flank_quality) * len(alt_p)
+                               / (alt_score + 1))
+                    score_r = ((1.0 - cfg.flank_quality) * len(ref_p)
+                               / (ref_score + 1))
+                    if score_r > 0.6 or score_a > 0.6:
+                        refedsum += ref_score
+                        altedsum += alt_score
+                        n_inform += 1
+                if n_inform == 0:
+                    continue
+                delta = refedsum - altedsum
+                ex = min(abs(delta) * w, 4.0)
+                mq = int(10.0 * math.log10(1.0 + math.pow(10.0, ex)))
+                qual = min(mq, cfg.geno_cap)
+
+                hp = 0
+                ps = -1
+                hp_tag = rec.aux("HP")
+                if hp_tag is not None:
+                    hp = int(hp_tag)
+                ps_tag = rec.aux("PS")
+                if ps_tag is not None:
+                    ps = int(ps_tag)
+
+                key = id(rec)
+                if key not in meth_cache:
+                    meth_cache[key] = build_methyl_calls(
+                        rec, cfg.methyl_prob)
+                has_methyl, calls = meth_cache[key]
+                cands = job.candidates
+
+                if delta <= 0:
+                    if has_methyl:
+                        accumulate_methyl(
+                            cfg, rec, calls, sv, ref_index, chrom_len,
+                            False, cands,
+                            methyl_accum[file_c][job.svid],
+                            sequence or "")
+                    jct.ref.append(qual)
+                    if hp == 1:
+                        jct.hp1ref.append(qual)
+                    elif hp == 2:
+                        jct.hp2ref.append(qual)
+                else:
+                    if has_methyl:
+                        accumulate_methyl(
+                            cfg, rec, calls, sv, ref_index, chrom_len,
+                            True, cands,
+                            methyl_accum[file_c][job.svid],
+                            sequence or "")
+                    if cfg.dumpfile:
+                        dump_rows.append((job.svid, sv.svt,
+                                          cfg.files[file_c], rec.qname,
+                                          header.names[rec.tid], rec.pos,
+                                          rec.mapq))
+                    jct.alt.append(qual)
+                    if hp == 1:
+                        jct.hp1alt.append(qual)
+                    elif hp == 2:
+                        jct.hp2alt.append(qual)
+                    if hp > 0 and ps >= 0 and jct.ps < 0:
+                        jct.ps = ps
+
+            # Coverage annotation (genotype.h:344-378)
+            for sv in svs:
+                if sv.chr != ref_index:
+                    continue
+                half = (sv.svEnd - sv.svStart) // 2
+                if is_translocation(sv.svt) or sv.svt == 4:
+                    half = 500
+                lstart = max(sv.svStart - half, 0)
+                rc = rc_map[file_c][sv.id]
+                rc.leftRC = int(cov_bases[lstart:sv.svStart].sum())
+                mstart, mend = sv.svStart, sv.svEnd
+                if is_translocation(sv.svt) or sv.svt == 4:
+                    mstart = max(sv.svStart - half, 0)
+                    mend = min(sv.svStart + half, chrom_len)
+                rc.rc = int(cov_bases[mstart:mend].sum())
+                rstart, rend = sv.svEnd, min(sv.svEnd + half, chrom_len)
+                if is_translocation(sv.svt) or sv.svt == 4:
+                    rstart = sv.svStart
+                    rend = min(sv.svStart + half, chrom_len)
+                rc.rightRC = int(cov_bases[rstart:rend].sum())
+
+    # Finalize methylation summaries
+    for file_c in range(n_files):
+        for sv in svs:
+            methyl_map[file_c][sv.id] = finalize_methyl_info(
+                methyl_accum[file_c][sv.id], cfg.min_cpg_depth)
+
+    # SV-supporting read dump (genotype.h:127-133,325-331)
+    if cfg.dumpfile:
+        import gzip
+
+        from delly_tpu.utils.tags import add_id
+        with gzip.open(cfg.dumpfile, "wt") as fh:
+            fh.write("#svid\tbam\tqname\tchr\tpos\tmapq\ttype\n")
+            for svid, svt, bam, qname, chrom, pos, mapq in dump_rows:
+                fh.write(f"{add_id(svt)}{svid:08d}\t{bam}\t{qname}\t"
+                         f"{chrom}\t{pos}\t{mapq}\tSR\n")

@@ -1,0 +1,146 @@
+"""Long-read SV discovery and genotyping driver (delly lr).
+
+Reference: src/tegua.h (runTegua / tegua). Pipeline:
+split-read scan (junction.h findJunctions) -> typed junction pairing
+(fetchSVs) -> per-svt clique clustering -> consensus assembly + breakpoint
+refinement (assemble.h) -> positional dedup -> LR genotyping
+(genotype.h) -> VCF output (modvcf.h).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from delly_tpu.io.bam import FDUP, FQCFAIL, FUNMAP, BamFile
+from delly_tpu.io.fasta import FastaFile
+from delly_tpu.models.assemble import SeqSlice, assemble
+from delly_tpu.models.genotype_lr import genotype_lr
+from delly_tpu.models.genotype_sr import (
+    JunctionCount, ReadCount, SpanningCount,
+)
+from delly_tpu.models.junctions import extract_junctions_lr, fetch_svs
+from delly_tpu.models.cluster import cluster_sr
+from delly_tpu.models.methyl import MethylInfo
+from delly_tpu.models.vcf_in import vcf_parse
+from delly_tpu.models.vcf_out import vcf_output
+from delly_tpu.utils.hashing import hash_lr
+from delly_tpu.utils.stats import parse_exclude_intervals
+from delly_tpu.utils.tags import SVT_TRANS
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr)
+
+
+def find_junctions(cfg, bams, valid_regions) -> dict:
+    """Genome-wide split-read scan (junction.h:319-460). Secondary and
+    supplementary alignments are kept; the per-read junction lists are
+    keyed by the long-read name hash."""
+    read_bp = {}
+    _log("Split-read scanning")
+    header = bams[0].header
+    for ref_index in range(header.n_targets):
+        if not valid_regions[ref_index]:
+            continue
+        for bam in bams:
+            for rec in bam.records(tid=ref_index):
+                if rec.flag & (FQCFAIL | FDUP | FUNMAP):
+                    continue
+                if rec.mapq < cfg.min_map_qual or rec.tid < 0:
+                    continue
+                in_valid = any(lo <= rec.pos < hi
+                               for lo, hi in valid_regions[ref_index])
+                if not in_valid:
+                    continue
+                seed = hash_lr(rec.qname)
+                extract_junctions_lr(read_bp, seed, rec, cfg.min_ref_sep,
+                                     cfg.min_clip, cfg.indel_extension)
+    for jv in read_bp.values():
+        jv.sort(key=lambda j: j.sort_key())
+    return read_bp
+
+
+def cluster_sr_reads(cfg, bams, valid_regions, svc: list, sr_store: list):
+    """junction.h:495-623 (_clusterSRReads): scan -> fetchSVs ->
+    per-svt clustering -> split-read store for assembly."""
+    header = bams[0].header
+    nsvt = 2 * SVT_TRANS
+    read_bp = find_junctions(cfg, bams, valid_regions)
+    sr_br = [[] for _ in range(nsvt)]
+    fetch_svs(read_bp, sr_br, cfg.svtset, cfg.max_read_sep, cfg.min_ref_sep)
+
+    for svt in range(nsvt):
+        if not sr_br[svt]:
+            continue
+        sr_br[svt].sort(key=lambda r: r.sort_key())
+        cluster_sr(sr_br[svt], svc, svt, cfg.nchr, cfg.max_read_sep,
+                   cfg.graph_pruning, cfg.min_clique_size)
+        # Track split reads for consensus assembly (junction.h:603-622)
+        for r in sr_br[svt]:
+            if r.svid != -1 and r.rstart != -1:
+                insert_chr = r.primaryChr if r.primaryChr != -1 else r.chr
+                if r.rstart < header.lengths[insert_chr]:
+                    sr_store[insert_chr].setdefault(
+                        (r.rstart, r.id), []).append(
+                            SeqSlice(r.svid, r.sstart, r.inslen, r.qual))
+
+
+def run_lr(cfg) -> int:
+    """tegua.h:77-207."""
+    bams = [BamFile(f) for f in cfg.files]
+    header = bams[0].header
+    cfg.nchr = header.n_targets
+    if not cfg.sample_names:
+        cfg.sample_names = [
+            b.header.sample_name(default=f.rsplit("/", 1)[-1].split(".")[0])
+            for b, f in zip(bams, cfg.files)]
+    fasta = FastaFile(cfg.genome)
+    valid_regions = parse_exclude_intervals(cfg.exclude or None, header)
+
+    svs = []
+    if not cfg.vcffile:
+        svc = []
+        sr_store = [dict() for _ in range(cfg.nchr)]
+        cluster_sr_reads(cfg, bams, valid_regions, svc, sr_store)
+        _log("Split-read assembly")
+        assemble(cfg, bams, fasta, valid_regions, svc, sr_store)
+
+        # Sort + dedup (tegua.h:124-149)
+        svc.sort(key=lambda s: s.sort_key())
+        last_sv_per_type = {}
+        for sv in svc:
+            if sv.srSupport == 0 and sv.peSupport == 0:
+                continue
+            if svs:
+                last = last_sv_per_type.get(sv.svt)
+                if (last is not None and last.chr == sv.chr
+                        and last.chr2 == sv.chr2
+                        and abs(sv.svStart - last.svStart) < cfg.min_ref_sep
+                        and abs(sv.svEnd - last.svEnd) < cfg.min_ref_sep):
+                    len1 = (sv.insLen if sv.svt == 4
+                            else sv.svEnd - sv.svStart)
+                    len2 = (last.insLen if last.svt == 4
+                            else last.svEnd - last.svStart)
+                    lengthvar = int(min(0.1 * len1, 0.1 * len2))
+                    if lengthvar < 15:
+                        lengthvar = 15
+                    if abs(len1 - len2) < lengthvar:
+                        continue
+            last_sv_per_type[sv.svt] = sv
+            svs.append(sv)
+        svs.sort(key=lambda s: s.sort_key())
+        for i, sv in enumerate(svs):
+            sv.id = i
+    else:
+        svs = vcf_parse(cfg.vcffile, header)
+
+    n_files = len(cfg.files)
+    jct_map = [[JunctionCount() for _ in svs] for _ in range(n_files)]
+    span_map = [[SpanningCount() for _ in svs] for _ in range(n_files)]
+    rc_map = [[ReadCount() for _ in svs] for _ in range(n_files)]
+    methyl_map = [[MethylInfo() for _ in svs] for _ in range(n_files)]
+
+    genotype_lr(cfg, bams, fasta, svs, jct_map, rc_map, methyl_map)
+    vcf_output(cfg, header, svs, jct_map, rc_map, span_map, methyl_map)
+    _log("Done.")
+    return 0

