@@ -86,6 +86,45 @@ def _svtypes_to_set(svtype: str) -> set:
     return out
 
 
+def _add_cnv(sub):
+    p = sub.add_parser("cnv", help="CNV discovery (read-depth)")
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-q", "--quality", type=int, default=10)
+    p.add_argument("-o", "--outfile", default="-")
+    p.add_argument("-c", "--covfile", default="")
+    p.add_argument("-u", "--segmentation", default="")
+    p.add_argument("-z", "--cnv-size", type=int, default=1000)
+    p.add_argument("-v", "--vcffile", default="")
+    p.add_argument("--minclip", type=int, default=25)
+    p.add_argument("--minrefsep", type=int, default=30)
+    p.add_argument("--min-bp-support", type=int, default=3)
+    p.add_argument("--penalty", type=float, default=3.0)
+    p.add_argument("--cnv-merge", type=float, default=0.25)
+    p.add_argument("--cnv-min-callable", type=float, default=0.75)
+    p.add_argument("-y", "--ploidy", type=float, default=2.0)
+    p.add_argument("-p", "--purity", type=float, default=1.0)
+    p.add_argument("--ctrl-ploidy", type=float, default=2.0)
+    p.add_argument("--haploid-chr", default="")
+    p.add_argument("-w", "--window", type=int, default=0)
+    p.add_argument("--fraction-unique", type=float, default=0.8)
+    p.add_argument("--basecov", action="store_true")
+    p.add_argument("--fragmentcov", action="store_true")
+    p.add_argument("--no-regional-gc", action="store_true")
+    p.add_argument("--fragment", type=float, default=0.97)
+    p.add_argument("--statsfile", default="")
+    p.add_argument("--window-offset", type=int, default=0)
+    p.add_argument("--fraction-window", type=float, default=0.25)
+    p.add_argument("--mapq-uniq", type=int, default=20)
+    p.add_argument("--target-reads", type=int, default=150)
+    p.add_argument("--scan-window", type=int, default=None)
+    p.add_argument("--scan-regions", default="")
+    p.add_argument("--mad-cutoff", type=int, default=3)
+    p.add_argument("--percentile", type=float, default=0.0005)
+    p.add_argument("--no-window-selection", action="store_true")
+    p.add_argument("input_file")
+    return p
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     parser = argparse.ArgumentParser(
@@ -94,8 +133,8 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command")
     _add_sr(sub)
     _add_lr(sub)
+    _add_cnv(sub)
     sub.add_parser("asm", help="SV discovery in assemblies (round 2)")
-    sub.add_parser("cnv", help="CNV discovery (read-depth)")
     sub.add_parser("merge", help="merge SV site lists")
     sub.add_parser("filter", help="somatic/germline filtering")
     args, extra = parser.parse_known_args(argv)
@@ -139,7 +178,38 @@ def main(argv=None) -> int:
             min_cpg_depth=args.min_cpg_depth,
             max_threads=args.threads)
         return run_lr(cfg)
-    if args.command in ("cnv", "merge", "filter", "asm"):
+    if args.command == "cnv":
+        from delly_tpu.models.coral import CnvConfig, run_cnv
+        basecov_flag = "auto"
+        if args.basecov:
+            basecov_flag = "base"
+        elif args.fragmentcov:
+            basecov_flag = "fragment"
+        cfg = CnvConfig(
+            genome=args.genome, bam_file=args.input_file,
+            outfile=args.outfile, covfile=args.covfile,
+            segfile=args.segmentation, genofile=args.vcffile,
+            stats_file=args.statsfile, scan_file=args.scan_regions,
+            min_qual=args.quality, min_cnv_size=args.cnv_size,
+            min_clip=args.minclip, min_ref_sep=args.minrefsep,
+            min_bp_support=args.min_bp_support, penalty=args.penalty,
+            cn_merge_tol=args.cnv_merge,
+            cn_min_callable=args.cnv_min_callable,
+            ploidy=args.ploidy, purity=args.purity,
+            ctrl_ploidy=args.ctrl_ploidy, haploid_chr=args.haploid_chr,
+            window_size=args.window, window_offset=args.window_offset,
+            scan_window=(args.scan_window if args.scan_window is not None
+                         else 10000),
+            scan_window_user_set=args.scan_window is not None,
+            unique_to_total_cov_ratio=args.fraction_unique,
+            fragment_unique=args.fragment, frac_window=args.fraction_window,
+            mapq_uniq=args.mapq_uniq, target_reads=args.target_reads,
+            mad=args.mad_cutoff, exclgc=args.percentile,
+            no_scan_window_selection=args.no_window_selection,
+            regional_gc=not args.no_regional_gc,
+            basecov_flag=basecov_flag)
+        return run_cnv(cfg)
+    if args.command in ("merge", "filter", "asm"):
         print(f"delly-tpu {args.command}: not yet implemented in this round",
               file=sys.stderr)
         return 1

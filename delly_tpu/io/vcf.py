@@ -112,15 +112,17 @@ def fmt_float(x: float) -> str:
 
 class VcfWriter:
     def __init__(self, path: str, chrom_names, chrom_lens, samples,
-                 genome_path: str = ""):
+                 genome_path: str = "", header_lines=None,
+                 format_keys=None):
         self.path = path
         self.samples = list(samples)
+        self.format_keys = list(format_keys or FORMAT_KEYS)
         buf = io.StringIO()
         buf.write("##fileformat=VCFv4.2\n")
         buf.write('##FILTER=<ID=PASS,Description="All filters passed">\n')
         today = datetime.date.today()
         buf.write(f"##fileDate={today.strftime('%Y%m%d')}\n")
-        for line in HEADER_LINES:
+        for line in (HEADER_LINES if header_lines is None else header_lines):
             buf.write(line + "\n")
         if genome_path:
             buf.write(f"##reference={genome_path}\n")
@@ -134,12 +136,13 @@ class VcfWriter:
     def write_record(self, chrom, pos1, vid, ref, alt, qual, filt, info_pairs,
                      sample_fields):
         """info_pairs: list of (key, value-or-None-for-flag);
-        sample_fields: list of dicts keyed by FORMAT_KEYS subset."""
+        sample_fields: list of dicts keyed by format_keys subset."""
         info = ";".join(k if v is None else f"{k}={v}" for k, v in info_pairs)
         row = [chrom, str(pos1), vid, ref, alt, str(qual), filt, info,
-               ":".join(FORMAT_KEYS)]
+               ":".join(self.format_keys)]
         for sf in sample_fields:
-            row.append(":".join(str(sf.get(k, ".")) for k in FORMAT_KEYS))
+            row.append(":".join(str(sf.get(k, "."))
+                                for k in self.format_keys))
         self._buf.write("\t".join(row) + "\n")
 
     def close(self):

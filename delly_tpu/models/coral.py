@@ -1,0 +1,489 @@
+"""Read-depth CNV driver (delly cnv).
+
+Reference: src/coral.h (bamCount / coral). Pipeline: library stats ->
+coverage-aware GC scan window -> 10kb window scan + CN2-stable selection
+-> GC bias curve + correctable bounds -> auto window size targeting
+~150 reads/window -> regional GC correction -> main counting pass per
+chromosome (GC track, coverage + uniq-MAPQ tracks, split-read clips,
+callable masks) -> segmentation + CNV genotyping -> merge -> CNV VCF
+plus the gzipped logR/CN coverage table.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from delly_tpu.io.bam import (
+    FDUP, FMUNMAP, FPAIRED, FQCFAIL, FSECONDARY, FSUPPLEMENTARY, FUNMAP,
+    BamFile,
+)
+from delly_tpu.io.fasta import FastaFile
+from delly_tpu.models.cnv import (
+    cnv_vcf, collect_breakpoints, genotype_cnvs, merge_adjacent_same_cn,
+    parse_vcf_cnv, segment_rd,
+)
+from delly_tpu.models.depth import (
+    add_base_coverage, add_split_read_breakpoints, gc_content_track,
+    set_min_chr_len, uniq_content_track,
+)
+from delly_tpu.models.gcbias import (
+    GcBias, estimate_regional_gc, gc_bias, reg_corr_factor,
+)
+from delly_tpu.models.scan import scan, select_windows
+from delly_tpu.models.sr import first_pair_obs
+from delly_tpu.utils.hashing import hash_pair, hash_pair_mate, hash_sr
+from delly_tpu.utils.stats import get_library_params
+
+
+@dataclass
+class CnvConfig:
+    """delly cnv options (coral.h:26-71, defaults coral.h:445-498)."""
+    genome: str = ""
+    bam_file: str = ""
+    outfile: str = "-"
+    covfile: str = ""
+    segfile: str = ""
+    genofile: str = ""
+    stats_file: str = ""
+    scan_file: str = ""
+    sample_name: str = ""
+    min_qual: int = 10
+    min_cnv_size: int = 1000
+    min_clip: int = 25
+    min_ref_sep: int = 30
+    min_bp_support: int = 3
+    penalty: float = 3.0
+    cn_merge_tol: float = 0.25
+    cn_min_callable: float = 0.75
+    ploidy: float = 2.0
+    purity: float = 1.0
+    ctrl_ploidy: float = 2.0
+    haploid_chr: str = ""
+    window_size: int = 0
+    window_offset: int = 0
+    scan_window: int = 10000
+    scan_window_user_set: bool = False
+    unique_to_total_cov_ratio: float = 0.8
+    fragment_unique: float = 0.97
+    frac_window: float = 0.25
+    mapq_uniq: int = 20
+    target_reads: int = 150
+    mad: int = 3
+    exclgc: float = 0.0005
+    no_scan_window_selection: bool = False
+    regional_gc: bool = True
+    basecov_flag: str = "auto"  # auto | base | fragment
+    # derived
+    basecov: bool = False
+    adaptive: bool = False
+    target_exp_cov: float = 0.0
+    expected_cn: float = 2.0
+    meanisize: int = 251
+    min_chr_len: int = 0
+    nchr: int = 0
+    ref_idx: set = field(default_factory=set)
+
+    def __post_init__(self):
+        self.purity = min(max(self.purity, 0.1), 1.0)
+        self.expected_cn = (self.purity * self.ploidy
+                            + (1.0 - self.purity) * self.ctrl_ploidy)
+        if self.target_reads == 0:
+            self.target_reads = 150
+        self.adaptive = self.window_size == 0
+        if self.window_offset == 0 or self.window_offset > self.window_size:
+            self.window_offset = self.window_size
+
+
+def _mapped_stats(bam) -> tuple:
+    """Total mapped reads and covered genome length (role of
+    hts_idx_get_stat in coral.h:679-690)."""
+    per_tid = {}
+    for rec in bam.records():
+        if rec.flag & FUNMAP or rec.tid < 0:
+            continue
+        per_tid[rec.tid] = per_tid.get(rec.tid, 0) + 1
+    total = sum(per_tid.values())
+    genome_len = sum(bam.header.lengths[tid] for tid in per_tid)
+    return total, genome_len
+
+
+def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
+    """Main counting pass (coral.h:93-437)."""
+    header = bam.header
+    print("Count fragments", file=sys.stderr)
+
+    data_out = None
+    if cfg.covfile:
+        data_out = gzip.open(cfg.covfile, "wt")
+        data_out.write(f"chr\tstart\tend\t{cfg.sample_name}_uniqfrac\t"
+                       f"{cfg.sample_name}_logR\t{cfg.sample_name}_CN\n")
+
+    cnvs = []
+    if cfg.genofile:
+        cnvs = parse_vcf_cnv(cfg.genofile, header)
+
+    cov_curve = np.asarray([gb.coverage for gb in gcbias])
+    regcorr_arr = regcorr or []
+
+    for ref_index in range(header.n_targets):
+        if not cfg.genofile and not bam.mapped_count(ref_index):
+            continue
+        name = header.names[ref_index]
+        if not fasta.has_seq(name):
+            continue
+        reflen = header.lengths[ref_index]
+        chr_ctrl_ploidy = cfg.ctrl_ploidy
+        chr_ploidy = cfg.ploidy
+        if ref_index in cfg.ref_idx:
+            chr_ctrl_ploidy -= 1
+            chr_ploidy -= 1
+        seq = fasta.fetch(name)
+        gc_content = gc_content_track(seq, cfg.meanisize)
+
+        # Broad-tile regional correction factors (coral.h:164-179)
+        tile_fac = np.zeros(0, dtype=np.float64)
+        if regcorr_arr and reg_win > 0:
+            ntile = reflen // reg_win + 1
+            tile_fac = np.ones(ntile, dtype=np.float64)
+            in_range = ((gc_content > gcbound[0])
+                        & (gc_content < gcbound[1]))
+            for t in range(ntile):
+                s = t * reg_win
+                e = min(reflen, s + reg_win)
+                m = in_range[s:e]
+                winlen = int(np.count_nonzero(m))
+                if winlen > 0:
+                    gcnum = float(gc_content[s:e][m].astype(np.int64).sum())
+                    tile_fac[t] = reg_corr_factor(
+                        regcorr_arr, (gcnum / winlen) / cfg.meanisize)
+
+        cov = np.zeros(reflen, dtype=np.uint16)
+        cov_uniq = np.zeros(reflen, dtype=np.uint16)
+        cov_tot = None if cfg.basecov else np.zeros(reflen, dtype=np.uint16)
+        cov_map = cov if cfg.basecov else cov_tot
+
+        clips = []
+        mate_map = {}
+        last_aligned_pos = 0
+        last_aligned_reads = set()
+        for rec in bam.records(tid=ref_index):
+            if rec.flag & (FQCFAIL | FDUP | FUNMAP | FSECONDARY
+                           | FSUPPLEMENTARY):
+                continue
+            if rec.mapq < cfg.min_qual:
+                continue
+            if rec.flag & FPAIRED and (rec.flag & FMUNMAP
+                                       or rec.tid != rec.mtid):
+                continue
+            if rec.mapq >= cfg.mapq_uniq:
+                add_split_read_breakpoints(rec, cfg.min_clip,
+                                           cfg.min_ref_sep, reflen, clips)
+            if cfg.basecov:
+                add_base_coverage(rec, cov, cov_uniq, cfg.mapq_uniq, reflen)
+                continue
+            add_base_coverage(rec, cov_tot, cov_uniq, cfg.mapq_uniq, reflen)
+
+            midpoint = rec.pos + rec.half_alignment_length()
+            if rec.flag & FPAIRED:
+                if rec.pos > last_aligned_pos:
+                    last_aligned_reads.clear()
+                    last_aligned_pos = rec.pos
+                if first_pair_obs(rec, last_aligned_reads):
+                    last_aligned_reads.add(hash_sr(rec.qname, rec.flag))
+                    hv = hash_pair(rec.qname, rec.tid, rec.pos, rec.mtid,
+                                   rec.mpos)
+                    mate_map[hv] = True
+                    continue
+                hv = hash_pair_mate(rec.qname, rec.tid, rec.pos, rec.mtid,
+                                    rec.mpos)
+                if not mate_map.get(hv):
+                    continue
+                del mate_map[hv]
+                isize = rec.pos + rec.alignment_length() - rec.mpos
+                if li.minNormalISize < isize < li.maxNormalISize:
+                    midpoint = rec.mpos + isize // 2
+            if 0 <= midpoint < reflen and cov[midpoint] < 65534:
+                cov[midpoint] += 1
+
+        uniq_content = uniq_content_track(cov_map, cov_uniq, seq,
+                                          cfg.meanisize)
+
+        chrbp = collect_breakpoints(cfg, gcbound, gc_content, uniq_content,
+                                    gcbias, cov, reflen, clips)
+        if not cfg.genofile:
+            segment_rd(cfg, gcbound, gc_content, uniq_content, gcbias,
+                       tile_fac, reg_win, cov, reflen, ref_index, chrbp,
+                       cnvs)
+        genotype_cnvs(cfg, gcbound, gc_content, uniq_content, gcbias,
+                      tile_fac, reg_win, cov, cov_uniq, cov_map, reflen,
+                      ref_index, cnvs)
+
+        # Genome-wide read-depth windows (coral.h:296-414)
+        if data_out is not None:
+            _write_windows(cfg, data_out, name, reflen, gcbound, gc_content,
+                           uniq_content, cov, cov_uniq, cov_map, cov_curve,
+                           tile_fac, reg_win, chr_ploidy, chr_ctrl_ploidy)
+
+    cnvs.sort(key=lambda c: c.sort_key())
+    if not cfg.genofile:
+        cnvs = merge_adjacent_same_cn(cnvs, cfg.cn_merge_tol)
+    cnv_vcf(cfg, header, cnvs)
+
+    if data_out is not None:
+        data_out.close()
+    return 0
+
+
+def _write_windows(cfg, data_out, chrn, reflen, gcbound, gc_content,
+                   uniq_content, cov, cov_uniq, cov_map, cov_curve,
+                   tile_fac, reg_win, chr_ploidy, chr_ctrl_ploidy):
+    """Adaptive or fixed logR/CN windows + hom-del vs unmappable
+    separation (coral.h:296-414)."""
+    valid = ((gc_content > gcbound[0]) & (gc_content < gcbound[1])
+             & (uniq_content >= cfg.fragment_unique * cfg.meanisize))
+    wins = []  # (start, end, winlen, covsum, expcov, ucov, tcov, valid)
+    if cfg.adaptive:
+        vpos = np.nonzero(valid)[0]
+        nv = len(vpos)
+        e1 = cov_curve[gc_content[vpos].astype(np.int64)] if nv else []
+        if nv and len(tile_fac):
+            ecor = e1 * tile_fac[vpos // reg_win]
+        elif nv:
+            ecor = e1
+        craw = np.concatenate(([0.0], np.cumsum(e1))) if nv else [0.0]
+        ccor = np.concatenate(([0.0], np.cumsum(ecor))) if nv else [0.0]
+        ccov = (np.concatenate(([0.0], np.cumsum(cov[vpos].astype(
+            np.float64)))) if nv else [0.0])
+        cu = np.concatenate(([0.0], np.cumsum(cov_uniq.astype(np.float64))))
+        ct = np.concatenate(([0.0], np.cumsum(cov_map.astype(np.float64))))
+        start = 0
+        i = 0
+        while i < nv:
+            j = int(np.searchsorted(craw, craw[i] + cfg.target_exp_cov,
+                                    side="left"))
+            if j > nv:
+                break
+            end = int(vpos[j - 1]) + 1
+            wins.append((start, end, j - i, float(ccov[j] - ccov[i]),
+                         float(ccor[j] - ccor[i]),
+                         float(cu[end] - cu[start]),
+                         float(ct[end] - ct[start]), True))
+            start = end
+            i = j
+    else:
+        cu = np.concatenate(([0.0], np.cumsum(cov_uniq.astype(np.float64))))
+        ct = np.concatenate(([0.0], np.cumsum(cov_map.astype(np.float64))))
+        cval = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+        ccovm = np.concatenate(
+            ([0.0], np.cumsum(np.where(valid, cov, 0).astype(np.float64))))
+        evals = np.where(valid, cov_curve[gc_content.astype(np.int64)], 0.0)
+        if len(tile_fac):
+            pos_all = np.arange(reflen)
+            evals = evals * np.where(valid, tile_fac[pos_all // reg_win], 1.0)
+        cexp = np.concatenate(([0.0], np.cumsum(evals)))
+        for start in range(0, reflen, cfg.window_offset):
+            if start + cfg.window_size >= reflen:
+                break
+            end = start + cfg.window_size
+            winlen = int(cval[end] - cval[start])
+            wins.append((start, end, winlen,
+                         float(ccovm[end] - ccovm[start]),
+                         float(cexp[end] - cexp[start]),
+                         float(cu[end] - cu[start]),
+                         float(ct[end] - ct[start]),
+                         winlen >= cfg.frac_window * cfg.window_size))
+
+    nw = len(wins)
+    na_flag = [False] * nw
+    suspect = [False] * nw
+    strong = [False] * nw
+    low_frac = 0.1
+    flank_frac = 0.5
+    max_hom_del_win = 1000000
+    for i, w in enumerate(wins):
+        if not w[7] or w[4] <= 0:
+            na_flag[i] = True
+            continue
+        r = w[3] / w[4]
+        suspect[i] = r < low_frac
+        strong[i] = r >= flank_frac
+    i = 0
+    while i < nw:
+        if na_flag[i] or not suspect[i]:
+            i += 1
+            continue
+        a = i
+        b = i
+        while b + 1 < nw and not na_flag[b + 1] and suspect[b + 1]:
+            b += 1
+        run_bp = wins[b][1] - wins[a][0]
+        left_strong = a > 0 and not na_flag[a - 1] and strong[a - 1]
+        right_strong = b + 1 < nw and not na_flag[b + 1] and strong[b + 1]
+        if not (left_strong and right_strong and run_bp <= max_hom_del_win):
+            for k in range(a, b + 1):
+                na_flag[k] = True
+        i = b + 1
+
+    uniq_gate = cfg.basecov
+    if uniq_gate:
+        for i, w in enumerate(wins):
+            if na_flag[i]:
+                continue
+            if w[6] > 0 and w[5] <= cfg.unique_to_total_cov_ratio * w[6]:
+                na_flag[i] = True
+
+    for i, w in enumerate(wins):
+        start, end, winlen, covsum, expcov, ucov, tcov, _v = w
+        if uniq_gate:
+            uniq_frac = ucov / tcov if tcov > 0 else -1.0
+        else:
+            uniq_frac = winlen / (end - start) if end > start else -1.0
+        if na_flag[i]:
+            data_out.write(f"{chrn}\t{start}\t{end}\t{uniq_frac:g}\tNA\tNA\n")
+        else:
+            cn = chr_ploidy
+            log_r = 0.0
+            if expcov > 0:
+                cn = ((cfg.expected_cn * covsum / expcov
+                       - chr_ctrl_ploidy * (1 - cfg.purity)) / cfg.purity)
+                log_r = np.log2((covsum + 1.0) / (expcov + 1.0))
+            data_out.write(f"{chrn}\t{start}\t{end}\t{uniq_frac:g}\t"
+                           f"{log_r:g}\t{cn:g}\n")
+
+
+def run_cnv(cfg) -> int:
+    """coral.h:440-832."""
+    bam = BamFile(cfg.bam_file)
+    header = bam.header
+    fasta = FastaFile(cfg.genome)
+    cfg.nchr = header.n_targets
+    cfg.min_chr_len = set_min_chr_len(header.lengths, 0.95)
+    if not cfg.sample_name:
+        base = os.path.splitext(os.path.basename(cfg.bam_file))[0]
+        cfg.sample_name = header.sample_name(base)
+    if cfg.haploid_chr:
+        for tok in cfg.haploid_chr.split(","):
+            tid = header.name2id(tok)
+            if tid >= 0:
+                cfg.ref_idx.add(tid)
+
+    # Library parameters over all (or scan) regions
+    if cfg.scan_file:
+        from delly_tpu.models.bed import parse_bed_intervals
+        scan_regions = parse_bed_intervals(cfg.scan_file, header)
+    else:
+        scan_regions = [[(0, ln)] for ln in header.lengths]
+    li = get_library_params(bam, scan_regions, 9, cfg.mad)
+    paired_lib = li.median > 0
+    if not li.median:
+        li.median = 250
+        li.mad = 15
+        li.minNormalISize = 0
+        li.maxNormalISize = 400
+    cfg.meanisize = (li.median // 2) * 2 + 1
+
+    # Coverage-aware GC scan window (coral.h:677-701)
+    if not cfg.scan_window_user_set:
+        total_mapped, genome_len = _mapped_stats(bam)
+        if paired_lib:
+            total_mapped //= 2
+        if total_mapped > 0 and genome_len > 0:
+            frag_per_bp = total_mapped / genome_len
+            auto_scan = int(30 / frag_per_bp)
+            auto_scan = min(max(auto_scan, cfg.scan_window), 1000000)
+            if auto_scan > cfg.scan_window:
+                cfg.scan_window = auto_scan
+
+    # Counting model (coral.h:709-712)
+    if cfg.basecov_flag == "base":
+        cfg.basecov = True
+    elif cfg.basecov_flag == "fragment":
+        cfg.basecov = False
+    else:
+        cfg.basecov = (not paired_lib) and li.rs >= 500
+
+    gcbias = [GcBias() for _ in range(cfg.meanisize + 1)]
+    scan_counts = [[] for _ in range(cfg.nchr)]
+    scan(cfg, bam, fasta, li, scan_counts)
+
+    sample_scan = [w.cov for chrom in scan_counts for w in chrom]
+    if not sample_scan:
+        print("Not enough windows!", file=sys.stderr)
+        return 1
+    sample_scan.sort()
+    if sample_scan[len(sample_scan) // 2] < 5:
+        print("Coverage in the GC scan window is too low.", file=sys.stderr)
+        return 1
+
+    select_windows(cfg, scan_counts)
+    gcbound = gc_bias(cfg, bam, fasta, scan_counts, li, gcbias)
+
+    if cfg.stats_file:
+        with gzip.open(cfg.stats_file, "wt") as stats:
+            stats.write(f"LP\t{li.rs},{li.median},{li.mad},"
+                        f"{li.minNormalISize},{li.maxNormalISize}\n")
+            stats.write("SW\tchrom\tstart\tend\tselected\tcoverage\t"
+                        "uniqcov\n")
+            for ref_index in range(header.n_targets):
+                for w in scan_counts[ref_index]:
+                    stats.write(f"SW\t{header.names[ref_index]}\t{w.start}"
+                                f"\t{w.end}\t{int(w.select)}\t{w.cov}\t"
+                                f"{w.uniqcov}\n")
+            stats.write("GC\tgcsum\tsample\treference\tpercentileSample\t"
+                        "percentileReference\tfractionSample\t"
+                        "fractionReference\tobsexp\tmeancoverage\n")
+            for i, gb in enumerate(gcbias):
+                stats.write(f"GC\t{i}\t{gb.sample}\t{gb.reference}\t"
+                            f"{gb.percentileSample:g}\t"
+                            f"{gb.percentileReference:g}\t"
+                            f"{gb.fractionSample:g}\t"
+                            f"{gb.fractionReference:g}\t{gb.obsexp:g}\t"
+                            f"{gb.coverage:g}\n")
+            stats.write(f"BoundsGC\t{gcbound[0]},{gcbound[1]}\n")
+
+    # Coverage-aware window size (coral.h:782-814)
+    eff_win = cfg.window_size if cfg.window_size > 0 else 50000
+    if cfg.adaptive:
+        cov_mean = 0.0
+        ref_cnt = 0
+        for i in range(gcbound[0] + 1, gcbound[1]):
+            cov_mean += gcbias[i].coverage * gcbias[i].reference
+            ref_cnt += gcbias[i].reference
+        if ref_cnt:
+            cov_mean /= ref_cnt
+        if cov_mean <= 0:
+            cfg.adaptive = False
+            cfg.window_size = 10000
+            cfg.window_offset = cfg.window_size
+        else:
+            read_len = li.rs if li.rs > 0 else cfg.meanisize
+            mol_per_bp = (cov_mean / read_len) if cfg.basecov else cov_mean
+            if mol_per_bp <= 0:
+                mol_per_bp = 1e-9
+            win_bp = cfg.target_reads / mol_per_bp
+            win_bp = min(max(win_bp, max(100.0, 4.0 * read_len)), 2000000.0)
+            cfg.target_exp_cov = cov_mean * win_bp
+            eff_win = int(win_bp)
+            eff_reads = mol_per_bp * win_bp
+            cov_depth = cov_mean if cfg.basecov else cov_mean * read_len
+            print(f"Auto window size: {int(win_bp)} bp, {int(eff_reads)} "
+                  f"reads/window ("
+                  f"{'base-level' if cfg.basecov else 'fragment'}, "
+                  f"coverage {cov_depth:.2f}x)", file=sys.stderr)
+
+    regcorr = []
+    reg_win = max(50000, eff_win)
+    if cfg.regional_gc:
+        regcorr = estimate_regional_gc(cfg, bam, fasta, gcbound, gcbias,
+                                       scan_counts, reg_win)
+
+    if bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win):
+        print("Read counting error!", file=sys.stderr)
+        return 1
+    print("Done.", file=sys.stderr)
+    return 0

@@ -1,0 +1,125 @@
+"""Read-depth track builders for the CNV engine.
+
+Vectorized (numpy) per-chromosome tracks mirroring the reference's
+per-base loops: GC-content sliding fragment window (coral.h:142-162),
+base-level coverage with a high-MAPQ subtrack (util.h:454-474),
+split-read clip collection (util.h:477-499), and the callable /
+hom-del-vs-unmappable mask logic (coral.h:260-281).
+
+These are streaming, memory-bound array transforms — the natural home is
+vectorized host preprocessing feeding the device window reductions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from delly_tpu.io.bam import (
+    CDEL, CDIFF, CEQUAL, CHARD_CLIP, CMATCH, CREF_SKIP, CSOFT_CLIP,
+)
+
+MAX_COVERAGE = np.iinfo(np.uint16).max
+
+
+def gc_content_track(seq: str, meanisize: int) -> np.ndarray:
+    """Per-bp GC count over a centered fragment-sized window
+    (coral.h:142-162). Positions within halfwin of either end stay 0."""
+    n = len(seq)
+    b = np.frombuffer(seq.encode(), dtype=np.uint8)
+    up = b & ~np.uint8(0x20)
+    gcref = ((up == ord("C")) | (up == ord("G"))).astype(np.int64)
+    gc = np.zeros(n, dtype=np.uint16)
+    halfwin = meanisize // 2
+    if n <= 2 * halfwin:
+        return gc
+    cs = np.concatenate(([0], np.cumsum(gcref)))
+    pos = np.arange(halfwin, n - halfwin)
+    gc[pos] = (cs[pos + halfwin + 1] - cs[pos - halfwin]).astype(np.uint16)
+    return gc
+
+
+def add_base_coverage(rec, cov: np.ndarray, cov_uniq: np.ndarray,
+                      mapq_uniq: int, reflen: int) -> None:
+    """util.h:454-474 (saturating uint16 increments over M/=/X spans)."""
+    unique_read = rec.mapq >= mapq_uniq
+    rp = rec.pos
+    for op, ol in zip(rec.cigar_ops, rec.cigar_lens):
+        ol = int(ol)
+        if op in (CMATCH, CEQUAL, CDIFF):
+            lo = max(rp, 0)
+            hi = min(rp + ol, reflen)
+            if hi > lo:
+                seg = cov[lo:hi]
+                seg[seg < MAX_COVERAGE - 1] += 1
+                if unique_read:
+                    seg = cov_uniq[lo:hi]
+                    seg[seg < MAX_COVERAGE - 1] += 1
+            rp += ol
+        elif op in (CDEL, CREF_SKIP):
+            rp += ol
+
+
+def add_split_read_breakpoints(rec, min_clip: int, min_ref_sep: int,
+                               reflen: int, clips: list) -> None:
+    """util.h:477-499."""
+    rp = rec.pos
+    for op, ol in zip(rec.cigar_ops, rec.cigar_lens):
+        ol = int(ol)
+        if op in (CMATCH, CEQUAL, CDIFF):
+            rp += ol
+        elif op == CDEL:
+            if ol > min_ref_sep:
+                if 0 <= rp < reflen:
+                    clips.append(rp)
+                if 0 <= rp + ol < reflen:
+                    clips.append(rp + ol)
+            rp += ol
+        elif op == CREF_SKIP:
+            rp += ol
+        elif op in (CSOFT_CLIP, CHARD_CLIP):
+            if ol > min_clip and 0 <= rp < reflen:
+                clips.append(rp)
+
+
+def uniq_content_track(cov_map: np.ndarray, cov_uniq: np.ndarray,
+                       seq: str, meanisize: int) -> np.ndarray:
+    """Callable mask scaled to meanisize, with zero-coverage runs kept
+    callable only when flanked by callable bases and short enough to be a
+    plausible homozygous deletion (coral.h:260-281)."""
+    n = len(cov_map)
+    b = np.frombuffer(seq.encode(), dtype=np.uint8)
+    is_n = (b & ~np.uint8(0x20)) == ord("N")
+    zero = cov_map == 0
+    u = np.where(zero, ~is_n, 2 * cov_uniq.astype(np.uint32)
+                 >= cov_map.astype(np.uint32))
+    uniq = np.where(u, np.uint16(meanisize), np.uint16(0))
+
+    # Zero-coverage runs: hom-del vs unmappable
+    max_hom_del = 1000000
+    if zero.any():
+        # run starts/ends over the zero mask
+        padded = np.concatenate(([False], zero, [False]))
+        d = np.diff(padded.astype(np.int8))
+        starts = np.where(d == 1)[0]
+        ends = np.where(d == -1)[0]
+        for rstart, rend in zip(starts, ends):
+            left_ok = rstart > 0 and uniq[rstart - 1] > 0
+            right_ok = rend < n and uniq[rend] > 0
+            if not left_ok or not right_ok or rend - rstart > max_hom_del:
+                uniq[rstart:rend] = 0
+    return uniq
+
+
+def set_min_chr_len(target_lens: list, xx: float) -> int:
+    """util.h:583-599: smallest chromosome length among the largest
+    chromosomes covering fraction xx of the genome."""
+    chrlen = sorted(target_lens, reverse=True)
+    genomelen = sum(chrlen)
+    cumsum = 0
+    min_chr_len = 0
+    for ln in chrlen:
+        cumsum += ln
+        min_chr_len = ln
+        if cumsum > genomelen * xx:
+            break
+    return min_chr_len

@@ -1,0 +1,183 @@
+"""Read-depth scan windows and CN2-stable window selection.
+
+Reference: src/scan.h — 10kb (or BED-provided) windows, midpoint fragment
+counting with an insert-size filter, uniq-MAPQ fraction, and
+median±MAD-based selection of copy-number-2-stable windows that anchor
+the GC bias model.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from delly_tpu.io.bam import (
+    FDUP, FMUNMAP, FPAIRED, FQCFAIL, FSECONDARY, FSUPPLEMENTARY, FUNMAP,
+)
+from delly_tpu.models.depth import add_base_coverage
+from delly_tpu.models.sr import first_pair_obs
+from delly_tpu.utils.hashing import hash_pair, hash_pair_mate, hash_string
+from delly_tpu.utils.tags import get_sv_type
+
+
+@dataclass
+class ScanWindow:
+    """scan.h:20-33."""
+    select: bool = False
+    start: int = 0
+    end: int = 0
+    cov: int = 0
+    uniqcov: int = 0
+
+
+def est_count_bounds(scan_counts: list):
+    """Median ± MAD coverage bounds over selected windows
+    (scan.h:51-70)."""
+    all_cov = [w.cov for chrom in scan_counts for w in chrom if w.select]
+    if not all_cov:
+        return 0, 0
+    arr = np.sort(np.asarray(all_cov, dtype=np.int64))
+    median = int(arr[len(arr) // 2])
+    absdev = np.sort(np.abs(arr - median))
+    mad = int(absdev[len(absdev) // 2])
+    lower = median - mad if mad < median else 0
+    return lower, median + mad
+
+
+def scan(cfg, bam, fasta, li, scan_counts: list) -> None:
+    """Window fragment counting (scan.h:72-231). Mutates scan_counts
+    (per-chromosome ScanWindow lists)."""
+    header = bam.header
+    print("Scanning Windows", file=sys.stderr)
+
+    if cfg.scan_file:
+        from delly_tpu.models.bed import parse_bed_intervals
+        scan_regions = parse_bed_intervals(cfg.scan_file, header)
+        for ref_index in range(header.n_targets):
+            for lo, hi in scan_regions[ref_index]:
+                if lo < hi and hi < header.lengths[ref_index]:
+                    scan_counts[ref_index].append(
+                        ScanWindow(select=True, start=lo, end=hi))
+            scan_counts[ref_index].sort(key=lambda w: (w.start, w.end))
+
+    total_cov = 0
+    for ref_index in range(header.n_targets):
+        reflen = header.lengths[ref_index]
+        if not bam.mapped_count(ref_index):
+            continue
+        if reflen < cfg.min_chr_len and total_cov > 1000000:
+            continue
+        name = header.names[ref_index]
+        if name in ("chrX", "chrY", "X", "Y"):
+            continue
+
+        if not cfg.scan_file:
+            allbins = reflen // cfg.scan_window
+            scan_counts[ref_index] = [
+                ScanWindow(start=i * cfg.scan_window,
+                           end=(i + 1) * cfg.scan_window)
+                for i in range(allbins)]
+            bin_of = None
+        else:
+            bin_of = np.full(reflen, -1, dtype=np.int32)
+            for b, w in enumerate(scan_counts[ref_index]):
+                bin_of[w.start:w.end] = b
+
+        def find_bin(midpoint):
+            if bin_of is not None:
+                return int(bin_of[midpoint])
+            b = midpoint // cfg.scan_window
+            return b if b < reflen // cfg.scan_window else -1
+
+        cov = np.zeros(reflen, dtype=np.uint16) if cfg.basecov else None
+        cov_uniq = np.zeros(reflen, dtype=np.uint16) if cfg.basecov else None
+        mate_map = {}
+        last_aligned_pos = 0
+        last_aligned_reads = set()
+        for rec in bam.records(tid=ref_index):
+            if rec.flag & (FSECONDARY | FQCFAIL | FDUP | FSUPPLEMENTARY
+                           | FUNMAP):
+                continue
+            if rec.flag & FPAIRED and (rec.flag & FMUNMAP
+                                       or rec.tid != rec.mtid):
+                continue
+            if rec.mapq < cfg.min_qual:
+                continue
+            if cfg.basecov:
+                add_base_coverage(rec, cov, cov_uniq, cfg.mapq_uniq, reflen)
+                continue
+            if rec.flag & FPAIRED and get_sv_type(rec.flag, rec.pos,
+                                                  rec.mpos) != 2:
+                continue
+
+            midpoint = rec.pos + rec.half_alignment_length()
+            if rec.flag & FPAIRED:
+                if rec.pos > last_aligned_pos:
+                    last_aligned_reads.clear()
+                    last_aligned_pos = rec.pos
+                if (rec.pos < rec.mpos
+                        or (rec.pos == rec.mpos
+                            and hash_string(rec.qname)
+                            not in last_aligned_reads)):
+                    last_aligned_reads.add(hash_string(rec.qname))
+                    hv = hash_pair(rec.qname, rec.tid, rec.pos, rec.mtid,
+                                   rec.mpos)
+                    mate_map[hv] = True
+                    continue
+                hv = hash_pair_mate(rec.qname, rec.tid, rec.pos, rec.mtid,
+                                    rec.mpos)
+                if not mate_map.get(hv):
+                    continue
+                mate_map[hv] = False
+                isize = rec.pos + rec.alignment_length() - rec.mpos
+                if li.minNormalISize < isize < li.maxNormalISize:
+                    midpoint = rec.mpos + isize // 2
+                else:
+                    continue
+
+            if 0 <= midpoint < reflen:
+                b = find_bin(midpoint)
+                if b >= 0:
+                    w = scan_counts[ref_index][b]
+                    w.cov += 1
+                    if rec.mapq >= cfg.mapq_uniq:
+                        w.uniqcov += 1
+                    total_cov += 1
+
+        if cfg.basecov:
+            nz = np.nonzero(cov)[0]
+            for pos in nz:
+                b = find_bin(int(pos))
+                if b >= 0:
+                    w = scan_counts[ref_index][b]
+                    c = int(cov[pos])
+                    w.cov += c
+                    if 2 * int(cov_uniq[pos]) >= c:
+                        w.uniqcov += c
+                    total_cov += 1
+
+
+def select_windows(cfg, scan_counts: list) -> None:
+    """CN2-stable window selection (scan.h:234-281)."""
+    if cfg.no_scan_window_selection:
+        for chrom in scan_counts:
+            for w in chrom:
+                w.select = True
+        return
+    for chrom in scan_counts:
+        for w in chrom:
+            uniqratio = w.uniqcov / w.cov if w.cov > 0 else 0.0
+            w.select = uniqratio > cfg.unique_to_total_cov_ratio
+    if cfg.scan_file:
+        for chrom in scan_counts:
+            for w in chrom:
+                scale = 10000 / (w.end - w.start)
+                w.uniqcov = int(w.uniqcov * scale)
+                w.cov = int(w.cov * scale)
+    lower, upper = est_count_bounds(scan_counts)
+    for chrom in scan_counts:
+        for w in chrom:
+            if w.select:
+                w.select = lower < w.cov < upper
