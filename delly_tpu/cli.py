@@ -125,6 +125,73 @@ def _add_cnv(sub):
     return p
 
 
+def _add_merge(sub):
+    p = sub.add_parser("merge", help="merge SV site lists")
+    p.add_argument("-g", "--genome", default="")
+    p.add_argument("-o", "--outfile", default="-")
+    p.add_argument("-y", "--quality", type=int, default=200)
+    p.add_argument("-q", "--recurrent", type=int, default=10)
+    p.add_argument("-u", "--chunks", type=int, default=500)
+    p.add_argument("-a", "--vaf", type=float, default=0.15)
+    p.add_argument("-v", "--coverage", type=int, default=5)
+    p.add_argument("-m", "--minsize", type=int, default=0)
+    p.add_argument("-n", "--maxsize", type=int, default=1000000)
+    p.add_argument("-e", "--cnvmode", action="store_true")
+    p.add_argument("-c", "--precise", action="store_true")
+    p.add_argument("-p", "--pass", dest="pass_only", action="store_true")
+    p.add_argument("-b", "--bp-offset", type=int, default=1000)
+    p.add_argument("-r", "--rec-overlap", type=float, default=0.8)
+    p.add_argument("--rep-min-af", type=float, default=0.005)
+    p.add_argument("--mei-offset", type=int, default=50)
+    p.add_argument("--mei-sizeratio", type=float, default=0.85)
+    p.add_argument("--mei-seqid", type=float, default=0.8)
+    p.add_argument("--tr-offset", type=int, default=200)
+    p.add_argument("--tr-frac", type=float, default=0.25)
+    p.add_argument("--tr-seqid", type=float, default=0.7)
+    p.add_argument("--norm-frac", type=float, default=0.5)
+    p.add_argument("--junc-seqid", type=float, default=0.7)
+    p.add_argument("--seq-cutoff", type=int, default=10000)
+    p.add_argument("--cnv-large-size", type=int, default=200000)
+    p.add_argument("--cnv-min-uniq", type=float, default=0.75)
+    p.add_argument("--cnv-gain-uniq", type=float, default=0.9)
+    p.add_argument("input_files", nargs="+")
+    return p
+
+
+def _add_filter(sub):
+    p = sub.add_parser("filter", help="somatic/germline filtering")
+    p.add_argument("-f", "--filter", default="somatic",
+                   choices=["somatic", "germline"])
+    p.add_argument("-o", "--outfile", default="-")
+    p.add_argument("-m", "--minsize", type=int, default=0)
+    p.add_argument("-n", "--maxsize", type=int, default=500000000)
+    p.add_argument("-y", "--quality", type=int, default=300)
+    p.add_argument("-a", "--altaf", type=float, default=0.03)
+    p.add_argument("-r", "--ratiogeno", type=float, default=0.75)
+    p.add_argument("-p", "--pass", dest="pass_only", action="store_true")
+    p.add_argument("-t", "--tag", action="store_true")
+    p.add_argument("-s", "--samples", default="")
+    p.add_argument("-v", "--coverage", type=int, default=10)
+    p.add_argument("-c", "--controlcont", type=float, default=0.0)
+    p.add_argument("--pgerm", type=float, default=0.001)
+    p.add_argument("--cn-offset", type=float, default=0.2)
+    p.add_argument("-e", "--rddel", type=float, default=0.8)
+    p.add_argument("-u", "--rddup", type=float, default=1.2)
+    p.add_argument("-j", "--genogq", type=float, default=10)
+    p.add_argument("--rdist", type=int, default=250)
+    p.add_argument("--rsize", type=float, default=0.8)
+    p.add_argument("--maxsd", type=float, default=0.5)
+    p.add_argument("--cnv-ploidy", type=int, default=2)
+    p.add_argument("--cnv-reciprocal", type=float, default=0.8)
+    p.add_argument("-w", "--hwe", type=float, default=0.000001)
+    p.add_argument("--no-collapse", action="store_true")
+    p.add_argument("--no-refine", action="store_true")
+    p.add_argument("--rcorr", type=float, default=0.8)
+    p.add_argument("--rminshared", type=int, default=20)
+    p.add_argument("input_file")
+    return p
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     parser = argparse.ArgumentParser(
@@ -135,8 +202,8 @@ def main(argv=None) -> int:
     _add_lr(sub)
     _add_cnv(sub)
     sub.add_parser("asm", help="SV discovery in assemblies (round 2)")
-    sub.add_parser("merge", help="merge SV site lists")
-    sub.add_parser("filter", help="somatic/germline filtering")
+    _add_merge(sub)
+    _add_filter(sub)
     args, extra = parser.parse_known_args(argv)
 
     if args.command == "sr":
@@ -209,7 +276,60 @@ def main(argv=None) -> int:
             regional_gc=not args.no_regional_gc,
             basecov_flag=basecov_flag)
         return run_cnv(cfg)
-    if args.command in ("merge", "filter", "asm"):
+    if args.command == "merge":
+        from delly_tpu.models.merge import MergeConfig, run_merge
+        cfg = MergeConfig(
+            files=args.input_files, outfile=args.outfile,
+            genome=args.genome, qualthres=args.quality,
+            recurrent_samples=args.recurrent, chunksize=args.chunks,
+            vaf=args.vaf, coverage=args.coverage, minsize=args.minsize,
+            maxsize=args.maxsize, cnv_mode=args.cnvmode,
+            filter_for_precise=args.precise,
+            filter_for_pass=args.pass_only, bpoffset=args.bp_offset,
+            recoverlap=args.rec_overlap, rep_min_af=args.rep_min_af,
+            mei_offset=args.mei_offset, mei_size_ratio=args.mei_sizeratio,
+            mei_seq_id=args.mei_seqid, tr_offset=args.tr_offset,
+            tr_frac=args.tr_frac, tr_seq_id=args.tr_seqid,
+            norm_frac=args.norm_frac, junc_seq_id=args.junc_seqid,
+            seq_cutoff=args.seq_cutoff, cnv_large_size=args.cnv_large_size,
+            cnv_min_uniq=args.cnv_min_uniq,
+            cnv_gain_uniq=args.cnv_gain_uniq)
+        return run_merge(cfg)
+    if args.command == "filter":
+        from delly_tpu.models.filter import (
+            FilterConfig, filter_run, parse_sample_file,
+        )
+        tumor_set = set()
+        control_set = set()
+        if args.filter == "somatic":
+            if not args.samples:
+                print("Somatic filtering requires a sample file (-s)",
+                      file=sys.stderr)
+                return 1
+            tumor_set, control_set = parse_sample_file(args.samples)
+            if not tumor_set:
+                print("No tumor samples specified.", file=sys.stderr)
+                return 1
+            if not control_set:
+                print("No control samples specified.", file=sys.stderr)
+                return 1
+        cfg = FilterConfig(
+            vcffile=args.input_file, outfile=args.outfile,
+            samplefile=args.samples, filter=args.filter,
+            minsize=args.minsize, maxsize=args.maxsize,
+            qualthres=args.quality, altaf=args.altaf,
+            ratiogeno=args.ratiogeno, coverage=args.coverage,
+            controlcont=args.controlcont, pgerm=args.pgerm,
+            cn_offset=args.cn_offset, rddel=args.rddel, rddup=args.rddup,
+            genogq=args.genogq, rdist=args.rdist, rsize=args.rsize,
+            maxsd=args.maxsd, ploidy=args.cnv_ploidy,
+            rec_cnv=args.cnv_reciprocal, hwe=args.hwe,
+            no_collapse=args.no_collapse, no_refine=args.no_refine,
+            filter_for_pass=args.pass_only, soft_filter=args.tag,
+            rcorr=args.rcorr, rminshared=args.rminshared,
+            tumor_set=tumor_set, control_set=control_set)
+        return filter_run(cfg)
+    if args.command == "asm":
         print(f"delly-tpu {args.command}: not yet implemented in this round",
               file=sys.stderr)
         return 1

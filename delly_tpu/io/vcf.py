@@ -129,7 +129,9 @@ class VcfWriter:
         for name, ln in zip(chrom_names, chrom_lens):
             buf.write(f"##contig=<ID={name},length={ln}>\n")
         cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
-                "INFO", "FORMAT"] + self.samples
+                "INFO"]
+        if self.samples:
+            cols += ["FORMAT"] + self.samples
         buf.write("\t".join(cols) + "\n")
         self._buf = buf
 
@@ -138,11 +140,12 @@ class VcfWriter:
         """info_pairs: list of (key, value-or-None-for-flag);
         sample_fields: list of dicts keyed by format_keys subset."""
         info = ";".join(k if v is None else f"{k}={v}" for k, v in info_pairs)
-        row = [chrom, str(pos1), vid, ref, alt, str(qual), filt, info,
-               ":".join(self.format_keys)]
-        for sf in sample_fields:
-            row.append(":".join(str(sf.get(k, "."))
-                                for k in self.format_keys))
+        row = [chrom, str(pos1), vid, ref, alt, str(qual), filt, info]
+        if self.samples:
+            row.append(":".join(self.format_keys))
+            for sf in sample_fields:
+                row.append(":".join(str(sf.get(k, "."))
+                                    for k in self.format_keys))
         self._buf.write("\t".join(row) + "\n")
 
     def close(self):
@@ -184,16 +187,40 @@ class VcfReader:
         self.header_lines = []
         self.samples = []
         self.records = []
+        self.column_header = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+        saw_header = False
         for line in text.split("\n"):
             if not line:
                 continue
             if line.startswith("##"):
                 self.header_lines.append(line)
             elif line.startswith("#CHROM"):
+                saw_header = True
+                self.column_header = line
                 cols = line.split("\t")
                 self.samples = cols[9:]
             else:
-                self.records.append(parse_vcf_line(line))
+                rec = parse_vcf_line(line)
+                rec["_raw"] = line
+                self.records.append(rec)
+        if not saw_header and not self.header_lines:
+            raise ValueError(f"{path}: not a VCF file")
+
+    def contig_names(self) -> list:
+        """Contig order from ##contig header lines, falling back to the
+        order of appearance in the records."""
+        names = []
+        for h in self.header_lines:
+            if h.startswith("##contig=<ID="):
+                name = h[len("##contig=<ID="):].split(",")[0].rstrip(">")
+                names.append(name)
+        if not names:
+            seen = set()
+            for rec in self.records:
+                if rec["chrom"] not in seen:
+                    seen.add(rec["chrom"])
+                    names.append(rec["chrom"])
+        return names
 
 
 def parse_vcf_line(line: str) -> dict:
