@@ -125,6 +125,25 @@ def _add_cnv(sub):
     return p
 
 
+def _add_asm(sub):
+    p = sub.add_parser("asm", help="SV discovery in assemblies")
+    p.add_argument("-t", "--svtype", default="ALL")
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-y", "--mode", default="squashed",
+                   choices=["squashed", "diploid"])
+    p.add_argument("-o", "--outfile", default="-")
+    p.add_argument("-q", "--map-qual", type=int, default=10)
+    p.add_argument("-c", "--minclip", type=int, default=25)
+    p.add_argument("-m", "--minrefsep", type=int, default=30)
+    p.add_argument("-n", "--maxreadsep", type=int, default=100)
+    p.add_argument("-w", "--cons-window", type=int, default=1000)
+    p.add_argument("-f", "--flank-size", type=int, default=100)
+    p.add_argument("-a", "--flank-quality", type=float, default=0.9)
+    p.add_argument("-i", "--indel-size", type=int, default=10000)
+    p.add_argument("input_files", nargs="+")
+    return p
+
+
 def _add_merge(sub):
     p = sub.add_parser("merge", help="merge SV site lists")
     p.add_argument("-g", "--genome", default="")
@@ -201,7 +220,7 @@ def main(argv=None) -> int:
     _add_sr(sub)
     _add_lr(sub)
     _add_cnv(sub)
-    sub.add_parser("asm", help="SV discovery in assemblies (round 2)")
+    _add_asm(sub)
     _add_merge(sub)
     _add_filter(sub)
     args, extra = parser.parse_known_args(argv)
@@ -330,9 +349,22 @@ def main(argv=None) -> int:
             tumor_set=tumor_set, control_set=control_set)
         return filter_run(cfg)
     if args.command == "asm":
-        print(f"delly-tpu {args.command}: not yet implemented in this round",
-              file=sys.stderr)
-        return 1
+        from delly_tpu.models.asmode import AsmConfig, run_asm
+        if args.mode == "diploid" and len(args.input_files) % 2 != 0:
+            print("Diploid mode expects an even number of BAM files "
+                  "(hap1 hap2 per sample).", file=sys.stderr)
+            return 1
+        cfg = AsmConfig(
+            genome=args.genome, files=args.input_files,
+            outfile=args.outfile, svtset=_svtypes_to_set(args.svtype),
+            mode=args.mode, min_map_qual=args.map_qual,
+            min_clip=args.minclip, min_ref_sep=args.minrefsep,
+            max_read_sep=args.maxreadsep,
+            min_cons_window=args.cons_window,
+            min_flank_size=args.flank_size,
+            flank_quality=args.flank_quality,
+            indelsize=args.indel_size)
+        return run_asm(cfg)
     parser.print_help()
     return 0
 

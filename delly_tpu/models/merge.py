@@ -561,8 +561,11 @@ def allele_sim(cfg: MergeConfig, a: MergeSV, b: MergeSV) -> float:
     return min_s / max_s if max_s > 0 else 1.0
 
 
-def cluster_and_select(cfg: MergeConfig, nodes: list) -> dict:
-    """Pass 1b (merge.h:660-846). Returns {(fileIdx, id): MergeAgg}."""
+def cluster_and_select(cfg: MergeConfig, nodes: list,
+                       out_groups: list | None = None) -> dict:
+    """Pass 1b (merge.h:660-846). Returns {(fileIdx, id): MergeAgg}.
+    When out_groups is given, (rep, members, agg) tuples are appended for
+    each kept allele group (used by asm mode, merge.h:837-843)."""
     print("Clustering and merging SVs", file=sys.stderr)
     selected = {}
     if not nodes:
@@ -700,6 +703,8 @@ def cluster_and_select(cfg: MergeConfig, nodes: list) -> dict:
                            ciendLo=ciend_lo, ciendHi=ciend_hi,
                            alleleId=locus_id, nAllele=n_allele)
             selected[(nodes[rep].fileIdx, nodes[rep].id)] = agg
+            if out_groups is not None:
+                out_groups.append((rep, grp, agg))
     return selected
 
 
