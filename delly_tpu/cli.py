@@ -41,6 +41,8 @@ def _add_lr(sub):
     p.add_argument("-g", "--genome", required=True)
     p.add_argument("-x", "--exclude", default="")
     p.add_argument("-o", "--outfile", default="-")
+    p.add_argument("-l", "--alt-align", default="",
+                   help="alternate alignments config file")
     p.add_argument("-q", "--map-qual", type=int, default=1)
     p.add_argument("-c", "--minclip", type=int, default=25)
     p.add_argument("-z", "--min-clique-size", type=int, default=3)
@@ -248,6 +250,7 @@ def main(argv=None) -> int:
             genome=args.genome, files=args.input_files,
             outfile=args.outfile, exclude=args.exclude,
             vcffile=args.vcffile, dumpfile=args.dump,
+            altfile=args.alt_align,
             technology=args.technology,
             svtset=_svtypes_to_set(args.svtype),
             min_map_qual=args.map_qual, min_clip=args.minclip,

@@ -27,7 +27,18 @@ def is_gzip(path: str) -> bool:
 
 
 def bgzf_decompress(data: bytes) -> bytes:
-    """Decompress a multi-member gzip/BGZF byte string."""
+    """Decompress a multi-member gzip/BGZF byte string.
+
+    Prefers the native multithreaded codec (delly_tpu/native/hostio.cpp,
+    the HTSlib-equivalent host plane); falls back to pure Python.
+    """
+    try:
+        from delly_tpu import native
+        res = native.bgzf_inflate(data)
+        if res is not None:
+            return res
+    except Exception:
+        pass
     out = []
     pos = 0
     n = len(data)
@@ -70,6 +81,13 @@ def _bgzf_block(payload: bytes, level: int = 6) -> bytes:
 
 def bgzf_compress(data: bytes, level: int = 6, eof: bool = True) -> bytes:
     """Compress bytes into a BGZF stream (with EOF marker by default)."""
+    try:
+        from delly_tpu import native
+        res = native.bgzf_deflate(data, level=level, eof=eof)
+        if res is not None:
+            return res
+    except Exception:
+        pass
     blocks = []
     for off in range(0, len(data), MAX_BLOCK_PAYLOAD):
         blocks.append(_bgzf_block(data[off : off + MAX_BLOCK_PAYLOAD], level))

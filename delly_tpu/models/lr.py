@@ -32,10 +32,11 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr)
 
 
-def find_junctions(cfg, bams, valid_regions) -> dict:
+def find_junctions(cfg, bams, valid_regions, valid_sr=None) -> dict:
     """Genome-wide split-read scan (junction.h:319-460). Secondary and
     supplementary alignments are kept; the per-read junction lists are
-    keyed by the long-read name hash."""
+    keyed by the long-read name hash. With valid_sr, only those reads
+    are considered (alternate-alignment filtering)."""
     read_bp = {}
     _log("Split-read scanning")
     header = bams[0].header
@@ -53,6 +54,8 @@ def find_junctions(cfg, bams, valid_regions) -> dict:
                 if not in_valid:
                     continue
                 seed = hash_lr(rec.qname)
+                if valid_sr and seed not in valid_sr:
+                    continue
                 extract_junctions_lr(read_bp, seed, rec, cfg.min_ref_sep,
                                      cfg.min_clip, cfg.indel_extension)
     for jv in read_bp.values():
@@ -60,14 +63,73 @@ def find_junctions(cfg, bams, valid_regions) -> dict:
     return read_bp
 
 
+def _find_sr_breakpoints(cfg, bams, valid_regions, sr_br,
+                         valid_sr=None) -> None:
+    """junction.h:488-492."""
+    read_bp = find_junctions(cfg, bams, valid_regions, valid_sr)
+    fetch_svs(read_bp, sr_br, cfg.svtset, cfg.max_read_sep,
+              cfg.min_ref_sep)
+
+
+def _alt_alignment_filter(cfg, sr_br: list) -> None:
+    """Keep only split reads whose breakpoints recur in alternate
+    linear (BAM) or graph (GFA/GAF) alignments (junction.h:504-588)."""
+    import copy
+
+    from delly_tpu.models.pangenome import (
+        find_graph_sr_breakpoints, is_bam_cram, parse_alternate_alignments,
+        parse_gfa,
+    )
+    valid_sr = set()
+    for svt_recs in sr_br:
+        for r in svt_recs:
+            valid_sr.add(r.id)
+    align, genomes = parse_alternate_alignments(cfg.altfile)
+    nsvt = len(sr_br)
+    for alt_path, alt_genome in zip(align, genomes):
+        _log(f"Parsing alternate alignment {alt_path}")
+        alt_sr = [[] for _ in range(nsvt)]
+        alt_cfg = copy.copy(cfg)
+        alt_cfg.exclude = ""
+        alt_cfg.genome = alt_genome
+        alt_cfg.altfile = ""
+        if is_bam_cram(alt_path):
+            alt_bam = BamFile(alt_path)
+            alt_regions = parse_exclude_intervals(None, alt_bam.header)
+            _find_sr_breakpoints(alt_cfg, [alt_bam], alt_regions, alt_sr,
+                                 valid_sr)
+        else:
+            g = parse_gfa(alt_genome)
+            alt_cfg.nchr = len(g.smap)
+            # Minigraph lacks alignment extension: larger BP separation
+            alt_cfg.max_read_sep = 2000
+            find_graph_sr_breakpoints(alt_cfg, g, [alt_path], alt_sr,
+                                      valid_sr)
+        new_valid = set()
+        for svt_recs in alt_sr:
+            for r in svt_recs:
+                if r.id in valid_sr:
+                    new_valid.add(r.id)
+        valid_sr = new_valid
+    orig = sum(len(s) for s in sr_br)
+    for svt in range(nsvt):
+        sr_br[svt] = [r for r in sr_br[svt] if r.id in valid_sr]
+    new = sum(len(s) for s in sr_br)
+    ratio = (orig - new) / orig if orig else 0.0
+    _log(f"Filtered {orig - new} out of {orig} split-read records "
+         f"({ratio * 100:.1f}%)")
+
+
 def cluster_sr_reads(cfg, bams, valid_regions, svc: list, sr_store: list):
     """junction.h:495-623 (_clusterSRReads): scan -> fetchSVs ->
-    per-svt clustering -> split-read store for assembly."""
+    [alternate-alignment filter] -> per-svt clustering -> split-read
+    store for assembly."""
     header = bams[0].header
     nsvt = 2 * SVT_TRANS
-    read_bp = find_junctions(cfg, bams, valid_regions)
     sr_br = [[] for _ in range(nsvt)]
-    fetch_svs(read_bp, sr_br, cfg.svtset, cfg.max_read_sep, cfg.min_ref_sep)
+    _find_sr_breakpoints(cfg, bams, valid_regions, sr_br)
+    if cfg.altfile:
+        _alt_alignment_filter(cfg, sr_br)
 
     for svt in range(nsvt):
         if not sr_br[svt]:

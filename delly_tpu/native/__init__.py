@@ -1,0 +1,135 @@
+"""ctypes bindings for the native host-I/O plane (hostio.cpp).
+
+The shared library is built on demand with g++ (cached next to the
+source). All entry points degrade gracefully: callers fall back to the
+pure-Python codecs when the toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "hostio.cpp")
+_LIB = os.path.join(_DIR, "libhostio.so")
+
+_lib = None
+_load_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+             "-o", _LIB, _SRC, "-lz"],
+            check=True, capture_output=True)
+        return True
+    except (OSError, subprocess.CalledProcessError) as exc:
+        print(f"warning: native hostio build failed ({exc}); "
+              f"using pure-Python codecs", file=sys.stderr)
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if (not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        if not _build():
+            _load_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        _load_failed = True
+        return None
+    lib.bgzf_inflate.restype = ctypes.c_longlong
+    lib.bgzf_inflate.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    lib.bgzf_deflate.restype = ctypes.c_longlong
+    lib.bgzf_deflate.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    lib.bam_scan.restype = ctypes.c_longlong
+    lib.bam_scan.argtypes = ([ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.c_size_t]
+                             + [ctypes.c_void_p] * 9 + [ctypes.c_size_t])
+    lib.delly_free.restype = None
+    lib.delly_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return _lib
+
+
+def _default_threads() -> int:
+    return min(os.cpu_count() or 1, 8)
+
+
+def bgzf_inflate(data: bytes, threads: int | None = None):
+    """Parallel BGZF decompression. Returns bytes or None on failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    rc = lib.bgzf_inflate(data, len(data),
+                          threads or _default_threads(),
+                          ctypes.byref(out))
+    if rc < 0:
+        return None
+    try:
+        return ctypes.string_at(out, rc)
+    finally:
+        lib.delly_free(out)
+
+
+def bgzf_deflate(data: bytes, level: int = 6, threads: int | None = None,
+                 eof: bool = True):
+    """Parallel BGZF compression. Returns bytes or None on failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    rc = lib.bgzf_deflate(data, len(data), level,
+                          threads or _default_threads(), int(eof),
+                          ctypes.byref(out))
+    if rc < 0:
+        return None
+    try:
+        return ctypes.string_at(out, rc)
+    finally:
+        lib.delly_free(out)
+
+
+def bam_scan(data: bytes, start: int):
+    """SoA scan of BAM alignment records. Returns a dict of numpy arrays
+    (offsets + core fields) or None when the native library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = max(16, (len(data) - start) // 36 + 1)
+    offsets = np.empty(cap, dtype=np.int64)
+    cols = {name: np.empty(cap, dtype=np.int32)
+            for name in ("tid", "pos", "flag", "mapq", "mtid", "mpos",
+                         "tlen", "lqseq")}
+
+    def ptr(arr):
+        return arr.ctypes.data_as(ctypes.c_void_p)
+
+    n = lib.bam_scan(data, len(data), start, ptr(offsets), ptr(cols["tid"]),
+                     ptr(cols["pos"]), ptr(cols["flag"]),
+                     ptr(cols["mapq"]), ptr(cols["mtid"]),
+                     ptr(cols["mpos"]), ptr(cols["tlen"]),
+                     ptr(cols["lqseq"]), cap)
+    if n < 0:
+        return None
+    out = {"offsets": offsets[:n].copy()}
+    for name, arr in cols.items():
+        out[name] = arr[:n].copy()
+    return out

@@ -1,0 +1,246 @@
+// Native host I/O plane: multithreaded BGZF codec + BAM record scanner.
+//
+// Fills the role HTSlib plays in the reference (src/htslib submodule):
+// BGZF block decompression is the dominant host CPU cost of every BAM
+// pass (reference SURVEY: sam_itr_next loops), so blocks are inflated in
+// parallel across a thread pool. The BAM record scanner walks the
+// decompressed stream once and emits a struct-of-arrays view of the core
+// fields (tid/pos/flag/mapq/mtid/mpos/tlen/l_qseq + record offsets) so
+// the Python layer can batch-filter records with numpy before touching
+// per-record payloads.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 dependency).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// BGZF decompression
+// ---------------------------------------------------------------------
+
+struct BgzfBlock {
+  size_t in_off;    // offset of the compressed payload (after header)
+  size_t in_len;    // compressed payload length
+  size_t out_off;   // offset in the output buffer
+  size_t out_len;   // ISIZE
+};
+
+// Scan BGZF headers to build the block table. Returns 0 on success.
+static int scan_blocks(const uint8_t* data, size_t n,
+                       std::vector<BgzfBlock>& blocks, size_t& total_out) {
+  size_t pos = 0;
+  total_out = 0;
+  while (pos + 18 <= n) {
+    if (data[pos] != 0x1f || data[pos + 1] != 0x8b) break;
+    uint8_t flg = data[pos + 3];
+    if (!(flg & 4)) return -1;  // BGZF requires FEXTRA
+    uint16_t xlen = (uint16_t)(data[pos + 10] | (data[pos + 11] << 8));
+    size_t xstart = pos + 12;
+    size_t bsize = 0;
+    size_t xoff = 0;
+    while (xoff + 4 <= xlen) {
+      uint8_t si1 = data[xstart + xoff];
+      uint8_t si2 = data[xstart + xoff + 1];
+      uint16_t slen = (uint16_t)(data[xstart + xoff + 2]
+                                 | (data[xstart + xoff + 3] << 8));
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        bsize = (size_t)(data[xstart + xoff + 4]
+                         | (data[xstart + xoff + 5] << 8)) + 1;
+      }
+      xoff += 4 + slen;
+    }
+    if (bsize == 0 || pos + bsize > n) return -2;
+    size_t payload_off = xstart + xlen;
+    size_t payload_len = bsize - (payload_off - pos) - 8;
+    uint32_t isize;
+    std::memcpy(&isize, data + pos + bsize - 4, 4);
+    BgzfBlock b;
+    b.in_off = payload_off;
+    b.in_len = payload_len;
+    b.out_off = total_out;
+    b.out_len = isize;
+    blocks.push_back(b);
+    total_out += isize;
+    pos += bsize;
+  }
+  return 0;
+}
+
+// Decompress a BGZF stream with `threads` workers. Returns the number of
+// output bytes, or a negative error code. The caller owns *out (free
+// with delly_free).
+long long bgzf_inflate(const uint8_t* data, size_t n, int threads,
+                       uint8_t** out) {
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  int rc = scan_blocks(data, n, blocks, total);
+  if (rc != 0) return rc;
+  uint8_t* buf = (uint8_t*)std::malloc(total ? total : 1);
+  if (!buf) return -3;
+
+  std::atomic<size_t> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size()) return;
+      const BgzfBlock& b = blocks[i];
+      if (b.out_len == 0) continue;
+      z_stream zs;
+      std::memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) { err.store(-4); return; }
+      zs.next_in = const_cast<Bytef*>(data + b.in_off);
+      zs.avail_in = (uInt)b.in_len;
+      zs.next_out = buf + b.out_off;
+      zs.avail_out = (uInt)b.out_len;
+      int zrc = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (zrc != Z_STREAM_END) { err.store(-5); return; }
+    }
+  };
+  int nthreads = std::max(1, threads);
+  if (nthreads == 1 || blocks.size() < 4) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  if (err.load() != 0) { std::free(buf); return err.load(); }
+  *out = buf;
+  return (long long)total;
+}
+
+// ---------------------------------------------------------------------
+// BGZF compression
+// ---------------------------------------------------------------------
+
+static const size_t MAX_PAYLOAD = 65280;
+static const uint8_t BGZF_EOF_BLOCK[28] = {
+    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+    0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
+
+// Compress one <=64KiB payload into a BGZF block appended to `out`.
+static int deflate_block(const uint8_t* payload, size_t len, int level,
+                         std::vector<uint8_t>& out) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                   Z_DEFAULT_STRATEGY) != Z_OK) return -1;
+  size_t bound = deflateBound(&zs, len);
+  std::vector<uint8_t> cdata(bound);
+  zs.next_in = const_cast<Bytef*>(payload);
+  zs.avail_in = (uInt)len;
+  zs.next_out = cdata.data();
+  zs.avail_out = (uInt)bound;
+  int zrc = deflate(&zs, Z_FINISH);
+  size_t clen = bound - zs.avail_out;
+  deflateEnd(&zs);
+  if (zrc != Z_STREAM_END) return -2;
+  size_t bsize = 18 + clen + 8;
+  uint8_t header[18] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff,
+                        6, 0, 'B', 'C', 2, 0, 0, 0};
+  header[16] = (uint8_t)((bsize - 1) & 0xff);
+  header[17] = (uint8_t)(((bsize - 1) >> 8) & 0xff);
+  uint32_t crc = crc32(0L, payload, (uInt)len);
+  uint32_t isize = (uint32_t)len;
+  out.insert(out.end(), header, header + 18);
+  out.insert(out.end(), cdata.data(), cdata.data() + clen);
+  out.insert(out.end(), (uint8_t*)&crc, (uint8_t*)&crc + 4);
+  out.insert(out.end(), (uint8_t*)&isize, (uint8_t*)&isize + 4);
+  return 0;
+}
+
+long long bgzf_deflate(const uint8_t* data, size_t n, int level,
+                       int threads, int write_eof, uint8_t** out) {
+  size_t nblocks = (n + MAX_PAYLOAD - 1) / MAX_PAYLOAD;
+  if (nblocks == 0) nblocks = 1;
+  std::vector<std::vector<uint8_t>> parts(nblocks);
+  std::atomic<size_t> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= nblocks) return;
+      size_t off = i * MAX_PAYLOAD;
+      size_t len = std::min(MAX_PAYLOAD, n - off);
+      if (deflate_block(data + off, len, level, parts[i]) != 0) {
+        err.store(-1);
+        return;
+      }
+    }
+  };
+  int nthreads = std::max(1, threads);
+  if (nthreads == 1 || nblocks < 4) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  if (err.load() != 0) return -1;
+  size_t total = 0;
+  for (auto& p : parts) total += p.size();
+  if (write_eof) total += sizeof(BGZF_EOF_BLOCK);
+  uint8_t* buf = (uint8_t*)std::malloc(total ? total : 1);
+  if (!buf) return -3;
+  size_t pos = 0;
+  for (auto& p : parts) {
+    std::memcpy(buf + pos, p.data(), p.size());
+    pos += p.size();
+  }
+  if (write_eof) {
+    std::memcpy(buf + pos, BGZF_EOF_BLOCK, sizeof(BGZF_EOF_BLOCK));
+  }
+  *out = buf;
+  return (long long)total;
+}
+
+// ---------------------------------------------------------------------
+// BAM record scanner (SoA core fields)
+// ---------------------------------------------------------------------
+
+// Walks decompressed BAM alignment records starting at `start` and fills
+// parallel arrays (caller-allocated, capacity `cap`):
+//   offsets[i]  byte offset of record i's block_size field
+//   tid/pos/flag/mapq/mtid/mpos/tlen/lqseq[i]  core fields
+// Returns the number of records, or -1 if a record overruns the buffer.
+long long bam_scan(const uint8_t* data, size_t n, size_t start,
+                   int64_t* offsets, int32_t* tid, int32_t* pos,
+                   int32_t* flag, int32_t* mapq, int32_t* mtid,
+                   int32_t* mpos, int32_t* tlen, int32_t* lqseq,
+                   size_t cap) {
+  size_t p = start;
+  size_t count = 0;
+  while (p + 4 <= n && count < cap) {
+    uint32_t block_size;
+    std::memcpy(&block_size, data + p, 4);
+    if (p + 4 + block_size > n || block_size < 32) break;
+    const uint8_t* r = data + p + 4;
+    offsets[count] = (int64_t)p;
+    std::memcpy(&tid[count], r, 4);
+    std::memcpy(&pos[count], r + 4, 4);
+    mapq[count] = r[9];
+    flag[count] = (int32_t)(r[14] | (r[15] << 8));
+    std::memcpy(&lqseq[count], r + 16, 4);
+    std::memcpy(&mtid[count], r + 20, 4);
+    std::memcpy(&mpos[count], r + 24, 4);
+    std::memcpy(&tlen[count], r + 28, 4);
+    ++count;
+    p += 4 + block_size;
+  }
+  return (long long)count;
+}
+
+void delly_free(uint8_t* ptr) { std::free(ptr); }
+
+}  // extern "C"

@@ -236,10 +236,35 @@ def _device_fns():
 
 
 _batched = None
+_use_pallas = None
+
+
+def _pallas_available() -> bool:
+    global _use_pallas
+    if _use_pallas is None:
+        import jax
+        _use_pallas = jax.default_backend() not in ("cpu",)
+    return _use_pallas
 
 
 def batched_edit_distance(queries, qlens, targets, tlens, mode=MODE_NW):
-    """JIT-compiled batched edit distance on the default JAX backend."""
+    """JIT-compiled batched edit distance on the default JAX backend.
+
+    On TPU this dispatches to the Myers bit-parallel Pallas kernel
+    (ops/myers_pallas.py); the dense row-scan kernel remains the
+    reference path on CPU backends and for >16-letter alphabets.
+    """
+    if _pallas_available():
+        from delly_tpu.ops.myers_pallas import batched_edit_distance_pallas
+        return batched_edit_distance_pallas(
+            np.asarray(queries), qlens, np.asarray(targets), tlens, mode)
+    return batched_edit_distance_rowscan(queries, qlens, targets, tlens,
+                                         mode)
+
+
+def batched_edit_distance_rowscan(queries, qlens, targets, tlens,
+                                  mode=MODE_NW):
+    """Dense DP row-scan device kernel (the pre-Myers reference path)."""
     global _batched
     if _batched is None:
         _batched = _device_fns()
