@@ -7,7 +7,20 @@ Subcommands: sr, lr, asm, cnv, merge, filter.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+
+def _pin_platform() -> None:
+    """Honor JAX_PLATFORMS even when a PJRT plugin (e.g. the axon TPU
+    tunnel) registers itself regardless of the env filter."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
 
 
 def _add_sr(sub):
@@ -214,6 +227,7 @@ def _add_filter(sub):
 
 
 def main(argv=None) -> int:
+    _pin_platform()
     argv = sys.argv[1:] if argv is None else argv
     parser = argparse.ArgumentParser(
         prog="delly-tpu",

@@ -9,6 +9,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Some PJRT plugins (e.g. the axon TPU tunnel) register regardless of
+# JAX_PLATFORMS; pin the platform through the config API as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 EXAMPLE = "/root/reference/example"
