@@ -227,9 +227,51 @@ class BamFile:
         self.header = BamHeader(text=text, names=names, lengths=lengths)
         self._data = data
         self._rec_start = pos
+        # Native SoA record index (the HTSlib-equivalent scan): offsets +
+        # core fields for every record, so per-chromosome iteration can
+        # skip non-matching records without Python-parsing them.
+        self._index = None
+        try:
+            from delly_tpu import native
+            self._index = native.bam_scan(data, pos)
+        except Exception:
+            self._index = None
 
     def __iter__(self):
         return self.records()
+
+    def _parse_at(self, pos: int):
+        data = self._data
+        (block_size,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        end = pos + block_size
+        (refid, rpos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+         next_refid, next_pos, tlen) = struct.unpack_from(
+            "<iiBBHHHiiii", data, pos)
+        rec = BamRecord()
+        rec.tid = refid
+        rec.pos = rpos
+        rec.mapq = mapq
+        rec.flag = flag
+        rec.l_qseq = l_seq
+        rec.mtid = next_refid
+        rec.mpos = next_pos
+        rec.tlen = tlen
+        p = pos + 32
+        rec.qname = data[p : p + l_read_name - 1].decode()
+        p += l_read_name
+        cig = np.frombuffer(data, dtype=np.uint32, count=n_cigar, offset=p)
+        rec.cigar_ops = (cig & 0xF).astype(np.int32)
+        rec.cigar_lens = (cig >> 4).astype(np.int64)
+        p += 4 * n_cigar
+        nseqbytes = (l_seq + 1) // 2
+        rec._seqbytes = data[p : p + nseqbytes]
+        p += nseqbytes
+        rec._qualbytes = data[p : p + l_seq]
+        p += l_seq
+        rec._aux = data[p:end]
+        rec._auxcache = None
+        return rec
 
     def records(self, tid: int | None = None):
         """Iterate alignment records, optionally filtered to one reference.
@@ -237,48 +279,35 @@ class BamFile:
         Records in a coordinate-sorted BAM come out position-sorted, matching
         the reference's indexed per-chromosome iteration order.
         """
+        if self._index is not None:
+            offsets = self._index["offsets"]
+            if tid is not None:
+                offsets = offsets[self._index["tid"] == tid]
+            for off in offsets:
+                yield self._parse_at(int(off))
+            return
         data = self._data
         pos = self._rec_start
         n = len(data)
-        unpack_core = struct.Struct("<iiBBHHHiiii").unpack_from
         while pos + 4 <= n:
             (block_size,) = struct.unpack_from("<i", data, pos)
-            pos += 4
-            end = pos + block_size
-            (refid, rpos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
-             next_refid, next_pos, tlen) = unpack_core(data, pos)
+            (refid,) = struct.unpack_from("<i", data, pos + 4)
             if tid is None or refid == tid:
-                rec = BamRecord()
-                rec.tid = refid
-                rec.pos = rpos
-                rec.mapq = mapq
-                rec.flag = flag
-                rec.l_qseq = l_seq
-                rec.mtid = next_refid
-                rec.mpos = next_pos
-                rec.tlen = tlen
-                p = pos + 32
-                rec.qname = data[p : p + l_read_name - 1].decode()
-                p += l_read_name
-                cig = np.frombuffer(data, dtype=np.uint32, count=n_cigar, offset=p)
-                rec.cigar_ops = (cig & 0xF).astype(np.int32)
-                rec.cigar_lens = (cig >> 4).astype(np.int64)
-                p += 4 * n_cigar
-                nseqbytes = (l_seq + 1) // 2
-                rec._seqbytes = data[p : p + nseqbytes]
-                p += nseqbytes
-                rec._qualbytes = data[p : p + l_seq]
-                p += l_seq
-                rec._aux = data[p:end]
-                rec._auxcache = None
-                yield rec
-            pos = end
+                yield self._parse_at(pos)
+            pos += 4 + block_size
+
+    def core_index(self):
+        """SoA core-field arrays for vectorized pre-filtering
+        (offsets/tid/pos/flag/mapq/mtid/mpos/tlen/lqseq), or None."""
+        return self._index
 
     def mapped_count(self, tid: int) -> int:
         """Whether a chromosome has mapped reads (role of hts_idx_get_stat)."""
-        cnt = 0
+        if self._index is not None:
+            m = (self._index["tid"] == tid) \
+                & ((self._index["flag"] & FUNMAP) == 0)
+            return int(m.any())
         for rec in self.records(tid=tid):
             if not rec.flag & FUNMAP:
-                cnt += 1
-                break
-        return cnt
+                return 1
+        return 0

@@ -154,9 +154,17 @@ class VcfWriter:
             import sys
             sys.stdout.write(data)
             return
-        if self.path.endswith(".gz") or self.path.endswith(".bcf"):
-            # .bcf output currently emits bgzipped VCF (readable by htslib
-            # tooling via vcf.gz); a native BCF2 encoder is planned.
+        if self.path.endswith(".bcf"):
+            from delly_tpu.io.bcf import vcf_text_to_bcf
+            from delly_tpu.io.csi import build_csi
+            bcf_bytes, n_ref, rec_meta = vcf_text_to_bcf(data,
+                                                         with_index=True)
+            with open(self.path, "wb") as fh:
+                fh.write(bcf_bytes)
+            # CSI index (role of bcf_index_build, modvcf.h:790)
+            with open(self.path + ".csi", "wb") as fh:
+                fh.write(build_csi(bcf_bytes, n_ref, rec_meta))
+        elif self.path.endswith(".gz"):
             with open(self.path, "wb") as fh:
                 fh.write(bgzf_compress(data.encode()))
         else:
@@ -176,11 +184,18 @@ class VcfReader:
 
     def __init__(self, path: str):
         self.path = path
-        if path.endswith(".gz") or path.endswith(".bcf"):
+        with open(path, "rb") as fh:
+            head = fh.read(2)
+        if head == b"\x1f\x8b":
             with open(path, "rb") as fh:
                 raw = fh.read()
             from delly_tpu.io.bgzf import bgzf_decompress
-            text = bgzf_decompress(raw).decode()
+            inflated = bgzf_decompress(raw)
+            if inflated[:5] == b"BCF\x02\x02":
+                from delly_tpu.io.bcf import bcf_to_vcf_text
+                text = bcf_to_vcf_text(raw)
+            else:
+                text = inflated.decode()
         else:
             with open(path) as fh:
                 text = fh.read()

@@ -9,16 +9,12 @@ pairs. See ops/myers.py for the algorithm and boundary conventions.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
-from delly_tpu.ops.myers import encode_batch
+from delly_tpu.ops.myers import MAX_ALPHA
 
 TILE = 1024  # 8 sublanes x 128 lanes
 
-
-from delly_tpu.ops.myers import MAX_ALPHA
 
 _cache = {}
 

@@ -1,0 +1,76 @@
+"""BCF2.2 codec roundtrip tests."""
+
+import pytest
+
+from delly_tpu.io.bcf import bcf_to_vcf_text, vcf_text_to_bcf
+from delly_tpu.io.bgzf import bgzf_decompress
+
+VCF_TEXT = """##fileformat=VCFv4.2
+##FILTER=<ID=PASS,Description="All filters passed">
+##FILTER=<ID=LowQual,Description="Low quality">
+##contig=<ID=18,length=200001>
+##contig=<ID=19,length=100>
+##INFO=<ID=END,Number=1,Type=Integer,Description="End">
+##INFO=<ID=SVTYPE,Number=1,Type=String,Description="Type">
+##INFO=<ID=PRECISE,Number=0,Type=Flag,Description="Precise">
+##INFO=<ID=AF,Number=A,Type=Float,Description="AF">
+##INFO=<ID=CIPOS,Number=2,Type=Integer,Description="CI">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="GT">
+##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="GQ">
+##FORMAT=<ID=PL,Number=G,Type=Integer,Description="PL">
+##FORMAT=<ID=RDCN,Number=1,Type=Float,Description="CN">
+##FORMAT=<ID=FT,Number=1,Type=String,Description="FT">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2
+18\t100000\tDEL1\tG\t<DEL>\t960\tPASS\tPRECISE;SVTYPE=DEL;END=108002;AF=0.25;CIPOS=-3,3\tGT:GQ:PL:RDCN:FT\t0/1:57:570,0,999:1.5:PASS\t1|1:12:999,60,0:0.9:LowQual
+18\t150000\tINS1\tA\tAACGT\t.\tLowQual\tSVTYPE=INS;END=150000\tGT:GQ:PL:RDCN:FT\t./.:.:.,.,.:.:LowQual\t0/0:99:0,600,990:2.1:PASS
+19\t50\tBND1\tN\tN[18:1000[\t77\tPASS\tSVTYPE=BND;END=51\tGT:GQ\t0/1:40\t0/1:33
+"""
+
+
+def _body(text):
+    return [l for l in text.split("\n") if l and not l.startswith("#")]
+
+
+def test_roundtrip_preserves_records():
+    bcf = vcf_text_to_bcf(VCF_TEXT)
+    assert bgzf_decompress(bcf)[:5] == b"BCF\x02\x02"
+    back = bcf_to_vcf_text(bcf)
+    want = _body(VCF_TEXT)
+    got = _body(back)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.split("\t") == w.split("\t")
+
+
+def test_roundtrip_header_retained():
+    bcf = vcf_text_to_bcf(VCF_TEXT)
+    back = bcf_to_vcf_text(bcf)
+    assert "##contig=<ID=18,length=200001>" in back
+    assert '##INFO=<ID=SVTYPE' in back
+    assert back.index("#CHROM") > back.index("##contig=<ID=19")
+
+
+def test_sitelist_without_samples():
+    text = "\n".join([
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=1>",
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="E">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+        "1\t10\tX\tA\t<DEL>\t5\tPASS\tEND=20",
+        "",
+    ])
+    back = bcf_to_vcf_text(vcf_text_to_bcf(text))
+    got = _body(back)[0].split("\t")
+    assert got[:8] == ["1", "10", "X", "A", "<DEL>", "5", "PASS",
+                       "END=20"]
+
+
+def test_vcfreader_detects_bcf(tmp_path):
+    from delly_tpu.io.vcf import VcfReader
+    p = tmp_path / "x.bcf"
+    p.write_bytes(vcf_text_to_bcf(VCF_TEXT))
+    rdr = VcfReader(str(p))
+    assert len(rdr.records) == 3
+    assert rdr.samples == ["s1", "s2"]
+    assert rdr.records[0]["samples"][1]["GT"] == "1|1"
+    assert rdr.records[0]["info"]["AF"] == "0.25"
