@@ -37,6 +37,7 @@ from delly_tpu.utils.hashing import hash_combine, hash_lr
 from delly_tpu.utils.tags import (
     SRBamRecord, SVT_TRANS, StructuralVariantRecord, is_translocation,
 )
+from delly_tpu.utils.log import stage
 
 
 @dataclass
@@ -105,7 +106,7 @@ def find_asm_junctions(cfg, bams, read_bp, read_sample, read_hap, sr_br):
     do_del = not cfg.svtset or 2 in cfg.svtset
     do_ins = not cfg.svtset or 4 in cfg.svtset
     header = bams[0].header
-    print("Split-read scanning", file=sys.stderr)
+    stage("Split-read scanning")
     for ref_index in range(header.n_targets):
         for file_c, bam in enumerate(bams):
             for rec in bam.records(tid=ref_index):
@@ -256,7 +257,7 @@ def direct_indel_allele(cfg, seq: str, seqlen: int, sv) -> bool:
 def set_asm_consensus(cfg, bams, fasta, svs, sr_store):
     """Assembly subsequence consensus + refinement (asmode.h:306-461)."""
     header = bams[0].header
-    print("Parse assembly alleles", file=sys.stderr)
+    stage("Parse assembly alleles")
     for ref_index in range(header.n_targets):
         for file_c, bam in enumerate(bams):
             for rec in bam.records(tid=ref_index):
@@ -349,7 +350,7 @@ def set_asm_consensus(cfg, bams, fasta, svs, sr_store):
 def asm_merge_write(cfg, header, svs, sv_sample, sv_hap) -> None:
     """Cross-sample merge with haplotype-aware genotypes
     (asmode.h:464-668)."""
-    print("Merging SVs across samples", file=sys.stderr)
+    stage("Merging SVs across samples")
     mc = MergeConfig(total_samples=cfg.nsamples, qualthres=0, vaf=0.0,
                      coverage=0, recurrent_samples=10)
 
@@ -512,5 +513,5 @@ def run_asm(cfg: AsmConfig) -> int:
                                  sv_hap)
     set_asm_consensus(cfg, bams, fasta, svs, sr_store)
     asm_merge_write(cfg, header, svs, sv_sample, sv_hap)
-    print("Done.", file=sys.stderr)
+    stage("Done.")
     return 0

@@ -229,15 +229,31 @@ def _final_trim(cs: str) -> str:
     return cs
 
 
+def _all_pairs_nw(seqs: list, substrs=None) -> np.ndarray:
+    """All-pairs NW distance matrix via one device batch
+    (assemble.h:386-395 pairwise edlib loop). substrs optionally maps
+    (i, j) -> (seq_i, seq_j) for overlap-trimmed comparisons."""
+    from delly_tpu.ops.edist import batched_pairs_distance
+
+    n = len(seqs)
+    idx = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    if not idx:
+        return np.zeros((n, n), dtype=np.int32)
+    if substrs is None:
+        pairs = [(seqs[i], seqs[j]) for i, j in idx]
+    else:
+        pairs = [substrs[(i, j)] for i, j in idx]
+    d = batched_pairs_distance(pairs, MODE_NW)
+    edit = np.zeros((n, n), dtype=np.int32)
+    for (i, j), dist in zip(idx, d):
+        edit[i, j] = edit[j, i] = dist
+    return edit
+
+
 def msa_edlib(cfg, seqs: list) -> tuple:
     """Progressive MSA onto an IUPAC consensus (assemble.h:383-473).
     Returns (support, consensus)."""
-    n = len(seqs)
-    edit = np.zeros((n, n), dtype=np.int32)
-    for i in range(n):
-        for j in range(i + 1, n):
-            d, _ = edit_distance(seqs[i], seqs[j], MODE_NW)
-            edit[i, j] = edit[j, i] = d
+    edit = _all_pairs_nw(seqs)
     sel = _centroid_order(edit, [len(s) for s in seqs])
     mat = _to_mat(seqs[sel[0]])
     for i in range(1, len(sel)):
@@ -357,19 +373,20 @@ def msa_wfa(cfg, seqs: list, prefix: str = "", suffix: str = "") -> tuple:
     """Superstring-based INS consensus (assemble.h:547-725).
     Returns (support, consensus)."""
     n = len(seqs)
-    edit = np.zeros((n, n), dtype=np.int32)
     tables = [fill_kmer_table(s) for s in seqs]
+    substrs = {}
     for i in range(n):
         len_i = len(seqs[i])
         for j in range(i + 1, n):
             len_j = len(seqs[j])
             diag = best_diagonal(tables[i], tables[j], len_i, len_j)
             seqlen, pre_i, _, pre_j, _ = _overlap_layout(len_i, len_j, diag)
-            seq_i = seqs[i][pre_i:pre_i + seqlen]
-            seq_j = seqs[j][pre_j:pre_j + seqlen]
-            d, _ = edit_distance(seq_i, seq_j, MODE_NW)
-            score = (d * 1000) // max(len(seq_i), len(seq_j), 1)
-            edit[i, j] = edit[j, i] = score
+            substrs[(i, j)] = (seqs[i][pre_i:pre_i + seqlen],
+                               seqs[j][pre_j:pre_j + seqlen])
+    edit = _all_pairs_nw(seqs, substrs)
+    for (i, j), (si, sj) in substrs.items():
+        score = (int(edit[i, j]) * 1000) // max(len(si), len(sj), 1)
+        edit[i, j] = edit[j, i] = score
     sel = _centroid_order(edit, [len(s) for s in seqs])
 
     # Build superstring

@@ -24,6 +24,7 @@ import numpy as np
 from delly_tpu.io.vcf import VcfReader, VcfWriter, fmt_float
 from delly_tpu.ops.likelihood import compute_cnls
 from delly_tpu.version import SVMETHOD
+from delly_tpu.utils.log import stage
 
 
 @dataclass
@@ -502,7 +503,7 @@ def cnv_vcf(cfg, header, cnvs: list) -> None:
                        header_lines=CNV_HEADER_LINES,
                        format_keys=CNV_FORMAT_KEYS)
     seg_out = open(cfg.segfile, "w") if cfg.segfile else None
-    print("Genotyping", file=sys.stderr)
+    stage("Genotyping")
     cnvid = 0
     for i, cnv in enumerate(cnvs):
         if not cfg.genofile and cnv.cn == -1:

@@ -38,6 +38,7 @@ from delly_tpu.models.scan import scan, select_windows
 from delly_tpu.models.sr import first_pair_obs
 from delly_tpu.utils.hashing import hash_pair, hash_pair_mate, hash_sr
 from delly_tpu.utils.stats import get_library_params
+from delly_tpu.utils.log import stage
 
 
 @dataclass
@@ -115,7 +116,7 @@ def _mapped_stats(bam) -> tuple:
 def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
     """Main counting pass (coral.h:93-437)."""
     header = bam.header
-    print("Count fragments", file=sys.stderr)
+    stage("Count fragments")
 
     data_out = None
     if cfg.covfile:
@@ -413,11 +414,11 @@ def run_cnv(cfg) -> int:
 
     sample_scan = [w.cov for chrom in scan_counts for w in chrom]
     if not sample_scan:
-        print("Not enough windows!", file=sys.stderr)
+        stage("Not enough windows!")
         return 1
     sample_scan.sort()
     if sample_scan[len(sample_scan) // 2] < 5:
-        print("Coverage in the GC scan window is too low.", file=sys.stderr)
+        stage("Coverage in the GC scan window is too low.")
         return 1
 
     select_windows(cfg, scan_counts)
@@ -483,7 +484,7 @@ def run_cnv(cfg) -> int:
                                        scan_counts, reg_win)
 
     if bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win):
-        print("Read counting error!", file=sys.stderr)
+        stage("Read counting error!")
         return 1
-    print("Done.", file=sys.stderr)
+    stage("Done.")
     return 0

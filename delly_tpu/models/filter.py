@@ -24,6 +24,7 @@ from delly_tpu.ops.popgen import (
     dosage_r2, est_biallelic_af, est_biallelic_fic, est_biallelic_gt_freq,
     est_biallelic_hwe_lrt, est_biallelic_rsq,
 )
+from delly_tpu.utils.log import stage
 
 MAX_CN = 10
 
@@ -471,7 +472,7 @@ def filter_run(cfg: FilterConfig) -> int:
     out = []
     red_win = []
     red_chrom = None
-    print("Filtering VCF/BCF file", file=sys.stderr)
+    stage("Filtering VCF/BCF file")
 
     for rec in rdr.records:
         rec["_sample_names"] = sample_names
@@ -777,7 +778,7 @@ def filter_run(cfg: FilterConfig) -> int:
 
     from delly_tpu.models.merge import _write_vcf_text
     _write_vcf_text(cfg.outfile, header, rdr.column_header, out)
-    print("Done.", file=sys.stderr)
+    stage("Done.")
     return 0
 
 

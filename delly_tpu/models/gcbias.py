@@ -22,6 +22,7 @@ from delly_tpu.models.depth import (
 )
 from delly_tpu.models.sr import first_pair_obs
 from delly_tpu.utils.hashing import hash_pair, hash_pair_mate, hash_string
+from delly_tpu.utils.log import stage
 
 
 @dataclass
@@ -119,7 +120,7 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
     """Expected coverage per GC value (gcbias.h:195-432).
     Returns (gcbound lower, upper)."""
     header = bam.header
-    print("Estimate GC bias", file=sys.stderr)
+    stage("Estimate GC bias")
     for ref_index in range(header.n_targets):
         if not scan_counts[ref_index]:
             continue
@@ -249,7 +250,7 @@ def estimate_regional_gc(cfg, bam, fasta, gcbound, gcbias: list,
     regcorr = [1.0] * nbin
     ratios = [[] for _ in range(nbin)]
     header = bam.header
-    print("Estimate regional GC correction", file=sys.stderr)
+    stage("Estimate regional GC correction")
 
     sw = cfg.scan_window if cfg.scan_window > 0 else 10000
     grp = max(1, reg_win // sw)

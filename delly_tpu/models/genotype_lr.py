@@ -34,6 +34,7 @@ from delly_tpu.models.methyl import (
 from delly_tpu.models.svanno import annotate_sv
 from delly_tpu.ops.edist import MODE_NW, batched_edit_distance
 from delly_tpu.utils.tags import is_translocation, revcomp
+from delly_tpu.utils.log import stage
 
 
 def read_start_clip(rec) -> int:
@@ -166,7 +167,7 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
         {sv.id: MethylAccum() for sv in svs} for _ in range(n_files)]
     dump_rows = []
 
-    print("SV annotation", file=sys.stderr)
+    stage("SV annotation")
     w = math.log10(cfg.flank_quality / (1.0 - cfg.flank_quality))
 
     for ref_index in range(header.n_targets):

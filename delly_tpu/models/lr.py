@@ -28,8 +28,11 @@ from delly_tpu.utils.stats import parse_exclude_intervals
 from delly_tpu.utils.tags import SVT_TRANS
 
 
+from delly_tpu.utils.log import stage
+
+
 def _log(msg: str) -> None:
-    print(msg, file=sys.stderr)
+    stage(msg)
 
 
 def find_junctions(cfg, bams, valid_regions, valid_sr=None) -> dict:

@@ -27,6 +27,7 @@ from delly_tpu.utils.tags import (
     is_translocation,
 )
 from delly_tpu.version import SVMETHOD
+from delly_tpu.utils.log import stage
 
 
 @dataclass
@@ -366,7 +367,7 @@ def _info_float(info, key, default=0.0):
 def collect_svtype(cfg: MergeConfig, svtin: int, contig_map: dict,
                    readers: list) -> list:
     """Pass 1: read all records for one SV type (merge.h:341-629)."""
-    print("Reading input VCF/BCF files", file=sys.stderr)
+    stage("Reading input VCF/BCF files")
     nodes = []
     for file_c, rdr in enumerate(readers):
         site_list = len(rdr.samples) == 0
@@ -566,7 +567,7 @@ def cluster_and_select(cfg: MergeConfig, nodes: list,
     """Pass 1b (merge.h:660-846). Returns {(fileIdx, id): MergeAgg}.
     When out_groups is given, (rep, members, agg) tuples are appended for
     each kept allele group (used by asm mode, merge.h:837-843)."""
-    print("Clustering and merging SVs", file=sys.stderr)
+    stage("Clustering and merging SVs")
     selected = {}
     if not nodes:
         return selected
@@ -768,7 +769,7 @@ def emit_selected(cfg: MergeConfig, svtin: int, contig_map: dict,
                   readers: list, selected: dict, outfile: str,
                   fasta=None) -> None:
     """Pass 2: write merged site list (merge.h:881-1214)."""
-    print("Writing merged SV sites", file=sys.stderr)
+    stage("Writing merged SV sites")
     names = [None] * len(contig_map)
     for name, tid in contig_map.items():
         names[tid] = name
@@ -1044,7 +1045,7 @@ def output_selected_cnv_intervals(cfg: MergeConfig, iselected: list,
                                   contig_map: dict, readers: list,
                                   outfile: str) -> None:
     """merge.h:1218-1445."""
-    print("Filtering SVs", file=sys.stderr)
+    stage("Filtering SVs")
     names = [None] * len(contig_map)
     for name, tid in contig_map.items():
         names[tid] = name
@@ -1200,7 +1201,7 @@ def regroup_loci(cfg: MergeConfig, site_files: list):
 def merge_bcfs(cfg: MergeConfig, site_files: list, outfile: str) -> None:
     """k-way merge of the per-type site lists with ALLELEID relabeling
     (merge.h:1731-1819)."""
-    print("Merging SV types", file=sys.stderr)
+    stage("Merging SV types")
     new_aid, new_nal = regroup_loci(cfg, site_files)
     readers = [VcfReader(f) for f in site_files]
     contig_map = {}
@@ -1230,7 +1231,7 @@ def merge_bcfs(cfg: MergeConfig, site_files: list, outfile: str) -> None:
             raw = "\t".join(cols)
         body.append(raw)
     _write_vcf_text(outfile, hdr, readers[0].column_header, body)
-    print("Done.", file=sys.stderr)
+    stage("Done.")
 
 
 def _write_vcf_text(path: str, header_lines: list, column_header: str,
@@ -1274,7 +1275,7 @@ def merge_run(cfg: MergeConfig, svt: int, outfile: str) -> int:
             fasta = FastaFile(cfg.genome)
         emit_selected(cfg, svt, contig_map, readers, selected, outfile,
                       fasta)
-    print("Done.", file=sys.stderr)
+    stage("Done.")
     return 0
 
 
@@ -1286,7 +1287,7 @@ def run_merge(cfg: MergeConfig) -> int:
         try:
             VcfReader(path)
         except Exception:
-            print("Assuming input is a list of BCF files", file=sys.stderr)
+            stage("Assuming input is a list of BCF files")
             with open(path) as fh:
                 cfg.files = [ln.strip() for ln in fh if ln.strip()]
     cfg.total_samples = len(cfg.files)

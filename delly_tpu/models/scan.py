@@ -20,6 +20,7 @@ from delly_tpu.models.depth import add_base_coverage
 from delly_tpu.models.sr import first_pair_obs
 from delly_tpu.utils.hashing import hash_pair, hash_pair_mate, hash_string
 from delly_tpu.utils.tags import get_sv_type
+from delly_tpu.utils.log import stage
 
 
 @dataclass
@@ -50,7 +51,7 @@ def scan(cfg, bam, fasta, li, scan_counts: list) -> None:
     """Window fragment counting (scan.h:72-231). Mutates scan_counts
     (per-chromosome ScanWindow lists)."""
     header = bam.header
-    print("Scanning Windows", file=sys.stderr)
+    stage("Scanning Windows")
 
     if cfg.scan_file:
         from delly_tpu.models.bed import parse_bed_intervals

@@ -31,6 +31,9 @@ from delly_tpu.utils.tags import (
 )
 
 
+from delly_tpu.utils.log import stage
+
+
 def _log(msg: str) -> None:
     print(f"[{time.strftime('%Y-%b-%d %H:%M:%S')}] {msg}", file=sys.stderr)
 

@@ -10,6 +10,7 @@ from delly_tpu.utils.tags import (
     SVT_TRANS, add_id, add_orientation, entropy, is_translocation,
 )
 from delly_tpu.version import SVMETHOD
+from delly_tpu.utils.log import stage
 
 
 def _sv_id_string(svt: int, svid: int) -> str:
@@ -22,7 +23,7 @@ def vcf_output(cfg, header, svs, jct_map, rc_map, span_map,
     nsamples = len(cfg.sample_names)
     writer = VcfWriter(cfg.outfile, header.names, header.lengths,
                        cfg.sample_names, cfg.genome)
-    print("Genotyping", file=sys.stderr)
+    stage("Genotyping")
     for sv in svs:
         if sv.srSupport == 0 and sv.peSupport == 0:
             continue

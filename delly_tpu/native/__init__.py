@@ -25,8 +25,8 @@ _load_failed = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-             "-o", _LIB, _SRC, "-lz"],
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+             "-fPIC", "-pthread", "-o", _LIB, _SRC, "-lz"],
             check=True, capture_output=True)
         return True
     except (OSError, subprocess.CalledProcessError) as exc:
@@ -64,6 +64,20 @@ def get_lib():
                              + [ctypes.c_void_p] * 9 + [ctypes.c_size_t])
     lib.delly_free.restype = None
     lib.delly_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.nw_matrix.restype = None
+    lib.nw_matrix.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p]
+    lib.edist_matrix.restype = None
+    lib.edist_matrix.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_void_p]
+    lib.edist_many.restype = None
+    lib.edist_many.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -105,6 +119,56 @@ def bgzf_deflate(data: bytes, level: int = 6, threads: int | None = None,
         return ctypes.string_at(out, rc)
     finally:
         lib.delly_free(out)
+
+
+def nw_matrix(s1: bytes, s2: bytes, match: int, mismatch: int, ge: int,
+              horizontal_free: bool):
+    """Linear-gap NW score matrix (int32, (m+1, n+1)) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    m, n = len(s1), len(s2)
+    mat = np.empty((m + 1, n + 1), dtype=np.int32)
+    lib.nw_matrix(s1, m, s2, n, match, mismatch, ge,
+                  int(horizontal_free),
+                  mat.ctypes.data_as(ctypes.c_void_p))
+    return mat
+
+
+def edist_matrix(q: bytes, t: bytes, mode: int, eq: bytes | None = None):
+    """Unit-cost edit DP matrix (int32, (m+1, n+1)) or None.
+    eq: optional flattened 256x256 equality table."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    m, n = len(q), len(t)
+    mat = np.empty((m + 1, n + 1), dtype=np.int32)
+    lib.edist_matrix(q, m, t, n, mode, eq,
+                     mat.ctypes.data_as(ctypes.c_void_p))
+    return mat
+
+
+def edist_many(q: np.ndarray, qlens: np.ndarray, t: np.ndarray,
+               tlens: np.ndarray, mode: int,
+               threads: int | None = None):
+    """Batched distance-only edit distance on host threads, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    qlens = np.ascontiguousarray(qlens, dtype=np.int32)
+    tlens = np.ascontiguousarray(tlens, dtype=np.int32)
+    nb, mcap = q.shape
+    ncap = t.shape[1]
+    out = np.empty(nb, dtype=np.int32)
+    lib.edist_many(q.ctypes.data_as(ctypes.c_char_p),
+                   qlens.ctypes.data_as(ctypes.c_void_p), mcap,
+                   t.ctypes.data_as(ctypes.c_char_p),
+                   tlens.ctypes.data_as(ctypes.c_void_p), ncap, nb, mode,
+                   threads or _default_threads(),
+                   out.ctypes.data_as(ctypes.c_void_p))
+    return out
 
 
 def bam_scan(data: bytes, start: int):

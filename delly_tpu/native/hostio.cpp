@@ -241,6 +241,133 @@ long long bam_scan(const uint8_t* data, size_t n, size_t start,
   return (long long)count;
 }
 
+// ---------------------------------------------------------------------
+// Host DP matrices (traceback-carrying paths)
+// ---------------------------------------------------------------------
+
+// Linear-gap NW score matrix (reference needle.h:59-66 with
+// AlignConfig<horizontal_free, false>): fills (m+1)*(n+1) int32
+// row-major into `mat`. Horizontal gaps are free in rows 0 and m when
+// horizontal_free != 0.
+void nw_matrix(const uint8_t* s1, int32_t m, const uint8_t* s2, int32_t n,
+               int32_t match, int32_t mismatch, int32_t ge,
+               int32_t horizontal_free, int32_t* mat) {
+  const int64_t stride = n + 1;
+  int32_t hg0 = horizontal_free ? 0 : ge;
+  for (int32_t c = 0; c <= n; ++c) mat[c] = c * hg0;
+  for (int32_t r = 1; r <= m; ++r) {
+    int32_t hg = (horizontal_free && (r == m)) ? 0 : ge;
+    const int32_t* prev = mat + (int64_t)(r - 1) * stride;
+    int32_t* cur = mat + (int64_t)r * stride;
+    cur[0] = prev[0] + ge;
+    const uint8_t c1 = s1[r - 1];
+    // pass 1 (vectorizable): diagonal/vertical candidates
+    for (int32_t c = 1; c <= n; ++c) {
+      int32_t sub = prev[c - 1] + ((c1 == s2[c - 1]) ? match : mismatch);
+      int32_t up = prev[c] + ge;
+      cur[c] = sub > up ? sub : up;
+    }
+    // pass 2 (max-plus scan): horizontal-gap chain
+    for (int32_t c = 1; c <= n; ++c) {
+      int32_t left = cur[c - 1] + hg;
+      if (left > cur[c]) cur[c] = left;
+    }
+  }
+}
+
+// Unit-cost edit-distance DP matrix (edlib semantics, reference
+// edlib.cpp): fills (m+1)*(n+1) int32 row-major. mode 0=NW (target
+// prefix charged), 2=HW (free target prefix); SHW shares the NW matrix.
+// eq: optional 256x256 equality table (IUPAC custom pairs) or NULL.
+void edist_matrix(const uint8_t* q, int32_t m, const uint8_t* t,
+                  int32_t n, int32_t mode, const uint8_t* eq,
+                  int32_t* mat) {
+  const int64_t stride = n + 1;
+  for (int32_t c = 0; c <= n; ++c) mat[c] = (mode == 2) ? 0 : c;
+  for (int32_t r = 1; r <= m; ++r) {
+    const int32_t* prev = mat + (int64_t)(r - 1) * stride;
+    int32_t* cur = mat + (int64_t)r * stride;
+    cur[0] = r;
+    const uint8_t qc = q[r - 1];
+    if (eq) {
+      const uint8_t* eqrow = eq + (int32_t)qc * 256;
+      for (int32_t c = 1; c <= n; ++c) {
+        int32_t diag = prev[c - 1] + (eqrow[t[c - 1]] ? 0 : 1);
+        int32_t up = prev[c] + 1;
+        cur[c] = diag < up ? diag : up;
+      }
+    } else {
+      for (int32_t c = 1; c <= n; ++c) {
+        int32_t diag = prev[c - 1] + ((qc == t[c - 1]) ? 0 : 1);
+        int32_t up = prev[c] + 1;
+        cur[c] = diag < up ? diag : up;
+      }
+    }
+    for (int32_t c = 1; c <= n; ++c) {
+      int32_t left = cur[c - 1] + 1;
+      if (left < cur[c]) cur[c] = left;
+    }
+  }
+}
+
+// Batched distance-only edit distance (two-row DP) threaded over pairs:
+// q: (B, M) row-major, t: (B, N). out: (B,) int32. The CPU-side
+// equivalent of the device Myers kernel for toolchains without a TPU.
+void edist_many(const uint8_t* q, const int32_t* qlens, int32_t mcap,
+                const uint8_t* t, const int32_t* tlens, int32_t ncap,
+                int64_t nb, int32_t mode, int32_t threads,
+                int32_t* out) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    std::vector<int32_t> row0(ncap + 1), row1(ncap + 1);
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= nb) return;
+      const uint8_t* qi = q + i * (int64_t)mcap;
+      const uint8_t* ti = t + i * (int64_t)ncap;
+      int32_t m = qlens[i];
+      int32_t n = tlens[i];
+      int32_t* prev = row0.data();
+      int32_t* cur = row1.data();
+      for (int32_t c = 0; c <= n; ++c) prev[c] = (mode == 2) ? 0 : c;
+      int32_t best = (m == 0) ? ((mode == 0) ? n : 0)
+                              : 0x7FFFFFFF;
+      for (int32_t r = 1; r <= m; ++r) {
+        cur[0] = r;
+        const uint8_t qc = qi[r - 1];
+        for (int32_t c = 1; c <= n; ++c) {
+          int32_t diag = prev[c - 1] + ((qc == ti[c - 1]) ? 0 : 1);
+          int32_t up = prev[c] + 1;
+          cur[c] = diag < up ? diag : up;
+        }
+        for (int32_t c = 1; c <= n; ++c) {
+          int32_t left = cur[c - 1] + 1;
+          if (left < cur[c]) cur[c] = left;
+        }
+        std::swap(prev, cur);
+      }
+      if (m > 0) {
+        if (mode == 0) {
+          best = prev[n];
+        } else {
+          best = prev[0];
+          for (int32_t c = 1; c <= n; ++c)
+            if (prev[c] < best) best = prev[c];
+        }
+      }
+      out[i] = best;
+    }
+  };
+  int nthreads = std::max(1, (int)threads);
+  if (nthreads == 1 || nb < 2) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int tix = 0; tix < nthreads; ++tix) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
 void delly_free(uint8_t* ptr) { std::free(ptr); }
 
 }  // extern "C"

@@ -53,7 +53,20 @@ def equality_matrix(pairs) -> np.ndarray:
 
 def _dp_matrix(query: np.ndarray, target: np.ndarray, mode: int,
                eq: np.ndarray | None = None) -> np.ndarray:
-    """Full (m+1) x (n+1) DP matrix, row-vectorized."""
+    """Full (m+1) x (n+1) DP matrix. The exact-equality case uses the
+    native C++ kernel (hostio.cpp edist_matrix); custom-equality (IUPAC)
+    and toolchain-less environments use the row-vectorized numpy DP."""
+    if len(query) and len(target):
+        try:
+            from delly_tpu import native
+            eqb = None if eq is None else \
+                np.ascontiguousarray(eq, dtype=np.uint8).tobytes()
+            mat = native.edist_matrix(query.tobytes(), target.tobytes(),
+                                      mode, eqb)
+            if mat is not None:
+                return mat
+        except Exception:
+            pass
     m, n = len(query), len(target)
     D = np.empty((m + 1, n + 1), dtype=np.int32)
     if mode == MODE_HW:
@@ -258,6 +271,15 @@ def batched_edit_distance(queries, qlens, targets, tlens, mode=MODE_NW):
         from delly_tpu.ops.myers_pallas import batched_edit_distance_pallas
         return batched_edit_distance_pallas(
             np.asarray(queries), qlens, np.asarray(targets), tlens, mode)
+    # CPU backend: threaded native two-row DP beats the XLA row-scan
+    try:
+        from delly_tpu import native
+        out = native.edist_many(np.asarray(queries), qlens,
+                                np.asarray(targets), tlens, mode)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     return batched_edit_distance_rowscan(queries, qlens, targets, tlens,
                                          mode)
 
@@ -272,6 +294,42 @@ def batched_edit_distance_rowscan(queries, qlens, targets, tlens,
     return _batched(
         jnp.asarray(queries), jnp.asarray(qlens, dtype=jnp.int32),
         jnp.asarray(targets), jnp.asarray(tlens, dtype=jnp.int32), mode)
+
+
+def batched_pairs_distance(pairs: list, mode: int = MODE_NW) -> np.ndarray:
+    """Edit distances for a list of (query, target) string pairs via one
+    padded device batch (ragged lengths are handled by the kernels).
+    Array dims are bucketed to powers of two to bound compile count."""
+    if not pairs:
+        return np.zeros(0, dtype=np.int64)
+
+    def bucket(n):
+        b = 256
+        while b < n:
+            b *= 2
+        return b
+
+    m = bucket(max(len(a) for a, _ in pairs))
+    n = bucket(max(len(b) for _, b in pairs))
+    nb = len(pairs)
+    q = np.zeros((nb, m), dtype=np.uint8)
+    t = np.zeros((nb, n), dtype=np.uint8)
+    ql = np.zeros(nb, dtype=np.int32)
+    tl = np.zeros(nb, dtype=np.int32)
+    for i, (a, b) in enumerate(pairs):
+        ab = a.encode() if isinstance(a, str) else bytes(a)
+        bb = b.encode() if isinstance(b, str) else bytes(b)
+        q[i, :len(ab)] = np.frombuffer(ab, dtype=np.uint8)
+        t[i, :len(bb)] = np.frombuffer(bb, dtype=np.uint8)
+        ql[i] = len(ab)
+        tl[i] = len(bb)
+    out = np.asarray(batched_edit_distance(q, ql, t, tl, mode))
+    # empty-query pairs analytically (the kernels assume qlen >= 1)
+    empty = ql == 0
+    if empty.any():
+        out = out.copy()
+        out[empty] = tl[empty] if mode == MODE_NW else 0
+    return out
 
 
 def edit_distance_hw_score(dist: int, qlen: int, flank_quality: float) -> float:

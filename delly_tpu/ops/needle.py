@@ -47,7 +47,18 @@ def longest_homology(s1: str, s2: str, score_threshold: int = -1) -> int:
 
 def _nw_matrix(s1: np.ndarray, s2: np.ndarray, match: int, mismatch: int,
                ge: int, horizontal_free: bool) -> np.ndarray:
-    """Linear-gap NW score matrix (needle.h:59-66), AlignConfig<TH, false>."""
+    """Linear-gap NW score matrix (needle.h:59-66), AlignConfig<TH, false>.
+
+    Prefers the native C++ kernel (hostio.cpp nw_matrix); the numpy
+    max-plus prefix-scan formulation is the fallback."""
+    try:
+        from delly_tpu import native
+        mat = native.nw_matrix(s1.tobytes(), s2.tobytes(), match,
+                               mismatch, ge, horizontal_free)
+        if mat is not None:
+            return mat
+    except Exception:
+        pass
     m, n = len(s1), len(s2)
     mat = np.empty((m + 1, n + 1), dtype=np.int64)
     cols = np.arange(n + 1, dtype=np.int64)
