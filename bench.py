@@ -58,7 +58,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from delly_tpu.ops.edist import MODE_HW, edit_distance
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         from delly_tpu.ops.myers_pallas import make_runner
         run = make_runner(M, N, len(LETTERS), MODE_HW)

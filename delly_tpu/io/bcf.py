@@ -208,10 +208,20 @@ def vcf_text_to_bcf(text: str, with_index: bool = False):
                            (".", "") else [])
         n_allele = len(alleles)
 
+        # htslib sets rlen from INFO/END when present (symbolic SVs)
+        end_pos = int(pos) - 1 + len(ref)
+        for item in info.split(";"):
+            if item.startswith("END="):
+                try:
+                    end_pos = int(item[4:])
+                except ValueError:
+                    pass
+                break
+        rlen = max(end_pos - (int(pos) - 1), len(ref))
+
         shared = bytearray()
         shared += struct.pack("<i", d.cidx[chrom])
         shared += struct.pack("<i", int(pos) - 1)
-        rlen = len(ref)
         shared += struct.pack("<i", rlen)
         shared += _pack_float(MISSING if qual in (".", "")
                               else float(qual))
@@ -325,14 +335,6 @@ def vcf_text_to_bcf(text: str, with_index: bool = False):
                 for b in bl:
                     indiv += b.ljust(width, b"\x00")
 
-        end_pos = int(pos) - 1 + len(ref)
-        for item in info.split(";"):
-            if item.startswith("END="):
-                try:
-                    end_pos = int(item[4:])
-                except ValueError:
-                    pass
-                break
         rec_meta.append((d.cidx[chrom], int(pos) - 1,
                          max(end_pos, int(pos)), len(out)))
         out += struct.pack("<II", len(shared), len(indiv))

@@ -102,7 +102,17 @@ class CnvConfig:
 
 def _mapped_stats(bam) -> tuple:
     """Total mapped reads and covered genome length (role of
-    hts_idx_get_stat in coral.h:679-690)."""
+    hts_idx_get_stat in coral.h:679-690). Uses the native SoA index
+    when available."""
+    idx = bam.core_index()
+    if idx is not None:
+        mapped = (idx["flag"] & FUNMAP) == 0
+        tids = idx["tid"]
+        mask = mapped & (tids >= 0)
+        total = int(np.count_nonzero(mask))
+        seen = np.unique(tids[mask])
+        genome_len = int(sum(bam.header.lengths[int(t)] for t in seen))
+        return total, genome_len
     per_tid = {}
     for rec in bam.records():
         if rec.flag & FUNMAP or rec.tid < 0:

@@ -15,6 +15,7 @@ chunked merging for >chunksize input files.
 from __future__ import annotations
 
 import heapq
+import math
 import os
 import sys
 import tempfile
@@ -490,8 +491,9 @@ def collect_svtype(cfg: MergeConfig, svtin: int, contig_map: dict,
 
             subtype = subtype_code(str(info.get("SUBTYPE", "")))
             ins_strand = -1
-            if "INSSTRAND" in info:
-                ins_strand = 1 if str(info["INSSTRAND"])[0] == "-" else 0
+            ins_s = str(info.get("INSSTRAND", ""))
+            if ins_s:
+                ins_strand = 1 if ins_s[0] == "-" else 0
             homlen = _info_int(info, "HOMLEN")
             if homlen == 0 and "STDEV_POS" in info:
                 homlen = int(_info_float(info, "STDEV_POS") + 0.5)
@@ -608,10 +610,6 @@ def cluster_and_select(cfg: MergeConfig, nodes: list,
                     groups.append([])
                     g = len(groups) - 1
                 groups[g].append(mi)
-            carrier_floor = max(
-                1, -(-int(cfg.rep_min_af * cfg.total_samples * 1000000)
-                     // 1000000))
-            import math
             carrier_floor = max(1, math.ceil(cfg.rep_min_af
                                              * cfg.total_samples))
             if carrier_floor > 1 and len(groups) > 1:
@@ -1244,7 +1242,16 @@ def _write_vcf_text(path: str, header_lines: list, column_header: str,
         text += "\n"
     if path == "-":
         sys.stdout.write(text)
-    elif path.endswith(".gz") or path.endswith(".bcf"):
+    elif path.endswith(".bcf"):
+        from delly_tpu.io.bcf import vcf_text_to_bcf
+        from delly_tpu.io.csi import build_csi
+        bcf_bytes, n_ref, rec_meta = vcf_text_to_bcf(text,
+                                                     with_index=True)
+        with open(path, "wb") as fh:
+            fh.write(bcf_bytes)
+        with open(path + ".csi", "wb") as fh:
+            fh.write(build_csi(bcf_bytes, n_ref, rec_meta))
+    elif path.endswith(".gz"):
         from delly_tpu.io.bgzf import bgzf_compress
         with open(path, "wb") as fh:
             fh.write(bgzf_compress(text.encode()))
@@ -1253,9 +1260,24 @@ def _write_vcf_text(path: str, header_lines: list, column_header: str,
             fh.write(text)
 
 
+_reader_cache: dict = {}
+
+
+def _get_readers(files: list) -> list:
+    """Inputs are parsed once and reused across the per-SV-type merge
+    passes (the reference re-reads the BCFs per type; parsing is the
+    dominant cost of our text layer)."""
+    out = []
+    for f in files:
+        if f not in _reader_cache:
+            _reader_cache[f] = VcfReader(f)
+        out.append(_reader_cache[f])
+    return out
+
+
 def merge_run(cfg: MergeConfig, svt: int, outfile: str) -> int:
     """merge.h:1821-1871."""
-    readers = [VcfReader(f) for f in cfg.files]
+    readers = _get_readers(cfg.files)
     contig_map = {}
     for rdr in readers:
         for name in rdr.contig_names():
@@ -1304,7 +1326,7 @@ def run_merge(cfg: MergeConfig) -> int:
                 best_chunk = i
         cfg.chunksize = best_chunk
 
-    min_svt, max_svt = (9, 10) if cfg.cnv_mode else (0, 10)
+    min_svt, max_svt = (9, 10) if cfg.cnv_mode else (0, 9)
     tmpdir = tempfile.mkdtemp(prefix="delly_merge_")
     svt_collect = {}
     all_files = list(cfg.files)
@@ -1337,15 +1359,11 @@ def run_merge(cfg: MergeConfig) -> int:
     if cfg.cnv_mode:
         with open(svt_collect[9]) as src:
             data = src.read()
-        if cfg.outfile == "-":
-            sys.stdout.write(data)
-        elif cfg.outfile.endswith(".gz") or cfg.outfile.endswith(".bcf"):
-            from delly_tpu.io.bgzf import bgzf_compress
-            with open(cfg.outfile, "wb") as fh:
-                fh.write(bgzf_compress(data.encode()))
-        else:
-            with open(cfg.outfile, "w") as fh:
-                fh.write(data)
+        lines = data.split("\n")
+        hdr = [l for l in lines if l.startswith("##")]
+        col = next((l for l in lines if l.startswith("#CHROM")), "#CHROM")
+        body = [l for l in lines if l and not l.startswith("#")]
+        _write_vcf_text(cfg.outfile, hdr, col, body)
     else:
         merge_bcfs(cfg, [svt_collect[s] for s in range(min_svt, max_svt)],
                    cfg.outfile)
@@ -1353,4 +1371,5 @@ def run_merge(cfg: MergeConfig) -> int:
         if os.path.exists(f):
             os.remove(f)
     os.rmdir(tmpdir)
+    _reader_cache.clear()
     return 0

@@ -256,7 +256,7 @@ def _pallas_available() -> bool:
     global _use_pallas
     if _use_pallas is None:
         import jax
-        _use_pallas = jax.default_backend() not in ("cpu",)
+        _use_pallas = jax.default_backend() == "tpu"
     return _use_pallas
 
 
