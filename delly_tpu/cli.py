@@ -229,9 +229,12 @@ def _add_filter(sub):
 def main(argv=None) -> int:
     _pin_platform()
     argv = sys.argv[1:] if argv is None else argv
+    from delly_tpu.version import VERSION
     parser = argparse.ArgumentParser(
         prog="delly-tpu",
         description="TPU-native structural variant discovery and genotyping")
+    parser.add_argument("--version", action="version",
+                        version=f"delly-tpu {VERSION}")
     sub = parser.add_subparsers(dest="command")
     _add_sr(sub)
     _add_lr(sub)
