@@ -64,6 +64,13 @@ def get_lib():
                              + [ctypes.c_void_p] * 9 + [ctypes.c_size_t])
     lib.delly_free.restype = None
     lib.delly_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.long_needle_core.restype = None
+    lib.long_needle_core.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
     lib.nw_matrix.restype = None
     lib.nw_matrix.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
@@ -121,28 +128,93 @@ def bgzf_deflate(data: bytes, level: int = 6, threads: int | None = None,
         lib.delly_free(out)
 
 
+# Rotating scratch pools: a fresh multi-MB numpy allocation per DP call
+# costs more in page faults than the fill itself. Returned matrices are
+# views that stay valid only until the pool cycles back around (2 calls
+# for nw_matrix — its one caller holds fwd+rev simultaneously — and 1
+# call for edist_matrix, whose callers traceback-and-discard).
+_NW_BUFS = [np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32)]
+_NW_NEXT = [0]
+_ED_BUF = [np.empty(0, dtype=np.int32)]
+
+
+def _scratch(pool: list, idx: int, cells: int) -> np.ndarray:
+    if pool[idx].size < cells:
+        pool[idx] = np.empty(cells, dtype=np.int32)
+    return pool[idx]
+
+
 def nw_matrix(s1: bytes, s2: bytes, match: int, mismatch: int, ge: int,
               horizontal_free: bool):
-    """Linear-gap NW score matrix (int32, (m+1, n+1)) or None."""
+    """Linear-gap NW score matrix (int32, (m+1, n+1)) or None.
+
+    The returned view is valid until the call after next (rotating
+    2-buffer scratch)."""
     lib = get_lib()
     if lib is None:
         return None
     m, n = len(s1), len(s2)
-    mat = np.empty((m + 1, n + 1), dtype=np.int32)
+    cells = (m + 1) * (n + 1)
+    mat = _scratch(_NW_BUFS, _NW_NEXT[0], cells)[:cells]
+    _NW_NEXT[0] ^= 1
+    mat = mat.reshape(m + 1, n + 1)
     lib.nw_matrix(s1, m, s2, n, match, mismatch, ge,
                   int(horizontal_free),
                   mat.ctypes.data_as(ctypes.c_void_p))
     return mat
 
 
+# Grow-only scratch for long_needle_scores: page-faulting a fresh
+# several-hundred-MB numpy allocation per call costs multiples of the DP
+# fill itself, so the two matrices live in reused buffers. The returned
+# views are only valid until the next call (the single caller,
+# ops/needle.long_needle, tracebacks and discards them immediately).
+_LN_BUFS = [np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32)]
+
+
+def long_needle_scores(s1: bytes, s2: bytes, r1: bytes, r2: bytes,
+                       match: int, mismatch: int, ge: int,
+                       horizontal_free: bool, threads: int | None = None):
+    """Fused longNeedle score search (needle.h:45-222): both NW matrices
+    plus the best split point in one native call.
+
+    Returns (fwd, rev, flat, best) — the two (m+1, n+1) int32 matrices
+    (valid until the next call; kept for traceback), the flat argmax over
+    the join grid and the best joined score — or None when the native
+    library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    m, n = len(s1), len(s2)
+    cells = (m + 1) * (n + 1)
+    for i in range(2):
+        if _LN_BUFS[i].size < cells:
+            _LN_BUFS[i] = np.empty(cells, dtype=np.int32)
+    fwd = _LN_BUFS[0][:cells].reshape(m + 1, n + 1)
+    rev = _LN_BUFS[1][:cells].reshape(m + 1, n + 1)
+    flat = ctypes.c_int64()
+    best = ctypes.c_int64()
+    lib.long_needle_core(s1, m, s2, n, r1, r2, match, mismatch, ge,
+                         int(horizontal_free),
+                         threads or _default_threads(),
+                         fwd.ctypes.data_as(ctypes.c_void_p),
+                         rev.ctypes.data_as(ctypes.c_void_p),
+                         ctypes.byref(flat), ctypes.byref(best))
+    return fwd, rev, int(flat.value), int(best.value)
+
+
 def edist_matrix(q: bytes, t: bytes, mode: int, eq: bytes | None = None):
     """Unit-cost edit DP matrix (int32, (m+1, n+1)) or None.
-    eq: optional flattened 256x256 equality table."""
+    eq: optional flattened 256x256 equality table.
+
+    The returned view is valid only until the next call (shared
+    scratch buffer)."""
     lib = get_lib()
     if lib is None:
         return None
     m, n = len(q), len(t)
-    mat = np.empty((m + 1, n + 1), dtype=np.int32)
+    cells = (m + 1) * (n + 1)
+    mat = _scratch(_ED_BUF, 0, cells)[:cells].reshape(m + 1, n + 1)
     lib.edist_matrix(q, m, t, n, mode, eq,
                      mat.ctypes.data_as(ctypes.c_void_p))
     return mat

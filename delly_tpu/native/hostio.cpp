@@ -368,6 +368,79 @@ void edist_many(const uint8_t* q, const int32_t* qlens, int32_t mcap,
   }
 }
 
+// Split-aligner score search (reference needle.h:45-222 "longNeedle"):
+// fills the forward NW matrix for (s1,s2) and the reverse-complement one
+// for (r1,r2) on two threads, then scans the join grid for the best
+// max(fwd[r][0..c]) + max(rev[m-r][0..n-c]) split. Writes the flat argmax
+// over the (m+1)*(n+1) grid (first occurrence on ties, matching
+// np.argmax) and the best joined score. Both full matrices are kept for
+// the caller's traceback.
+void long_needle_core(const uint8_t* s1, int32_t m, const uint8_t* s2,
+                      int32_t n, const uint8_t* r1, const uint8_t* r2,
+                      int32_t match, int32_t mismatch, int32_t ge,
+                      int32_t horizontal_free, int32_t threads,
+                      int32_t* fwd, int32_t* rev,
+                      int64_t* out_flat, int64_t* out_best) {
+  {
+    std::thread tf([&] {
+      nw_matrix(s1, m, s2, n, match, mismatch, ge, horizontal_free, fwd);
+    });
+    nw_matrix(r1, m, r2, n, match, mismatch, ge, horizontal_free, rev);
+    tf.join();
+  }
+  const int64_t stride = n + 1;
+  int nthreads = std::max(1, (int)std::min<int64_t>(threads, m + 1));
+  std::vector<int64_t> bests(nthreads, INT64_MIN);
+  std::vector<int64_t> flats(nthreads, 0);
+  auto scan_rows = [&](int tix, int32_t r0, int32_t r1e) {
+    std::vector<int32_t> pref(n + 1);
+    int64_t best = INT64_MIN, flat = 0;
+    for (int32_t r = r0; r < r1e; ++r) {
+      const int32_t* frow = fwd + (int64_t)r * stride;
+      const int32_t* rrow = rev + (int64_t)(m - r) * stride;
+      int32_t pm = rrow[0];
+      pref[0] = pm;
+      for (int32_t c = 1; c <= n; ++c) {
+        if (rrow[c] > pm) pm = rrow[c];
+        pref[c] = pm;
+      }
+      int32_t fm = frow[0];
+      for (int32_t c = 0; c <= n; ++c) {
+        if (frow[c] > fm) fm = frow[c];
+        int64_t tot = (int64_t)fm + (int64_t)pref[n - c];
+        if (tot > best) {
+          best = tot;
+          flat = (int64_t)r * stride + c;
+        }
+      }
+    }
+    bests[tix] = best;
+    flats[tix] = flat;
+  };
+  if (nthreads == 1) {
+    scan_rows(0, 0, m + 1);
+  } else {
+    std::vector<std::thread> pool;
+    int32_t chunk = (m + nthreads) / nthreads;
+    for (int tix = 0; tix < nthreads; ++tix) {
+      int32_t r0 = tix * chunk;
+      int32_t r1e = std::min<int32_t>(m + 1, r0 + chunk);
+      if (r0 >= r1e) { bests[tix] = INT64_MIN; continue; }
+      pool.emplace_back(scan_rows, tix, r0, r1e);
+    }
+    for (auto& th : pool) th.join();
+  }
+  int64_t best = INT64_MIN, flat = 0;
+  for (int tix = 0; tix < nthreads; ++tix) {
+    if (bests[tix] > best || (bests[tix] == best && flats[tix] < flat)) {
+      best = bests[tix];
+      flat = flats[tix];
+    }
+  }
+  *out_flat = flat;
+  *out_best = best;
+}
+
 void delly_free(uint8_t* ptr) { std::free(ptr); }
 
 }  // extern "C"

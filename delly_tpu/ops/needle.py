@@ -109,26 +109,38 @@ def long_needle(s1: str, s2: str, sc: DnaScore | None = None,
     a1 = np.frombuffer(s1.encode(), dtype=np.uint8)
     a2 = np.frombuffer(s2.encode(), dtype=np.uint8)
     m, n = len(a1), len(a2)
-    mat = _nw_matrix(a1, a2, sc.match, sc.mismatch, sc.ge, horizontal_free)
     r1 = np.frombuffer(revcomp(s1).encode(), dtype=np.uint8)
     r2 = np.frombuffer(revcomp(s2).encode(), dtype=np.uint8)
-    rev = _nw_matrix(r1, r2, sc.match, sc.mismatch, sc.ge, horizontal_free)
+    fused = None
+    try:
+        from delly_tpu import native
+        fused = native.long_needle_scores(
+            a1.tobytes(), a2.tobytes(), r1.tobytes(), r2.tobytes(),
+            sc.match, sc.mismatch, sc.ge, horizontal_free)
+    except Exception:
+        fused = None
+    if fused is not None:
+        mat, rev, flat, best_score = fused
+    else:
+        mat = _nw_matrix(a1, a2, sc.match, sc.mismatch, sc.ge,
+                         horizontal_free)
+        rev = _nw_matrix(r1, r2, sc.match, sc.mismatch, sc.ge,
+                         horizontal_free)
+        best_mat = np.maximum.accumulate(mat, axis=1)
+        best_rev = np.maximum.accumulate(rev, axis=1)
+        total = best_mat + best_rev[::-1, ::-1]
+        flat = int(np.argmax(total))
+        best_score = int(total.flat[flat])
     if mat[m][n] != rev[m][n]:
         return None
-    best_mat = np.maximum.accumulate(mat, axis=1)
-    best_rev = np.maximum.accumulate(rev, axis=1)
-    total = best_mat + best_rev[::-1, ::-1]
-    flat = int(np.argmax(total))
-    best_score = int(total.flat[flat])
     if best_score <= mat[m][n]:
         return None
     cons_left, ref_left = divmod(flat, n + 1)
     cons_right = m - cons_left
-    ref_right = 0
     target = best_score - mat[cons_left][ref_left]
-    for right in range(0, n - ref_left + 1):
-        if rev[cons_right][right] == target:
-            ref_right = right
+    hits = np.nonzero(
+        rev[cons_right, : n - ref_left + 1] == target)[0]
+    ref_right = int(hits[-1]) if hits.size else 0
     # Forward traceback from (cons_left, ref_left)
     trace = _nw_traceback(mat, a1, a2, cons_left, ref_left, sc.ge,
                           horizontal_free)
