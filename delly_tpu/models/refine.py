@@ -15,7 +15,7 @@ import numpy as np
 
 from delly_tpu.ops.edist import (
     EDOP_DELETE, EDOP_INSERT, MODE_HW, MODE_NW, MODE_SHW, align as ed_align,
-    edit_distance, infix_start,
+    batched_pairs_distance, infix_start,
 )
 from delly_tpu.ops.gotoh import GAP, DnaScore
 from delly_tpu.ops.needle import long_needle, longest_homology
@@ -392,8 +392,11 @@ def align_consensus_core(cons: str, sv_ref: str, sv: StructuralVariantRecord,
     """split.h:560-642 (_alignConsensus). Mutates sv in place on success."""
     if realign:
         revc = revcomp(cons)
-        d_fwd, _ = edit_distance(sv_ref, cons, MODE_NW)
-        d_rev, _ = edit_distance(sv_ref, revc, MODE_NW)
+        # Distance-only strand check (split.h:565-569): two-row batched DP
+        # instead of two full (m+1)x(n+1) matrices.
+        d_pair = batched_pairs_distance([(sv_ref, cons), (sv_ref, revc)],
+                                        MODE_NW)
+        d_fwd, d_rev = int(d_pair[0]), int(d_pair[1])
         if d_rev < d_fwd:
             cons = revc
             # The reference mutates sv.consensus in place here (split.h:569),
