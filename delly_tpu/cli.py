@@ -389,5 +389,20 @@ def main(argv=None) -> int:
     return 0
 
 
+def entry() -> None:
+    """Process entry point. Exits via os._exit: PJRT plugins (e.g. the
+    axon TPU tunnel) may leave non-daemon threads that block interpreter
+    shutdown even when computation is pinned to another backend."""
+    rc = 0
+    try:
+        rc = main() or 0
+    except SystemExit as exc:
+        code = exc.code
+        rc = 0 if code is None else (code if isinstance(code, int) else 1)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    entry()

@@ -298,8 +298,37 @@ class BamFile:
 
     def core_index(self):
         """SoA core-field arrays for vectorized pre-filtering
-        (offsets/tid/pos/flag/mapq/mtid/mpos/tlen/lqseq), or None."""
+        (offsets/tid/pos/flag/mapq/mtid/mpos/tlen/lqseq). Built natively
+        at open time; falls back to a struct walk here."""
+        if self._index is None:
+            self._index = self._build_index_python()
         return self._index
+
+    def _build_index_python(self):
+        data = self._data
+        n = len(data)
+        pos = self._rec_start
+        offsets = []
+        rows = []
+        while pos + 4 <= n:
+            (block_size,) = struct.unpack_from("<i", data, pos)
+            if block_size < 32 or pos + 4 + block_size > n:
+                break
+            offsets.append(pos)
+            rows.append(struct.unpack_from("<iiBBHHHiiii", data, pos + 4))
+            pos += 4 + block_size
+        arr = np.asarray(rows, dtype=np.int64).reshape(len(rows), 11)
+        return {
+            "offsets": np.asarray(offsets, dtype=np.int64),
+            "tid": arr[:, 0].astype(np.int32),
+            "pos": arr[:, 1].astype(np.int32),
+            "mapq": arr[:, 3].astype(np.int32),
+            "flag": arr[:, 6].astype(np.int32),
+            "lqseq": arr[:, 7].astype(np.int32),
+            "mtid": arr[:, 8].astype(np.int32),
+            "mpos": arr[:, 9].astype(np.int32),
+            "tlen": arr[:, 10].astype(np.int32),
+        }
 
     def mapped_count(self, tid: int) -> int:
         """Whether a chromosome has mapped reads (role of hts_idx_get_stat)."""

@@ -15,8 +15,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from delly_tpu.io.bam import (
-    CDEL, CHARD_CLIP, CMATCH, CREF_SKIP, CSOFT_CLIP, FDUP, FMUNMAP, FPAIRED,
-    FQCFAIL, FREVERSE, FSECONDARY, FSUPPLEMENTARY, FUNMAP,
+    CDEL, CHARD_CLIP, CINS, CMATCH, CREF_SKIP, CSOFT_CLIP, FDUP, FMUNMAP,
+    FPAIRED, FQCFAIL, FREVERSE, FSECONDARY, FSUPPLEMENTARY, FUNMAP,
 )
 from delly_tpu.models.refine import (
     AlignDescriptor, adjust_orientation, cons_ref_alignment, find_split,
@@ -24,7 +24,7 @@ from delly_tpu.models.refine import (
 )
 from delly_tpu.ops.dna import encode_batch
 from delly_tpu.ops.edist import MODE_HW, batched_edit_distance, edit_distance
-from delly_tpu.utils.hashing import hash_pair, hash_pair_mate, hash_string
+from delly_tpu.utils.hashing import _fnv1a64, hash_pair_h, hash_string
 from delly_tpu.utils.tags import (
     Breakpoint, SVT_TRANS, get_sv_type, init_breakpoint, is_translocation,
     isize_mapping_pos, span_orientation,
@@ -248,6 +248,82 @@ def _process_jobs_device(jobs, count_map, ref_aligned_count, cfg,
                     dump_entries.append((sv_id, dumpinfo))
 
 
+def _cigar_stats(bam, offsets):
+    """Bulk per-record name hashes + CIGAR aggregates (native
+    bam_cigar_stats; Python record parse as fallback)."""
+    try:
+        from delly_tpu import native
+        st = native.bam_cigar_stats(bam._data, offsets)
+        if st is not None:
+            return st
+    except Exception:
+        pass
+    n = len(offsets)
+    out = {"name_hash": np.empty(n, dtype=np.uint32),
+           "fnv_hash": np.empty(n, dtype=np.uint64),
+           "ref_span": np.empty(n, dtype=np.int32),
+           "leading_sc": np.empty(n, dtype=np.int32),
+           "clip_flags": np.empty(n, dtype=np.int32),
+           "max_clip": np.empty(n, dtype=np.int32),
+           "max_indel": np.empty(n, dtype=np.int32)}
+    for i, off in enumerate(offsets):
+        rec = bam._parse_at(int(off))
+        out["name_hash"][i] = hash_string(rec.qname)
+        out["fnv_hash"][i] = _fnv1a64(rec.qname.encode())
+        out["ref_span"][i] = rec.alignment_length()
+        fl = 0
+        lsc = 0
+        mc = 0
+        mi = 0
+        ops = rec.cigar_ops
+        lens = rec.cigar_lens
+        clip = (ops == CSOFT_CLIP) | (ops == CHARD_CLIP)
+        if (ops == CSOFT_CLIP).any():
+            fl |= 3
+        if (ops == CHARD_CLIP).any():
+            fl |= 2
+        if clip.any():
+            mc = int(lens[clip].max())
+        indel = (ops == CINS) | (ops == CDEL)
+        if indel.any():
+            mi = int(lens[indel].max())
+        if len(ops) and ops[0] == CSOFT_CLIP:
+            lsc = int(lens[0])
+        out["leading_sc"][i] = lsc
+        out["clip_flags"][i] = fl
+        out["max_clip"][i] = mc
+        out["max_indel"][i] = mi
+    return out
+
+
+def _match_coverage(bam, offsets, target_len):
+    """CMATCH base-coverage totals (coverage.h:461-476) for the records
+    at `offsets` (native diff-array pass; Python walk as fallback)."""
+    try:
+        from delly_tpu import native
+        cov = native.bam_match_coverage(bam._data, offsets, target_len)
+        if cov is not None:
+            return cov
+    except Exception:
+        pass
+    diff = np.zeros(target_len + 1, dtype=np.int64)
+    for off in offsets:
+        rec = bam._parse_at(int(off))
+        rp = 0
+        for op, ol in zip(rec.cigar_ops, rec.cigar_lens):
+            ol = int(ol)
+            if op == CMATCH:
+                lo = rec.pos + rp
+                hi = min(rec.pos + rp + ol, target_len)
+                if lo < hi:
+                    diff[lo] += 1
+                    diff[hi] -= 1
+                rp += ol
+            elif op in (CDEL, CREF_SKIP):
+                rp += ol
+    return np.cumsum(diff[:target_len])
+
+
 def annotate_coverage(cfg, bams, fasta, libs, svs):
     """coverage.h:265-743. Returns (jct_map, rc_map, span_map) per sample."""
     header = bams[0].header
@@ -272,7 +348,6 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                 continue
             target_len = header.lengths[ref_index]
             cov_fragment = np.zeros(target_len, dtype=np.uint16)
-            cov_bases = np.zeros(target_len, dtype=np.uint16)
             max_cov = np.iinfo(np.uint16).max
 
             bp_occupied = np.zeros(target_len, dtype=bool)
@@ -301,50 +376,61 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
             jobs = []
             import bisect as _bisect
 
-            for rec in bam.records(tid=ref_index):
-                if rec.flag & (FSECONDARY | FQCFAIL | FDUP | FSUPPLEMENTARY
-                               | FUNMAP | FMUNMAP):
-                    continue
-                if rec.mapq < cfg.min_geno_qual:
-                    continue
-                # base coverage: only CMATCH ops (coverage.h:461-476)
-                rp = 0
-                for op, ol in zip(rec.cigar_ops, rec.cigar_lens):
-                    ol = int(ol)
-                    if op == CMATCH:
-                        lo = rec.pos + rp
-                        hi = min(rec.pos + rp + ol, target_len)
-                        if lo < hi:
-                            seg = cov_bases[lo:hi]
-                            np.add(seg, 1, out=seg,
-                                   where=seg < max_cov - 1)
-                        rp += ol
-                    elif op in (CDEL, CREF_SKIP):
-                        rp += ol
+            # SoA-driven record walk (coverage.h:456-681): core fields,
+            # CIGAR aggregates and name hashes come from bulk native
+            # passes; full records are parsed only for the few reads that
+            # spawn junction-alignment jobs.
+            ci = bam.core_index()
+            sel = np.nonzero(ci["tid"] == ref_index)[0]
+            excl = (FSECONDARY | FQCFAIL | FDUP | FSUPPLEMENTARY
+                    | FUNMAP | FMUNMAP)
+            keep = (((ci["flag"][sel] & excl) == 0)
+                    & (ci["mapq"][sel] >= cfg.min_geno_qual))
+            sel = sel[keep]
+            offs = ci["offsets"][sel]
+            stats = _cigar_stats(bam, offs)
+            totals = _match_coverage(bam, offs, target_len)
+            np.minimum(totals, max_cov - 1, out=totals)
+            cov_bases = totals.astype(np.uint16)
 
-                has_soft_clip = False
-                has_clip = False
-                leading_sc = 0
-                for idx, (op, ol) in enumerate(zip(rec.cigar_ops,
-                                                   rec.cigar_lens)):
-                    if op == CSOFT_CLIP:
-                        has_clip = True
-                        has_soft_clip = True
-                        if idx == 0:
-                            leading_sc = int(ol)
-                    elif op == CHARD_CLIP:
-                        has_clip = True
+            occ_cum = np.concatenate(([0], np.cumsum(bp_occupied,
+                                                     dtype=np.int64)))
+            span_cum = np.concatenate(([0], np.cumsum(span_bp,
+                                                      dtype=np.int64)))
 
-                if rec.l_qseq >= 2 * cfg.min_flank_size:
-                    rbegin = max(0, rec.pos - leading_sc)
-                    rend_scan = min(rec.pos + rec.l_qseq, target_len)
-                    bpvalid = bool(bp_occupied[rbegin:rend_scan].any())
-                    if bpvalid:
+            pos_l = ci["pos"][sel].tolist()
+            flag_l = ci["flag"][sel].tolist()
+            mapq_l = ci["mapq"][sel].tolist()
+            mtid_l = ci["mtid"][sel].tolist()
+            mpos_l = ci["mpos"][sel].tolist()
+            tlen_l = ci["tlen"][sel].tolist()
+            lqseq_l = ci["lqseq"][sel].tolist()
+            offs_l = offs.tolist()
+            nhash_l = stats["name_hash"].tolist()
+            rspan_l = stats["ref_span"].tolist()
+            lsc_l = stats["leading_sc"].tolist()
+            cflags_l = stats["clip_flags"].tolist()
+
+            lib = libs[file_c]
+            two_flank = 2 * cfg.min_flank_size
+            bpr = bp_region[ref_index]
+            for i in range(len(offs_l)):
+                rpos = pos_l[i]
+                rflag = flag_l[i]
+                lqseq = lqseq_l[i]
+                has_soft_clip = bool(cflags_l[i] & 1)
+                has_clip = bool(cflags_l[i] & 2)
+
+                if lqseq >= two_flank:
+                    rbegin = max(0, rpos - lsc_l[i])
+                    rend_scan = min(rpos + lqseq, target_len)
+                    if (rbegin < rend_scan
+                            and occ_cum[rend_scan] > occ_cum[rbegin]):
                         it = _bisect.bisect_left(bp_pos_sorted, rbegin)
-                        while (it < len(bp_region[ref_index])
-                               and rec.pos + rec.l_qseq
-                               >= bp_region[ref_index][it].bppos):
-                            itbp = bp_region[ref_index][it]
+                        rec = None
+                        while (it < len(bpr)
+                               and rpos + lqseq >= bpr[it].bppos):
+                            itbp = bpr[it]
                             it += 1
                             cm = count_map[file_c][itbp.id]
                             if (len(cm.ref) + len(cm.alt)
@@ -352,68 +438,78 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                                 continue
                             spans = (has_soft_clip or (
                                 (not has_clip)
-                                and rec.pos + cfg.min_flank_size + itbp.homLeft
+                                and rpos + cfg.min_flank_size + itbp.homLeft
                                 <= itbp.bppos
-                                and rec.pos + rec.l_qseq
+                                and rpos + lqseq
                                 >= itbp.bppos + cfg.min_flank_size
                                 + itbp.homRight))
                             if spans:
+                                if rec is None:
+                                    rec = bam._parse_at(offs_l[i])
                                 sequence = adjust_orientation(
                                     rec.seq, bool(itbp.bpPoint), itbp.svt)
                                 jobs.append((
                                     cons_probe_arr[itbp.bpPoint][itbp.id],
                                     ref_probe_arr[itbp.bpPoint][itbp.id],
-                                    sequence, file_c, itbp.id, rec.mapq,
-                                    (rec.qname, rec.tid, rec.pos, rec.mtid,
-                                     rec.mpos, rec.mapq)))
+                                    sequence, file_c, itbp.id, mapq_l[i],
+                                    (rec.qname, ref_index, rpos, mtid_l[i],
+                                     mpos_l[i], mapq_l[i])))
 
                 # Read-count and spanning annotation
-                if (not rec.flag & FPAIRED) or not sv_on_chr[rec.mtid]:
+                mtid = mtid_l[i]
+                if (not rflag & FPAIRED) or not sv_on_chr[mtid]:
                     continue
-                if rec.pos > last_aligned_pos:
+                mpos = mpos_l[i]
+                if rpos > last_aligned_pos:
                     last_aligned_reads.clear()
-                    last_aligned_pos = rec.pos
-                from delly_tpu.models.sr import first_pair_obs
-                if first_pair_obs(rec, last_aligned_reads):
-                    last_aligned_reads.add(hash_string(rec.qname))
-                    hv = hash_pair(rec.qname, rec.tid, rec.pos, rec.mtid,
-                                   rec.mpos)
-                    if rec.tid == rec.mtid:
-                        clip[hv] = (has_soft_clip, rec.mapq)
-                    else:
-                        cliptra[hv] = (has_soft_clip, rec.mapq)
+                    last_aligned_pos = rpos
+                nh = nhash_l[i]
+                # first_pair_obs (tags.h:269-274) on SoA fields
+                if mtid == ref_index:
+                    first = (rpos < mpos
+                             or (rpos == mpos
+                                 and nh not in last_aligned_reads))
                 else:
-                    hv = hash_pair_mate(rec.qname, rec.tid, rec.pos, rec.mtid,
-                                        rec.mpos)
-                    store = clip if rec.tid == rec.mtid else cliptra
+                    first = ref_index < mtid
+                if first:
+                    last_aligned_reads.add(nh)
+                    hv = hash_pair_h(nh, ref_index, rpos, mtid, mpos)
+                    if mtid == ref_index:
+                        clip[hv] = (has_soft_clip, mapq_l[i])
+                    else:
+                        cliptra[hv] = (has_soft_clip, mapq_l[i])
+                else:
+                    hv = hash_pair_h(nh, mtid, mpos, ref_index, rpos)
+                    store = clip if mtid == ref_index else cliptra
                     ent = store.pop(hv, None)
                     if ent is None:
                         continue
-                    pair_quality = min(ent[1], rec.mapq)
+                    pair_quality = min(ent[1], mapq_l[i])
                     pair_clip = ent[0] or has_soft_clip
                     if pair_quality < cfg.min_geno_qual:
                         continue
-                    if rec.tid == rec.mtid:
-                        mid = rec.pos + rec.half_alignment_length()
+                    if mtid == ref_index:
+                        mid = rpos + rspan_l[i] // 2
                         if mid < target_len and cov_fragment[mid] < max_cov - 1:
                             cov_fragment[mid] += 1
-                    if rec.pos < rec.mpos:
-                        outer = rec.mpos + rec.l_qseq - rec.pos
+                    if rpos < mpos:
+                        outer = mpos + lqseq - rpos
                     else:
-                        outer = rec.pos + rec.l_qseq - rec.mpos
-                    if libs[file_c].median == 0:
+                        outer = rpos + lqseq - mpos
+                    if lib.median == 0:
                         continue
-                    svtype_pair = get_sv_type(rec.flag, rec.pos, rec.mpos)
+                    svtype_pair = get_sv_type(rflag, rpos, mpos)
                     # Normal spanning pair (coverage.h:604-626)
                     if (not pair_clip and svtype_pair == 2
-                            and libs[file_c].minNormalISize <= outer
-                            <= libs[file_c].maxNormalISize
-                            and rec.tid == rec.mtid):
+                            and lib.minNormalISize <= outer
+                            <= lib.maxNormalISize
+                            and mtid == ref_index):
                         spanlen = int(0.8 * outer)
-                        pbegin = min(rec.pos, rec.mpos)
+                        pbegin = min(rpos, mpos)
                         st = pbegin + (outer - spanlen) // 2
                         hi = min(st + spanlen, target_len)
-                        if st < hi and span_bp[max(0, st):hi].any():
+                        lo0 = max(0, st)
+                        if st < hi and span_cum[hi] > span_cum[lo0]:
                             it = _bisect.bisect_left(span_bppos, st)
                             while (it < len(span_point)
                                    and st + spanlen >= span_point[it].bppos):
@@ -425,22 +521,22 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                                         pair_quality)
                     # Abnormal spanning (coverage.h:629-669)
                     if (svtype_pair != 2
-                            or outer < libs[file_c].minNormalISize
-                            or outer > libs[file_c].maxNormalISize
-                            or rec.tid != rec.mtid):
+                            or outer < lib.minNormalISize
+                            or outer > lib.maxNormalISize
+                            or mtid != ref_index):
                         svt = isize_mapping_pos(
-                            rec.flag, rec.tid, rec.pos, rec.mtid, rec.mpos,
-                            rec.tlen, libs[file_c].maxISizeCutoff)
+                            rflag, ref_index, rpos, mtid, mpos,
+                            tlen_l[i], lib.maxISizeCutoff)
                         if svt == -1:
                             continue
-                        pbegin = rec.pos
-                        pend = min(rec.pos + libs[file_c].maxNormalISize,
-                                   target_len)
-                        if rec.flag & FREVERSE:
-                            pbegin = max(0, rec.pos + rec.l_qseq
-                                         - libs[file_c].maxNormalISize)
-                            pend = min(rec.pos + rec.l_qseq, target_len)
-                        if pbegin < pend and span_bp[pbegin:pend].any():
+                        pbegin = rpos
+                        pend = min(rpos + lib.maxNormalISize, target_len)
+                        if rflag & FREVERSE:
+                            pbegin = max(0, rpos + lqseq
+                                         - lib.maxNormalISize)
+                            pend = min(rpos + lqseq, target_len)
+                        if (pbegin < pend
+                                and span_cum[pend] > span_cum[pbegin]):
                             it = _bisect.bisect_left(span_bppos, pbegin)
                             while (it < len(span_point)
                                    and pend >= span_point[it].bppos):
@@ -448,13 +544,12 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                                 it += 1
                                 if svt != sp.svt:
                                     continue
-                                if rec.mtid != sp.chr2:
+                                if mtid != sp.chr2:
                                     continue
-                                if (abs(rec.mpos - sp.otherBppos)
-                                        < libs[file_c].maxNormalISize):
+                                if (abs(mpos - sp.otherBppos)
+                                        < lib.maxNormalISize):
                                     span_map[file_c][sp.id].alt.append(
                                         pair_quality)
-
             _process_jobs_device(jobs, count_map, ref_aligned_read_count,
                                  cfg, None)
             clip.clear()

@@ -10,9 +10,11 @@ from __future__ import annotations
 import sys
 import time
 
+import numpy as np
+
 from delly_tpu.io.bam import (
-    BamFile, FDUP, FMUNMAP, FPAIRED, FQCFAIL, FSECONDARY, FSUPPLEMENTARY,
-    FUNMAP,
+    BamFile, FDUP, FMUNMAP, FPAIRED, FQCFAIL, FREAD1, FSECONDARY,
+    FSUPPLEMENTARY, FUNMAP,
 )
 from delly_tpu.io.fasta import FastaFile
 from delly_tpu.models.cluster import BamAlignRecord, cluster_pe, cluster_sr
@@ -20,8 +22,9 @@ from delly_tpu.models.junctions import extract_junctions_sr, fetch_svs
 from delly_tpu.models.refine import adjust_orientation, align_consensus
 from delly_tpu.ops.gotoh import DnaScore
 from delly_tpu.ops.msa import msa
+from delly_tpu.models.genotype_sr import _cigar_stats
 from delly_tpu.utils.hashing import (
-    hash_pair, hash_pair_mate, hash_sr, hash_string,
+    hash_pair_h, hash_sr, hash_string,
 )
 from delly_tpu.utils.stats import (
     get_library_params, get_variability, parse_exclude_intervals,
@@ -65,65 +68,106 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
             mate_map = {}
             last_aligned_pos = 0
             last_aligned_reads = set()
-            for rec in bam.records(tid=ref_index):
-                if rec.flag & (FQCFAIL | FDUP | FUNMAP):
-                    continue
-                if rec.mapq < cfg.min_map_qual or rec.tid < 0:
-                    continue
-                seed = hash_sr(rec.qname, rec.flag)
-                extract_junctions_sr(read_bp, seed, rec, cfg.min_ref_sep,
-                                     cfg.min_clip)
+            # SoA-driven walk (shortpe.h:285-533): hashes and CIGAR
+            # aggregates come from the bulk native pass; full records are
+            # parsed only when the junction prefilter fires.
+            ci = bam.core_index()
+            sel = np.nonzero(ci["tid"] == ref_index)[0]
+            keep = (((ci["flag"][sel] & (FQCFAIL | FDUP | FUNMAP)) == 0)
+                    & (ci["mapq"][sel] >= cfg.min_map_qual))
+            sel = sel[keep]
+            offs = ci["offsets"][sel]
+            stats = _cigar_stats(bam, offs)
+            # hash_sr seeds, vectorized (util.h:519-527)
+            h32 = stats["name_hash"].astype(np.uint64)
+            fnv = stats["fnv_hash"]
+            seeds_a = h32 ^ (fnv + np.uint64(0x9E3779B97F4A7C15)
+                             + (h32 << np.uint64(6))
+                             + (h32 >> np.uint64(2)))
+            read1 = (ci["flag"][sel] & FREAD1) > 0
+            seeds_a = np.where(read1 & (seeds_a > 0),
+                               seeds_a - np.uint64(1), seeds_a)
+            jfire = ((stats["max_clip"] > cfg.min_clip)
+                     | (stats["max_indel"] > cfg.min_ref_sep)).tolist()
+
+            offs_l = offs.tolist()
+            pos_l = ci["pos"][sel].tolist()
+            flag_l = ci["flag"][sel].tolist()
+            mapq_l = ci["mapq"][sel].tolist()
+            mtid_l = ci["mtid"][sel].tolist()
+            mpos_l = ci["mpos"][sel].tolist()
+            tlen_l = ci["tlen"][sel].tolist()
+            rspan_l = stats["ref_span"].tolist()
+            nhash_l = stats["name_hash"].tolist()
+            seeds_l = seeds_a.tolist()
+            lib = libs[file_c]
+            for i in range(len(offs_l)):
+                seed = seeds_l[i]
+                if jfire[i]:
+                    rec = bam._parse_at(offs_l[i])
+                    extract_junctions_sr(read_bp, seed, rec, cfg.min_ref_sep,
+                                         cfg.min_clip)
+                rflag = flag_l[i]
+                rpos = pos_l[i]
+                mtid = mtid_l[i]
                 # Paired-end clustering
-                if not rec.flag & FPAIRED:
+                if not rflag & FPAIRED:
                     continue
-                if libs[file_c].median == 0:
+                if lib.median == 0:
                     continue
-                if rec.flag & (FSECONDARY | FSUPPLEMENTARY):
+                if rflag & (FSECONDARY | FSUPPLEMENTARY):
                     continue
-                if rec.mtid < 0 or rec.flag & FMUNMAP:
+                if mtid < 0 or rflag & FMUNMAP:
                     continue
-                if not valid_regions[rec.mtid]:
+                if not valid_regions[mtid]:
                     continue
-                if rec.tid != rec.mtid and rec.mapq < cfg.min_tra_qual:
+                if ref_index != mtid and mapq_l[i] < cfg.min_tra_qual:
                     continue
-                svt = isize_mapping_pos(rec.flag, rec.tid, rec.pos, rec.mtid,
-                                        rec.mpos, rec.tlen,
-                                        libs[file_c].maxISizeCutoff)
+                mpos = mpos_l[i]
+                tlen = tlen_l[i]
+                svt = isize_mapping_pos(rflag, ref_index, rpos, mtid,
+                                        mpos, tlen, lib.maxISizeCutoff)
                 if svt == -1:
                     continue
                 if cfg.svtset and svt not in cfg.svtset:
                     continue
-                if svt == 2 and libs[file_c].maxISizeCutoff > abs(rec.tlen):
+                if svt == 2 and lib.maxISizeCutoff > abs(tlen):
                     continue
-                if rec.pos > last_aligned_pos:
+                if rpos > last_aligned_pos:
                     last_aligned_reads.clear()
-                    last_aligned_pos = rec.pos
-                if first_pair_obs(rec, last_aligned_reads):
+                    last_aligned_pos = rpos
+                # first_pair_obs (tags.h:269-274): the reference probes
+                # the seed set with hash_string(qname)
+                if ref_index == mtid:
+                    first = (rpos < mpos
+                             or (rpos == mpos
+                                 and nhash_l[i] not in last_aligned_reads))
+                else:
+                    first = ref_index < mtid
+                if first:
                     last_aligned_reads.add(seed)
-                    hv = hash_pair(rec.qname, rec.tid, rec.pos, rec.mtid,
-                                   rec.mpos)
-                    entry = (rec.mapq, rec.alignment_length())
+                    hv = hash_pair_h(nhash_l[i], ref_index, rpos, mtid, mpos)
+                    entry = (mapq_l[i], rspan_l[i])
                     if is_translocation(svt):
                         matetra[hv] = entry
                     else:
                         mate_map[hv] = entry
                 else:
-                    hv = hash_pair_mate(rec.qname, rec.tid, rec.pos, rec.mtid,
-                                        rec.mpos)
+                    hv = hash_pair_h(nhash_l[i], mtid, mpos, ref_index, rpos)
                     store = matetra if is_translocation(svt) else mate_map
                     ent = store.get(hv)
                     if ent is None or not ent[0]:
                         continue
-                    pair_quality = min(ent[0], rec.mapq)
+                    pair_quality = min(ent[0], mapq_l[i])
                     alen_mate = ent[1]
                     del store[hv]
                     bam_records[svt].append(BamAlignRecord(
-                        tid=rec.tid, pos=rec.pos, mtid=rec.mtid, mpos=rec.mpos,
-                        alen=rec.alignment_length(), malen=alen_mate,
-                        median=libs[file_c].median, mad=libs[file_c].mad,
-                        maxNormalISize=libs[file_c].maxNormalISize,
-                        flag=rec.flag, mapQuality=pair_quality))
-                    libs[file_c].abnormal_pairs += 1
+                        tid=ref_index, pos=rpos, mtid=mtid, mpos=mpos,
+                        alen=rspan_l[i], malen=alen_mate,
+                        median=lib.median, mad=lib.mad,
+                        maxNormalISize=lib.maxNormalISize,
+                        flag=rflag, mapQuality=pair_quality))
+                    lib.abnormal_pairs += 1
         for jv in read_bp.values():
             jv.sort(key=lambda j: j.sort_key())
         fetch_sr_only(cfg, read_bp, per_file_sr)

@@ -64,6 +64,14 @@ def get_lib():
                              + [ctypes.c_void_p] * 9 + [ctypes.c_size_t])
     lib.delly_free.restype = None
     lib.delly_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.bam_cigar_stats.restype = None
+    lib.bam_cigar_stats.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32] + [ctypes.c_void_p] * 7
+    lib.bam_match_coverage.restype = None
+    lib.bam_match_coverage.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
     lib.long_needle_core.restype = None
     lib.long_needle_core.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
@@ -241,6 +249,56 @@ def edist_many(q: np.ndarray, qlens: np.ndarray, t: np.ndarray,
                    threads or _default_threads(),
                    out.ctypes.data_as(ctypes.c_void_p))
     return out
+
+
+def bam_cigar_stats(data: bytes, offsets: np.ndarray,
+                    threads: int | None = None):
+    """Per-record CIGAR aggregates + reference name hash (tags.h:260-267)
+    for the records at `offsets`. Returns a dict of numpy arrays
+    (name_hash uint32, fnv_hash uint64, ref_span/leading_sc/clip_flags/
+    max_clip/max_indel int32) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    nrec = len(offsets)
+    name_hash = np.empty(nrec, dtype=np.uint32)
+    fnv_hash = np.empty(nrec, dtype=np.uint64)
+    ref_span = np.empty(nrec, dtype=np.int32)
+    leading_sc = np.empty(nrec, dtype=np.int32)
+    clip_flags = np.empty(nrec, dtype=np.int32)
+    max_clip = np.empty(nrec, dtype=np.int32)
+    max_indel = np.empty(nrec, dtype=np.int32)
+    lib.bam_cigar_stats(data, len(data),
+                        offsets.ctypes.data_as(ctypes.c_void_p), nrec,
+                        threads or _default_threads(),
+                        name_hash.ctypes.data_as(ctypes.c_void_p),
+                        fnv_hash.ctypes.data_as(ctypes.c_void_p),
+                        ref_span.ctypes.data_as(ctypes.c_void_p),
+                        leading_sc.ctypes.data_as(ctypes.c_void_p),
+                        clip_flags.ctypes.data_as(ctypes.c_void_p),
+                        max_clip.ctypes.data_as(ctypes.c_void_p),
+                        max_indel.ctypes.data_as(ctypes.c_void_p))
+    return {"name_hash": name_hash, "fnv_hash": fnv_hash,
+            "ref_span": ref_span, "leading_sc": leading_sc,
+            "clip_flags": clip_flags, "max_clip": max_clip,
+            "max_indel": max_indel}
+
+
+def bam_match_coverage(data: bytes, offsets: np.ndarray, target_len: int):
+    """CMATCH base-coverage counts (int64, length target_len) for the
+    records at `offsets`, un-clamped (caller applies the saturation cap),
+    or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    diff = np.zeros(target_len + 1, dtype=np.int32)
+    lib.bam_match_coverage(data, len(data),
+                           offsets.ctypes.data_as(ctypes.c_void_p),
+                           len(offsets), target_len,
+                           diff.ctypes.data_as(ctypes.c_void_p))
+    return np.cumsum(diff[:target_len], dtype=np.int64)
 
 
 def bam_scan(data: bytes, start: int):

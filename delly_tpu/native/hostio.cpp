@@ -241,6 +241,116 @@ long long bam_scan(const uint8_t* data, size_t n, size_t start,
   return (long long)count;
 }
 
+// Per-record CIGAR aggregates + read-name hash for the records at
+// `offsets` (from bam_scan). Emits, per record:
+//   name_hash  — the reference's 32-bit string hash (tags.h:260-267)
+//   fnv_hash   — FNV-1a 64 over the qname (second hash_sr ingredient)
+//   ref_span   — reference-consuming span M/=/X/D/N (util.h:440-447)
+//   leading_sc — soft-clip length when the first op is S
+//   clip_flags — bit0: any soft clip, bit1: any clip (S or H)
+//   max_clip   — longest S/H op, max_indel — longest I/D op (junction
+//                extraction prefilters, junction.h:22-41)
+// Lets the genotyping/scan passes run off struct-of-arrays data without
+// Python-parsing every record.
+void bam_cigar_stats(const uint8_t* data, size_t n, const int64_t* offsets,
+                     int64_t nrec, int32_t threads, uint32_t* name_hash,
+                     uint64_t* fnv_hash, int32_t* ref_span,
+                     int32_t* leading_sc, int32_t* clip_flags,
+                     int32_t* max_clip, int32_t* max_indel) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(256);
+      if (i >= nrec) return;
+      int64_t hi = std::min(nrec, i + 256);
+      for (; i < hi; ++i) {
+        const uint8_t* r = data + offsets[i] + 4;
+        uint8_t l_read_name = r[8];
+        uint16_t n_cigar = (uint16_t)(r[12] | (r[13] << 8));
+        const uint8_t* qname = r + 32;
+        uint32_t h = 37;
+        uint64_t fh = 0xCBF29CE484222325ull;
+        for (int j = 0; j + 1 < (int)l_read_name; ++j) {
+          h = (h * 54059u) ^ ((uint32_t)qname[j] * 76963u);
+          fh = (fh ^ (uint64_t)qname[j]) * 0x100000001B3ull;
+        }
+        name_hash[i] = h;
+        fnv_hash[i] = fh;
+        const uint8_t* cig = r + 32 + l_read_name;
+        int32_t span = 0, lsc = 0, flags = 0, mc = 0, mi = 0;
+        for (int j = 0; j < (int)n_cigar; ++j) {
+          uint32_t v;
+          std::memcpy(&v, cig + 4 * j, 4);
+          uint32_t op = v & 0xF;
+          int32_t ol = (int32_t)(v >> 4);
+          if (op == 0 || op == 7 || op == 8 || op == 2 || op == 3)
+            span += ol;                                // M,=,X,D,N
+          if (op == 1 || op == 2) {                    // I,D
+            if (ol > mi) mi = ol;
+          } else if (op == 4) {                        // S
+            flags |= 3;
+            if (j == 0) lsc = ol;
+            if (ol > mc) mc = ol;
+          } else if (op == 5) {                        // H
+            flags |= 2;
+            if (ol > mc) mc = ol;
+          }
+        }
+        ref_span[i] = span;
+        leading_sc[i] = lsc;
+        clip_flags[i] = flags;
+        max_clip[i] = mc;
+        max_indel[i] = mi;
+      }
+    }
+  };
+  int nthreads = std::max(1, (int)threads);
+  if (nthreads == 1 || nrec < 512) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
+// CMATCH-only base-coverage difference array (coverage.h:461-476): for
+// each record, every M segment [pos+rp, pos+rp+ol) clipped to target_len
+// adds +1/-1 into diff (length target_len + 1). Caller cumsums + clamps.
+// Only op 0 (M) counts, matching the reference's base-coverage walk.
+void bam_match_coverage(const uint8_t* data, size_t n,
+                        const int64_t* offsets, int64_t nrec,
+                        int32_t target_len, int32_t* diff) {
+  for (int64_t i = 0; i < nrec; ++i) {
+    const uint8_t* r = data + offsets[i] + 4;
+    int32_t pos;
+    std::memcpy(&pos, r + 4, 4);
+    uint8_t l_read_name = r[8];
+    uint16_t n_cigar = (uint16_t)(r[12] | (r[13] << 8));
+    const uint8_t* cig = r + 32 + l_read_name;
+    int32_t rp = 0;
+    for (int j = 0; j < (int)n_cigar; ++j) {
+      uint32_t v;
+      std::memcpy(&v, cig + 4 * j, 4);
+      uint32_t op = v & 0xF;
+      int32_t ol = (int32_t)(v >> 4);
+      if (op == 0) {                                   // M
+        int32_t lo = pos + rp;
+        int32_t hi2 = pos + rp + ol;
+        if (hi2 > target_len) hi2 = target_len;
+        if (lo < 0) lo = 0;
+        if (lo < hi2) {
+          ++diff[lo];
+          --diff[hi2];
+        }
+        rp += ol;
+      } else if (op == 2 || op == 3) {                 // D,N
+        rp += ol;
+      }
+    }
+  }
+}
+
 // ---------------------------------------------------------------------
 // Host DP matrices (traceback-carrying paths)
 // ---------------------------------------------------------------------

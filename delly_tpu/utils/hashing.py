@@ -54,15 +54,18 @@ def hash_lr(qname: str) -> int:
 
 def hash_pair(qname: str, tid: int, pos: int, mtid: int, mpos: int) -> int:
     """Pair key as seen from the first read (util.h:501-508)."""
-    seed = hash_string(qname)
-    for v in (tid, pos, mtid, mpos):
-        seed = hash_combine(seed, v & MASK64)
-    return seed
+    return hash_pair_h(hash_string(qname), tid, pos, mtid, mpos)
 
 
 def hash_pair_mate(qname: str, tid: int, pos: int, mtid: int, mpos: int) -> int:
     """Pair key as seen from the second read (util.h:510-517)."""
-    seed = hash_string(qname)
-    for v in (mtid, mpos, tid, pos):
+    return hash_pair_h(hash_string(qname), mtid, mpos, tid, pos)
+
+
+def hash_pair_h(qhash: int, a: int, b: int, c: int, d: int) -> int:
+    """Pair key from a precomputed hash_string(qname) value (the native
+    bam_cigar_stats pass emits these in bulk)."""
+    seed = qhash
+    for v in (a, b, c, d):
         seed = hash_combine(seed, v & MASK64)
     return seed
