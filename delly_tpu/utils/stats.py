@@ -8,7 +8,6 @@ from delly_tpu.io.bam import (
     FDUP, FMUNMAP, FPAIRED, FQCFAIL, FREAD2, FSECONDARY, FSUPPLEMENTARY,
     FUNMAP,
 )
-from delly_tpu.utils.tags import get_sv_type
 
 
 @dataclass
@@ -41,41 +40,60 @@ def get_library_params(bam, valid_regions, mad_cutoff: int = 9,
     max_screened = 10_000_000
     max_num = 1_000_000
     min_num = 1_000
-    aligned = 0
-    num_pairs = 0
-    num_reads = 0
-    rplus = 0
-    nonrplus = 0
-    isizes = []
-    readsizes = []
-    done = False
+    # Vectorized over the SoA core index, replicating the reference's
+    # screening loop (util.h:771-891): record filters, then the aligned/
+    # read/pair caps evaluated in stream order.
+    import numpy as np
+
+    ci = bam.core_index()
+    order = []
     for ref_index in range(bam.header.n_targets):
         if not valid_regions[ref_index]:
             continue
-        for rec in bam.records(tid=ref_index):
-            if (rec.flag & FREAD2) or rec.l_qseq >= 65000:
-                continue
-            if rec.flag & (FSECONDARY | FQCFAIL | FDUP | FSUPPLEMENTARY | FUNMAP):
-                continue
-            if (aligned > max_screened
-                    or (num_reads >= max_num and num_pairs == 0)
-                    or num_pairs >= max_num):
-                done = True
-                break
-            aligned += 1
-            if num_reads < max_num:
-                readsizes.append(rec.l_qseq)
-                num_reads += 1
-            if (rec.flag & FPAIRED) and not (rec.flag & FMUNMAP) and rec.tid == rec.mtid:
-                if num_pairs < max_num:
-                    isizes.append(abs(rec.tlen))
-                    if get_sv_type(rec.flag, rec.pos, rec.mpos) == 2:
-                        rplus += 1
-                    else:
-                        nonrplus += 1
-                    num_pairs += 1
-        if done:
-            break
+        order.append(np.nonzero(ci["tid"] == ref_index)[0])
+    if order:
+        sel = np.concatenate(order)
+    else:
+        sel = np.zeros(0, dtype=np.int64)
+    flag = ci["flag"][sel]
+    lqseq = ci["lqseq"][sel]
+    keep = (((flag & FREAD2) == 0) & (lqseq < 65000)
+            & ((flag & (FSECONDARY | FQCFAIL | FDUP | FSUPPLEMENTARY
+                        | FUNMAP)) == 0))
+    sel = sel[keep]
+    flag = flag[keep]
+    lqseq = lqseq[keep]
+    tid = ci["tid"][sel]
+    mtid = ci["mtid"][sel]
+    pos = ci["pos"][sel]
+    mpos = ci["mpos"][sel]
+    tlen = ci["tlen"][sel]
+    pair = (((flag & FPAIRED) != 0) & ((flag & FMUNMAP) == 0)
+            & (tid == mtid))
+    pairs_before = np.concatenate(
+        ([0], np.cumsum(pair, dtype=np.int64)[:-1]))
+    n = len(sel)
+    idx = np.arange(n, dtype=np.int64)
+    reads_before = np.minimum(idx, max_num)
+    capped_pairs = np.minimum(pairs_before, max_num)
+    done_mask = ((idx > max_screened)
+                 | ((reads_before >= max_num) & (capped_pairs == 0))
+                 | (capped_pairs >= max_num))
+    stop = int(np.argmax(done_mask)) if done_mask.any() else n
+    num_reads = min(stop, max_num)
+    readsizes = lqseq[:num_reads].tolist()
+    pw = np.nonzero(pair[:stop])[0][:max_num]
+    num_pairs = len(pw)
+    isizes = np.abs(tlen[pw]).tolist()
+    # orientation tally (tags.h:218-227): code 2 = FR default layout
+    pf = flag[pw]
+    pp = pos[pw]
+    pm = mpos[pw]
+    fwd = (pf & 16) == 0
+    mrev = (pf & 32) != 0
+    is_fr = np.where(fwd, mrev & (pp < pm), (~mrev) & (pp > pm))
+    rplus = int(np.count_nonzero(is_fr))
+    nonrplus = num_pairs - rplus
     if num_reads >= min_num:
         lib.rs = _median_nth(readsizes)
     if num_pairs >= min_num:
