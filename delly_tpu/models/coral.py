@@ -28,15 +28,14 @@ from delly_tpu.models.cnv import (
     parse_vcf_cnv, segment_rd,
 )
 from delly_tpu.models.depth import (
-    add_base_coverage, add_split_read_breakpoints, gc_content_track,
+    add_split_read_breakpoints, base_coverage_bulk, gc_content_track,
     set_min_chr_len, uniq_content_track,
 )
 from delly_tpu.models.gcbias import (
     GcBias, estimate_regional_gc, gc_bias, reg_corr_factor,
 )
 from delly_tpu.models.scan import scan, select_windows
-from delly_tpu.models.sr import first_pair_obs
-from delly_tpu.utils.hashing import hash_pair, hash_pair_mate, hash_sr
+from delly_tpu.utils.hashing import hash_pair_h, hash_sr_batch
 from delly_tpu.utils.stats import get_library_params
 from delly_tpu.utils.log import stage
 
@@ -182,44 +181,78 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
         mate_map = {}
         last_aligned_pos = 0
         last_aligned_reads = set()
-        for rec in bam.records(tid=ref_index):
-            if rec.flag & (FQCFAIL | FDUP | FUNMAP | FSECONDARY
-                           | FSUPPLEMENTARY):
-                continue
-            if rec.mapq < cfg.min_qual:
-                continue
-            if rec.flag & FPAIRED and (rec.flag & FMUNMAP
-                                       or rec.tid != rec.mtid):
-                continue
-            if rec.mapq >= cfg.mapq_uniq:
-                add_split_read_breakpoints(rec, cfg.min_clip,
-                                           cfg.min_ref_sep, reflen, clips)
-            if cfg.basecov:
-                add_base_coverage(rec, cov, cov_uniq, cfg.mapq_uniq, reflen)
-                continue
-            add_base_coverage(rec, cov_tot, cov_uniq, cfg.mapq_uniq, reflen)
-
-            midpoint = rec.pos + rec.half_alignment_length()
-            if rec.flag & FPAIRED:
-                if rec.pos > last_aligned_pos:
-                    last_aligned_reads.clear()
-                    last_aligned_pos = rec.pos
-                if first_pair_obs(rec, last_aligned_reads):
-                    last_aligned_reads.add(hash_sr(rec.qname, rec.flag))
-                    hv = hash_pair(rec.qname, rec.tid, rec.pos, rec.mtid,
-                                   rec.mpos)
-                    mate_map[hv] = True
-                    continue
-                hv = hash_pair_mate(rec.qname, rec.tid, rec.pos, rec.mtid,
-                                    rec.mpos)
-                if not mate_map.get(hv):
-                    continue
-                del mate_map[hv]
-                isize = rec.pos + rec.alignment_length() - rec.mpos
-                if li.minNormalISize < isize < li.maxNormalISize:
-                    midpoint = rec.mpos + isize // 2
-            if 0 <= midpoint < reflen and cov[midpoint] < 65534:
-                cov[midpoint] += 1
+        # SoA-driven counting pass (coral.h:182-294)
+        ci = bam.core_index()
+        sel = np.nonzero(ci["tid"] == ref_index)[0]
+        flag_a = ci["flag"][sel]
+        keep = (((flag_a & (FQCFAIL | FDUP | FUNMAP | FSECONDARY
+                            | FSUPPLEMENTARY)) == 0)
+                & (ci["mapq"][sel] >= cfg.min_qual)
+                & ~(((flag_a & FPAIRED) != 0)
+                    & (((flag_a & FMUNMAP) != 0)
+                       | (ci["mtid"][sel] != ref_index))))
+        sel = sel[keep]
+        offs = ci["offsets"][sel]
+        from delly_tpu.models.genotype_sr import _cigar_stats
+        stats = _cigar_stats(bam, offs)
+        flag_a = ci["flag"][sel]
+        mapq_a = ci["mapq"][sel]
+        # split-read breakpoint collection (prefiltered CIGAR walk)
+        clipfire = ((mapq_a >= cfg.mapq_uniq)
+                    & ((stats["max_clip"] > cfg.min_clip)
+                       | (stats["max_indel"] > cfg.min_ref_sep)))
+        offs_l = offs.tolist()
+        for i in np.nonzero(clipfire)[0].tolist():
+            add_split_read_breakpoints(bam._parse_at(offs_l[i]),
+                                       cfg.min_clip, cfg.min_ref_sep,
+                                       reflen, clips)
+        bc = base_coverage_bulk(bam, offs, cfg.mapq_uniq, reflen)
+        if cfg.basecov:
+            np.minimum(bc[0], 65534, out=bc[0])
+            cov = bc[0].astype(np.uint16)
+        else:
+            np.minimum(bc[0], 65534, out=bc[0])
+            cov_tot = bc[0].astype(np.uint16)
+        np.minimum(bc[1], 65534, out=bc[1])
+        cov_uniq = bc[1].astype(np.uint16)
+        cov_map = cov if cfg.basecov else cov_tot
+        if not cfg.basecov:
+            seeds_l = hash_sr_batch(stats["name_hash"], stats["fnv_hash"],
+                                    flag_a).tolist()
+            pos_l = ci["pos"][sel].tolist()
+            mpos_l = ci["mpos"][sel].tolist()
+            paired_l = ((flag_a & FPAIRED) != 0).tolist()
+            nhash_l = stats["name_hash"].tolist()
+            rspan_l = stats["ref_span"].tolist()
+            for i in range(len(pos_l)):
+                rpos = pos_l[i]
+                midpoint = rpos + rspan_l[i] // 2
+                if paired_l[i]:
+                    mpos = mpos_l[i]
+                    if rpos > last_aligned_pos:
+                        last_aligned_reads.clear()
+                        last_aligned_pos = rpos
+                    # first_pair_obs (tags.h:269-274): probe with
+                    # hash_string, add the hash_sr seed
+                    if (rpos < mpos
+                            or (rpos == mpos
+                                and nhash_l[i]
+                                not in last_aligned_reads)):
+                        last_aligned_reads.add(seeds_l[i])
+                        hv = hash_pair_h(nhash_l[i], ref_index, rpos,
+                                         ref_index, mpos)
+                        mate_map[hv] = True
+                        continue
+                    hv = hash_pair_h(nhash_l[i], ref_index, mpos,
+                                     ref_index, rpos)
+                    if not mate_map.get(hv):
+                        continue
+                    del mate_map[hv]
+                    isize = rpos + rspan_l[i] - mpos
+                    if li.minNormalISize < isize < li.maxNormalISize:
+                        midpoint = mpos + isize // 2
+                if 0 <= midpoint < reflen and cov[midpoint] < 65534:
+                    cov[midpoint] += 1
 
         uniq_content = uniq_content_track(cov_map, cov_uniq, seq,
                                           cfg.meanisize)

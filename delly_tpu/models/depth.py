@@ -38,6 +38,40 @@ def gc_content_track(seq: str, meanisize: int) -> np.ndarray:
     return gc
 
 
+def base_coverage_bulk(bam, offsets, mapq_uniq: int, reflen: int):
+    """Bulk dual M/=/X base-coverage totals (util.h:454-474) for the
+    records at `offsets` — native diff-array pass with a Python
+    per-record fallback. Returns (total, uniq) int64 arrays, un-clamped."""
+    try:
+        from delly_tpu import native
+        bc = native.bam_base_coverage(bam._data, offsets, mapq_uniq, reflen)
+        if bc is not None:
+            return bc
+    except Exception:
+        pass
+    diff_all = np.zeros(reflen + 1, dtype=np.int64)
+    diff_uniq = np.zeros(reflen + 1, dtype=np.int64)
+    for off in offsets:
+        rec = bam._parse_at(int(off))
+        uniq = rec.mapq >= mapq_uniq
+        rp = rec.pos
+        for op, ol in zip(rec.cigar_ops, rec.cigar_lens):
+            ol = int(ol)
+            if op in (CMATCH, CEQUAL, CDIFF):
+                lo = max(rp, 0)
+                hi = min(rp + ol, reflen)
+                if hi > lo:
+                    diff_all[lo] += 1
+                    diff_all[hi] -= 1
+                    if uniq:
+                        diff_uniq[lo] += 1
+                        diff_uniq[hi] -= 1
+                rp += ol
+            elif op in (CDEL, CREF_SKIP):
+                rp += ol
+    return (np.cumsum(diff_all[:reflen]), np.cumsum(diff_uniq[:reflen]))
+
+
 def add_base_coverage(rec, cov: np.ndarray, cov_uniq: np.ndarray,
                       mapq_uniq: int, reflen: int) -> None:
     """util.h:454-474 (saturating uint16 increments over M/=/X spans)."""

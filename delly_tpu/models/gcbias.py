@@ -18,10 +18,9 @@ from delly_tpu.io.bam import (
     FUNMAP,
 )
 from delly_tpu.models.depth import (
-    add_base_coverage, gc_content_track, uniq_content_track,
+    base_coverage_bulk, gc_content_track, uniq_content_track,
 )
-from delly_tpu.models.sr import first_pair_obs
-from delly_tpu.utils.hashing import hash_pair, hash_pair_mate, hash_string
+from delly_tpu.utils.hashing import hash_pair_h
 from delly_tpu.utils.log import stage
 
 
@@ -146,49 +145,69 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
         mate_map = {}
         last_aligned_pos = 0
         last_aligned_reads = set()
-        for rec in bam.records(tid=ref_index):
-            if rec.flag & (FSECONDARY | FQCFAIL | FDUP | FSUPPLEMENTARY
-                           | FUNMAP):
-                continue
-            if rec.flag & FPAIRED and (rec.flag & FMUNMAP
-                                       or rec.tid != rec.mtid):
-                continue
-            if rec.mapq < cfg.min_qual:
-                continue
-            if cfg.basecov:
-                add_base_coverage(rec, cov, cov_uniq, cfg.mapq_uniq, reflen)
-                continue
-            add_base_coverage(rec, cov_tot, cov_uniq, cfg.mapq_uniq, reflen)
-
-            midpoint = rec.pos + rec.half_alignment_length()
-            if rec.flag & FPAIRED:
-                if rec.pos > last_aligned_pos:
-                    last_aligned_reads.clear()
-                    last_aligned_pos = rec.pos
-                if (rec.pos < rec.mpos
-                        or (rec.pos == rec.mpos
-                            and hash_string(rec.qname)
-                            not in last_aligned_reads)):
-                    last_aligned_reads.add(hash_string(rec.qname))
-                    hv = hash_pair(rec.qname, rec.tid, rec.pos, rec.mtid,
-                                   rec.mpos)
-                    mate_map[hv] = True
-                    continue
-                hv = hash_pair_mate(rec.qname, rec.tid, rec.pos, rec.mtid,
-                                    rec.mpos)
-                if not mate_map.get(hv):
-                    continue
-                mate_map[hv] = False
-                isize = rec.pos + rec.alignment_length() - rec.mpos
-                if li.minNormalISize < isize < li.maxNormalISize:
-                    midpoint = rec.mpos + isize // 2
-                elif rec.flag & FREVERSE:
-                    midpoint = (rec.pos + rec.alignment_length()
-                                - cfg.meanisize // 2)
-                else:
-                    midpoint = rec.pos + cfg.meanisize // 2
-            if 0 <= midpoint < reflen and cov[midpoint] < 65534:
-                cov[midpoint] += 1
+        # SoA-driven pass (gcbias.h:238-332)
+        ci = bam.core_index()
+        sel = np.nonzero(ci["tid"] == ref_index)[0]
+        flag_a = ci["flag"][sel]
+        keep = (((flag_a & (FSECONDARY | FQCFAIL | FDUP
+                            | FSUPPLEMENTARY | FUNMAP)) == 0)
+                & ~(((flag_a & FPAIRED) != 0)
+                    & (((flag_a & FMUNMAP) != 0)
+                       | (ci["mtid"][sel] != ref_index)))
+                & (ci["mapq"][sel] >= cfg.min_qual))
+        sel = sel[keep]
+        offs = ci["offsets"][sel]
+        bc = base_coverage_bulk(bam, offs, cfg.mapq_uniq, reflen)
+        if cfg.basecov:
+            np.minimum(bc[0], 65534, out=bc[0])
+            cov = bc[0].astype(np.uint16)
+        else:
+            np.minimum(bc[0], 65534, out=bc[0])
+            cov_tot = bc[0].astype(np.uint16)
+        np.minimum(bc[1], 65534, out=bc[1])
+        cov_uniq = bc[1].astype(np.uint16)
+        cov_map = cov if cfg.basecov else cov_tot
+        if not cfg.basecov:
+            from delly_tpu.models.genotype_sr import _cigar_stats
+            stats = _cigar_stats(bam, offs)
+            flag_a = ci["flag"][sel]
+            pos_l = ci["pos"][sel].tolist()
+            mpos_l = ci["mpos"][sel].tolist()
+            paired_l = ((flag_a & FPAIRED) != 0).tolist()
+            rev_l = ((flag_a & FREVERSE) != 0).tolist()
+            nhash_l = stats["name_hash"].tolist()
+            rspan_l = stats["ref_span"].tolist()
+            half = cfg.meanisize // 2
+            for i in range(len(pos_l)):
+                rpos = pos_l[i]
+                midpoint = rpos + rspan_l[i] // 2
+                if paired_l[i]:
+                    mpos = mpos_l[i]
+                    if rpos > last_aligned_pos:
+                        last_aligned_reads.clear()
+                        last_aligned_pos = rpos
+                    nh = nhash_l[i]
+                    if (rpos < mpos
+                            or (rpos == mpos
+                                and nh not in last_aligned_reads)):
+                        last_aligned_reads.add(nh)
+                        hv = hash_pair_h(nh, ref_index, rpos, ref_index,
+                                         mpos)
+                        mate_map[hv] = True
+                        continue
+                    hv = hash_pair_h(nh, ref_index, mpos, ref_index, rpos)
+                    if not mate_map.get(hv):
+                        continue
+                    mate_map[hv] = False
+                    isize = rpos + rspan_l[i] - mpos
+                    if li.minNormalISize < isize < li.maxNormalISize:
+                        midpoint = mpos + isize // 2
+                    elif rev_l[i]:
+                        midpoint = rpos + rspan_l[i] - half
+                    else:
+                        midpoint = rpos + half
+                if 0 <= midpoint < reflen and cov[midpoint] < 65534:
+                    cov[midpoint] += 1
 
         uniq_content = uniq_content_track(cov_map, cov_uniq, seq,
                                           cfg.meanisize)

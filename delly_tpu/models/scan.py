@@ -17,9 +17,7 @@ from delly_tpu.io.bam import (
     FDUP, FMUNMAP, FPAIRED, FQCFAIL, FSECONDARY, FSUPPLEMENTARY, FUNMAP,
 )
 from delly_tpu.models.depth import add_base_coverage
-from delly_tpu.models.sr import first_pair_obs
-from delly_tpu.utils.hashing import hash_pair, hash_pair_mate, hash_string
-from delly_tpu.utils.tags import get_sv_type
+from delly_tpu.utils.hashing import hash_pair_h
 from delly_tpu.utils.log import stage
 
 
@@ -97,55 +95,86 @@ def scan(cfg, bam, fasta, li, scan_counts: list) -> None:
         mate_map = {}
         last_aligned_pos = 0
         last_aligned_reads = set()
-        for rec in bam.records(tid=ref_index):
-            if rec.flag & (FSECONDARY | FQCFAIL | FDUP | FSUPPLEMENTARY
-                           | FUNMAP):
-                continue
-            if rec.flag & FPAIRED and (rec.flag & FMUNMAP
-                                       or rec.tid != rec.mtid):
-                continue
-            if rec.mapq < cfg.min_qual:
-                continue
-            if cfg.basecov:
+        if cfg.basecov:
+            for rec in bam.records(tid=ref_index):
+                if rec.flag & (FSECONDARY | FQCFAIL | FDUP | FSUPPLEMENTARY
+                               | FUNMAP):
+                    continue
+                if rec.flag & FPAIRED and (rec.flag & FMUNMAP
+                                           or rec.tid != rec.mtid):
+                    continue
+                if rec.mapq < cfg.min_qual:
+                    continue
                 add_base_coverage(rec, cov, cov_uniq, cfg.mapq_uniq, reflen)
-                continue
-            if rec.flag & FPAIRED and get_sv_type(rec.flag, rec.pos,
-                                                  rec.mpos) != 2:
-                continue
+        else:
+            # SoA-driven midpoint counting (scan.h:107-198)
+            ci = bam.core_index()
+            sel = np.nonzero(ci["tid"] == ref_index)[0]
+            flag_a = ci["flag"][sel]
+            keep = (((flag_a & (FSECONDARY | FQCFAIL | FDUP
+                                | FSUPPLEMENTARY | FUNMAP)) == 0)
+                    & ~(((flag_a & FPAIRED) != 0)
+                        & (((flag_a & FMUNMAP) != 0)
+                           | (ci["mtid"][sel] != ref_index)))
+                    & (ci["mapq"][sel] >= cfg.min_qual))
+            sel = sel[keep]
+            from delly_tpu.models.genotype_sr import _cigar_stats
+            stats = _cigar_stats(bam, ci["offsets"][sel])
+            flag_a = ci["flag"][sel]
+            pos_a = ci["pos"][sel]
+            mpos_a = ci["mpos"][sel]
+            # pair orientation code 2 (tags.h:218-227) for FR layout
+            fwd = (flag_a & 16) == 0
+            mrev = (flag_a & 32) != 0
+            fr2 = np.where(fwd, mrev & (pos_a < mpos_a),
+                           (~mrev) & (pos_a > mpos_a))
+            paired_a = (flag_a & FPAIRED) != 0
+            pos_l = pos_a.tolist()
+            mpos_l = mpos_a.tolist()
+            mapq_l = ci["mapq"][sel].tolist()
+            paired_l = paired_a.tolist()
+            fr2_l = fr2.tolist()
+            nhash_l = stats["name_hash"].tolist()
+            rspan_l = stats["ref_span"].tolist()
+            wins = scan_counts[ref_index]
+            for i in range(len(pos_l)):
+                paired = paired_l[i]
+                rpos = pos_l[i]
+                if paired and not fr2_l[i]:
+                    continue
+                midpoint = rpos + rspan_l[i] // 2
+                if paired:
+                    mpos = mpos_l[i]
+                    if rpos > last_aligned_pos:
+                        last_aligned_reads.clear()
+                        last_aligned_pos = rpos
+                    nh = nhash_l[i]
+                    if (rpos < mpos
+                            or (rpos == mpos
+                                and nh not in last_aligned_reads)):
+                        last_aligned_reads.add(nh)
+                        hv = hash_pair_h(nh, ref_index, rpos, ref_index,
+                                         mpos)
+                        mate_map[hv] = True
+                        continue
+                    hv = hash_pair_h(nh, ref_index, mpos, ref_index, rpos)
+                    if not mate_map.get(hv):
+                        continue
+                    mate_map[hv] = False
+                    isize = rpos + rspan_l[i] - mpos
+                    if li.minNormalISize < isize < li.maxNormalISize:
+                        midpoint = mpos + isize // 2
+                    else:
+                        continue
 
-            midpoint = rec.pos + rec.half_alignment_length()
-            if rec.flag & FPAIRED:
-                if rec.pos > last_aligned_pos:
-                    last_aligned_reads.clear()
-                    last_aligned_pos = rec.pos
-                if (rec.pos < rec.mpos
-                        or (rec.pos == rec.mpos
-                            and hash_string(rec.qname)
-                            not in last_aligned_reads)):
-                    last_aligned_reads.add(hash_string(rec.qname))
-                    hv = hash_pair(rec.qname, rec.tid, rec.pos, rec.mtid,
-                                   rec.mpos)
-                    mate_map[hv] = True
-                    continue
-                hv = hash_pair_mate(rec.qname, rec.tid, rec.pos, rec.mtid,
-                                    rec.mpos)
-                if not mate_map.get(hv):
-                    continue
-                mate_map[hv] = False
-                isize = rec.pos + rec.alignment_length() - rec.mpos
-                if li.minNormalISize < isize < li.maxNormalISize:
-                    midpoint = rec.mpos + isize // 2
-                else:
-                    continue
-
-            if 0 <= midpoint < reflen:
-                b = find_bin(midpoint)
-                if b >= 0:
-                    w = scan_counts[ref_index][b]
-                    w.cov += 1
-                    if rec.mapq >= cfg.mapq_uniq:
-                        w.uniqcov += 1
-                    total_cov += 1
+                if 0 <= midpoint < reflen:
+                    b = find_bin(midpoint)
+                    if b >= 0:
+                        w = wins[b]
+                        w.cov += 1
+                        if mapq_l[i] >= cfg.mapq_uniq:
+                            w.uniqcov += 1
+                        total_cov += 1
 
         if cfg.basecov:
             nz = np.nonzero(cov)[0]

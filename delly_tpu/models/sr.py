@@ -13,7 +13,7 @@ import time
 import numpy as np
 
 from delly_tpu.io.bam import (
-    BamFile, FDUP, FMUNMAP, FPAIRED, FQCFAIL, FREAD1, FSECONDARY,
+    BamFile, FDUP, FMUNMAP, FPAIRED, FQCFAIL, FSECONDARY,
     FSUPPLEMENTARY, FUNMAP,
 )
 from delly_tpu.io.fasta import FastaFile
@@ -24,7 +24,7 @@ from delly_tpu.ops.gotoh import DnaScore
 from delly_tpu.ops.msa import msa
 from delly_tpu.models.genotype_sr import _cigar_stats
 from delly_tpu.utils.hashing import (
-    hash_pair_h, hash_sr, hash_string,
+    hash_pair_h, hash_sr, hash_sr_batch, hash_string,
 )
 from delly_tpu.utils.stats import (
     get_library_params, get_variability, parse_exclude_intervals,
@@ -78,15 +78,8 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
             sel = sel[keep]
             offs = ci["offsets"][sel]
             stats = _cigar_stats(bam, offs)
-            # hash_sr seeds, vectorized (util.h:519-527)
-            h32 = stats["name_hash"].astype(np.uint64)
-            fnv = stats["fnv_hash"]
-            seeds_a = h32 ^ (fnv + np.uint64(0x9E3779B97F4A7C15)
-                             + (h32 << np.uint64(6))
-                             + (h32 >> np.uint64(2)))
-            read1 = (ci["flag"][sel] & FREAD1) > 0
-            seeds_a = np.where(read1 & (seeds_a > 0),
-                               seeds_a - np.uint64(1), seeds_a)
+            seeds_a = hash_sr_batch(stats["name_hash"],
+                                    stats["fnv_hash"], ci["flag"][sel])
             jfire = ((stats["max_clip"] > cfg.min_clip)
                      | (stats["max_indel"] > cfg.min_ref_sep)).tolist()
 

@@ -68,6 +68,11 @@ def get_lib():
     lib.bam_cigar_stats.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32] + [ctypes.c_void_p] * 7
+    lib.bam_base_coverage.restype = None
+    lib.bam_base_coverage.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.bam_match_coverage.restype = None
     lib.bam_match_coverage.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
@@ -299,6 +304,26 @@ def bam_match_coverage(data: bytes, offsets: np.ndarray, target_len: int):
                            len(offsets), target_len,
                            diff.ctypes.data_as(ctypes.c_void_p))
     return np.cumsum(diff[:target_len], dtype=np.int64)
+
+
+def bam_base_coverage(data: bytes, offsets: np.ndarray, mapq_uniq: int,
+                      reflen: int):
+    """Dual M/=/X base-coverage totals (util.h:454-474) for the records
+    at `offsets`: (total int64[reflen], uniq int64[reflen]) un-clamped,
+    or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    diff_all = np.zeros(reflen + 1, dtype=np.int32)
+    diff_uniq = np.zeros(reflen + 1, dtype=np.int32)
+    lib.bam_base_coverage(data, len(data),
+                          offsets.ctypes.data_as(ctypes.c_void_p),
+                          len(offsets), mapq_uniq, reflen,
+                          diff_all.ctypes.data_as(ctypes.c_void_p),
+                          diff_uniq.ctypes.data_as(ctypes.c_void_p))
+    return (np.cumsum(diff_all[:reflen], dtype=np.int64),
+            np.cumsum(diff_uniq[:reflen], dtype=np.int64))
 
 
 def bam_scan(data: bytes, start: int):

@@ -351,6 +351,48 @@ void bam_match_coverage(const uint8_t* data, size_t n,
   }
 }
 
+// Dual base-coverage difference arrays (util.h:454-474): M/=/X spans of
+// each record add +1/-1 into diff_all, and into diff_uniq as well when
+// the record's MAPQ >= mapq_uniq. Both arrays have length reflen + 1;
+// the caller cumsums and applies the uint16 saturation clamp.
+void bam_base_coverage(const uint8_t* data, size_t n,
+                       const int64_t* offsets, int64_t nrec,
+                       int32_t mapq_uniq, int32_t reflen,
+                       int32_t* diff_all, int32_t* diff_uniq) {
+  for (int64_t i = 0; i < nrec; ++i) {
+    const uint8_t* r = data + offsets[i] + 4;
+    int32_t pos;
+    std::memcpy(&pos, r + 4, 4);
+    uint8_t mapq = r[9];
+    uint8_t l_read_name = r[8];
+    uint16_t n_cigar = (uint16_t)(r[12] | (r[13] << 8));
+    const uint8_t* cig = r + 32 + l_read_name;
+    int uniq = mapq >= mapq_uniq;
+    int32_t rp = pos;
+    for (int j = 0; j < (int)n_cigar; ++j) {
+      uint32_t v;
+      std::memcpy(&v, cig + 4 * j, 4);
+      uint32_t op = v & 0xF;
+      int32_t ol = (int32_t)(v >> 4);
+      if (op == 0 || op == 7 || op == 8) {             // M,=,X
+        int32_t lo = rp > 0 ? rp : 0;
+        int32_t hi = rp + ol < reflen ? rp + ol : reflen;
+        if (hi > lo) {
+          ++diff_all[lo];
+          --diff_all[hi];
+          if (uniq) {
+            ++diff_uniq[lo];
+            --diff_uniq[hi];
+          }
+        }
+        rp += ol;
+      } else if (op == 2 || op == 3) {                 // D,N
+        rp += ol;
+      }
+    }
+  }
+}
+
 // ---------------------------------------------------------------------
 // Host DP matrices (traceback-carrying paths)
 // ---------------------------------------------------------------------

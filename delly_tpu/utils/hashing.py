@@ -14,7 +14,20 @@ the qname via the boost golden-ratio combine) in 64-bit arithmetic.
 
 from __future__ import annotations
 
+import numpy as np
+
 MASK64 = (1 << 64) - 1
+_GOLD64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_sr_batch(name_hash, fnv_hash, flags) -> "np.ndarray":
+    """Vectorized hash_sr (util.h:519-527) from the native stats pass:
+    hash_combine(hash_string, fnv1a64) with READ1 getting id - 1."""
+    h = name_hash.astype(np.uint64)
+    seeds = h ^ (fnv_hash + _GOLD64 + (h << np.uint64(6))
+                 + (h >> np.uint64(2)))
+    read1 = (flags & 64) > 0
+    return np.where(read1 & (seeds > 0), seeds - np.uint64(1), seeds)
 
 
 def hash_string(s: str) -> int:
