@@ -1,0 +1,72 @@
+"""Sharded read-depth step: 8-virtual-device mesh parity tests."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+
+from delly_tpu.parallel.depth_step import (
+    MAX_CN, make_sharded_depth_step, sharded_depth_inputs,
+)
+from delly_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest XLA_FLAGS)")
+    return make_mesh(8)
+
+
+def test_depth_step_shapes_and_noise(mesh):
+    step = make_sharded_depth_step(mesh)
+    rng = np.random.default_rng(7)
+    args = sharded_depth_inputs(rng, mesh, per_device=16)
+    logr, cn, cnl, best_cn, noise = step(*args)
+    W = 16 * 8
+    assert logr.shape == (W,)
+    assert cnl.shape == (W, MAX_CN)
+    assert best_cn.shape == (W,)
+    assert float(noise) > 0.0
+
+
+def test_depth_step_matches_host_math(mesh):
+    step = make_sharded_depth_step(mesh, ploidy=2.0)
+    rng = np.random.default_rng(11)
+    args = sharded_depth_inputs(rng, mesh, per_device=16)
+    logr, cn, cnl, best_cn, noise = map(np.asarray, step(*args))
+    covsum = np.asarray(args[0])
+    gcfrac = np.asarray(args[1])
+    gc_curve = np.asarray(args[4])
+    for i in range(0, len(covsum), 17):
+        exp = gc_curve[min(100, int(gcfrac[i] * 100))]
+        cn_host = 2.0 * covsum[i] / exp
+        assert cn[i] == pytest.approx(cn_host, rel=1e-5)
+        assert logr[i] == pytest.approx(math.log2(cn_host / 2.0), rel=1e-4)
+        sd = max(0.15 * cn_host, 0.025)
+        # bolog.h:88-133 Gaussian CN likelihood at the best CN
+        g = int(best_cn[i])
+        pdf = math.exp(-0.5 * ((g - cn_host) / sd) ** 2) / (
+            sd * math.sqrt(2 * math.pi))
+        assert cnl[i, g] == pytest.approx(math.log10(pdf), rel=1e-3)
+        assert g == int(round(min(cn_host, MAX_CN - 1)))
+
+
+def test_depth_step_psum_matches_local(mesh):
+    """The psum'd noise proxy equals the host-side global average."""
+    step = make_sharded_depth_step(mesh)
+    rng = np.random.default_rng(3)
+    args = sharded_depth_inputs(rng, mesh, per_device=32)
+    logr, _, _, _, noise = map(np.asarray, step(*args))
+    # Host reference: per-shard sums of |diff| then global combine.
+    n_dev = 8
+    per = len(logr) // n_dev
+    tot = 0.0
+    cnt = 0
+    for d in range(n_dev):
+        seg = logr[d * per:(d + 1) * per]
+        tot += float(np.abs(np.diff(seg)).sum())
+        cnt += per - 1
+    assert float(noise) == pytest.approx(tot / cnt, rel=1e-5)
