@@ -205,11 +205,21 @@ class BamFile:
     decoder in delly_tpu/native (same role as HTSlib in the reference).
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, genome: str | None = None):
         self.path = path
-        data = bgzf_decompress_file(path)
+        with open(path, "rb") as fh:
+            magic = fh.read(4)
+        if magic == b"CRAM":
+            # CRAM input: decode + transcode to an uncompressed BAM
+            # stream once, then every downstream consumer (SoA index,
+            # native passes, record parsing) runs unchanged (io/cram.py).
+            from delly_tpu.io.cram import cram_to_bam_bytes
+            with open(path, "rb") as fh:
+                data = cram_to_bam_bytes(fh.read(), genome)
+        else:
+            data = bgzf_decompress_file(path)
         if data[:4] != b"BAM\x01":
-            raise ValueError(f"{path}: not a BAM file")
+            raise ValueError(f"{path}: not a BAM/CRAM file")
         (l_text,) = struct.unpack_from("<i", data, 4)
         text = data[8 : 8 + l_text].split(b"\x00")[0].decode()
         pos = 8 + l_text

@@ -474,7 +474,7 @@ def asm_merge_write(cfg, header, svs, sv_sample, sv_hap) -> None:
 
 def run_asm(cfg: AsmConfig) -> int:
     """asmode.h:670-700."""
-    bams = [BamFile(f) for f in cfg.files]
+    bams = [BamFile(f, genome=cfg.genome) for f in cfg.files]
     header = bams[0].header
     cfg.nchr = header.n_targets
     fasta = FastaFile(cfg.genome)

@@ -402,7 +402,7 @@ def _write_windows(cfg, data_out, chrn, reflen, gcbound, gc_content,
 
 def run_cnv(cfg) -> int:
     """coral.h:440-832."""
-    bam = BamFile(cfg.bam_file)
+    bam = BamFile(cfg.bam_file, genome=cfg.genome)
     header = bam.header
     fasta = FastaFile(cfg.genome)
     cfg.nchr = header.n_targets

@@ -97,7 +97,7 @@ def _alt_alignment_filter(cfg, sr_br: list) -> None:
         alt_cfg.genome = alt_genome
         alt_cfg.altfile = ""
         if is_bam_cram(alt_path):
-            alt_bam = BamFile(alt_path)
+            alt_bam = BamFile(alt_path, genome=cfg.genome)
             alt_regions = parse_exclude_intervals(None, alt_bam.header)
             _find_sr_breakpoints(alt_cfg, [alt_bam], alt_regions, alt_sr,
                                  valid_sr)
@@ -152,7 +152,7 @@ def cluster_sr_reads(cfg, bams, valid_regions, svc: list, sr_store: list):
 
 def run_lr(cfg) -> int:
     """tegua.h:77-207."""
-    bams = [BamFile(f) for f in cfg.files]
+    bams = [BamFile(f, genome=cfg.genome) for f in cfg.files]
     header = bams[0].header
     cfg.nchr = header.n_targets
     if not cfg.sample_names:

@@ -409,7 +409,7 @@ def run_sr(cfg) -> int:
     from delly_tpu.models.genotype_sr import annotate_coverage
     from delly_tpu.models.vcf_out import vcf_output
 
-    bams = [BamFile(f) for f in cfg.files]
+    bams = [BamFile(f, genome=cfg.genome) for f in cfg.files]
     header = bams[0].header
     cfg.nchr = header.n_targets
     if not cfg.sample_names:
