@@ -249,6 +249,13 @@ def rans_decode(data: bytes) -> bytes:
     rsz = struct.unpack_from("<I", data, 5)[0]
     if rsz == 0:
         return b""
+    try:
+        from delly_tpu import native
+        out = native.rans_decode(data, rsz)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     if order == 0:
         out, _ = _rans_decode_order0(data, 9, rsz)
     elif order == 1:
@@ -335,6 +342,7 @@ CT_FILE_HEADER, CT_COMP_HEADER, CT_SLICE_HEADER, _CT_RES, CT_EXTERNAL, \
 
 
 def read_block(buf: bytes, pos: int):
+    blk_start = pos
     method = buf[pos]
     ctype = buf[pos + 1]
     pos += 2
@@ -343,7 +351,10 @@ def read_block(buf: bytes, pos: int):
     rsize, pos = read_itf8(buf, pos)
     data = buf[pos:pos + csize]
     pos += csize
-    pos += 4  # CRC32
+    (crc,) = struct.unpack_from("<I", buf, pos)
+    if zlib.crc32(buf[blk_start:pos]) & 0xFFFFFFFF != crc:
+        raise ValueError("CRAM block CRC mismatch (corrupt file)")
+    pos += 4
     if method == METHOD_RAW:
         raw = data
     elif method == METHOD_GZIP:
@@ -683,6 +694,10 @@ BAM_FREVERSE = 16
 BAM_FMREVERSE = 32
 
 _SEQ_NT16_MAP = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+_NT16_LUT = np.full(256, 15, dtype=np.uint8)
+for _c, _i in _SEQ_NT16_MAP.items():
+    _NT16_LUT[ord(_c)] = _i
+    _NT16_LUT[ord(_c.lower())] = _i
 CIGAR_OPS = "MIDNSHP=X"
 
 
@@ -837,11 +852,14 @@ def _reconstruct(rl, ap, feats, ref, sub, quals):
         nonlocal rpos, ref_off
         if n <= 0:
             return
-        for k in range(n):
-            if ref is not None and ref_off + k < len(ref):
-                seq[rpos + k] = ref[ref_off + k]
-            else:
-                seq[rpos + k] = ord("N")
+        if ref is not None:
+            avail = max(0, min(n, len(ref) - ref_off))
+        else:
+            avail = 0
+        if avail > 0:
+            seq[rpos:rpos + avail] = ref[ref_off:ref_off + avail]
+        if avail < n:
+            seq[rpos + avail:rpos + n] = b"N" * (n - avail)
         add_op("M", n)
         rpos += n
         ref_off += n
@@ -957,13 +975,10 @@ def _bam_encode_record(r, rg_names):
         cig += struct.pack("<I", (n << 4) | CIGAR_OPS.index(op))
     seq = r["seq"]
     nseq = len(seq)
-    packed = bytearray((nseq + 1) // 2)
-    for i, b in enumerate(seq):
-        code = _SEQ_NT16_MAP.get(chr(b).upper(), 15)
-        if i % 2 == 0:
-            packed[i // 2] = code << 4
-        else:
-            packed[i // 2] |= code
+    codes = _NT16_LUT[np.frombuffer(seq, dtype=np.uint8)]
+    if nseq % 2:
+        codes = np.concatenate([codes, np.zeros(1, dtype=np.uint8)])
+    packed = ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8).tobytes()
     aux = b""
     if 0 <= r["rg"] < len(rg_names):
         aux += b"RG" + b"Z" + rg_names[r["rg"]] + b"\x00"
@@ -975,7 +990,7 @@ def _bam_encode_record(r, rg_names):
     body = struct.pack(
         "<iiBBHHHiiii", r["tid"], r["pos"], len(name), r["mapq"],
         0, len(r["cigar"]), flag, nseq, mtid, mpos, r["ts"])
-    body += name + cig + bytes(packed) + r["qual"][:nseq] + aux
+    body += name + cig + packed + r["qual"][:nseq] + aux
     return struct.pack("<i", len(body)) + body
 
 

@@ -68,6 +68,10 @@ def get_lib():
     lib.bam_cigar_stats.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32] + [ctypes.c_void_p] * 7
+    lib.rans_decode_c.restype = ctypes.c_int
+    lib.rans_decode_c.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_int64]
     lib.bam_base_coverage.restype = None
     lib.bam_base_coverage.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
@@ -304,6 +308,20 @@ def bam_match_coverage(data: bytes, offsets: np.ndarray, target_len: int):
                            len(offsets), target_len,
                            diff.ctypes.data_as(ctypes.c_void_p))
     return np.cumsum(diff[:target_len], dtype=np.int64)
+
+
+def rans_decode(data: bytes, out_sz: int):
+    """rANS 4x8 block decode (CRAM method 4), or None when the native
+    library is absent or the payload is malformed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(out_sz, dtype=np.uint8)
+    rc = lib.rans_decode_c(data, len(data),
+                           out.ctypes.data_as(ctypes.c_void_p), out_sz)
+    if rc != 0:
+        return None
+    return out.tobytes()
 
 
 def bam_base_coverage(data: bytes, offsets: np.ndarray, mapq_uniq: int,

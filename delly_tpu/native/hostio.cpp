@@ -393,6 +393,174 @@ void bam_base_coverage(const uint8_t* data, size_t n,
   }
 }
 
+// rANS 4x8 static decoder (CRAM 3.0 block method 4; htscodecs
+// rans_static layout): order-0 and order-1, 4 interleaved states,
+// 12-bit normalized frequencies. Returns 0 on success.
+struct RansTable {
+  uint8_t lookup[4096];
+  uint32_t fstart[256];
+  uint32_t ffreq[256];
+};
+
+static int read_itf8_c(const uint8_t* b, size_t n, size_t& pos,
+                       int64_t& out) {
+  if (pos >= n) return -1;
+  uint8_t b0 = b[pos++];
+  if (b0 < 0x80) { out = b0; return 0; }
+  if (b0 < 0xC0) {
+    if (pos + 1 > n) return -1;
+    out = ((int64_t)(b0 & 0x3F) << 8) | b[pos];
+    pos += 1;
+    return 0;
+  }
+  if (b0 < 0xE0) {
+    if (pos + 2 > n) return -1;
+    out = ((int64_t)(b0 & 0x1F) << 16) | ((int64_t)b[pos] << 8) | b[pos + 1];
+    pos += 2;
+    return 0;
+  }
+  if (b0 < 0xF0) {
+    if (pos + 3 > n) return -1;
+    out = ((int64_t)(b0 & 0x0F) << 24) | ((int64_t)b[pos] << 16)
+          | ((int64_t)b[pos + 1] << 8) | b[pos + 2];
+    pos += 3;
+    return 0;
+  }
+  if (pos + 4 > n) return -1;
+  out = ((int64_t)(b0 & 0x0F) << 28) | ((int64_t)b[pos] << 20)
+        | ((int64_t)b[pos + 1] << 12) | ((int64_t)b[pos + 2] << 4)
+        | (b[pos + 3] & 0x0F);
+  pos += 4;
+  return 0;
+}
+
+// Order-0 frequency table (sym [rle] freq ... 0) into `tab`.
+static int read_freq_table0(const uint8_t* b, size_t n, size_t& pos,
+                            RansTable& tab) {
+  uint32_t freqs[256] = {0};
+  if (pos >= n) return -1;
+  int sym = b[pos++];
+  int last_sym = sym;
+  int rle = 0;
+  for (;;) {
+    int64_t f;
+    if (read_itf8_c(b, n, pos, f) != 0) return -1;
+    if (sym < 0 || sym > 255) return -1;
+    freqs[sym] = (uint32_t)f;
+    if (rle > 0) {
+      rle--;
+      sym++;
+    } else {
+      if (pos >= n) return -1;
+      int nxt = b[pos++];
+      if (nxt == last_sym + 1) {
+        if (pos >= n) return -1;
+        rle = b[pos++];
+      }
+      sym = nxt;
+      if (sym == 0) break;
+    }
+    last_sym = sym;
+  }
+  uint32_t c = 0;
+  for (int s2 = 0; s2 < 256; ++s2) {
+    tab.fstart[s2] = c;
+    tab.ffreq[s2] = freqs[s2];
+    if (freqs[s2]) {
+      if (c + freqs[s2] > 4096) return -2;
+      std::memset(tab.lookup + c, s2, freqs[s2]);
+      c += freqs[s2];
+    }
+  }
+  return 0;
+}
+
+static inline uint32_t rans_advance(uint32_t x, const RansTable& t,
+                                    uint8_t s, uint32_t m,
+                                    const uint8_t* b, size_t n,
+                                    size_t& pos) {
+  x = t.ffreq[s] * (x >> 12) + m - t.fstart[s];
+  while (x < (1u << 23) && pos < n) x = (x << 8) | b[pos++];
+  return x;
+}
+
+int rans_decode_c(const uint8_t* data, size_t n, uint8_t* out,
+                  int64_t out_sz) {
+  if (n < 9) return -1;
+  int order = data[0];
+  size_t pos = 9;
+  if (order == 0) {
+    RansTable tab;
+    if (read_freq_table0(data, n, pos, tab) != 0) return -2;
+    if (pos + 16 > n) return -1;
+    uint32_t st[4];
+    std::memcpy(st, data + pos, 16);
+    pos += 16;
+    for (int64_t i = 0; i < out_sz; ++i) {
+      int j = i & 3;
+      uint32_t m = st[j] & 4095;
+      uint8_t s = tab.lookup[m];
+      out[i] = s;
+      st[j] = rans_advance(st[j], tab, s, m, data, n, pos);
+    }
+    return 0;
+  }
+  if (order != 1) return -3;
+  // order-1: outer context RLE of order-0 rows
+  std::vector<RansTable> tabs(256);
+  std::vector<char> have(256, 0);
+  if (pos >= n) return -1;
+  int ctx = data[pos++];
+  int last_ctx = ctx;
+  int rle = 0;
+  for (;;) {
+    if (ctx < 0 || ctx > 255) return -1;
+    if (read_freq_table0(data, n, pos, tabs[ctx]) != 0) return -2;
+    have[ctx] = 1;
+    if (rle > 0) {
+      rle--;
+      ctx++;
+    } else {
+      if (pos >= n) return -1;
+      int nxt = data[pos++];
+      if (nxt == last_ctx + 1) {
+        if (pos >= n) return -1;
+        rle = data[pos++];
+      }
+      ctx = nxt;
+      if (ctx == 0) break;
+    }
+    last_ctx = ctx;
+  }
+  if (pos + 16 > n) return -1;
+  uint32_t st[4];
+  std::memcpy(st, data + pos, 16);
+  pos += 16;
+  int64_t isz4 = out_sz >> 2;
+  uint8_t l[4] = {0, 0, 0, 0};
+  for (int64_t i = 0; i < isz4; ++i) {
+    for (int j = 0; j < 4; ++j) {
+      if (!have[l[j]]) return -4;
+      const RansTable& t = tabs[l[j]];
+      uint32_t m = st[j] & 4095;
+      uint8_t s = t.lookup[m];
+      out[j * isz4 + i] = s;
+      st[j] = rans_advance(st[j], t, s, m, data, n, pos);
+      l[j] = s;
+    }
+  }
+  for (int64_t i = 4 * isz4; i < out_sz; ++i) {
+    if (!have[l[3]]) return -4;
+    const RansTable& t = tabs[l[3]];
+    uint32_t m = st[3] & 4095;
+    uint8_t s = t.lookup[m];
+    out[i] = s;
+    st[3] = rans_advance(st[3], t, s, m, data, n, pos);
+    l[3] = s;
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------------
 // Host DP matrices (traceback-carrying paths)
 // ---------------------------------------------------------------------
