@@ -93,10 +93,19 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p]
+    lib.nw_matrix_mt.restype = None
+    lib.nw_matrix_mt.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p]
     lib.edist_matrix.restype = None
     lib.edist_matrix.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_char_p, ctypes.c_void_p]
+    lib.edist_matrix_mt.restype = None
+    lib.edist_matrix_mt.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32, ctypes.c_void_p]
     lib.edist_many.restype = None
     lib.edist_many.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
@@ -175,9 +184,9 @@ def nw_matrix(s1: bytes, s2: bytes, match: int, mismatch: int, ge: int,
     mat = _scratch(_NW_BUFS, _NW_NEXT[0], cells)[:cells]
     _NW_NEXT[0] ^= 1
     mat = mat.reshape(m + 1, n + 1)
-    lib.nw_matrix(s1, m, s2, n, match, mismatch, ge,
-                  int(horizontal_free),
-                  mat.ctypes.data_as(ctypes.c_void_p))
+    lib.nw_matrix_mt(s1, m, s2, n, match, mismatch, ge,
+                     int(horizontal_free), _default_threads(),
+                     mat.ctypes.data_as(ctypes.c_void_p))
     return mat
 
 
@@ -232,8 +241,8 @@ def edist_matrix(q: bytes, t: bytes, mode: int, eq: bytes | None = None):
     m, n = len(q), len(t)
     cells = (m + 1) * (n + 1)
     mat = _scratch(_ED_BUF, 0, cells)[:cells].reshape(m + 1, n + 1)
-    lib.edist_matrix(q, m, t, n, mode, eq,
-                     mat.ctypes.data_as(ctypes.c_void_p))
+    lib.edist_matrix_mt(q, m, t, n, mode, eq, _default_threads(),
+                        mat.ctypes.data_as(ctypes.c_void_p))
     return mat
 
 

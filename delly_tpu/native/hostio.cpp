@@ -565,6 +565,13 @@ int rans_decode_c(const uint8_t* data, size_t n, uint8_t* out,
 // Host DP matrices (traceback-carrying paths)
 // ---------------------------------------------------------------------
 
+void nw_matrix_mt(const uint8_t* s1, int32_t m, const uint8_t* s2,
+                  int32_t n, int32_t match, int32_t mismatch, int32_t ge,
+                  int32_t horizontal_free, int32_t threads, int32_t* mat);
+void edist_matrix_mt(const uint8_t* q, int32_t m, const uint8_t* t,
+                     int32_t n, int32_t mode, const uint8_t* eq,
+                     int32_t threads, int32_t* mat);
+
 // Linear-gap NW score matrix (reference needle.h:59-66 with
 // AlignConfig<horizontal_free, false>): fills (m+1)*(n+1) int32
 // row-major into `mat`. Horizontal gaps are free in rows 0 and m when
@@ -702,10 +709,13 @@ void long_needle_core(const uint8_t* s1, int32_t m, const uint8_t* s2,
                       int32_t* fwd, int32_t* rev,
                       int64_t* out_flat, int64_t* out_best) {
   {
+    int32_t half = std::max(1, (int)threads / 2);
     std::thread tf([&] {
-      nw_matrix(s1, m, s2, n, match, mismatch, ge, horizontal_free, fwd);
+      nw_matrix_mt(s1, m, s2, n, match, mismatch, ge, horizontal_free,
+                   half, fwd);
     });
-    nw_matrix(r1, m, r2, n, match, mismatch, ge, horizontal_free, rev);
+    nw_matrix_mt(r1, m, r2, n, match, mismatch, ge, horizontal_free,
+                 half, rev);
     tf.join();
   }
   const int64_t stride = n + 1;
@@ -759,6 +769,113 @@ void long_needle_core(const uint8_t* s1, int32_t m, const uint8_t* s2,
   }
   *out_flat = flat;
   *out_best = best;
+}
+
+// Wavefront-threaded DP fills: columns are split into one chunk per
+// thread; a thread may run pass 2 (the horizontal max-plus / min-plus
+// chain) of row r only after its left neighbor finished row r, so the
+// chain crosses chunk boundaries exactly. Pipeline fill: with R rows
+// and C chunks the parallel efficiency is R / (R + C).
+struct WaveSync {
+  std::vector<std::atomic<int32_t>> done;
+  explicit WaveSync(int nchunks) : done(nchunks) {
+    for (auto& d : done) d.store(-1, std::memory_order_relaxed);
+  }
+};
+
+void nw_matrix_mt(const uint8_t* s1, int32_t m, const uint8_t* s2,
+                  int32_t n, int32_t match, int32_t mismatch, int32_t ge,
+                  int32_t horizontal_free, int32_t threads, int32_t* mat) {
+  int nchunks = std::max(1, (int)std::min<int64_t>(threads, (n + 255) / 256));
+  if (nchunks == 1 || m < 64) {
+    nw_matrix(s1, m, s2, n, match, mismatch, ge, horizontal_free, mat);
+    return;
+  }
+  const int64_t stride = n + 1;
+  int32_t hg0 = horizontal_free ? 0 : ge;
+  for (int32_t c = 0; c <= n; ++c) mat[c] = c * hg0;
+  WaveSync sync(nchunks);
+  auto worker = [&](int k) {
+    int32_t c0 = 1 + (int64_t)k * n / nchunks;
+    int32_t c1 = 1 + (int64_t)(k + 1) * n / nchunks;  // exclusive
+    for (int32_t r = 1; r <= m; ++r) {
+      int32_t hg = (horizontal_free && (r == m)) ? 0 : ge;
+      const int32_t* prev = mat + (int64_t)(r - 1) * stride;
+      int32_t* cur = mat + (int64_t)r * stride;
+      const uint8_t ch = s1[r - 1];
+      for (int32_t c = c0; c < c1; ++c) {
+        int32_t sub = prev[c - 1] + ((ch == s2[c - 1]) ? match : mismatch);
+        int32_t up = prev[c] + ge;
+        cur[c] = sub > up ? sub : up;
+      }
+      if (k == 0) {
+        cur[0] = prev[0] + ge;
+      } else {
+        while (sync.done[k - 1].load(std::memory_order_acquire) < r) {
+        }
+      }
+      for (int32_t c = c0; c < c1; ++c) {
+        int32_t left = cur[c - 1] + hg;
+        if (left > cur[c]) cur[c] = left;
+      }
+      sync.done[k].store(r, std::memory_order_release);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int k = 1; k < nchunks; ++k) pool.emplace_back(worker, k);
+  worker(0);
+  for (auto& th : pool) th.join();
+}
+
+void edist_matrix_mt(const uint8_t* q, int32_t m, const uint8_t* t,
+                     int32_t n, int32_t mode, const uint8_t* eq,
+                     int32_t threads, int32_t* mat) {
+  int nchunks = std::max(1, (int)std::min<int64_t>(threads, (n + 255) / 256));
+  if (nchunks == 1 || m < 64) {
+    edist_matrix(q, m, t, n, mode, eq, mat);
+    return;
+  }
+  const int64_t stride = n + 1;
+  for (int32_t c = 0; c <= n; ++c) mat[c] = (mode == 2) ? 0 : c;
+  WaveSync sync(nchunks);
+  auto worker = [&](int k) {
+    int32_t c0 = 1 + (int64_t)k * n / nchunks;
+    int32_t c1 = 1 + (int64_t)(k + 1) * n / nchunks;
+    for (int32_t r = 1; r <= m; ++r) {
+      const int32_t* prev = mat + (int64_t)(r - 1) * stride;
+      int32_t* cur = mat + (int64_t)r * stride;
+      const uint8_t qc = q[r - 1];
+      if (eq) {
+        const uint8_t* eqrow = eq + (int32_t)qc * 256;
+        for (int32_t c = c0; c < c1; ++c) {
+          int32_t diag = prev[c - 1] + (eqrow[t[c - 1]] ? 0 : 1);
+          int32_t up = prev[c] + 1;
+          cur[c] = diag < up ? diag : up;
+        }
+      } else {
+        for (int32_t c = c0; c < c1; ++c) {
+          int32_t diag = prev[c - 1] + ((qc == t[c - 1]) ? 0 : 1);
+          int32_t up = prev[c] + 1;
+          cur[c] = diag < up ? diag : up;
+        }
+      }
+      if (k == 0) {
+        cur[0] = r;
+      } else {
+        while (sync.done[k - 1].load(std::memory_order_acquire) < r) {
+        }
+      }
+      for (int32_t c = c0; c < c1; ++c) {
+        int32_t left = cur[c - 1] + 1;
+        if (left < cur[c]) cur[c] = left;
+      }
+      sync.done[k].store(r, std::memory_order_release);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int k = 1; k < nchunks; ++k) pool.emplace_back(worker, k);
+  worker(0);
+  for (auto& th : pool) th.join();
 }
 
 void delly_free(uint8_t* ptr) { std::free(ptr); }
