@@ -340,6 +340,26 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
     ref_aligned_read_count = [[0] * len(svs) for _ in range(nfiles)]
     ref_aligned_span_count = [[0] * len(svs) for _ in range(nfiles)]
 
+    # SV-read dump (coverage.h:337-341, 519-535 SR rows, 656-661 PE rows)
+    dump_out = None
+    svt_of = {}
+    if getattr(cfg, "dumpfile", ""):
+        import gzip as _gzip
+        from delly_tpu.utils.tags import add_id
+        dump_out = _gzip.open(cfg.dumpfile, "wt")
+        dump_out.write("#svid\tbam\tqname\tchr\tpos\tmatechr\tmatepos"
+                       "\tmapq\ttype\n")
+        for sv in svs:
+            svt_of[sv.id] = sv.svt
+
+    def _dump_row(file_c, sv_id, qname, tid, pos, mtid, mpos, mapq, kind):
+        from delly_tpu.utils.tags import add_id
+        svid = add_id(svt_of[sv_id]) + str(sv_id).zfill(8)
+        mname = header.names[mtid] if 0 <= mtid < len(header.names) else "*"
+        dump_out.write(f"{svid}\t{cfg.files[file_c]}\t{qname}\t"
+                       f"{header.names[tid]}\t{pos}\t{mname}\t{mpos}\t"
+                       f"{mapq}\t{kind}\n")
+
     for file_c, bam in enumerate(bams):
         cliptra = {}
         for ref_index in range(header.n_targets):
@@ -548,10 +568,21 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                                     continue
                                 if (abs(mpos - sp.otherBppos)
                                         < lib.maxNormalISize):
+                                    if dump_out is not None:
+                                        rec = bam._parse_at(offs_l[i])
+                                        _dump_row(file_c, sp.id, rec.qname,
+                                                  ref_index, rpos, mtid,
+                                                  mpos, mapq_l[i], "PE")
                                     span_map[file_c][sp.id].alt.append(
                                         pair_quality)
+            dump_entries = [] if dump_out is not None else None
             _process_jobs_device(jobs, count_map, ref_aligned_read_count,
-                                 cfg, None)
+                                 cfg, dump_entries)
+            if dump_entries:
+                for sv_id, (qname, tid, pos, mtid, mpos, mapq) \
+                        in dump_entries:
+                    _dump_row(file_c, sv_id, qname, tid, pos, mtid, mpos,
+                              mapq, "SR")
             clip.clear()
 
             # Assign fragment/base counts to SVs (coverage.h:684-733)
@@ -593,4 +624,6 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                     rend = min(sv.svStart + half, target_len)
                 cov_count[file_c][sv.id].rightRC = _range_sum(
                     cum, rstart, rend)
+    if dump_out is not None:
+        dump_out.close()
     return count_map, cov_count, span_map

@@ -120,3 +120,21 @@ def test_cnv_end_to_end_example():
     # coverage table exists with logR column
     head = gzip.open(cov, "rt").readline()
     assert "logR" in head
+
+
+def test_sr_dump_file():
+    """-d writes the SV-read dump (coverage.h:337-341,519-535,656-661)."""
+    out = "/tmp/test_sr_dump.bcf"
+    dump = "/tmp/test_sr_dump.gz"
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "sr",
+         "-g", "/root/reference/example/ref.fa", "-o", out, "-d", dump,
+         "/root/reference/example/sr.bam"],
+        capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = gzip.open(dump, "rt").read().strip().split("\n")
+    assert lines[0] == ("#svid\tbam\tqname\tchr\tpos\tmatechr\tmatepos"
+                       "\tmapq\ttype")
+    kinds = {l.split("\t")[-1] for l in lines[1:]}
+    assert kinds == {"SR", "PE"}
+    assert all(l.split("\t")[0].startswith("DEL") for l in lines[1:])
