@@ -41,6 +41,10 @@ def _add_sr(sub):
     p.add_argument("-u", "--geno-qual", type=int, default=5)
     p.add_argument("-d", "--dump", default="")
     p.add_argument("-a", "--max-geno-count", type=int, default=250)
+    p.add_argument("-j", "--pruning", type=int, default=1000,
+                   help="PE graph pruning cutoff")
+    p.add_argument("-w", "--cons-window", type=int, default=100,
+                   help="consensus window")
     p.add_argument("--threads", type=int, default=4)
     p.add_argument("input_files", nargs="+")
     return p
@@ -75,6 +79,12 @@ def _add_lr(sub):
     p.add_argument("-u", "--geno-qual", type=int, default=5)
     p.add_argument("-d", "--dump", default="")
     p.add_argument("-a", "--max-geno-count", type=int, default=250)
+    p.add_argument("--pruning", type=int, default=1000,
+                   help="graph pruning cutoff")
+    p.add_argument("--extension", type=float, default=None,
+                   help="enforce indel extension (default: technology preset)")
+    p.add_argument("--read-cap", type=int, default=25,
+                   help="max. per-read genotype quality")
     p.add_argument("--threads", type=int, default=4)
     p.add_argument("input_files", nargs="+")
     return p
@@ -258,6 +268,8 @@ def main(argv=None) -> int:
             min_ref_sep=args.minrefsep, max_read_sep=args.maxreadsep,
             max_read_per_sv=args.max_reads, min_geno_qual=args.geno_qual,
             max_geno_read_count=args.max_geno_count,
+            graph_pruning=args.pruning,
+            min_cons_window=args.cons_window,
             max_threads=args.threads)
         return run_sr(cfg)
     if args.command == "lr":
@@ -282,7 +294,10 @@ def main(argv=None) -> int:
             mei_min_frac=args.mei_minfrac, tr_min_frac=args.tr_minfrac,
             methyl_window=args.methyl_window, methyl_prob=args.methyl_prob,
             min_cpg_depth=args.min_cpg_depth,
+            graph_pruning=args.pruning, geno_cap=args.read_cap,
             max_threads=args.threads)
+        if args.extension is not None:
+            cfg.indel_extension = args.extension
         return run_lr(cfg)
     if args.command == "cnv":
         from delly_tpu.models.coral import CnvConfig, run_cnv
