@@ -195,46 +195,46 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
                 annotate_sv(cfg, header.lengths, seq, sv)
 
         for file_c in range(n_files):
-            cov_bases = np.zeros(chrom_len, dtype=np.int32)
             jobs = []
             job_recs = []  # BamRecord per job (for methyl/HP pass)
-            for rec in bams[file_c].records(tid=ref_index):
-                if rec.flag & (FSECONDARY | FQCFAIL | FDUP | FUNMAP):
-                    continue
-                if rec.mapq < cfg.min_map_qual or rec.tid < 0:
-                    continue
-                # Coverage track over M/=/X ops
-                rp = rec.pos
-                for op, ol in zip(rec.cigar_ops, rec.cigar_lens):
-                    ol = int(ol)
-                    if op in (CMATCH, CEQUAL, CDIFF):
-                        lo = rp
-                        hi = min(rp + ol, chrom_len)
-                        if hi > lo:
-                            cov_bases[lo:hi] += 1
-                        rp += ol
-                    elif op in (CDEL, CREF_SKIP):
-                        rp += ol
-
-                # Primary alignments only for genotyping
-                if rec.flag & (FQCFAIL | FDUP | FUNMAP | FSUPPLEMENTARY
-                               | FSECONDARY):
-                    continue
-                if rec.l_qseq < 2 * cfg.min_flank_size:
-                    continue
-
-                r_start = read_start_clip(rec) + cfg.min_flank_size
-                r_end = read_end_clip(rec)
-                if r_end <= cfg.min_flank_size:
-                    continue
-                r_end -= cfg.min_flank_size
-                if r_start >= r_end:
-                    continue
-                lo = int(np.searchsorted(bp_pos, r_start, side="left"))
-                hi = int(np.searchsorted(bp_pos, r_end, side="right"))
-                if lo >= hi:
-                    continue
-                process = sorted({bp_map[i][1] for i in range(lo, hi)})
+            # SoA-driven pass (genotype.h:196-214): coverage from the
+            # native diff-array walk; records parsed only when the
+            # clipped read window overlaps an SV breakpoint.
+            bam = bams[file_c]
+            ci = bam.core_index()
+            sel = np.nonzero(ci["tid"] == ref_index)[0]
+            flag_a = ci["flag"][sel]
+            keep = (((flag_a & (FSECONDARY | FQCFAIL | FDUP | FUNMAP))
+                     == 0)
+                    & (ci["mapq"][sel] >= cfg.min_map_qual))
+            sel = sel[keep]
+            offs = ci["offsets"][sel]
+            from delly_tpu.models.depth import base_coverage_bulk
+            cov_bases = base_coverage_bulk(
+                bam, offs, 255, chrom_len)[0].astype(np.int32)
+            from delly_tpu.models.genotype_sr import _cigar_stats
+            stats = _cigar_stats(bam, offs)
+            flag_a = ci["flag"][sel]
+            pos_a = ci["pos"][sel]
+            prim = (((flag_a & FSUPPLEMENTARY) == 0)
+                    & (ci["lqseq"][sel] >= 2 * cfg.min_flank_size))
+            rs = np.maximum(pos_a - stats["lead_clip"], 0) \
+                + cfg.min_flank_size
+            re_ = pos_a + stats["ref_span"] + stats["trail_clip"]
+            cand = prim & (re_ > cfg.min_flank_size)
+            re_c = re_ - cfg.min_flank_size
+            cand &= rs < re_c
+            lo_a = np.searchsorted(bp_pos, rs, side="left")
+            hi_a = np.searchsorted(bp_pos, re_c, side="right")
+            cand &= lo_a < hi_a
+            offs_l = offs.tolist()
+            for i in np.nonzero(cand)[0].tolist():
+                rec = bam._parse_at(offs_l[i])
+                r_start = int(rs[i])
+                r_end = int(re_c[i])
+                lo = int(lo_a[i])
+                hi = int(hi_a[i])
+                process = sorted({bp_map[k][1] for k in range(lo, hi)})
 
                 sequence = None
                 for svid in process:

@@ -265,7 +265,9 @@ def _cigar_stats(bam, offsets):
            "leading_sc": np.empty(n, dtype=np.int32),
            "clip_flags": np.empty(n, dtype=np.int32),
            "max_clip": np.empty(n, dtype=np.int32),
-           "max_indel": np.empty(n, dtype=np.int32)}
+           "max_indel": np.empty(n, dtype=np.int32),
+           "lead_clip": np.empty(n, dtype=np.int32),
+           "trail_clip": np.empty(n, dtype=np.int32)}
     for i, off in enumerate(offsets):
         rec = bam._parse_at(int(off))
         out["name_hash"][i] = hash_string(rec.qname)
@@ -293,6 +295,12 @@ def _cigar_stats(bam, offsets):
         out["clip_flags"][i] = fl
         out["max_clip"][i] = mc
         out["max_indel"][i] = mi
+        out["lead_clip"][i] = (int(lens[0]) if len(ops)
+                               and ops[0] in (CSOFT_CLIP, CHARD_CLIP)
+                               else 0)
+        out["trail_clip"][i] = (int(lens[-1]) if len(ops)
+                                and ops[-1] in (CSOFT_CLIP, CHARD_CLIP)
+                                else 0)
     return out
 
 

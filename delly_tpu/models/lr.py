@@ -23,7 +23,6 @@ from delly_tpu.models.cluster import cluster_sr
 from delly_tpu.models.methyl import MethylInfo
 from delly_tpu.models.vcf_in import vcf_parse
 from delly_tpu.models.vcf_out import vcf_output
-from delly_tpu.utils.hashing import hash_lr
 from delly_tpu.utils.stats import parse_exclude_intervals
 from delly_tpu.utils.tags import SVT_TRANS
 
@@ -40,6 +39,11 @@ def find_junctions(cfg, bams, valid_regions, valid_sr=None) -> dict:
     supplementary alignments are kept; the per-read junction lists are
     keyed by the long-read name hash. With valid_sr, only those reads
     are considered (alternate-alignment filtering)."""
+    import numpy as np
+
+    from delly_tpu.models.genotype_sr import _cigar_stats
+    from delly_tpu.utils.hashing import hash_lr_batch
+
     read_bp = {}
     _log("Split-read scanning")
     header = bams[0].header
@@ -47,18 +51,31 @@ def find_junctions(cfg, bams, valid_regions, valid_sr=None) -> dict:
         if not valid_regions[ref_index]:
             continue
         for bam in bams:
-            for rec in bam.records(tid=ref_index):
-                if rec.flag & (FQCFAIL | FDUP | FUNMAP):
-                    continue
-                if rec.mapq < cfg.min_map_qual or rec.tid < 0:
-                    continue
-                in_valid = any(lo <= rec.pos < hi
-                               for lo, hi in valid_regions[ref_index])
-                if not in_valid:
-                    continue
-                seed = hash_lr(rec.qname)
+            # SoA prefilter (junction.h:319-460): junctions can only
+            # start at a clip > min_clip or an indel op > min_ref_sep,
+            # so records without one are skipped without parsing.
+            ci = bam.core_index()
+            sel = np.nonzero(ci["tid"] == ref_index)[0]
+            keep = (((ci["flag"][sel] & (FQCFAIL | FDUP | FUNMAP)) == 0)
+                    & (ci["mapq"][sel] >= cfg.min_map_qual))
+            sel = sel[keep]
+            pos_a = ci["pos"][sel]
+            vmask = np.zeros(len(pos_a), dtype=bool)
+            for lo, hi in valid_regions[ref_index]:
+                vmask |= (pos_a >= lo) & (pos_a < hi)
+            sel = sel[vmask]
+            offs = ci["offsets"][sel]
+            stats = _cigar_stats(bam, offs)
+            seeds = hash_lr_batch(stats["name_hash"],
+                                  stats["fnv_hash"]).tolist()
+            jfire = ((stats["max_clip"] > cfg.min_clip)
+                     | (stats["max_indel"] > cfg.min_ref_sep))
+            offs_l = offs.tolist()
+            for i in np.nonzero(jfire)[0].tolist():
+                seed = seeds[i]
                 if valid_sr and seed not in valid_sr:
                     continue
+                rec = bam._parse_at(offs_l[i])
                 extract_junctions_lr(read_bp, seed, rec, cfg.min_ref_sep,
                                      cfg.min_clip, cfg.indel_extension)
     for jv in read_bp.values():

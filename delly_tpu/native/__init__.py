@@ -67,7 +67,7 @@ def get_lib():
     lib.bam_cigar_stats.restype = None
     lib.bam_cigar_stats.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
-        ctypes.c_int64, ctypes.c_int32] + [ctypes.c_void_p] * 7
+        ctypes.c_int64, ctypes.c_int32] + [ctypes.c_void_p] * 9
     lib.rans_decode_c.restype = ctypes.c_int
     lib.rans_decode_c.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
@@ -287,6 +287,8 @@ def bam_cigar_stats(data: bytes, offsets: np.ndarray,
     clip_flags = np.empty(nrec, dtype=np.int32)
     max_clip = np.empty(nrec, dtype=np.int32)
     max_indel = np.empty(nrec, dtype=np.int32)
+    lead_clip = np.empty(nrec, dtype=np.int32)
+    trail_clip = np.empty(nrec, dtype=np.int32)
     lib.bam_cigar_stats(data, len(data),
                         offsets.ctypes.data_as(ctypes.c_void_p), nrec,
                         threads or _default_threads(),
@@ -296,11 +298,14 @@ def bam_cigar_stats(data: bytes, offsets: np.ndarray,
                         leading_sc.ctypes.data_as(ctypes.c_void_p),
                         clip_flags.ctypes.data_as(ctypes.c_void_p),
                         max_clip.ctypes.data_as(ctypes.c_void_p),
-                        max_indel.ctypes.data_as(ctypes.c_void_p))
+                        max_indel.ctypes.data_as(ctypes.c_void_p),
+                        lead_clip.ctypes.data_as(ctypes.c_void_p),
+                        trail_clip.ctypes.data_as(ctypes.c_void_p))
     return {"name_hash": name_hash, "fnv_hash": fnv_hash,
             "ref_span": ref_span, "leading_sc": leading_sc,
             "clip_flags": clip_flags, "max_clip": max_clip,
-            "max_indel": max_indel}
+            "max_indel": max_indel, "lead_clip": lead_clip,
+            "trail_clip": trail_clip}
 
 
 def bam_match_coverage(data: bytes, offsets: np.ndarray, target_len: int):

@@ -250,13 +250,16 @@ long long bam_scan(const uint8_t* data, size_t n, size_t start,
 //   clip_flags — bit0: any soft clip, bit1: any clip (S or H)
 //   max_clip   — longest S/H op, max_indel — longest I/D op (junction
 //                extraction prefilters, junction.h:22-41)
+//   lead_clip / trail_clip — S-or-H clip length at the first/last op
+//                (genotype.h:31-57 read start/end)
 // Lets the genotyping/scan passes run off struct-of-arrays data without
 // Python-parsing every record.
 void bam_cigar_stats(const uint8_t* data, size_t n, const int64_t* offsets,
                      int64_t nrec, int32_t threads, uint32_t* name_hash,
                      uint64_t* fnv_hash, int32_t* ref_span,
                      int32_t* leading_sc, int32_t* clip_flags,
-                     int32_t* max_clip, int32_t* max_indel) {
+                     int32_t* max_clip, int32_t* max_indel,
+                     int32_t* lead_clip, int32_t* trail_clip) {
   std::atomic<int64_t> next(0);
   auto worker = [&]() {
     for (;;) {
@@ -278,6 +281,7 @@ void bam_cigar_stats(const uint8_t* data, size_t n, const int64_t* offsets,
         fnv_hash[i] = fh;
         const uint8_t* cig = r + 32 + l_read_name;
         int32_t span = 0, lsc = 0, flags = 0, mc = 0, mi = 0;
+        int32_t lead = 0, trail = 0;
         for (int j = 0; j < (int)n_cigar; ++j) {
           uint32_t v;
           std::memcpy(&v, cig + 4 * j, 4);
@@ -295,12 +299,18 @@ void bam_cigar_stats(const uint8_t* data, size_t n, const int64_t* offsets,
             flags |= 2;
             if (ol > mc) mc = ol;
           }
+          if (op == 4 || op == 5) {                    // S,H
+            if (j == 0) lead = ol;
+            if (j == (int)n_cigar - 1) trail = ol;
+          }
         }
         ref_span[i] = span;
         leading_sc[i] = lsc;
         clip_flags[i] = flags;
         max_clip[i] = mc;
         max_indel[i] = mi;
+        lead_clip[i] = lead;
+        trail_clip[i] = trail;
       }
     }
   };

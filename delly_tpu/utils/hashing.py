@@ -30,6 +30,13 @@ def hash_sr_batch(name_hash, fnv_hash, flags) -> "np.ndarray":
     return np.where(read1 & (seeds > 0), seeds - np.uint64(1), seeds)
 
 
+def hash_lr_batch(name_hash, fnv_hash) -> "np.ndarray":
+    """Vectorized hash_lr (util.h:529-542) from the native stats pass."""
+    h = name_hash.astype(np.uint64)
+    return h ^ (fnv_hash + _GOLD64 + (h << np.uint64(6))
+                + (h >> np.uint64(2)))
+
+
 def hash_string(s: str) -> int:
     """Reference tags.h:260-267 (unsigned 32-bit arithmetic)."""
     h = 37

@@ -52,6 +52,10 @@ def test_cigar_stats_native_matches_python(bam, sample_offsets):
         mi = int(lens[indel].max()) if indel.any() else 0
         assert nat["max_clip"][i] == mc
         assert nat["max_indel"][i] == mi
+        lead = (int(lens[0]) if len(ops) and ops[0] in (4, 5) else 0)
+        trail = (int(lens[-1]) if len(ops) and ops[-1] in (4, 5) else 0)
+        assert nat["lead_clip"][i] == lead
+        assert nat["trail_clip"][i] == trail
 
 
 def test_cigar_stats_fnv_matches_hash_sr(bam, sample_offsets):
