@@ -564,6 +564,112 @@ def allele_sim(cfg: MergeConfig, a: MergeSV, b: MergeSV) -> float:
     return min_s / max_s if max_s > 0 else 1.0
 
 
+def _cluster_unionfind(cfg: MergeConfig, nodes: list) -> "UnionFind":
+    """Windowed single-linkage clustering (merge.h:660-688), with the
+    arithmetic arms of sv_match evaluated as numpy batches per node;
+    pairs whose outcome depends on sequence identity (and all
+    translocations) fall back to the scalar sv_match. Produces exactly
+    the components of the pairwise loop."""
+    import numpy as np
+
+    n = len(nodes)
+    uf = UnionFind(n)
+    if n < 2:
+        return uf
+    tid = np.asarray([nd.tid for nd in nodes], dtype=np.int64)
+    start = np.asarray([nd.svStart for nd in nodes], dtype=np.int64)
+    end = np.asarray([nd.svEnd for nd in nodes], dtype=np.int64)
+    size = np.asarray([nd.size for nd in nodes], dtype=np.int64)
+    hom = np.asarray([nd.homlen for nd in nodes], dtype=np.int64)
+    sub = np.asarray([nd.subtype for nd in nodes], dtype=np.int64)
+    trp = np.asarray([nd.trperiod for nd in nodes], dtype=np.int64)
+    istr = np.asarray([nd.insStrand for nd in nodes], dtype=np.int64)
+    svt = np.asarray([nd.svt for nd in nodes], dtype=np.int64)
+    slen = np.asarray([len(nd.seq) if nd.seq else 0 for nd in nodes],
+                      dtype=np.int64)
+    trans = np.asarray([is_translocation(nd.svt) for nd in nodes],
+                       dtype=bool)
+    scan_win = max(cfg.bpoffset, 2 * cfg.tr_offset)
+    # per-tid segment starts for the window search
+    seg_start = np.zeros(n, dtype=np.int64)
+    for k in range(1, n):
+        seg_start[k] = seg_start[k - 1] if tid[k] == tid[k - 1] else k
+    for i in range(1, n):
+        j0 = int(np.searchsorted(start[:i], start[i] - scan_win,
+                                 side="left"))
+        j0 = max(j0, int(seg_start[i]))
+        if j0 >= i:
+            continue
+        js = np.arange(j0, i)
+        if trans[i]:
+            for j in js.tolist():
+                if uf.find(i) != uf.find(j) \
+                        and sv_match(cfg, nodes[i], nodes[j]):
+                    uf.unite(i, j)
+            continue
+        pos_off = start[i] - start[js]
+        max_hom = np.maximum(hom[i], hom[js])
+        min_s = np.minimum(size[i], size[js])
+        max_s = np.maximum(size[i], size[js])
+        size_ratio = np.where(max_s > 0, min_s / np.maximum(max_s, 1), 1.0)
+        st = np.where(sub[i] > 0, sub[i], sub[js])
+        st = np.where((sub[i] > 0) & (sub[js] > 0),
+                      np.minimum(sub[i], sub[js]), st)
+        seq_pair = (slen[i] > 0) & (slen[js] > 0)
+        max_len = np.maximum(slen[i], slen[js])
+
+        mei = (st >= 1) & (st <= 6)
+        tr = st == 7
+        norm = ~mei & ~tr
+
+        match = np.zeros(len(js), dtype=bool)
+        scalar = np.zeros(len(js), dtype=bool)
+
+        # MEI arm (merge.h:258-272)
+        w_mei = np.maximum(cfg.mei_offset, max_hom + 10)
+        ok = (mei & ~((istr[i] >= 0) & (istr[js] >= 0)
+                      & (istr[i] != istr[js]))
+              & (pos_off <= w_mei) & (size_ratio >= cfg.mei_size_ratio))
+        need = ok & seq_pair & (max_s < cfg.seq_cutoff)
+        match |= ok & ~need
+        scalar |= need
+
+        # TR arm (merge.h:274-284)
+        w_tr = np.maximum(cfg.tr_offset,
+                          (cfg.tr_frac * max_s).astype(np.int64))
+        w_tr = np.maximum(w_tr, np.where(trp[i] > 0, 2 * trp[i], 0))
+        w_tr = np.maximum(w_tr, np.where(trp[js] > 0, 2 * trp[js], 0))
+        ok = tr & (pos_off <= w_tr)
+        need = ok & seq_pair & (max_s < cfg.seq_cutoff)
+        match |= ok & ~need
+        scalar |= need
+
+        # normal arm (merge.h:286-308)
+        w_n = np.minimum(cfg.bpoffset,
+                         (cfg.norm_frac * max_s).astype(np.int64))
+        w_n = np.maximum(np.maximum(w_n, 50), max_hom)
+        lo = np.maximum(start[i], start[js])
+        hi = np.minimum(end[i], end[js])
+        span = np.maximum(np.maximum(end[i] - start[i],
+                                     end[js] - start[js]), 1)
+        rec = np.where(hi > lo, (hi - lo) / span, 0.0)
+        ok = norm & (pos_off <= w_n) & (rec >= cfg.recoverlap)
+        ok &= ~((svt[i] == 4) & (size_ratio < 0.7))
+        seq_arm = svt[i] == 0 or svt[i] == 3
+        need = ok & seq_arm & seq_pair & (max_len < cfg.seq_cutoff)
+        match |= ok & ~need
+        scalar |= need
+
+        for j in js[match].tolist():
+            if uf.find(i) != uf.find(j):
+                uf.unite(i, j)
+        for j in js[scalar].tolist():
+            if uf.find(i) != uf.find(j) \
+                    and sv_match(cfg, nodes[i], nodes[j]):
+                uf.unite(i, j)
+    return uf
+
+
 def cluster_and_select(cfg: MergeConfig, nodes: list,
                        out_groups: list | None = None) -> dict:
     """Pass 1b (merge.h:660-846). Returns {(fileIdx, id): MergeAgg}.
@@ -574,18 +680,7 @@ def cluster_and_select(cfg: MergeConfig, nodes: list,
     if not nodes:
         return selected
     nodes.sort(key=lambda n: (n.tid, n.svStart))
-    scan_win = max(cfg.bpoffset, 2 * cfg.tr_offset)
-    uf = UnionFind(len(nodes))
-    for i in range(len(nodes)):
-        for j in range(i - 1, -1, -1):
-            if nodes[j].tid != nodes[i].tid:
-                break
-            if nodes[i].svStart - nodes[j].svStart > scan_win:
-                break
-            if uf.find(i) == uf.find(j):
-                continue
-            if sv_match(cfg, nodes[i], nodes[j]):
-                uf.unite(i, j)
+    uf = _cluster_unionfind(cfg, nodes)
 
     comps = {}
     for i in range(len(nodes)):
