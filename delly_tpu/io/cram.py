@@ -465,6 +465,8 @@ class Decoder:
         if self.codec == ENC_EXTERNAL:
             self.cid, p = read_itf8(params, p)
             self.off = 0
+            self._vals = None
+            self._vi = 0
         elif self.codec == ENC_HUFFMAN:
             nal, p = read_itf8(params, p)
             alphabet = []
@@ -515,6 +517,12 @@ class Decoder:
 
     def read_int(self):
         if self.codec == ENC_EXTERNAL:
+            if self._vals is None:
+                self._predecode()
+            if self._vals is not False:
+                v = self._vals[self._vi]
+                self._vi += 1
+                return v
             stream = self.streams[self.cid]
             v, self.off = read_itf8_signed(stream, self.off)
             return v
@@ -533,6 +541,21 @@ class Decoder:
         if self.codec == ENC_BETA:
             return self.core.read_bits(self.nbits) + self.offset
         raise ValueError(f"read_int on codec {self.codec}")
+
+    def _predecode(self):
+        """Bulk-decode the whole external ITF-8 stream once (native
+        itf8_decode_stream); int-series decoders then read by index.
+        Only valid while the decoder is used exclusively for ints, which
+        is how data series map to content ids (one series per id)."""
+        try:
+            from delly_tpu import native
+            arr = native.itf8_decode_stream(self.streams[self.cid])
+            if arr is not None:
+                self._vals = arr.tolist()
+                return
+        except Exception:
+            pass
+        self._vals = False
 
     def read_byte(self):
         if self.codec == ENC_EXTERNAL:

@@ -68,6 +68,9 @@ def get_lib():
     lib.bam_cigar_stats.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32] + [ctypes.c_void_p] * 9
+    lib.itf8_decode_stream.restype = ctypes.c_int64
+    lib.itf8_decode_stream.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p]
     lib.rans_decode_c.restype = ctypes.c_int
     lib.rans_decode_c.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
@@ -322,6 +325,17 @@ def bam_match_coverage(data: bytes, offsets: np.ndarray, target_len: int):
                            len(offsets), target_len,
                            diff.ctypes.data_as(ctypes.c_void_p))
     return np.cumsum(diff[:target_len], dtype=np.int64)
+
+
+def itf8_decode_stream(data: bytes):
+    """Decode a whole ITF-8 integer stream to an int32 array, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(max(len(data), 1), dtype=np.int32)
+    cnt = lib.itf8_decode_stream(data, len(data),
+                                 out.ctypes.data_as(ctypes.c_void_p))
+    return out[:cnt]
 
 
 def rans_decode(data: bytes, out_sz: int):

@@ -571,6 +571,44 @@ int rans_decode_c(const uint8_t* data, size_t n, uint8_t* out,
   return 0;
 }
 
+// Decode an entire ITF-8 stream (CRAM external int series) in one
+// pass. Returns the number of values written (caller sizes `out` with
+// at least `n` entries: one byte per value lower-bounds the stream).
+int64_t itf8_decode_stream(const uint8_t* b, size_t n, int32_t* out) {
+  size_t pos = 0;
+  int64_t count = 0;
+  while (pos < n) {
+    uint8_t b0 = b[pos];
+    uint32_t v;
+    if (b0 < 0x80) {
+      v = b0;
+      pos += 1;
+    } else if (b0 < 0xC0) {
+      if (pos + 2 > n) break;
+      v = ((uint32_t)(b0 & 0x3F) << 8) | b[pos + 1];
+      pos += 2;
+    } else if (b0 < 0xE0) {
+      if (pos + 3 > n) break;
+      v = ((uint32_t)(b0 & 0x1F) << 16) | ((uint32_t)b[pos + 1] << 8)
+          | b[pos + 2];
+      pos += 3;
+    } else if (b0 < 0xF0) {
+      if (pos + 4 > n) break;
+      v = ((uint32_t)(b0 & 0x0F) << 24) | ((uint32_t)b[pos + 1] << 16)
+          | ((uint32_t)b[pos + 2] << 8) | b[pos + 3];
+      pos += 4;
+    } else {
+      if (pos + 5 > n) break;
+      v = ((uint32_t)(b0 & 0x0F) << 28) | ((uint32_t)b[pos + 1] << 20)
+          | ((uint32_t)b[pos + 2] << 12) | ((uint32_t)b[pos + 3] << 4)
+          | (b[pos + 4] & 0x0F);
+      pos += 5;
+    }
+    out[count++] = (int32_t)v;
+  }
+  return count;
+}
+
 // ---------------------------------------------------------------------
 // Host DP matrices (traceback-carrying paths)
 // ---------------------------------------------------------------------
