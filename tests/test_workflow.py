@@ -1,0 +1,71 @@
+"""Multi-sample germline/somatic workflow parity (README.md:75-99 of the
+reference: per-sample discovery -> merge -> joint re-genotyping ->
+filter)."""
+
+import subprocess
+import sys
+
+import pytest
+
+from delly_tpu.io.bcf import bcf_to_vcf_text
+
+EXAMPLE = "/root/reference/example"
+
+
+def _run(args, timeout=600):
+    r = subprocess.run([sys.executable, "-m", "delly_tpu.cli"] + args,
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, r.stderr[-1500:]
+
+
+def _records(path):
+    text = bcf_to_vcf_text(open(path, "rb").read())
+    return [l for l in text.split("\n") if l and not l.startswith("#")]
+
+
+@pytest.fixture(scope="module")
+def chain(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wf")
+    import shutil
+    s2bam = str(d / "s2.bam")
+    shutil.copy(f"{EXAMPLE}/sr.bam", s2bam)
+    s1, s2 = str(d / "s1.bcf"), str(d / "s2.bcf")
+    sites = str(d / "sites.bcf")
+    geno = str(d / "geno.bcf")
+    _run(["sr", "-g", f"{EXAMPLE}/ref.fa", "-o", s1, f"{EXAMPLE}/sr.bam"])
+    _run(["sr", "-g", f"{EXAMPLE}/ref.fa", "-o", s2, s2bam])
+    _run(["merge", "-o", sites, s1, s2])
+    _run(["sr", "-g", f"{EXAMPLE}/ref.fa", "-v", sites, "-o", geno,
+          f"{EXAMPLE}/sr.bam", s2bam])
+    return d, geno
+
+
+def test_merge_and_joint_genotyping(chain):
+    d, geno = chain
+    recs = _records(str(d / "sites.bcf"))
+    assert len(recs) == 1 and "SVTYPE=DEL" in recs[0]
+    grecs = _records(geno)
+    assert len(grecs) == 1
+    f = grecs[0].split("\t")
+    assert len(f) == 11  # two sample columns
+    assert f[9].startswith("0/1") and f[10].startswith("0/1")
+
+
+def test_germline_filter_reference_semantics(chain):
+    """With every sample carrying the DEL there is no 0/0 control, so
+    rdRatio defaults to 1 > rddel and the site fails (filter.h:891-897)
+    — the reference drops it too."""
+    d, geno = chain
+    out = str(d / "germ.bcf")
+    _run(["filter", "-f", "germline", "-o", out, geno])
+    assert _records(out) == []
+
+
+def test_somatic_filter_control_carrier(chain):
+    """A control sample carrying the variant must block a somatic call."""
+    d, geno = chain
+    tsv = d / "samples.tsv"
+    tsv.write_text("sr\ttumor\nsr\tcontrol\n")
+    out = str(d / "som.bcf")
+    _run(["filter", "-f", "somatic", "-s", str(tsv), "-o", out, geno])
+    assert _records(out) == []
