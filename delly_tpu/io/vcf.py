@@ -9,12 +9,9 @@ rules match the reference.
 from __future__ import annotations
 
 import datetime
-import gzip
 import io
-import os
 
 from delly_tpu.io.bgzf import bgzf_compress
-from delly_tpu.version import SVMETHOD
 
 HEADER_LINES = [
     '##ALT=<ID=DEL,Description="Deletion">',

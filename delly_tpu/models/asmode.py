@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import copy
 import os
-import sys
 import tempfile
 from dataclasses import dataclass, field
 

@@ -16,8 +16,7 @@ is one searchsorted); the sequential penalized DP stays on the host
 
 from __future__ import annotations
 
-import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -13,10 +13,8 @@ Gaussian overlap test. `--tag` soft-filters instead of dropping.
 from __future__ import annotations
 
 import math
-import sys
 from dataclasses import dataclass, field
 
-import numpy as np
 
 from delly_tpu.io.vcf import VcfReader
 from delly_tpu.ops.likelihood import compute_cnls

@@ -19,7 +19,6 @@ outcome-equivalent to the reference's streaming loop.
 from __future__ import annotations
 
 import math
-import sys
 from dataclasses import dataclass
 
 import numpy as np

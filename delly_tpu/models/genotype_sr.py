@@ -23,10 +23,10 @@ from delly_tpu.models.refine import (
     get_sv_ref,
 )
 from delly_tpu.ops.dna import encode_batch
-from delly_tpu.ops.edist import MODE_HW, batched_edit_distance, edit_distance
+from delly_tpu.ops.edist import MODE_HW, batched_edit_distance
 from delly_tpu.utils.hashing import _fnv1a64, hash_pair_h, hash_string
 from delly_tpu.utils.tags import (
-    Breakpoint, SVT_TRANS, get_sv_type, init_breakpoint, is_translocation,
+    Breakpoint, get_sv_type, init_breakpoint, is_translocation,
     isize_mapping_pos, span_orientation,
 )
 

@@ -9,7 +9,6 @@ refinement (assemble.h) -> positional dedup -> LR genotyping
 
 from __future__ import annotations
 
-import sys
 
 from delly_tpu.io.bam import FDUP, FQCFAIL, FUNMAP, BamFile
 from delly_tpu.io.fasta import FastaFile

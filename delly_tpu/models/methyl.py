@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from delly_tpu.io.bam import (
-    CDEL, CDIFF, CEQUAL, CHARD_CLIP, CINS, CMATCH, CREF_SKIP, CSOFT_CLIP,
+    CDEL, CDIFF, CEQUAL, CINS, CMATCH, CREF_SKIP, CSOFT_CLIP,
     FREVERSE,
 )
 from delly_tpu.ops.edist import (

@@ -8,7 +8,6 @@ the GC bias model.
 
 from __future__ import annotations
 
-import sys
 from dataclasses import dataclass
 
 import numpy as np

@@ -18,7 +18,7 @@ from delly_tpu.io.bam import (
 )
 from delly_tpu.io.fasta import FastaFile
 from delly_tpu.models.cluster import BamAlignRecord, cluster_pe, cluster_sr
-from delly_tpu.models.junctions import extract_junctions_sr, fetch_svs
+from delly_tpu.models.junctions import extract_junctions_sr
 from delly_tpu.models.refine import adjust_orientation, align_consensus
 from delly_tpu.ops.gotoh import DnaScore
 from delly_tpu.ops.msa import msa
@@ -30,11 +30,10 @@ from delly_tpu.utils.stats import (
     get_library_params, get_variability, parse_exclude_intervals,
 )
 from delly_tpu.utils.tags import (
-    SVT_TRANS, StructuralVariantRecord, is_translocation, isize_mapping_pos,
+    SVT_TRANS, is_translocation, isize_mapping_pos,
 )
 
 
-from delly_tpu.utils.log import stage
 
 
 def _log(msg: str) -> None:

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import sys
 
 from delly_tpu.io.vcf import VcfWriter, fmt_float, format_gt, replace_iupac
 from delly_tpu.ops.likelihood import compute_gls

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from delly_tpu.ops.edist import MODE_HW
 
 
 def _edist_hw_rows(queries, qlens, targets, tlens):
