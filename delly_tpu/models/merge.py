@@ -600,6 +600,13 @@ def _cluster_unionfind(cfg: MergeConfig, nodes: list) -> "UnionFind":
         j0 = max(j0, int(seg_start[i]))
         if j0 >= i:
             continue
+        if i - j0 < 24 and not trans[i]:
+            # sparse region: scalar beats numpy setup overhead
+            for j in range(i - 1, j0 - 1, -1):
+                if uf.find(i) != uf.find(j) \
+                        and sv_match(cfg, nodes[i], nodes[j]):
+                    uf.unite(i, j)
+            continue
         js = np.arange(j0, i)
         if trans[i]:
             for j in js.tolist():

@@ -24,7 +24,7 @@ from delly_tpu.ops.gotoh import DnaScore
 from delly_tpu.ops.msa import msa
 from delly_tpu.models.genotype_sr import _cigar_stats
 from delly_tpu.utils.hashing import (
-    hash_pair_h, hash_sr, hash_sr_batch, hash_string,
+    hash_pair_h, hash_sr, hash_sr_batch,
 )
 from delly_tpu.utils.stats import (
     get_library_params, get_variability, parse_exclude_intervals,
@@ -38,16 +38,6 @@ from delly_tpu.utils.tags import (
 
 def _log(msg: str) -> None:
     print(f"[{time.strftime('%Y-%b-%d %H:%M:%S')}] {msg}", file=sys.stderr)
-
-
-def first_pair_obs(rec, last_aligned_reads: set) -> bool:
-    """tags.h:269-274. Note the reference looks up hash_string(qname) in a
-    set keyed by hash_sr seeds (dead path kept for fidelity)."""
-    if rec.tid == rec.mtid:
-        return rec.pos < rec.mpos or (
-            rec.pos == rec.mpos
-            and hash_string(rec.qname) not in last_aligned_reads)
-    return rec.tid < rec.mtid
 
 
 def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
