@@ -2,7 +2,10 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware (see task brief / SURVEY.md section 7).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the harness exports JAX_PLATFORMS=axon, and
+# every CLI subprocess spawned by e2e tests would otherwise initialize
+# the TPU tunnel (slow and flaky under load).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
