@@ -1118,11 +1118,18 @@ def cram_to_bam_bytes(raw: bytes, genome: str | None = None) -> bytes:
                     srs = None
             else:
                 srs = None
-            recs = _decode_slice(ch, sh, core_raw, streams, get_ref,
-                                 names, srs)
-            _resolve_mates(recs)
-            for r in recs:
-                out += _bam_encode_record(r, rg_names)
+            nat = None
+            if sh["ref_id"] != -2 and not core_raw:
+                nat = _decode_slice_native(ch, sh, streams, srs,
+                                           rg_names)
+            if nat is not None:
+                out += nat
+            else:
+                recs = _decode_slice(ch, sh, core_raw, streams, get_ref,
+                                     names, srs)
+                _resolve_mates(recs)
+                for r in recs:
+                    out += _bam_encode_record(r, rg_names)
         pos = cend
     return bytes(out)
 
@@ -1537,3 +1544,133 @@ def _write_container(chunk, get_ref, rg_ids, use_rans):
     hdr = _container_header(len(body), slice_ref, start, span, len(chunk),
                             nblocks, [len(ch_block)])
     return hdr + body
+
+
+# ---------------------------------------------------------------------
+# native slice transcode (common all-EXTERNAL profile)
+# ---------------------------------------------------------------------
+
+_SERIES_ORDER = ["BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP",
+                 "TS", "NF", "TL", "FN", "FC", "FP", "DL", "BA", "BS",
+                 "IN", "SC", "HC", "PD", "RS", "BB", "QQ", "QS", "MQ",
+                 "RN"]
+_STOP_SERIES = {"RN", "IN", "SC", "BB", "QQ"}
+
+
+def _native_profile_cids(ch: CompressionHeader):
+    """Map data series -> content id when every present series fits the
+    common profile (EXTERNAL ints/bytes; NUL BYTE_ARRAY_STOP arrays;
+    BYTE_ARRAY_LEN(EXTERNAL, EXTERNAL) tags; all content ids distinct).
+    Returns (cids dict, tag list) or None when out of profile."""
+    import struct as _s
+
+    cids = {}
+    used = []
+    for key, (codec, params) in ch.encodings.items():
+        if key not in _SERIES_ORDER:
+            return None
+        if key in _STOP_SERIES:
+            if codec != ENC_BYTE_ARRAY_STOP or params[0] != 0:
+                return None
+            cid, _ = read_itf8(params, 1)
+        else:
+            if codec != ENC_EXTERNAL:
+                return None
+            cid, _ = read_itf8(params, 0)
+        cids[key] = cid
+        used.append(cid)
+    tags = []
+    for ikey, (codec, params) in ch.tag_encodings.items():
+        if codec != ENC_BYTE_ARRAY_LEN:
+            return None
+        p = 0
+        lenc, p = parse_encoding(params, p)
+        venc, p = parse_encoding(params, p)
+        if lenc[0] != ENC_EXTERNAL or venc[0] != ENC_EXTERNAL:
+            return None
+        lcid, _ = read_itf8(lenc[1], 0)
+        vcid, _ = read_itf8(venc[1], 0)
+        tag3 = bytes(((ikey >> 16) & 0xFF, (ikey >> 8) & 0xFF,
+                      ikey & 0xFF))
+        tags.append((tag3, lcid, vcid))
+        used += [lcid, vcid]
+    if len(used) != len(set(used)):
+        return None
+    return cids, tags
+
+
+def _decode_slice_native(ch, sh, streams, slice_refseq, rg_names):
+    """Decode one slice straight to BAM record bytes via the native
+    transcoder, or None when the profile or library is unavailable."""
+    import ctypes
+
+    try:
+        from delly_tpu import native
+        lib = native.get_lib()
+    except Exception:
+        return None
+    if lib is None:
+        return None
+    prof = _native_profile_cids(ch)
+    if prof is None:
+        return None
+    cids, tags = prof
+    # tag dictionary flattening
+    tag_index = {t[0]: k for k, t in enumerate(tags)}
+    line_offs = [0]
+    line_tags = []
+    for line in ch.tag_dict:
+        for tag3 in line:
+            if bytes(tag3) not in tag_index:
+                return None
+            line_tags.append(tag_index[bytes(tag3)])
+        line_offs.append(len(line_tags))
+    import numpy as np
+
+    sbufs = []
+    slens = np.zeros(len(_SERIES_ORDER), dtype=np.int64)
+    for k, key in enumerate(_SERIES_ORDER):
+        cid = cids.get(key)
+        buf = streams.get(cid, b"") if cid is not None else b""
+        sbufs.append(buf)
+        slens[k] = len(buf)
+    sptr = (ctypes.c_char_p * len(_SERIES_ORDER))(*sbufs)
+    tl_bufs = [streams.get(l, b"") for _, l, _ in tags]
+    tv_bufs = [streams.get(v, b"") for _, _, v in tags]
+    ntags = len(tags)
+    tlp = (ctypes.c_char_p * max(ntags, 1))(*(tl_bufs or [b""]))
+    tvp = (ctypes.c_char_p * max(ntags, 1))(*(tv_bufs or [b""]))
+    tll = np.asarray([len(b) for b in tl_bufs] or [0], dtype=np.int64)
+    tvl = np.asarray([len(b) for b in tv_bufs] or [0], dtype=np.int64)
+    tag3s = b"".join(t[0] for t in tags) or b"\x00\x00\x00"
+    lo = np.asarray(line_offs, dtype=np.int32)
+    lt = np.asarray(line_tags or [0], dtype=np.int32)
+    rg_blob = b"".join(rg_names)
+    rg_offs = np.zeros(len(rg_names) + 1, dtype=np.int32)
+    for k, nm in enumerate(rg_names):
+        rg_offs[k + 1] = rg_offs[k] + len(nm)
+    ref = slice_refseq if slice_refseq is not None else b""
+    cap = 4 * sum(int(x) for x in slens) + 128 * sh["nrec"] + 1024
+    out_nrec = ctypes.c_int32()
+    for _attempt in range(4):
+        out = np.empty(cap, dtype=np.uint8)
+        rc = lib.cram_decode_slice(
+            sptr, slens.ctypes.data_as(ctypes.c_void_p),
+            sh["nrec"], sh["ref_id"], sh["start"], int(ch.ap_delta),
+            int(ch.rn), ch.sub_matrix,
+            len(line_offs) - 1, lo.ctypes.data_as(ctypes.c_void_p),
+            lt.ctypes.data_as(ctypes.c_void_p),
+            ntags, tag3s, tlp, tll.ctypes.data_as(ctypes.c_void_p),
+            tvp, tvl.ctypes.data_as(ctypes.c_void_p),
+            ref, len(ref),
+            len(rg_names), rg_offs.ctypes.data_as(ctypes.c_void_p),
+            rg_blob,
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+            ctypes.byref(out_nrec))
+        if rc == -2:
+            cap *= 4
+            continue
+        if rc < 0:
+            return None
+        return out[:rc].tobytes()
+    return None

@@ -68,6 +68,18 @@ def get_lib():
     lib.bam_cigar_stats.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32] + [ctypes.c_void_p] * 9
+    lib.cram_decode_slice.restype = ctypes.c_int64
+    lib.cram_decode_slice.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p,   # streams
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_char_p,                    # sub matrix
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,   # tag dict
+        ctypes.c_int32, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_int64,                    # ref
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_char_p,   # rg
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.itf8_decode_stream.restype = ctypes.c_int64
     lib.itf8_decode_stream.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p]

@@ -12,6 +12,7 @@
 // Exposed as a plain C ABI for ctypes (no pybind11 dependency).
 
 #include <algorithm>
+#include <cctype>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -607,6 +608,500 @@ int64_t itf8_decode_stream(const uint8_t* b, size_t n, int32_t* out) {
     out[count++] = (int32_t)v;
   }
   return count;
+}
+
+// ---------------------------------------------------------------------
+// CRAM slice -> BAM record transcoder (common profile)
+// ---------------------------------------------------------------------
+// Decodes one CRAM 3.0 slice whose data series all use EXTERNAL
+// encodings (one content id per series; RN/IN/SC as BYTE_ARRAY_STOP
+// with NUL; tags as BYTE_ARRAY_LEN over two external streams) directly
+// into uncompressed BAM records. This is the profile our writer and
+// htslib's default emit; anything else falls back to the Python
+// decoder (io/cram.py _decode_slice).
+//
+// Stream indexes (fixed order, null when absent):
+//   0 BF 1 CF 2 RI 3 RL 4 AP 5 RG 6 MF 7 NS 8 NP 9 TS 10 NF 11 TL
+//   12 FN 13 FC 14 FP 15 DL 16 BA 17 BS 18 IN 19 SC 20 HC 21 PD
+//   22 RS 23 BB 24 QQ 25 QS 26 MQ 27 RN
+struct CramStream {
+  const uint8_t* p;
+  size_t n;
+  size_t off;
+};
+
+static inline int cram_itf8(CramStream& s, int32_t& out) {
+  if (s.off >= s.n) return -1;
+  uint8_t b0 = s.p[s.off++];
+  uint32_t v;
+  if (b0 < 0x80) v = b0;
+  else if (b0 < 0xC0) {
+    if (s.off + 1 > s.n) return -1;
+    v = ((uint32_t)(b0 & 0x3F) << 8) | s.p[s.off];
+    s.off += 1;
+  } else if (b0 < 0xE0) {
+    if (s.off + 2 > s.n) return -1;
+    v = ((uint32_t)(b0 & 0x1F) << 16) | ((uint32_t)s.p[s.off] << 8)
+        | s.p[s.off + 1];
+    s.off += 2;
+  } else if (b0 < 0xF0) {
+    if (s.off + 3 > s.n) return -1;
+    v = ((uint32_t)(b0 & 0x0F) << 24) | ((uint32_t)s.p[s.off] << 16)
+        | ((uint32_t)s.p[s.off + 1] << 8) | s.p[s.off + 2];
+    s.off += 3;
+  } else {
+    if (s.off + 4 > s.n) return -1;
+    v = ((uint32_t)(b0 & 0x0F) << 28) | ((uint32_t)s.p[s.off] << 20)
+        | ((uint32_t)s.p[s.off + 1] << 12) | ((uint32_t)s.p[s.off + 2] << 4)
+        | (s.p[s.off + 3] & 0x0F);
+    s.off += 4;
+  }
+  out = (int32_t)v;
+  return 0;
+}
+
+static inline int cram_byte(CramStream& s, uint8_t& out) {
+  if (s.off >= s.n) return -1;
+  out = s.p[s.off++];
+  return 0;
+}
+
+static inline int cram_stop_array(CramStream& s, const uint8_t*& ptr,
+                                  int32_t& len) {
+  const uint8_t* start = s.p + s.off;
+  const uint8_t* stop =
+      (const uint8_t*)std::memchr(start, 0, s.n - s.off);
+  if (!stop) return -1;
+  ptr = start;
+  len = (int32_t)(stop - start);
+  s.off += len + 1;
+  return 0;
+}
+
+static const int CS_BF = 0, CS_CF = 1, CS_RI = 2, CS_RL = 3, CS_AP = 4,
+                 CS_RG = 5, CS_MF = 6, CS_NS = 7, CS_NP = 8, CS_TS = 9,
+                 CS_NF = 10, CS_TL = 11, CS_FN = 12, CS_FC = 13,
+                 CS_FP = 14, CS_DL = 15, CS_BA = 16, CS_BS = 17,
+                 CS_IN = 18, CS_SC = 19, CS_HC = 20, CS_PD = 21,
+                 CS_RS = 22, CS_BB = 23, CS_QQ = 24, CS_QS = 25,
+                 CS_MQ = 26, CS_RN = 27, CS_N = 28;
+
+static void NT16_LUT_INIT(uint8_t* lut) {
+  const char* a = "=ACMGRSVTWYHKDBN";
+  std::memset(lut, 15, 256);
+  for (int i = 0; i < 16; ++i) {
+    lut[(uint8_t)a[i]] = (uint8_t)i;
+    lut[(uint8_t)std::tolower((unsigned char)a[i])] = (uint8_t)i;
+  }
+}
+
+struct CramRecMeta {
+  int64_t rec_off;   // offset of record start in out buffer
+  int32_t tid, pos, rl, nf, cf, ref_span;
+  int32_t bf_off;    // offset of flag field within record
+};
+
+// Returns total bytes written, or -1 on decode error / -2 if the output
+// buffer is too small (caller retries with a bigger one).
+int64_t cram_decode_slice(
+    const uint8_t** stream_ptrs, const int64_t* stream_lens,
+    int32_t nrec, int32_t slice_ref, int32_t slice_start, int32_t ap_delta,
+    int32_t rn_preserved, const uint8_t* sub_matrix,
+    // tag dictionary: line -> [tag indexes]; tags: 3 bytes each + two
+    // streams (len, val) per distinct tag
+    int32_t ntag_lines, const int32_t* line_offs, const int32_t* line_tags,
+    int32_t ndtags, const uint8_t* tag3s,
+    const uint8_t** tagl_ptrs, const int64_t* tagl_lens,
+    const uint8_t** tagv_ptrs, const int64_t* tagv_lens,
+    const uint8_t* ref, int64_t ref_len,
+    int32_t nrg, const int32_t* rg_offs, const uint8_t* rg_blob,
+    uint8_t* out, int64_t out_cap, int32_t* out_nrec) {
+  CramStream S[CS_N];
+  for (int k = 0; k < CS_N; ++k) {
+    S[k].p = stream_ptrs[k];
+    S[k].n = (size_t)stream_lens[k];
+    S[k].off = 0;
+  }
+  std::vector<CramStream> TL_(ndtags), TV(ndtags);
+  for (int k = 0; k < ndtags; ++k) {
+    TL_[k].p = tagl_ptrs[k];
+    TL_[k].n = (size_t)tagl_lens[k];
+    TL_[k].off = 0;
+    TV[k].p = tagv_ptrs[k];
+    TV[k].n = (size_t)tagv_lens[k];
+    TV[k].off = 0;
+  }
+  uint8_t lut[256];
+  NT16_LUT_INIT(lut);
+  // substitution decode table: [ref_base_idx][code] -> alt base
+  const char* bases5 = "ACGTN";
+  uint8_t sub_tab[256][4];
+  std::memset(sub_tab, 'N', sizeof(sub_tab));
+  for (int ri = 0; ri < 5; ++ri) {
+    uint8_t byte = sub_matrix[ri];
+    int k = 0;
+    for (int bi = 0; bi < 5; ++bi) {
+      if (bi == ri) continue;
+      uint8_t code = (byte >> (6 - 2 * k)) & 3;
+      sub_tab[(uint8_t)bases5[ri]][code] = (uint8_t)bases5[bi];
+      ++k;
+    }
+  }
+  std::vector<CramRecMeta> metas(nrec);
+  std::vector<uint8_t> seqbuf, qualbuf;
+  std::vector<uint32_t> cig;
+  int64_t pos_out = 0;
+  int32_t last_ap = slice_start;
+  for (int32_t r = 0; r < nrec; ++r) {
+    int32_t bf, cf, rl, ap, rg = -1, tl = 0;
+    if (cram_itf8(S[CS_BF], bf) || cram_itf8(S[CS_CF], cf)) return -1;
+    int32_t tid = slice_ref;
+    if (slice_ref == -2) {
+      if (cram_itf8(S[CS_RI], tid)) return -1;
+    }
+    if (cram_itf8(S[CS_RL], rl) || cram_itf8(S[CS_AP], ap)) return -1;
+    if (ap_delta) {
+      ap = last_ap + ap;
+      last_ap = ap;
+    }
+    if (S[CS_RG].p && cram_itf8(S[CS_RG], rg)) return -1;
+    const uint8_t* qname = (const uint8_t*)"";
+    int32_t qlen = 0;
+    if (rn_preserved) {
+      if (cram_stop_array(S[CS_RN], qname, qlen)) return -1;
+    }
+    int32_t mf = 0, ns = -1, np = -1, ts = 0, nf = -1;
+    if (cf & 0x2) {
+      if (cram_itf8(S[CS_MF], mf)) return -1;
+      if (!rn_preserved) {
+        if (cram_stop_array(S[CS_RN], qname, qlen)) return -1;
+      }
+      if (cram_itf8(S[CS_NS], ns) || cram_itf8(S[CS_NP], np)
+          || cram_itf8(S[CS_TS], ts))
+        return -1;
+      np -= 1;  // NP is 1-based
+    } else if (cf & 0x4) {
+      if (cram_itf8(S[CS_NF], nf)) return -1;
+    }
+    if (S[CS_TL].p) {
+      if (cram_itf8(S[CS_TL], tl)) return -1;
+    }
+    // tags: collect (tag3, payload) for this line
+    if (tl < 0 || tl >= ntag_lines) return -1;
+    // aux assembled later; first decode to know sizes
+    struct TagVal { const uint8_t* t3; const uint8_t* v; int32_t n; };
+    std::vector<TagVal> tvals;
+    for (int32_t li = line_offs[tl]; li < line_offs[tl + 1]; ++li) {
+      int32_t ti = line_tags[li];
+      int32_t vlen;
+      if (cram_itf8(TL_[ti], vlen)) return -1;
+      if (TV[ti].off + (size_t)vlen > TV[ti].n) return -1;
+      tvals.push_back({tag3s + 3 * ti, TV[ti].p + TV[ti].off, vlen});
+      TV[ti].off += vlen;
+    }
+    // sequence/features
+    seqbuf.assign((size_t)rl, 'N');
+    qualbuf.assign((size_t)rl, 0xFF);
+    cig.clear();
+    int32_t mapq = 0;
+    int32_t ref_span = 0;
+    if (!(bf & 4)) {
+      int32_t fn;
+      if (cram_itf8(S[CS_FN], fn)) return -1;
+      int32_t rpos = 0;           // read cursor
+      int64_t roff = ap - 1;      // reference cursor
+      int32_t fpos = 0;
+      auto add_op = [&](char opch, int32_t n) {
+        if (n <= 0) return;
+        static const char* OPS = "MIDNSHP=X";
+        uint32_t opi = (uint32_t)(std::strchr(OPS, opch) - OPS);
+        if (!cig.empty() && (cig.back() & 0xF) == opi)
+          cig.back() += (uint32_t)n << 4;
+        else
+          cig.push_back(((uint32_t)n << 4) | opi);
+      };
+      auto fill_match = [&](int32_t n) {
+        if (n <= 0) return;
+        int64_t avail = 0;
+        if (ref) {
+          avail = ref_len - roff;
+          if (avail < 0) avail = 0;
+          if (avail > n) avail = n;
+          if (avail > 0)
+            std::memcpy(seqbuf.data() + rpos, ref + roff, (size_t)avail);
+        }
+        for (int64_t k2 = avail; k2 < n; ++k2) seqbuf[rpos + k2] = 'N';
+        add_op('M', n);
+        rpos += n;
+        roff += n;
+      };
+      for (int32_t f = 0; f < fn; ++f) {
+        uint8_t fc;
+        int32_t fd;
+        if (cram_byte(S[CS_FC], fc) || cram_itf8(S[CS_FP], fd)) return -1;
+        fpos += fd;
+        fill_match((fpos - 1) - rpos);
+        switch (fc) {
+          case 'X': {
+            uint8_t code;
+            if (cram_byte(S[CS_BS], code)) return -1;
+            uint8_t rb = (ref && roff < ref_len) ? ref[roff] : 'N';
+            if (rb >= 'a' && rb <= 'z') rb -= 32;
+            if (!std::strchr("ACGTN", rb)) rb = 'N';
+            seqbuf[rpos] = sub_tab[rb][code & 3];
+            add_op('M', 1);
+            ++rpos;
+            ++roff;
+            break;
+          }
+          case 'B': {
+            uint8_t b2, q2;
+            if (cram_byte(S[CS_BA], b2) || cram_byte(S[CS_QS], q2))
+              return -1;
+            seqbuf[rpos] = b2;
+            qualbuf[rpos] = q2;
+            add_op('M', 1);
+            ++rpos;
+            ++roff;
+            break;
+          }
+          case 'I': {
+            const uint8_t* a2;
+            int32_t n2;
+            if (cram_stop_array(S[CS_IN], a2, n2)) return -1;
+            std::memcpy(seqbuf.data() + rpos, a2, n2);
+            add_op('I', n2);
+            rpos += n2;
+            break;
+          }
+          case 'S': {
+            const uint8_t* a2;
+            int32_t n2;
+            if (cram_stop_array(S[CS_SC], a2, n2)) return -1;
+            std::memcpy(seqbuf.data() + rpos, a2, n2);
+            add_op('S', n2);
+            rpos += n2;
+            break;
+          }
+          case 'i': {
+            uint8_t b2;
+            if (cram_byte(S[CS_BA], b2)) return -1;
+            seqbuf[rpos] = b2;
+            add_op('I', 1);
+            ++rpos;
+            break;
+          }
+          case 'D': {
+            int32_t n2;
+            if (cram_itf8(S[CS_DL], n2)) return -1;
+            add_op('D', n2);
+            roff += n2;
+            break;
+          }
+          case 'N': {
+            int32_t n2;
+            if (cram_itf8(S[CS_RS], n2)) return -1;
+            add_op('N', n2);
+            roff += n2;
+            break;
+          }
+          case 'H': {
+            int32_t n2;
+            if (cram_itf8(S[CS_HC], n2)) return -1;
+            add_op('H', n2);
+            break;
+          }
+          case 'P': {
+            int32_t n2;
+            if (cram_itf8(S[CS_PD], n2)) return -1;
+            add_op('P', n2);
+            break;
+          }
+          case 'b': {
+            const uint8_t* a2;
+            int32_t n2;
+            if (cram_stop_array(S[CS_BB], a2, n2)) return -1;
+            std::memcpy(seqbuf.data() + rpos, a2, n2);
+            add_op('M', n2);
+            rpos += n2;
+            roff += n2;
+            break;
+          }
+          case 'q': {
+            const uint8_t* a2;
+            int32_t n2;
+            if (cram_stop_array(S[CS_QQ], a2, n2)) return -1;
+            std::memcpy(qualbuf.data() + rpos, a2, n2);
+            break;
+          }
+          case 'Q': {
+            uint8_t q2;
+            if (cram_byte(S[CS_QS], q2)) return -1;
+            qualbuf[rpos] = q2;
+            break;
+          }
+          default:
+            return -1;
+        }
+      }
+      fill_match(rl - rpos);
+      if (cram_itf8(S[CS_MQ], mapq)) return -1;
+      if (cf & 0x1) {
+        if (S[CS_QS].off + (size_t)rl > S[CS_QS].n) return -1;
+        std::memcpy(qualbuf.data(), S[CS_QS].p + S[CS_QS].off, rl);
+        S[CS_QS].off += rl;
+      }
+      for (auto c : cig) {
+        uint32_t op = c & 0xF;
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+          ref_span += (int32_t)(c >> 4);
+      }
+    } else {
+      for (int32_t k2 = 0; k2 < rl; ++k2) {
+        uint8_t b2;
+        if (cram_byte(S[CS_BA], b2)) return -1;
+        seqbuf[k2] = b2;
+      }
+      if (cf & 0x1) {
+        if (S[CS_QS].off + (size_t)rl > S[CS_QS].n) return -1;
+        std::memcpy(qualbuf.data(), S[CS_QS].p + S[CS_QS].off, rl);
+        S[CS_QS].off += rl;
+      }
+      ref_span = rl;
+    }
+    int32_t out_rl = rl;
+    if (cf & 0x8) out_rl = 0;  // SEQ "*": structure only
+
+    // assemble BAM record
+    int32_t name_len = (qlen ? qlen : 1) + 1;  // "*" when empty
+    int32_t n_cigar = (int32_t)cig.size();
+    int32_t aux_len = 0;
+    if (rg >= 0 && rg < nrg)
+      aux_len += 3 + (rg_offs[rg + 1] - rg_offs[rg]) + 1;
+    for (auto& tv : tvals) aux_len += 3 + tv.n;
+    int64_t body = 32 + name_len + 4LL * n_cigar + (out_rl + 1) / 2
+                   + out_rl + aux_len;
+    if (pos_out + 4 + body > out_cap) return -2;
+    uint8_t* w = out + pos_out;
+    int32_t body32 = (int32_t)body;
+    std::memcpy(w, &body32, 4);
+    metas[r].rec_off = pos_out;
+    metas[r].bf_off = (int32_t)(pos_out + 4 + 14);
+    metas[r].tid = tid;
+    metas[r].pos = ap - 1;
+    metas[r].rl = rl;
+    metas[r].nf = nf;
+    metas[r].cf = cf;
+    metas[r].ref_span = (bf & 4) ? rl : ref_span;
+    w += 4;
+    int32_t pos0 = ap - 1;
+    std::memcpy(w, &tid, 4);
+    std::memcpy(w + 4, &pos0, 4);
+    w[8] = (uint8_t)name_len;
+    w[9] = (uint8_t)mapq;
+    w[10] = 0;
+    w[11] = 0;  // bin
+    w[12] = (uint8_t)(n_cigar & 0xFF);
+    w[13] = (uint8_t)(n_cigar >> 8);
+    int32_t flag = bf;
+    if (cf & 0x2) {
+      if (mf & 1) flag |= 0x20;
+      if (mf & 2) flag |= 0x8;
+    }
+    w[14] = (uint8_t)(flag & 0xFF);
+    w[15] = (uint8_t)(flag >> 8);
+    std::memcpy(w + 16, &out_rl, 4);
+    int32_t mtid = ns, mpos = np, tlen = ts;
+    if (!(cf & 0x2)) { mtid = -1; mpos = -1; tlen = 0; }
+    std::memcpy(w + 20, &mtid, 4);
+    std::memcpy(w + 24, &mpos, 4);
+    std::memcpy(w + 28, &tlen, 4);
+    w += 32;
+    if (qlen) {
+      std::memcpy(w, qname, qlen);
+      w[qlen] = 0;
+    } else {
+      w[0] = '*';
+      w[1] = 0;
+    }
+    w += name_len;
+    std::memcpy(w, cig.data(), 4LL * n_cigar);
+    w += 4LL * n_cigar;
+    // packed seq
+    for (int32_t k2 = 0; k2 < out_rl; k2 += 2) {
+      uint8_t hi = lut[seqbuf[k2]] << 4;
+      uint8_t lo = (k2 + 1 < out_rl) ? lut[seqbuf[k2 + 1]] : 0;
+      *w++ = hi | lo;
+    }
+    if (out_rl) {
+      std::memcpy(w, qualbuf.data(), out_rl);
+      w += out_rl;
+    }
+    if (rg >= 0 && rg < nrg) {
+      *w++ = 'R';
+      *w++ = 'G';
+      *w++ = 'Z';
+      int32_t rgl = rg_offs[rg + 1] - rg_offs[rg];
+      std::memcpy(w, rg_blob + rg_offs[rg], rgl);
+      w += rgl;
+      *w++ = 0;
+    }
+    for (auto& tv : tvals) {
+      std::memcpy(w, tv.t3, 3);
+      std::memcpy(w + 3, tv.v, tv.n);
+      w += 3 + tv.n;
+    }
+    pos_out += 4 + body;
+  }
+  // NF mate resolution (spec 8.2): fix up both records in place
+  for (int32_t i = 0; i < nrec; ++i) {
+    int32_t nf = metas[i].nf;
+    if (nf < 0) continue;
+    int32_t j = i + nf + 1;
+    if (j >= nrec) continue;
+    CramRecMeta& a = metas[i];
+    CramRecMeta& b = metas[j];
+    uint8_t* ra = out + a.rec_off + 4;
+    uint8_t* rb = out + b.rec_off + 4;
+    // copy qname a -> b
+    uint8_t a_nlen = ra[8];
+    uint8_t b_nlen = rb[8];
+    if (a_nlen == b_nlen)
+      std::memcpy(rb + 32, ra + 32, a_nlen);
+    else if (b_nlen == 2 && rb[32] == '*') {
+      // names differ in length: unsupported in-place; bail out
+      return -1;
+    }
+    auto get_flag = [&](uint8_t* rp) {
+      return (int32_t)(rp[14] | (rp[15] << 8));
+    };
+    auto set_flag = [&](uint8_t* rp, int32_t f) {
+      rp[14] = (uint8_t)(f & 0xFF);
+      rp[15] = (uint8_t)(f >> 8);
+    };
+    int32_t fa = get_flag(ra), fb = get_flag(rb);
+    if (fb & 0x10) fa |= 0x20;
+    if (fb & 0x4) fa |= 0x8;
+    if (fa & 0x10) fb |= 0x20;
+    if (fa & 0x4) fb |= 0x8;
+    set_flag(ra, fa);
+    set_flag(rb, fb);
+    std::memcpy(ra + 20, &b.tid, 4);
+    std::memcpy(ra + 24, &b.pos, 4);
+    std::memcpy(rb + 20, &a.tid, 4);
+    std::memcpy(rb + 24, &a.pos, 4);
+    int32_t a_end = a.pos + a.ref_span;
+    int32_t b_end = b.pos + b.ref_span;
+    int32_t left = a.pos < b.pos ? a.pos : b.pos;
+    int32_t right = a_end > b_end ? a_end : b_end;
+    int32_t span = right - left;
+    int32_t ts_a = (a.pos <= b.pos) ? span : -span;
+    int32_t ts_b = -ts_a;
+    std::memcpy(ra + 28, &ts_a, 4);
+    std::memcpy(rb + 28, &ts_b, 4);
+  }
+  *out_nrec = nrec;
+  return pos_out;
 }
 
 // ---------------------------------------------------------------------

@@ -90,3 +90,21 @@ def test_sr_engine_identical_on_cram(tmp_path):
         assert r.returncode == 0, r.stderr[-1500:]
         outs.append(open(out, "rb").read())
     assert outs[0] == outs[1]
+
+
+def test_native_and_python_slice_decoders_agree(tmp_path):
+    """The native slice transcoder and the Python fallback must produce
+    identical BAM streams."""
+    import delly_tpu.io.cram as C
+    cram_path = str(tmp_path / "agree.cram")
+    write_cram(BamFile(f"{EXAMPLE}/sr.bam"), f"{EXAMPLE}/ref.fa",
+               cram_path)
+    raw = open(cram_path, "rb").read()
+    fast = C.cram_to_bam_bytes(raw, f"{EXAMPLE}/ref.fa")
+    orig = C._decode_slice_native
+    C._decode_slice_native = lambda *a, **k: None
+    try:
+        slow = C.cram_to_bam_bytes(raw, f"{EXAMPLE}/ref.fa")
+    finally:
+        C._decode_slice_native = orig
+    assert fast == slow
