@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import bz2
 import gzip
+import os
 import lzma
 import struct
 import zlib
@@ -341,7 +342,8 @@ CT_FILE_HEADER, CT_COMP_HEADER, CT_SLICE_HEADER, _CT_RES, CT_EXTERNAL, \
     CT_CORE = range(6)
 
 
-def read_block(buf: bytes, pos: int):
+def read_block_raw(buf: bytes, pos: int):
+    """Scan one block: verify CRC, return compressed payload spans."""
     blk_start = pos
     method = buf[pos]
     ctype = buf[pos + 1]
@@ -355,6 +357,10 @@ def read_block(buf: bytes, pos: int):
     if zlib.crc32(buf[blk_start:pos]) & 0xFFFFFFFF != crc:
         raise ValueError("CRAM block CRC mismatch (corrupt file)")
     pos += 4
+    return method, ctype, content_id, data, rsize, pos
+
+
+def decompress_block(method: int, data: bytes, rsize: int) -> bytes:
     if method == METHOD_RAW:
         raw = data
     elif method == METHOD_GZIP:
@@ -371,7 +377,13 @@ def read_block(buf: bytes, pos: int):
             "(CRAM 3.1 codecs need htscodecs)")
     if len(raw) != rsize:
         raise ValueError(f"CRAM block size mismatch {len(raw)} != {rsize}")
-    return method, ctype, content_id, raw, pos
+    return raw
+
+
+def read_block(buf: bytes, pos: int):
+    method, ctype, content_id, data, rsize, pos = read_block_raw(buf, pos)
+    return method, ctype, content_id, \
+        decompress_block(method, data, rsize), pos
 
 
 def write_block(method: int, ctype: int, content_id: int,
@@ -1080,6 +1092,11 @@ def cram_to_bam_bytes(raw: bytes, genome: str | None = None) -> bytes:
         out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
 
     n = len(raw)
+    # Phase 1: walk containers/blocks sequentially (cheap), collecting
+    # per-slice work items; phase 2 decodes slices on a thread pool (the
+    # native transcoder and codecs release the GIL, slices are
+    # independent) and concatenates results in file order.
+    work = []
     while pos < n:
         if raw[pos:pos + len(CRAM_EOF)] == CRAM_EOF:
             break
@@ -1098,39 +1115,61 @@ def cram_to_bam_bytes(raw: bytes, genome: str | None = None) -> bytes:
             if ctype != CT_SLICE_HEADER:
                 raise ValueError("expected slice header block")
             sh = parse_slice_header(sraw)
-            core_raw = b""
-            streams = {}
-            embedded_ref = None
+            zblocks = []
             for _b in range(sh["nblocks"]):
-                _m2, ct2, cid2, braw, pos = read_block(raw, pos)
-                if ct2 == CT_CORE:
-                    core_raw = braw
-                elif ct2 == CT_EXTERNAL:
-                    streams[cid2] = braw
-                    if cid2 == sh["embed_ref"]:
-                        embedded_ref = braw
-            if ch.rr:
-                if embedded_ref is not None:
-                    srs = (b"\x00" * (sh["start"] - 1)) + embedded_ref
-                elif sh["ref_id"] >= 0:
-                    srs = get_ref(sh["ref_id"])
-                else:
-                    srs = None
+                m2, ct2, cid2, zdata, rsize, pos = read_block_raw(raw, pos)
+                zblocks.append((m2, ct2, cid2, zdata, rsize))
+            work.append((ch, sh, zblocks))
+        pos = cend
+
+    def decode_one(item):
+        ch, sh, zblocks = item
+        core_raw = b""
+        streams = {}
+        embedded_ref = None
+        for m2, ct2, cid2, zdata, rsize in zblocks:
+            braw = decompress_block(m2, zdata, rsize)
+            if ct2 == CT_CORE:
+                core_raw = braw
+            elif ct2 == CT_EXTERNAL:
+                streams[cid2] = braw
+                if cid2 == sh["embed_ref"]:
+                    embedded_ref = braw
+        if ch.rr:
+            if embedded_ref is not None:
+                srs = (b"\x00" * (sh["start"] - 1)) + embedded_ref
+            elif sh["ref_id"] >= 0:
+                srs = get_ref(sh["ref_id"])
             else:
                 srs = None
-            nat = None
-            if sh["ref_id"] != -2 and not core_raw:
-                nat = _decode_slice_native(ch, sh, streams, srs,
-                                           rg_names)
+        else:
+            srs = None
+        if sh["ref_id"] != -2 and not core_raw:
+            nat = _decode_slice_native(ch, sh, streams, srs, rg_names)
             if nat is not None:
-                out += nat
-            else:
-                recs = _decode_slice(ch, sh, core_raw, streams, get_ref,
-                                     names, srs)
-                _resolve_mates(recs)
-                for r in recs:
-                    out += _bam_encode_record(r, rg_names)
-        pos = cend
+                return nat
+        recs = _decode_slice(ch, sh, core_raw, streams, get_ref,
+                             names, srs)
+        _resolve_mates(recs)
+        part = bytearray()
+        for r in recs:
+            part += _bam_encode_record(r, rg_names)
+        return bytes(part)
+
+    # materialize references up-front (get_ref caches; avoids races)
+    for item in work:
+        if item[0].rr and item[1]["ref_id"] >= 0 \
+                and item[1]["embed_ref"] < 0:
+            get_ref(item[1]["ref_id"])
+    if len(work) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        nthreads = min(8, os.cpu_count() or 1, len(work))
+        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+            parts = list(ex.map(decode_one, work))
+    else:
+        parts = [decode_one(item) for item in work]
+    for part in parts:
+        out += part
     return bytes(out)
 
 
