@@ -69,3 +69,21 @@ def test_somatic_filter_control_carrier(chain):
     out = str(d / "som.bcf")
     _run(["filter", "-f", "somatic", "-s", str(tsv), "-o", out, geno])
     assert _records(out) == []
+
+
+def test_lr_alt_alignment_filter(tmp_path):
+    """-l keeps split reads recurring in the alternate alignment
+    (junction.h:504-588); using the same BAM filters nothing and the
+    DEL survives."""
+    cfgf = tmp_path / "alt.tsv"
+    cfgf.write_text(f"{EXAMPLE}/lr.bam\t{EXAMPLE}/ref.fa\n")
+    out = str(tmp_path / "lr_alt.bcf")
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "lr",
+         "-l", str(cfgf), "-g", f"{EXAMPLE}/ref.fa", "-o", out,
+         f"{EXAMPLE}/lr.bam"],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "Filtered 0 out of" in r.stderr
+    recs = _records(out)
+    assert len(recs) == 1 and "SVTYPE=DEL" in recs[0]
