@@ -87,3 +87,25 @@ def test_lr_alt_alignment_filter(tmp_path):
     assert "Filtered 0 out of" in r.stderr
     recs = _records(out)
     assert len(recs) == 1 and "SVTYPE=DEL" in recs[0]
+
+
+def test_merge_chunked_and_filelist(tmp_path, chain):
+    """Chunked merging beyond the chunk size (merge.h:2034-2096) and the
+    single-file list-of-BCFs input mode (merge.h:1878-1886)."""
+    import shutil
+    d, _ = chain
+    src = str(d / "s1.bcf")
+    files = []
+    for i in range(130):
+        f = str(tmp_path / f"c{i}.bcf")
+        shutil.copy(src, f)
+        files.append(f)
+    out = str(tmp_path / "chunked.bcf")
+    _run(["merge", "-u", "100", "-o", out] + files)
+    recs = _records(out)
+    assert len(recs) == 1 and "SVTYPE=DEL" in recs[0]
+    lst = tmp_path / "files.txt"
+    lst.write_text("\n".join(files[:40]) + "\n")
+    out2 = str(tmp_path / "fromlist.bcf")
+    _run(["merge", "-o", out2, str(lst)])
+    assert len(_records(out2)) == 1
