@@ -1,0 +1,135 @@
+"""Synthetic BAM/FASTA builder for multi-chromosome e2e tests.
+
+Encodes alignment records in the BAM binary layout (SAM spec section 4)
+and wraps them in BGZF via the project codec — a test-only writer
+mirroring what HTSlib's sam_write1 does for the reference's test data.
+"""
+
+import random
+import struct
+
+from delly_tpu.io.bgzf import bgzf_compress
+
+_NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+
+def encode_record(qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen,
+                  seq, qual=None):
+    """cigar: list of (op_char, length)."""
+    name = qname.encode() + b"\x00"
+    cig = b"".join(struct.pack("<I", (n << 4) | "MIDNSHP=X".index(op))
+                   for op, n in cigar)
+    nseq = len(seq)
+    packed = bytearray((nseq + 1) // 2)
+    for i, b in enumerate(seq):
+        code = _NT16.get(b, 15)
+        if i % 2 == 0:
+            packed[i // 2] = code << 4
+        else:
+            packed[i // 2] |= code
+    q = bytes([30] * nseq) if qual is None else qual
+    body = struct.pack("<iiBBHHHiiii", tid, pos, len(name), mapq, 0,
+                       len(cigar), flag, nseq, mtid, mpos, tlen)
+    body += name + cig + bytes(packed) + q
+    return struct.pack("<i", len(body)) + body
+
+
+def write_bam(path, contigs, records):
+    """contigs: list of (name, seq). records: encoded record blobs in
+    coordinate order."""
+    text = "".join(f"@SQ\tSN:{n}\tLN:{len(s)}\n" for n, s in contigs)
+    text += "@RG\tID:synth\tSM:synth\n"
+    out = bytearray()
+    out += b"BAM\x01" + struct.pack("<i", len(text))
+    out += text.encode()
+    out += struct.pack("<i", len(contigs))
+    for n, s in contigs:
+        nb = n.encode() + b"\x00"
+        out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", len(s))
+    for rec in records:
+        out += rec
+    with open(path, "wb") as fh:
+        fh.write(bgzf_compress(bytes(out)))
+
+
+def write_fasta(path, contigs):
+    with open(path, "w") as fh:
+        for n, s in contigs:
+            fh.write(f">{n}\n")
+            for k in range(0, len(s), 60):
+                fh.write(s[k:k + 60] + "\n")
+    with open(path + ".fai", "w") as fh:
+        off = 0
+        for n, s in contigs:
+            off += len(n) + 2
+            nlines = (len(s) + 59) // 60
+            fh.write(f"{n}\t{len(s)}\t{off}\t60\t61\n")
+            off += len(s) + nlines
+
+
+def make_translocation_dataset(tmpdir, seed=11):
+    """Two contigs with a reciprocal translocation junction
+    ctgA:12000(3') -> ctgB:6000(5'): normal pairs for library stats,
+    discordant cross-contig pairs and split reads over the junction."""
+    rng = random.Random(seed)
+    ctga = "".join(rng.choice("ACGT") for _ in range(20000))
+    ctgb = "".join(rng.choice("ACGT") for _ in range(20000))
+    contigs = [("ctgA", ctga), ("ctgB", ctgb)]
+    bp_a, bp_b = 12000, 6000
+    derived = ctga[:bp_a] + ctgb[bp_b:]   # the rearranged haplotype
+    rl = 100
+    isize = 400
+    recs = []
+
+    def pair(qid, tid, ref, p1):
+        p2 = p1 + isize - rl
+        s1 = ref[p1:p1 + rl]
+        s2 = ref[p2:p2 + rl]
+        recs.append((tid, p1, encode_record(
+            f"p{qid}", 0x63, tid, p1, 60, [("M", rl)], tid, p2, isize,
+            s1)))
+        recs.append((tid, p2, encode_record(
+            f"p{qid}", 0x93, tid, p2, 60, [("M", rl)], tid, p1, -isize,
+            s2)))
+
+    qid = 0
+    # normal pairs on both contigs (library stats need >= 1000 pairs)
+    for _ in range(700):
+        pair(qid, 0, ctga, rng.randint(0, len(ctga) - isize - 1))
+        qid += 1
+    for _ in range(700):
+        pair(qid, 1, ctgb, rng.randint(0, len(ctgb) - isize - 1))
+        qid += 1
+    # discordant pairs spanning the junction: read1 before bp_a on A
+    # (fwd), read2 after bp_b on B (rev) -> 3to5 translocation
+    for _ in range(40):
+        off = rng.randint(60, 250)
+        p1 = bp_a - off - rl
+        p2 = bp_b + (isize - off - 2 * rl) + rng.randint(0, 30)
+        recs.append((0, p1, encode_record(
+            f"t{qid}", 0x61, 0, p1, 60, [("M", rl)], 1, p2, 0,
+            ctga[p1:p1 + rl])))
+        recs.append((1, p2, encode_record(
+            f"t{qid}", 0x91, 1, p2, 60, [("M", rl)], 0, p1, 0,
+            ctgb[p2:p2 + rl])))
+        qid += 1
+    # split reads across the junction (soft-clipped on each side)
+    for _ in range(30):
+        off = rng.randint(25, 70)   # bases on the A side
+        dpos = bp_a - off
+        seq = derived[dpos:dpos + rl]
+        # primary: M on A with right soft clip
+        recs.append((0, dpos, encode_record(
+            f"s{qid}", 0x0, 0, dpos, 60, [("M", off), ("S", rl - off)],
+            -1, -1, 0, seq)))
+        # supplementary: left clip + M on B
+        recs.append((1, bp_b, encode_record(
+            f"s{qid}", 0x800, 1, bp_b, 60,
+            [("S", off), ("M", rl - off)], -1, -1, 0, seq)))
+        qid += 1
+    recs.sort(key=lambda r: (r[0], r[1]))
+    bam = f"{tmpdir}/tra.bam"
+    fa = f"{tmpdir}/tra.fa"
+    write_bam(bam, contigs, [r[2] for r in recs])
+    write_fasta(fa, contigs)
+    return bam, fa

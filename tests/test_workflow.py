@@ -109,3 +109,41 @@ def test_merge_chunked_and_filelist(tmp_path, chain):
     out2 = str(tmp_path / "fromlist.bcf")
     _run(["merge", "-o", out2, str(lst)])
     assert len(_records(out2)) == 1
+
+
+def test_translocation_end_to_end(tmp_path):
+    """Synthetic two-contig reciprocal translocation: discordant pairs +
+    split reads -> one PRECISE BND with correct partner coordinates;
+    delly2bnd then emits the paired breakend records."""
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import make_translocation_dataset
+    bam, fa = make_translocation_dataset(str(tmp_path))
+    out = str(tmp_path / "tra.vcf")
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "sr", "-g", fa,
+         "-o", out, bam],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    recs = [l for l in open(out) if not l.startswith("#")]
+    assert len(recs) == 1
+    f = recs[0].split("\t")
+    info = f[7]
+    assert "SVTYPE=BND" in info and "PRECISE" in info
+    assert {f[0], info.split("CHR2=")[1].split(";")[0]} == {"ctgA", "ctgB"}
+    assert "]" in f[4] or "[" in f[4]
+    assert int(info.split(";PE=")[1].split(";")[0]) >= 30
+    gt = f[9].split(":")[0]
+    assert gt in ("0/1", "1/1")
+    # paired breakends via the helper script
+    bndout = str(tmp_path / "bnd.vcf")
+    r2 = subprocess.run(
+        [sys.executable, "scripts/delly2bnd.py", "-v", out, "-r", fa,
+         "-o", bndout], capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-800:]
+    bnd = [l for l in open(bndout) if not l.startswith("#")]
+    assert len(bnd) == 2
+    ids = [l.split("\t")[2] for l in bnd]
+    mates = [l.split("MATEID=")[1].split(";")[0].split("\t")[0]
+             for l in bnd]
+    assert ids == mates[::-1]
