@@ -133,3 +133,65 @@ def make_translocation_dataset(tmpdir, seed=11):
     write_bam(bam, contigs, [r[2] for r in recs])
     write_fasta(fa, contigs)
     return bam, fa
+
+
+def make_dup_inv_dataset(tmpdir, seed=23):
+    """One contig with PE-only signatures: a tandem duplication
+    [5000,8000) (RF pairs over the copy junction) and a 3'-3' inversion
+    at [12000,15000) (FF pairs). PE-only SVs come out IMPRECISE."""
+    rng = random.Random(seed)
+    ref = "".join(rng.choice("ACGT") for _ in range(30000))
+    contigs = [("ctg1", ref)]
+    rl = 100
+    isize = 400
+    recs = []
+    qid = 0
+
+    def norm_pair(p1):
+        nonlocal qid
+        p2 = p1 + isize - rl
+        recs.append((p1, encode_record(
+            f"p{qid}", 0x63, 0, p1, 60, [("M", rl)], 0, p2, isize,
+            ref[p1:p1 + rl])))
+        recs.append((p2, encode_record(
+            f"p{qid}", 0x93, 0, p2, 60, [("M", rl)], 0, p1, -isize,
+            ref[p2:p2 + rl])))
+        qid += 1
+
+    for _ in range(1200):
+        norm_pair(rng.randint(0, len(ref) - isize - 1))
+
+    # DUP junction 8000 -> 5000: fwd read before the junction, reverse
+    # mate just after the dup start (RF in sorted order)
+    for _ in range(40):
+        o1 = rng.randint(20, 120)
+        o2 = rng.randint(20, 120)
+        pf = 8000 - o1 - rl
+        pr = 5000 + o2
+        recs.append((pf, encode_record(
+            f"d{qid}", 0x61, 0, pf, 60, [("M", rl)], 0, pr, 0,
+            ref[pf:pf + rl])))
+        recs.append((pr, encode_record(
+            f"d{qid}", 0x91, 0, pr, 60, [("M", rl)], 0, pf, 0,
+            ref[pr:pr + rl])))
+        qid += 1
+
+    # INV 3to3 at [12000,15000): both reads forward (FF)
+    for _ in range(40):
+        o1 = rng.randint(20, 120)
+        o2 = rng.randint(20, 120)
+        p1 = 12000 - o1 - rl
+        p2 = 15000 - o2 - rl
+        recs.append((p1, encode_record(
+            f"v{qid}", 0x41, 0, p1, 60, [("M", rl)], 0, p2, 0,
+            ref[p1:p1 + rl])))
+        recs.append((p2, encode_record(
+            f"v{qid}", 0x81, 0, p2, 60, [("M", rl)], 0, p1, 0,
+            ref[p2:p2 + rl])))
+        qid += 1
+    recs.sort(key=lambda r: r[0])
+    bam = f"{tmpdir}/dupinv.bam"
+    fa = f"{tmpdir}/dupinv.fa"
+    write_bam(bam, contigs, [r[1] for r in recs])
+    write_fasta(fa, contigs)
+    return bam, fa

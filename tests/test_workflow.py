@@ -147,3 +147,33 @@ def test_translocation_end_to_end(tmp_path):
     mates = [l.split("MATEID=")[1].split(";")[0].split("\t")[0]
              for l in bnd]
     assert ids == mates[::-1]
+
+
+def test_dup_and_inv_pe_only_end_to_end(tmp_path):
+    """PE-only tandem-DUP (RF pairs) and 3to3 INV (FF pairs) signatures
+    -> IMPRECISE calls near the true breakpoints."""
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import make_dup_inv_dataset
+    bam, fa = make_dup_inv_dataset(str(tmp_path))
+    out = str(tmp_path / "dupinv.vcf")
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "sr", "-g", fa,
+         "-o", out, bam],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    recs = [l.split("\t") for l in open(out) if not l.startswith("#")]
+    by_type = {}
+    for f in recs:
+        svt = f[7].split("SVTYPE=")[1].split(";")[0]
+        by_type[svt] = f
+    assert set(by_type) == {"DUP", "INV"}
+    dup = by_type["DUP"]
+    assert abs(int(dup[1]) - 5000) < 200
+    assert abs(int(dup[7].split("END=")[1].split(";")[0]) - 8000) < 200
+    assert "IMPRECISE" in dup[7] and "CT=5to3" in dup[7]
+    inv = by_type["INV"]
+    assert abs(int(inv[1]) - 12000) < 300
+    assert "CT=3to3" in inv[7]
+    for f in (dup, inv):
+        assert f[9].split(":")[0] in ("0/1", "1/1")
