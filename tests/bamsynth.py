@@ -195,3 +195,44 @@ def make_dup_inv_dataset(tmpdir, seed=23):
     write_bam(bam, contigs, [r[1] for r in recs])
     write_fasta(fa, contigs)
     return bam, fa
+
+
+def make_insertion_dataset(tmpdir, seed=31):
+    """One contig with a 40bp novel insertion at 10000, covered by
+    split reads (primary + supplementary) that span it."""
+    rng = random.Random(seed)
+    ref = "".join(rng.choice("ACGT") for _ in range(20000))
+    ins = "".join(rng.choice("ACGT") for _ in range(40))
+    bp = 10000
+    derived = ref[:bp] + ins + ref[bp:]
+    rl, isize = 100, 400
+    recs = []
+    qid = 0
+    for _ in range(1100):
+        p1 = rng.randint(0, len(ref) - isize - 1)
+        p2 = p1 + isize - rl
+        recs.append((p1, encode_record(
+            f"p{qid}", 0x63, 0, p1, 60, [("M", rl)], 0, p2, isize,
+            ref[p1:p1 + rl])))
+        recs.append((p2, encode_record(
+            f"p{qid}", 0x93, 0, p2, 60, [("M", rl)], 0, p1, -isize,
+            ref[p2:p2 + rl])))
+        qid += 1
+    for _ in range(30):
+        off = rng.randint(26, 34)
+        dpos = bp - off
+        seq = derived[dpos:dpos + rl]
+        recs.append((dpos, encode_record(
+            f"s{qid}", 0x0, 0, dpos, 60, [("M", off), ("S", rl - off)],
+            -1, -1, 0, seq)))
+        m2 = rl - off - len(ins)
+        recs.append((bp, encode_record(
+            f"s{qid}", 0x800, 0, bp, 60, [("S", rl - m2), ("M", m2)],
+            -1, -1, 0, seq)))
+        qid += 1
+    recs.sort(key=lambda r: r[0])
+    bam = f"{tmpdir}/ins.bam"
+    fa = f"{tmpdir}/ins.fa"
+    write_bam(bam, [("ctg1", ref)], [r[1] for r in recs])
+    write_fasta(fa, [("ctg1", ref)])
+    return bam, fa, ins

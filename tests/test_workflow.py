@@ -177,3 +177,25 @@ def test_dup_and_inv_pe_only_end_to_end(tmp_path):
     assert "CT=3to3" in inv[7]
     for f in (dup, inv):
         assert f[9].split(":")[0] in ("0/1", "1/1")
+
+
+def test_insertion_end_to_end(tmp_path):
+    """Split reads spanning a 40bp novel insertion -> PRECISE INS with
+    the exact inserted sequence in the ALT allele."""
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import make_insertion_dataset
+    bam, fa, ins = make_insertion_dataset(str(tmp_path))
+    out = str(tmp_path / "ins.vcf")
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "sr", "-g", fa,
+         "-o", out, bam],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    recs = [l.split("\t") for l in open(out) if not l.startswith("#")]
+    assert len(recs) == 1
+    f = recs[0]
+    assert "SVTYPE=INS" in f[7] and "PRECISE" in f[7]
+    assert int(f[1]) == 10000
+    assert f[4][1:] == ins  # exact inserted sequence reconstructed
+    assert "SVLEN=40" in f[7]
