@@ -236,3 +236,35 @@ def make_insertion_dataset(tmpdir, seed=31):
     write_bam(bam, [("ctg1", ref)], [r[1] for r in recs])
     write_fasta(fa, [("ctg1", ref)])
     return bam, fa, ins
+
+
+def make_lr_insertion_dataset(tmpdir, seed=41):
+    """Long reads carrying a 500bp insertion as an I CIGAR op at 20000
+    (exercises the msaWfa k-mer/superstring INS consensus path)."""
+    rng = random.Random(seed)
+    ref = "".join(rng.choice("ACGT") for _ in range(40000))
+    ins = "".join(rng.choice("ACGT") for _ in range(500))
+    bp = 20000
+    recs = []
+    qid = 0
+    for _ in range(60):
+        p = rng.randint(0, len(ref) - 4000)
+        recs.append((p, encode_record(
+            f"b{qid}", 0x0, 0, p, 60, [("M", 4000)], -1, -1, 0,
+            ref[p:p + 4000])))
+        qid += 1
+    for _ in range(12):
+        lo = rng.randint(800, 1500)
+        hi = rng.randint(800, 1500)
+        p = bp - lo
+        seq = ref[p:bp] + ins + ref[bp:bp + hi]
+        recs.append((p, encode_record(
+            f"i{qid}", 0x0, 0, p, 60,
+            [("M", lo), ("I", len(ins)), ("M", hi)], -1, -1, 0, seq)))
+        qid += 1
+    recs.sort(key=lambda r: r[0])
+    bam = f"{tmpdir}/lri.bam"
+    fa = f"{tmpdir}/lri.fa"
+    write_bam(bam, [("ctg1", ref)], [r[1] for r in recs])
+    write_fasta(fa, [("ctg1", ref)])
+    return bam, fa, ins

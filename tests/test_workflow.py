@@ -199,3 +199,24 @@ def test_insertion_end_to_end(tmp_path):
     assert int(f[1]) == 10000
     assert f[4][1:] == ins  # exact inserted sequence reconstructed
     assert "SVLEN=40" in f[7]
+
+
+def test_lr_insertion_end_to_end(tmp_path):
+    """Long-read INS via I CIGAR ops -> PRECISE INS through the msaWfa
+    consensus + splitAlign glue path."""
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import make_lr_insertion_dataset
+    bam, fa, ins = make_lr_insertion_dataset(str(tmp_path))
+    out = str(tmp_path / "lri.vcf")
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "lr", "-g", fa,
+         "-o", out, bam],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    recs = [l.split("\t") for l in open(out) if not l.startswith("#")]
+    assert len(recs) == 1
+    f = recs[0]
+    assert "SVTYPE=INS" in f[7] and "PRECISE" in f[7]
+    assert int(f[1]) == 20000
+    assert "SVLEN=500" in f[7]
