@@ -221,14 +221,19 @@ def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
         hits = set(pos for pos, _h in sr_store[ref_index])
         seq_store = [dict() for _ in svs]
         for bam in bams:
-            for rec in bam.records(tid=ref_index):
-                if rec.flag & (FQCFAIL | FDUP | FUNMAP | FSECONDARY
-                               | FSUPPLEMENTARY):
-                    continue
-                if rec.mapq < cfg.min_map_qual or rec.tid < 0:
-                    continue
-                if rec.pos not in hits:
-                    continue
+            # SoA prefilter (shortpe.h:88-101): only reads whose start
+            # position matches an SR-store entry are parsed.
+            ci = bam.core_index()
+            sel = np.nonzero(ci["tid"] == ref_index)[0]
+            flag_a = ci["flag"][sel]
+            keep = (((flag_a & (FQCFAIL | FDUP | FUNMAP | FSECONDARY
+                                | FSUPPLEMENTARY)) == 0)
+                    & (ci["mapq"][sel] >= cfg.min_map_qual))
+            sel = sel[keep]
+            hit_arr = np.fromiter(hits, dtype=np.int64, count=len(hits))
+            inhits = np.isin(ci["pos"][sel], hit_arr)
+            for off in ci["offsets"][sel[inhits]].tolist():
+                rec = bam._parse_at(off)
                 seed = hash_sr(rec.qname, rec.flag)
                 svid = sr_store[ref_index].get((rec.pos, seed))
                 if svid is None:
