@@ -190,6 +190,50 @@ def vcf_text_to_bcf(text: str, with_index: bool = False):
             d.contigs.append(chrom)
             header_lines.append(f"##contig=<ID={chrom}>")
 
+    # FILTER/INFO/FORMAT keys used by the body but absent from the
+    # header would otherwise be appended to the IDX dictionary at
+    # encode time with no matching header line — unresolvable by any
+    # conformant reader (htslib rebuilds the dictionary purely from
+    # header lines). Pre-pass the body and synthesize declarations.
+    def _declare(name: str, hline: str, kind_map=None, kind_val=None):
+        if name in d.sidx:
+            return
+        d.sidx[name] = len(d.strings)
+        d.strings.append(name)
+        header_lines.append(hline)
+        if kind_map is not None:
+            kind_map[name] = kind_val
+    for line in body:
+        cols = line.split("\t")
+        if len(cols) < 8:
+            continue
+        filt, info = cols[6], cols[7]
+        if filt not in (".", ""):
+            for f in filt.split(";"):
+                _declare(f, f'##FILTER=<ID={f},Description="{f}">')
+        for item in info.split(";"):
+            if not item or item == ".":
+                continue
+            if "=" in item:
+                k, _v = item.split("=", 1)
+                _declare(k, f'##INFO=<ID={k},Number=.,Type=String,'
+                            f'Description="{k}">',
+                         d.info_type, ("String", "."))
+            else:
+                _declare(item, f'##INFO=<ID={item},Number=0,Type=Flag,'
+                               f'Description="{item}">',
+                         d.info_type, ("Flag", "0"))
+        if len(cols) > 8:
+            for k in cols[8].split(":"):
+                if k == "GT":
+                    _declare(k, '##FORMAT=<ID=GT,Number=1,Type=String,'
+                                'Description="Genotype">',
+                             d.format_type, ("String", "1"))
+                else:
+                    _declare(k, f'##FORMAT=<ID={k},Number=.,Type=String,'
+                                f'Description="{k}">',
+                             d.format_type, ("String", "."))
+
     htext = "\n".join(header_lines + [column_header]) + "\n\x00"
     out = bytearray()
     out += MAGIC

@@ -9,6 +9,7 @@ derived from the deterministic BGZF block layout of the BCF stream.
 
 from __future__ import annotations
 
+import bisect
 import struct
 
 from delly_tpu.io.bgzf import bgzf_compress
@@ -62,6 +63,19 @@ def _block_table(bcf_bytes: bytes):
     return table
 
 
+def _bin_first_pos(b: int, min_shift: int = MIN_SHIFT,
+                   depth: int = DEPTH) -> int:
+    """Genomic start position covered by bin `b` (CSI bin numbering)."""
+    level, t = 0, 0
+    while level <= depth:
+        nt = t + (1 << (3 * level))
+        if b < nt:
+            break
+        t = nt
+        level += 1
+    return (b - t) << (min_shift + 3 * (depth - level))
+
+
 def _voffset(table, uoff: int) -> int:
     """Uncompressed offset -> BGZF virtual offset."""
     lo, hi = 0, len(table)
@@ -84,7 +98,13 @@ def build_csi(bcf_bytes: bytes, n_ref: int, records) -> bytes:
     table = _block_table(bcf_bytes)
     # bins[tid][bin] = [(voff_beg, voff_end)], loffset per bin
     bins = [dict() for _ in range(n_ref)]
-    prev_voff = (table[-1][1] << 16) if table else 0
+    # linear index over 16kb windows: min virtual start offset of any
+    # record overlapping the window (htslib hts_idx_push semantics).
+    # Bin loffsets are read from this, not from each bin's own chunks:
+    # a long record stored in a parent bin can precede the leaf bin's
+    # first chunk in the file, and readers discard chunks ending before
+    # loff (hts_itr_query min_off).
+    lidx = [dict() for _ in range(n_ref)]
     rec_list = list(records)
     # virtual end of each record = virtual start of the next (or EOF)
     voffs = [_voffset(table, r[3]) for r in rec_list]
@@ -97,9 +117,14 @@ def build_csi(bcf_bytes: bytes, n_ref: int, records) -> bytes:
                 # end of the last data block
                 eof_voff = _voffset(table, uoff) | 0xFFFF
             v_end = eof_voff
-        b = reg2bin(beg, max(end, beg + 1))
+        end1 = max(end, beg + 1)
+        b = reg2bin(beg, end1)
         if 0 <= tid < n_ref:
             bins[tid].setdefault(b, []).append((v_beg, v_end))
+            for w in range(beg >> MIN_SHIFT, ((end1 - 1) >> MIN_SHIFT) + 1):
+                cur = lidx[tid].get(w)
+                if cur is None or v_beg < cur:
+                    lidx[tid][w] = v_beg
 
     out = bytearray()
     out += b"CSI\x01"
@@ -109,9 +134,21 @@ def build_csi(bcf_bytes: bytes, n_ref: int, records) -> bytes:
     out += struct.pack("<i", n_ref)
     for tid in range(n_ref):
         out += struct.pack("<i", len(bins[tid]))
+        lwins = sorted(lidx[tid])
+        lvals = [lidx[tid][w] for w in lwins]
         for b in sorted(bins[tid]):
             chunks = bins[tid][b]
-            loffset = min(c[0] for c in chunks)
+            # loff = linear-index entry for the window holding the bin's
+            # start; any record overlapping a query that starts in this
+            # bin spans down to that window, so its chunk end is > loff.
+            w = _bin_first_pos(b) >> MIN_SHIFT
+            k = bisect.bisect_right(lwins, w) - 1
+            if k >= 0:
+                loffset = lvals[k]
+            elif lwins:
+                loffset = lvals[0]
+            else:
+                loffset = min(c[0] for c in chunks)
             out += struct.pack("<I", b)
             out += struct.pack("<Q", loffset)
             out += struct.pack("<i", len(chunks))

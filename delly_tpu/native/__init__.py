@@ -8,7 +8,9 @@ pure-Python codecs when the toolchain is unavailable.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 import sys
 
@@ -16,18 +18,53 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "hostio.cpp")
-_LIB = os.path.join(_DIR, "libhostio.so")
 
 _lib = None
 _load_failed = False
 
 
-def _build() -> bool:
+def _arch_flags() -> list:
+    """Portable arch selection: AVX2 (x86-64-v3) only when the running
+    CPU has it, else a plain -O3 baseline. The choice is part of the
+    cache key, so a .so built elsewhere is never loaded on a CPU that
+    cannot execute it."""
+    if platform.machine() not in ("x86_64", "AMD64"):
+        return []
     try:
+        with open("/proc/cpuinfo") as fh:
+            cpuinfo = fh.read()
+        if " avx2" in cpuinfo or "\tavx2" in cpuinfo or "avx2 " in cpuinfo:
+            return ["-march=x86-64-v3"]
+    except OSError:
+        pass
+    return []
+
+
+def _lib_path() -> str:
+    """Cache path keyed by source hash + compile flags: a changed source
+    or different CPU generation gets a fresh build, and a read-only
+    package install falls back to ~/.cache."""
+    with open(_SRC, "rb") as fh:
+        key = hashlib.sha256(fh.read() + " ".join(_arch_flags()).encode())
+    name = f"libhostio-{key.hexdigest()[:12]}.so"
+    if os.access(_DIR, os.W_OK):
+        return os.path.join(_DIR, name)
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "delly_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, name)
+
+
+def _build(lib_path: str) -> bool:
+    try:
+        tmp = lib_path + f".tmp{os.getpid()}"
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-             "-fPIC", "-pthread", "-o", _LIB, _SRC, "-lz"],
+            ["g++", "-O3", *_arch_flags(), "-std=c++17", "-shared",
+             "-fPIC", "-pthread", "-o", tmp, _SRC, "-lz"],
             check=True, capture_output=True)
+        os.replace(tmp, lib_path)
         return True
     except (OSError, subprocess.CalledProcessError) as exc:
         print(f"warning: native hostio build failed ({exc}); "
@@ -40,13 +77,17 @@ def get_lib():
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if (not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-        if not _build():
+    try:
+        lib_path = _lib_path()
+    except OSError:
+        _load_failed = True
+        return None
+    if not os.path.exists(lib_path):
+        if not _build(lib_path):
             _load_failed = True
             return None
     try:
-        lib = ctypes.CDLL(_LIB)
+        lib = ctypes.CDLL(lib_path)
     except OSError:
         _load_failed = True
         return None
@@ -126,6 +167,17 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+    # Cheap self-test: a wrong/corrupt binary fails here instead of
+    # mid-pipeline, and the caller falls back to pure Python.
+    try:
+        chk = np.empty(2, dtype=np.int32)
+        n = lib.itf8_decode_stream(b"\x05\x2a", 2,
+                                   chk.ctypes.data_as(ctypes.c_void_p))
+        if n != 2 or chk[0] != 5 or chk[1] != 42:
+            raise OSError("native self-test mismatch")
+    except Exception:
+        _load_failed = True
+        return None
     _lib = lib
     return _lib
 

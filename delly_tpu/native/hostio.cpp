@@ -760,6 +760,9 @@ int64_t cram_decode_slice(
       if (cram_itf8(S[CS_RI], tid)) return -1;
     }
     if (cram_itf8(S[CS_RL], rl) || cram_itf8(S[CS_AP], ap)) return -1;
+    // rl comes straight from the file; every seq/qual write below is
+    // bounds-checked against it so a corrupt CRAM cannot overflow.
+    if (rl < 0) return -1;
     if (ap_delta) {
       ap = last_ap + ap;
       last_ap = ap;
@@ -820,10 +823,11 @@ int64_t cram_decode_slice(
         else
           cig.push_back(((uint32_t)n << 4) | opi);
       };
-      auto fill_match = [&](int32_t n) {
-        if (n <= 0) return;
+      auto fill_match = [&](int32_t n) -> bool {
+        if (n <= 0) return true;
+        if (rpos + (int64_t)n > rl) return false;
         int64_t avail = 0;
-        if (ref) {
+        if (ref && roff >= 0) {
           avail = ref_len - roff;
           if (avail < 0) avail = 0;
           if (avail > n) avail = n;
@@ -834,18 +838,20 @@ int64_t cram_decode_slice(
         add_op('M', n);
         rpos += n;
         roff += n;
+        return true;
       };
       for (int32_t f = 0; f < fn; ++f) {
         uint8_t fc;
         int32_t fd;
         if (cram_byte(S[CS_FC], fc) || cram_itf8(S[CS_FP], fd)) return -1;
         fpos += fd;
-        fill_match((fpos - 1) - rpos);
+        if (!fill_match((fpos - 1) - rpos)) return -1;
         switch (fc) {
           case 'X': {
             uint8_t code;
             if (cram_byte(S[CS_BS], code)) return -1;
-            uint8_t rb = (ref && roff < ref_len) ? ref[roff] : 'N';
+            if (rpos >= rl) return -1;
+            uint8_t rb = (ref && roff >= 0 && roff < ref_len) ? ref[roff] : 'N';
             if (rb >= 'a' && rb <= 'z') rb -= 32;
             if (!std::strchr("ACGTN", rb)) rb = 'N';
             seqbuf[rpos] = sub_tab[rb][code & 3];
@@ -858,6 +864,7 @@ int64_t cram_decode_slice(
             uint8_t b2, q2;
             if (cram_byte(S[CS_BA], b2) || cram_byte(S[CS_QS], q2))
               return -1;
+            if (rpos >= rl) return -1;
             seqbuf[rpos] = b2;
             qualbuf[rpos] = q2;
             add_op('M', 1);
@@ -869,6 +876,7 @@ int64_t cram_decode_slice(
             const uint8_t* a2;
             int32_t n2;
             if (cram_stop_array(S[CS_IN], a2, n2)) return -1;
+            if (n2 < 0 || rpos + (int64_t)n2 > rl) return -1;
             std::memcpy(seqbuf.data() + rpos, a2, n2);
             add_op('I', n2);
             rpos += n2;
@@ -878,6 +886,7 @@ int64_t cram_decode_slice(
             const uint8_t* a2;
             int32_t n2;
             if (cram_stop_array(S[CS_SC], a2, n2)) return -1;
+            if (n2 < 0 || rpos + (int64_t)n2 > rl) return -1;
             std::memcpy(seqbuf.data() + rpos, a2, n2);
             add_op('S', n2);
             rpos += n2;
@@ -886,6 +895,7 @@ int64_t cram_decode_slice(
           case 'i': {
             uint8_t b2;
             if (cram_byte(S[CS_BA], b2)) return -1;
+            if (rpos >= rl) return -1;
             seqbuf[rpos] = b2;
             add_op('I', 1);
             ++rpos;
@@ -894,6 +904,7 @@ int64_t cram_decode_slice(
           case 'D': {
             int32_t n2;
             if (cram_itf8(S[CS_DL], n2)) return -1;
+            if (n2 < 0) return -1;
             add_op('D', n2);
             roff += n2;
             break;
@@ -901,6 +912,7 @@ int64_t cram_decode_slice(
           case 'N': {
             int32_t n2;
             if (cram_itf8(S[CS_RS], n2)) return -1;
+            if (n2 < 0) return -1;
             add_op('N', n2);
             roff += n2;
             break;
@@ -908,12 +920,14 @@ int64_t cram_decode_slice(
           case 'H': {
             int32_t n2;
             if (cram_itf8(S[CS_HC], n2)) return -1;
+            if (n2 < 0) return -1;
             add_op('H', n2);
             break;
           }
           case 'P': {
             int32_t n2;
             if (cram_itf8(S[CS_PD], n2)) return -1;
+            if (n2 < 0) return -1;
             add_op('P', n2);
             break;
           }
@@ -921,6 +935,7 @@ int64_t cram_decode_slice(
             const uint8_t* a2;
             int32_t n2;
             if (cram_stop_array(S[CS_BB], a2, n2)) return -1;
+            if (n2 < 0 || rpos + (int64_t)n2 > rl) return -1;
             std::memcpy(seqbuf.data() + rpos, a2, n2);
             add_op('M', n2);
             rpos += n2;
@@ -931,12 +946,14 @@ int64_t cram_decode_slice(
             const uint8_t* a2;
             int32_t n2;
             if (cram_stop_array(S[CS_QQ], a2, n2)) return -1;
+            if (n2 < 0 || rpos + (int64_t)n2 > rl) return -1;
             std::memcpy(qualbuf.data() + rpos, a2, n2);
             break;
           }
           case 'Q': {
             uint8_t q2;
             if (cram_byte(S[CS_QS], q2)) return -1;
+            if (rpos >= rl) return -1;
             qualbuf[rpos] = q2;
             break;
           }
@@ -944,7 +961,7 @@ int64_t cram_decode_slice(
             return -1;
         }
       }
-      fill_match(rl - rpos);
+      if (!fill_match(rl - rpos)) return -1;
       if (cram_itf8(S[CS_MQ], mapq)) return -1;
       if (cf & 0x1) {
         if (S[CS_QS].off + (size_t)rl > S[CS_QS].n) return -1;

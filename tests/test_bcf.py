@@ -74,3 +74,32 @@ def test_vcfreader_detects_bcf(tmp_path):
     assert rdr.samples == ["s1", "s2"]
     assert rdr.records[0]["samples"][1]["GT"] == "1|1"
     assert rdr.records[0]["info"]["AF"] == "0.25"
+
+
+def test_undeclared_keys_get_synthesized_headers():
+    """A user-supplied VCF with undeclared FILTER/INFO/FORMAT keys must
+    still produce a self-consistent BCF: every IDX-dictionary entry
+    needs a matching header line (spec 6.2.1; htslib rebuilds the
+    dictionary purely from header lines)."""
+    text = "\n".join([
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=1>",
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="E">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+        "1\t10\tX\tA\t<DEL>\t5\tq10;Blacklist\tEND=20;NOVEL;XDEPTH=3.5"
+        "\tGT:XQ\t0/1:17",
+        "",
+    ])
+    bcf = vcf_text_to_bcf(text)
+    back = bcf_to_vcf_text(bcf)
+    for decl in ("##FILTER=<ID=q10", "##FILTER=<ID=Blacklist",
+                 "##INFO=<ID=NOVEL,Number=0,Type=Flag",
+                 "##INFO=<ID=XDEPTH", "##FORMAT=<ID=XQ"):
+        assert decl in back, decl
+    row = [l for l in back.split("\n")
+           if l and not l.startswith("#")][0].split("\t")
+    assert row[6] == "q10;Blacklist"
+    assert "NOVEL" in row[7] and "XDEPTH=3.5" in row[7]
+    assert row[8] == "GT:XQ"
+    assert row[9] == "0/1:17"
