@@ -22,8 +22,7 @@ from delly_tpu.models.refine import (
     AlignDescriptor, adjust_orientation, cons_ref_alignment, find_split,
     get_sv_ref,
 )
-from delly_tpu.ops.dna import encode_batch
-from delly_tpu.ops.edist import MODE_HW, batched_edit_distance
+from delly_tpu.ops.edist import MODE_HW, batched_pairs_distance
 from delly_tpu.utils.hashing import _fnv1a64, hash_pair_h, hash_string
 from delly_tpu.utils.tags import (
     Breakpoint, get_sv_type, init_breakpoint, is_translocation,
@@ -211,17 +210,15 @@ def _process_jobs_device(jobs, count_map, ref_aligned_count, cfg,
     """
     if not jobs:
         return
-    queries = []
-    targets = []
+    # batched_pairs_distance buckets the padded dims to powers of two so
+    # the device pipeline cache stays small across chromosomes (the
+    # per-batch max padding used previously compiled one pipeline per
+    # distinct (M, N) — ruinous on slow-compile links).
+    pairs = []
     for cons_probe, ref_probe, sequence, *_rest in jobs:
-        queries.append(cons_probe)
-        queries.append(ref_probe)
-        targets.append(sequence)
-        targets.append(sequence)
-    qarr, qlens = encode_batch(queries)
-    tarr, tlens = encode_batch(targets)
-    dists = np.asarray(batched_edit_distance(qarr, qlens, tarr, tlens,
-                                             MODE_HW))
+        pairs.append((cons_probe, sequence))
+        pairs.append((ref_probe, sequence))
+    dists = batched_pairs_distance(pairs, MODE_HW)
     # k-cap and score transform (coverage.h:109-114)
     for i, job in enumerate(jobs):
         cons_probe, ref_probe, sequence, file_c, sv_id, qual, dumpinfo = job

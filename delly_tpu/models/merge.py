@@ -595,9 +595,15 @@ def _cluster_unionfind(cfg: MergeConfig, nodes: list) -> "UnionFind":
     for k in range(1, n):
         seg_start[k] = seg_start[k - 1] if tid[k] == tid[k - 1] else k
     for i in range(1, n):
-        j0 = int(np.searchsorted(start[:i], start[i] - scan_win,
-                                 side="left"))
-        j0 = max(j0, int(seg_start[i]))
+        # start[] is sorted only within each tid segment, so the window
+        # search must be bounded to the segment: pairs then satisfy the
+        # reference's scan-window break (pos_off <= scan_win,
+        # merge.h:668-671) exactly, and arm windows larger than scan_win
+        # (TR 2*trperiod, MEI maxHom+10) cannot resurrect pairs the
+        # reference never tests.
+        s0 = int(seg_start[i])
+        j0 = s0 + int(np.searchsorted(start[s0:i], start[i] - scan_win,
+                                      side="left"))
         if j0 >= i:
             continue
         if i - j0 < 24 and not trans[i]:

@@ -30,7 +30,7 @@ from delly_tpu.utils.stats import (
     get_library_params, get_variability, parse_exclude_intervals,
 )
 from delly_tpu.utils.tags import (
-    SVT_TRANS, is_translocation, isize_mapping_pos,
+    SVT_TRANS, is_translocation, isize_mapping_pos_batch,
 )
 
 
@@ -46,6 +46,7 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
     nsvt = 2 * SVT_TRANS
     sr_br = [[] for _ in range(nsvt)]
     bam_records = [[] for _ in range(nsvt)]
+    valid_mask = np.asarray([bool(v) for v in valid_regions], dtype=bool)
     _log("Paired-end and split-read scanning")
     for file_c, bam in enumerate(bams):
         matetra = {}
@@ -69,52 +70,58 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
             stats = _cigar_stats(bam, offs)
             seeds_a = hash_sr_batch(stats["name_hash"],
                                     stats["fnv_hash"], ci["flag"][sel])
-            jfire = ((stats["max_clip"] > cfg.min_clip)
-                     | (stats["max_indel"] > cfg.min_ref_sep)).tolist()
-
-            offs_l = offs.tolist()
-            pos_l = ci["pos"][sel].tolist()
-            flag_l = ci["flag"][sel].tolist()
-            mapq_l = ci["mapq"][sel].tolist()
-            mtid_l = ci["mtid"][sel].tolist()
-            mpos_l = ci["mpos"][sel].tolist()
-            tlen_l = ci["tlen"][sel].tolist()
-            rspan_l = stats["ref_span"].tolist()
-            nhash_l = stats["name_hash"].tolist()
-            seeds_l = seeds_a.tolist()
             lib = libs[file_c]
-            for i in range(len(offs_l)):
-                seed = seeds_l[i]
-                if jfire[i]:
-                    rec = bam._parse_at(offs_l[i])
-                    extract_junctions_sr(read_bp, seed, rec, cfg.min_ref_sep,
-                                         cfg.min_clip)
-                rflag = flag_l[i]
+            # Junction rows: parse only records whose CIGAR aggregates
+            # fired the clip/indel prefilter.
+            jfire = np.nonzero((stats["max_clip"] > cfg.min_clip)
+                               | (stats["max_indel"] > cfg.min_ref_sep))[0]
+            offs_l = offs.tolist()
+            seeds_l = seeds_a.tolist()
+            for i in jfire.tolist():
+                rec = bam._parse_at(offs_l[i])
+                extract_junctions_sr(read_bp, seeds_l[i], rec,
+                                     cfg.min_ref_sep, cfg.min_clip)
+
+            # Paired-end candidates: every per-read gate of the scalar
+            # walk (shortpe.h:391-445) evaluated as one numpy pass; the
+            # order-sensitive mate-map pairing below then touches only
+            # the surviving abnormal pairs.
+            flag_a = ci["flag"][sel]
+            pos_a = ci["pos"][sel]
+            mapq_a = ci["mapq"][sel]
+            mtid_a = ci["mtid"][sel]
+            mpos_a = ci["mpos"][sel]
+            tlen_a = ci["tlen"][sel]
+            pe = (flag_a & FPAIRED) != 0
+            if lib.median == 0:
+                pe &= False
+            pe &= (flag_a & (FSECONDARY | FSUPPLEMENTARY | FMUNMAP)) == 0
+            pe &= mtid_a >= 0
+            pe &= valid_mask[np.clip(mtid_a, 0, cfg.nchr - 1)]
+            pe &= (mtid_a == ref_index) | (mapq_a >= cfg.min_tra_qual)
+            svt_a = isize_mapping_pos_batch(
+                flag_a, np.int64(ref_index), pos_a, mtid_a, mpos_a,
+                tlen_a, lib.maxISizeCutoff)
+            pe &= svt_a != -1
+            if cfg.svtset:
+                pe &= np.isin(svt_a, list(cfg.svtset))
+            pe &= ~((svt_a == 2)
+                    & (lib.maxISizeCutoff > np.abs(tlen_a)))
+            cand = np.nonzero(pe)[0]
+            pos_l = pos_a[cand].tolist()
+            mapq_l = mapq_a[cand].tolist()
+            mtid_l = mtid_a[cand].tolist()
+            mpos_l = mpos_a[cand].tolist()
+            flag_l = flag_a[cand].tolist()
+            svt_l = svt_a[cand].tolist()
+            rspan_l = stats["ref_span"][cand].tolist()
+            nhash_l = stats["name_hash"][cand].tolist()
+            cseeds_l = seeds_a[cand].tolist()
+            for i in range(len(pos_l)):
                 rpos = pos_l[i]
                 mtid = mtid_l[i]
-                # Paired-end clustering
-                if not rflag & FPAIRED:
-                    continue
-                if lib.median == 0:
-                    continue
-                if rflag & (FSECONDARY | FSUPPLEMENTARY):
-                    continue
-                if mtid < 0 or rflag & FMUNMAP:
-                    continue
-                if not valid_regions[mtid]:
-                    continue
-                if ref_index != mtid and mapq_l[i] < cfg.min_tra_qual:
-                    continue
                 mpos = mpos_l[i]
-                tlen = tlen_l[i]
-                svt = isize_mapping_pos(rflag, ref_index, rpos, mtid,
-                                        mpos, tlen, lib.maxISizeCutoff)
-                if svt == -1:
-                    continue
-                if cfg.svtset and svt not in cfg.svtset:
-                    continue
-                if svt == 2 and lib.maxISizeCutoff > abs(tlen):
-                    continue
+                svt = svt_l[i]
                 if rpos > last_aligned_pos:
                     last_aligned_reads.clear()
                     last_aligned_pos = rpos
@@ -127,7 +134,7 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
                 else:
                     first = ref_index < mtid
                 if first:
-                    last_aligned_reads.add(seed)
+                    last_aligned_reads.add(cseeds_l[i])
                     hv = hash_pair_h(nhash_l[i], ref_index, rpos, mtid, mpos)
                     entry = (mapq_l[i], rspan_l[i])
                     if is_translocation(svt):
@@ -148,7 +155,7 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
                         alen=rspan_l[i], malen=alen_mate,
                         median=lib.median, mad=lib.mad,
                         maxNormalISize=lib.maxNormalISize,
-                        flag=rflag, mapQuality=pair_quality))
+                        flag=flag_l[i], mapQuality=pair_quality))
                     lib.abnormal_pairs += 1
         for jv in read_bp.values():
             jv.sort(key=lambda j: j.sort_key())
@@ -316,10 +323,23 @@ def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
 
 
 def merge_sort(pe: list, sr: list) -> None:
-    """Augment PE SVs with SR info; append SR-only SVs (shortpe.h:536-621)."""
+    """Augment PE SVs with SR info; append SR-only SVs (shortpe.h:536-621).
+
+    Single sorted pass: the reference re-sorts `pe` after every SR-only
+    push_back, but appended records are PRECISE and the augment test
+    skips precise records, so they can never match a later SR record —
+    collecting them aside and merging with one final sort yields the
+    same result in O((P+S) log(P+S)) instead of O(S·P log P).
+    """
     pe.sort(key=lambda s: s.sort_key())
     sr.sort(key=lambda s: s.sort_key())
     import bisect
+    import copy
+    # window index frozen at entry: augmentation mutates svStart in
+    # place but (like the reference between its re-sorts) records keep
+    # their slot; augmented records turn precise and stop matching.
+    keys = [(s.chr, s.svStart) for s in pe]
+    appends = []
     for svt in range(10):
         for i in range(len(sr)):
             if sr[i].svt != svt:
@@ -329,9 +349,7 @@ def merge_sort(pe: list, sr: list) -> None:
             search_window = 500
             sv_exists = False
             key = (sr[i].chr, max(0, sr[i].svStart - search_window))
-            lo = bisect.bisect_left(
-                pe, key, key=lambda s: (s.chr, s.svStart))
-            it = lo
+            it = bisect.bisect_left(keys, key)
             while it < len(pe) and abs(pe[it].svStart - sr[i].svStart) < search_window:
                 other = pe[it]
                 it += 1
@@ -393,9 +411,9 @@ def merge_sort(pe: list, sr: list) -> None:
                             or (i < j and sr[i].srSupport == sr[j].srSupport)):
                         precise_duplicate = True
             if not precise_duplicate:
-                import copy
-                pe.append(copy.deepcopy(sr[i]))
-                pe.sort(key=lambda s: s.sort_key())
+                appends.append(copy.deepcopy(sr[i]))
+    pe.extend(appends)
+    pe.sort(key=lambda s: s.sort_key())
 
 
 def run_sr(cfg) -> int:

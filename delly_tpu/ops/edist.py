@@ -266,7 +266,15 @@ def batched_edit_distance(queries, qlens, targets, tlens, mode=MODE_NW):
     On TPU this dispatches to the Myers bit-parallel Pallas kernel
     (ops/myers_pallas.py); the dense row-scan kernel remains the
     reference path on CPU backends and for >16-letter alphabets.
+    When a device mesh is active (parallel.dispatch.set_mesh), the same
+    per-device kernel runs under shard_map across all devices — this is
+    the production multi-chip path, with bit-identical outputs.
     """
+    from delly_tpu.parallel import dispatch
+    mesh = dispatch.get_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        return dispatch.sharded_batched_edit_distance(
+            mesh, queries, qlens, targets, tlens, mode)
     if _pallas_available():
         from delly_tpu.ops.myers_pallas import batched_edit_distance_pallas
         return batched_edit_distance_pallas(

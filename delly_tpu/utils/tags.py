@@ -108,6 +108,37 @@ def isize_mapping_pos(flag: int, tid: int, pos: int, mtid: int, mpos: int,
     return 3
 
 
+def isize_mapping_pos_batch(flag, tid, pos, mtid, mpos, tlen, cutoff):
+    """Vectorized isize_mapping_pos (tags.h:229-258) over numpy arrays;
+    -1 marks pairs with no SV signal. `cutoff` is the per-library
+    maxISizeCutoff scalar."""
+    import numpy as np
+
+    f16 = (flag & 16) != 0
+    f32 = (flag & 32) != 0
+    # pair orientation (tags.h:218-227)
+    orient = np.where(
+        ~f16,
+        np.where(~f32, 0, np.where(pos < mpos, 2, 3)),
+        np.where(~f32, np.where(pos > mpos, 2, 3), 1))
+    tra = np.where(
+        orient == 0, SVT_TRANS + 0,
+        np.where(
+            orient == 1, SVT_TRANS + 1,
+            np.where(tid > mtid,
+                     np.where(~f16, SVT_TRANS + 2, SVT_TRANS + 3),
+                     np.where(~f16, SVT_TRANS + 3, SVT_TRANS + 2))))
+    intra = np.where(
+        orient == 0, 0,
+        np.where(
+            orient == 1, 1,
+            np.where(orient == 2,
+                     np.where(cutoff > np.abs(tlen), -1, 2),
+                     np.where(np.abs(pos - mpos) < 100, -1, 3))))
+    intra = np.where(pos == mpos, -1, intra)
+    return np.where(tid != mtid, tra, intra).astype(np.int64)
+
+
 def min_coord(pos: int, mpos: int, svt: int) -> int:
     return pos if is_translocation(svt) else min(pos, mpos)
 
