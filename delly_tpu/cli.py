@@ -23,6 +23,70 @@ def _pin_platform() -> None:
             pass
 
 
+def _startup_checks(genome: str | None = None, files=(), exclude: str = "",
+                    vcffile: str = "", alignment: bool = True) -> int:
+    """Checked startup diagnostics (reference delly.h:282-372): verify
+    every input exists and is readable BEFORE the pipelines start, and
+    emit one-line errors with exit code 1 instead of tracebacks."""
+    def _missing(p):
+        return not (os.path.isfile(p) and os.path.getsize(p) > 0)
+
+    if genome:
+        if _missing(genome):
+            print(f"Reference file is missing: {genome}", file=sys.stderr)
+            return 1
+    for f in files:
+        if _missing(f):
+            kind = "Alignment" if alignment else "Input"
+            print(f"{kind} file is missing: {f}", file=sys.stderr)
+            return 1
+        if alignment:
+            with open(f, "rb") as fh:
+                magic = fh.read(4)
+            if magic != b"CRAM" and magic[:2] != b"\x1f\x8b":
+                print(f"Fail to open file {f}", file=sys.stderr)
+                return 1
+    if exclude and _missing(exclude):
+        print(f"Exclude file is missing: {exclude}", file=sys.stderr)
+        return 1
+    if vcffile and _missing(vcffile):
+        print(f"Input VCF/BCF file is missing: {vcffile}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def _check_bam_headers(files, genome: str) -> int:
+    """Cross-file header sanity (delly.h:320-331): all alignment files
+    must agree on the chromosome count; chromosomes absent from the
+    reference produce a warning."""
+    from delly_tpu.io.bam import read_bam_header
+    from delly_tpu.io.fasta import FastaFile
+    nchr = None
+    try:
+        fa_names = set(FastaFile(genome).names)
+    except Exception:
+        fa_names = None
+    for f in files:
+        try:
+            hdr = read_bam_header(f, genome=genome)
+        except Exception as exc:
+            print(f"Fail to open header for {f} ({exc})", file=sys.stderr)
+            return 1
+        if nchr is None:
+            nchr = hdr.n_targets
+        elif nchr != hdr.n_targets:
+            print("BAM files have different number of chromosomes!",
+                  file=sys.stderr)
+            return 1
+        if fa_names is not None:
+            for name in hdr.names:
+                if name not in fa_names:
+                    print(f"Warning: BAM file chromosome {name} is NOT "
+                          f"present in your reference file {genome} and "
+                          f"will be skipped.", file=sys.stderr)
+    return 0
+
+
 def _add_sr(sub):
     p = sub.add_parser("sr", help="SV discovery in short-read data")
     p.add_argument("-t", "--svtype", default="ALL")
@@ -255,6 +319,11 @@ def main(argv=None) -> int:
     args, extra = parser.parse_known_args(argv)
 
     if args.command == "sr":
+        rc = (_startup_checks(args.genome, args.input_files, args.exclude,
+                              args.vcffile)
+              or _check_bam_headers(args.input_files, args.genome))
+        if rc:
+            return rc
         from delly_tpu.models.config import SrConfig
         from delly_tpu.models.sr import run_sr
         cfg = SrConfig(
@@ -273,6 +342,11 @@ def main(argv=None) -> int:
             max_threads=args.threads)
         return run_sr(cfg)
     if args.command == "lr":
+        rc = (_startup_checks(args.genome, args.input_files, args.exclude,
+                              args.vcffile)
+              or _check_bam_headers(args.input_files, args.genome))
+        if rc:
+            return rc
         from delly_tpu.models.config import LrConfig
         from delly_tpu.models.lr import run_lr
         cfg = LrConfig(
@@ -300,6 +374,11 @@ def main(argv=None) -> int:
             cfg.indel_extension = args.extension
         return run_lr(cfg)
     if args.command == "cnv":
+        rc = (_startup_checks(args.genome, [args.input_file],
+                              vcffile=args.vcffile)
+              or _check_bam_headers([args.input_file], args.genome))
+        if rc:
+            return rc
         from delly_tpu.models.coral import CnvConfig, run_cnv
         basecov_flag = "auto"
         if args.basecov:
@@ -331,6 +410,14 @@ def main(argv=None) -> int:
             basecov_flag=basecov_flag)
         return run_cnv(cfg)
     if args.command == "merge":
+        files = args.input_files
+        if len(files) == 1 and not files[0].endswith((".bcf", ".vcf",
+                                                      ".vcf.gz")):
+            pass  # file list: run_merge validates each listed path
+        else:
+            rc = _startup_checks(files=files, alignment=False)
+            if rc:
+                return rc
         from delly_tpu.models.merge import MergeConfig, run_merge
         cfg = MergeConfig(
             files=args.input_files, outfile=args.outfile,
@@ -350,6 +437,9 @@ def main(argv=None) -> int:
             cnv_gain_uniq=args.cnv_gain_uniq)
         return run_merge(cfg)
     if args.command == "filter":
+        rc = _startup_checks(files=[args.input_file], alignment=False)
+        if rc:
+            return rc
         from delly_tpu.models.filter import (
             FilterConfig, filter_run, parse_sample_file,
         )
@@ -384,6 +474,10 @@ def main(argv=None) -> int:
             tumor_set=tumor_set, control_set=control_set)
         return filter_run(cfg)
     if args.command == "asm":
+        rc = (_startup_checks(args.genome, args.input_files)
+              or _check_bam_headers(args.input_files, args.genome))
+        if rc:
+            return rc
         from delly_tpu.models.asmode import AsmConfig, run_asm
         if args.mode == "diploid" and len(args.input_files) % 2 != 0:
             print("Diploid mode expects an even number of BAM files "
@@ -414,6 +508,16 @@ def entry() -> None:
     except SystemExit as exc:
         code = exc.code
         rc = 0 if code is None else (code if isinstance(code, int) else 1)
+    except KeyboardInterrupt:
+        rc = 130
+    except Exception as exc:
+        # one-line diagnostic + exit 1 (reference startup-error style);
+        # set DELLY_TPU_DEBUG=1 for the traceback
+        if os.environ.get("DELLY_TPU_DEBUG"):
+            import traceback
+            traceback.print_exc()
+        print(f"Error: {type(exc).__name__}: {exc}", file=sys.stderr)
+        rc = 1
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(rc)

@@ -11,6 +11,7 @@ Records are parsed lazily into light-weight objects; the hot accessors
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 
@@ -197,16 +198,184 @@ def _parse_aux(buf: bytes) -> dict:
     return out
 
 
-class BamFile:
-    """Whole-file BAM reader.
+def parse_header_from(data: bytes):
+    """Parse the BAM header block from uncompressed bytes. Returns
+    (BamHeader, record_start_offset)."""
+    if data[:4] != b"BAM\x01":
+        raise ValueError("not a BAM stream")
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    text = data[8 : 8 + l_text].split(b"\x00")[0].decode()
+    pos = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, pos)
+    pos += 4
+    names, lengths = [], []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        names.append(data[pos : pos + l_name - 1].decode())
+        pos += l_name
+        (l_ref,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        lengths.append(l_ref)
+    return BamHeader(text=text, names=names, lengths=lengths), pos
 
-    Decompresses the full BGZF stream once and parses records on iteration.
-    For the example-scale data this is fast; the production path is the C++
-    decoder in delly_tpu/native (same role as HTSlib in the reference).
+
+def parse_record_at(data: bytes, pos: int) -> BamRecord:
+    """Parse one alignment record at byte offset `pos`."""
+    (block_size,) = struct.unpack_from("<i", data, pos)
+    pos += 4
+    end = pos + block_size
+    (refid, rpos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+     next_refid, next_pos, tlen) = struct.unpack_from(
+        "<iiBBHHHiiii", data, pos)
+    rec = BamRecord()
+    rec.tid = refid
+    rec.pos = rpos
+    rec.mapq = mapq
+    rec.flag = flag
+    rec.l_qseq = l_seq
+    rec.mtid = next_refid
+    rec.mpos = next_pos
+    rec.tlen = tlen
+    p = pos + 32
+    rec.qname = data[p : p + l_read_name - 1].decode()
+    p += l_read_name
+    cig = np.frombuffer(data, dtype=np.uint32, count=n_cigar, offset=p)
+    rec.cigar_ops = (cig & 0xF).astype(np.int32)
+    rec.cigar_lens = (cig >> 4).astype(np.int64)
+    p += 4 * n_cigar
+    nseqbytes = (l_seq + 1) // 2
+    rec._seqbytes = data[p : p + nseqbytes]
+    p += nseqbytes
+    rec._qualbytes = data[p : p + l_seq]
+    p += l_seq
+    rec._aux = data[p:end]
+    rec._auxcache = None
+    return rec
+
+
+def _scan_soa(data: bytes, start: int):
+    """SoA core-field scan of a record byte stream (native bam_scan with
+    a Python struct-walk fallback)."""
+    try:
+        from delly_tpu import native
+        soa = native.bam_scan(data, start)
+        if soa is not None:
+            return soa
+    except Exception:
+        pass
+    n = len(data)
+    pos = start
+    offsets = []
+    rows = []
+    while pos + 4 <= n:
+        (block_size,) = struct.unpack_from("<i", data, pos)
+        if block_size < 32 or pos + 4 + block_size > n:
+            break
+        offsets.append(pos)
+        rows.append(struct.unpack_from("<iiBBHHHiiii", data, pos + 4))
+        pos += 4 + block_size
+    arr = np.asarray(rows, dtype=np.int64).reshape(len(rows), 11)
+    return {
+        "offsets": np.asarray(offsets, dtype=np.int64),
+        "tid": arr[:, 0].astype(np.int32),
+        "pos": arr[:, 1].astype(np.int32),
+        "mapq": arr[:, 3].astype(np.int32),
+        "flag": arr[:, 6].astype(np.int32),
+        "lqseq": arr[:, 7].astype(np.int32),
+        "mtid": arr[:, 8].astype(np.int32),
+        "mpos": arr[:, 9].astype(np.int32),
+        "tlen": arr[:, 10].astype(np.int32),
+    }
+
+
+def _read_header_blocks(reader, path: str):
+    """Header + record-start offset from leading BGZF blocks only."""
+    want = 1 << 16
+    while True:
+        head = reader.read_prefix_blocks(want)
+        try:
+            return parse_header_from(head)
+        except (struct.error, IndexError, UnicodeDecodeError):
+            if len(head) < want:
+                raise ValueError(f"{path}: truncated BAM header")
+            want *= 4
+
+
+def read_bam_header(path: str, genome: str | None = None) -> "BamHeader":
+    """Read only the header of a BAM/CRAM (role of sam_hdr_read for the
+    startup checks — no record decompression for BAM)."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic == b"CRAM":
+        return BamFile(path, genome=genome).header
+    from delly_tpu.io.bgzf import BgzfReader
+    reader = BgzfReader(path)
+    try:
+        header, _ = _read_header_blocks(reader, path)
+        return header
+    finally:
+        reader.close()
+
+
+class BamView:
+    """Position-sorted records of one region/chromosome: a record byte
+    buffer plus SoA core-field arrays (offsets are into `data`). In
+    streaming mode the buffer holds only the indexed chunks covering
+    the region — memory is O(region), not O(file)."""
+
+    __slots__ = ("data", "soa")
+
+    def __init__(self, data: bytes, soa: dict):
+        self.data = data
+        self.soa = soa
+
+    def __getitem__(self, key):
+        return self.soa[key]
+
+    @property
+    def offsets(self):
+        return self.soa["offsets"]
+
+    def __len__(self):
+        return len(self.soa["offsets"])
+
+    def parse_at(self, off: int) -> BamRecord:
+        return parse_record_at(self.data, int(off))
+
+    def records(self):
+        for off in self.soa["offsets"]:
+            yield parse_record_at(self.data, int(off))
+
+
+# Uncompressed-size threshold above which an indexed BAM is read by
+# region instead of whole-file (compressed size * typical ~3x ratio).
+STREAM_THRESHOLD = int(os.environ.get("DELLY_TPU_STREAM_THRESHOLD",
+                                      64 * 1024 * 1024))
+
+
+class BamFile:
+    """BAM/CRAM reader.
+
+    Two modes (selected at open):
+
+    - whole-file: decompress the full BGZF stream once; views share the
+      buffer. Fastest for small inputs and the only option without an
+      index (or for CRAM, which is transcoded in memory).
+    - streaming: header-only open; per-chromosome/region views
+      decompress just the BGZF chunks the .bai/.csi maps to the region
+      (role of sam_itr_queryi, reference shortpe.h:354, coral.h:199).
+      Memory scales with the region, not the file.
     """
 
-    def __init__(self, path: str, genome: str | None = None):
+    def __init__(self, path: str, genome: str | None = None,
+                 streaming: bool | None = None):
         self.path = path
+        self._index = None        # whole-file SoA
+        self._data = None
+        self._bai = None
+        self._reader = None
+        self._chrom_cache = (None, None)  # (tid, BamView)
         with open(path, "rb") as fh:
             magic = fh.read(4)
         if magic == b"CRAM":
@@ -216,31 +385,38 @@ class BamFile:
             from delly_tpu.io.cram import cram_to_bam_bytes
             with open(path, "rb") as fh:
                 data = cram_to_bam_bytes(fh.read(), genome)
-        else:
-            data = bgzf_decompress_file(path)
+            self._init_whole(data, path)
+            return
+        if streaming is None or streaming:
+            from delly_tpu.io.bai import load_bam_index
+            self._bai = load_bam_index(path)
+        csize = os.path.getsize(path)
+        if streaming is None:
+            streaming = (self._bai is not None
+                         and csize * 3 > STREAM_THRESHOLD)
+        elif streaming and self._bai is None:
+            raise ValueError(
+                f"{path}: streaming requested but no .bai/.csi index")
+        self.streaming = streaming
+        if not streaming:
+            self._bai = None
+            self._init_whole(bgzf_decompress_file(path), path)
+            return
+        from delly_tpu.io.bgzf import BgzfReader
+        self._reader = BgzfReader(path)
+        self.header, self._rec_start = _read_header_blocks(self._reader,
+                                                          path)
+
+    def _init_whole(self, data: bytes, path: str) -> None:
         if data[:4] != b"BAM\x01":
             raise ValueError(f"{path}: not a BAM/CRAM file")
-        (l_text,) = struct.unpack_from("<i", data, 4)
-        text = data[8 : 8 + l_text].split(b"\x00")[0].decode()
-        pos = 8 + l_text
-        (n_ref,) = struct.unpack_from("<i", data, pos)
-        pos += 4
-        names, lengths = [], []
-        for _ in range(n_ref):
-            (l_name,) = struct.unpack_from("<i", data, pos)
-            pos += 4
-            names.append(data[pos : pos + l_name - 1].decode())
-            pos += l_name
-            (l_ref,) = struct.unpack_from("<i", data, pos)
-            pos += 4
-            lengths.append(l_ref)
-        self.header = BamHeader(text=text, names=names, lengths=lengths)
+        self.header, pos = parse_header_from(data)
         self._data = data
         self._rec_start = pos
+        self.streaming = False
         # Native SoA record index (the HTSlib-equivalent scan): offsets +
         # core fields for every record, so per-chromosome iteration can
         # skip non-matching records without Python-parsing them.
-        self._index = None
         try:
             from delly_tpu import native
             self._index = native.bam_scan(data, pos)
@@ -251,37 +427,114 @@ class BamFile:
         return self.records()
 
     def _parse_at(self, pos: int):
-        data = self._data
-        (block_size,) = struct.unpack_from("<i", data, pos)
-        pos += 4
-        end = pos + block_size
-        (refid, rpos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
-         next_refid, next_pos, tlen) = struct.unpack_from(
-            "<iiBBHHHiiii", data, pos)
-        rec = BamRecord()
-        rec.tid = refid
-        rec.pos = rpos
-        rec.mapq = mapq
-        rec.flag = flag
-        rec.l_qseq = l_seq
-        rec.mtid = next_refid
-        rec.mpos = next_pos
-        rec.tlen = tlen
-        p = pos + 32
-        rec.qname = data[p : p + l_read_name - 1].decode()
-        p += l_read_name
-        cig = np.frombuffer(data, dtype=np.uint32, count=n_cigar, offset=p)
-        rec.cigar_ops = (cig & 0xF).astype(np.int32)
-        rec.cigar_lens = (cig >> 4).astype(np.int64)
-        p += 4 * n_cigar
-        nseqbytes = (l_seq + 1) // 2
-        rec._seqbytes = data[p : p + nseqbytes]
-        p += nseqbytes
-        rec._qualbytes = data[p : p + l_seq]
-        p += l_seq
-        rec._aux = data[p:end]
-        rec._auxcache = None
-        return rec
+        return parse_record_at(self._data, pos)
+
+    # Whole-file BamFile quacks like a BamView over the full buffer so
+    # bulk helpers (_cigar_stats, base_coverage_bulk, ...) accept both.
+    @property
+    def data(self) -> bytes:
+        if self._data is None:
+            raise RuntimeError("no whole-file buffer in streaming mode; "
+                               "use chrom()/region() views")
+        return self._data
+
+    def parse_at(self, pos: int):
+        return parse_record_at(self.data, pos)
+
+    # --- region views -----------------------------------------------------
+
+    def chrom(self, tid: int) -> BamView:
+        """View of all records on reference `tid` (the per-chromosome
+        iteration every driver uses; reference sam_itr_queryi(tid, 0,
+        len))."""
+        ctid, view = self._chrom_cache
+        if ctid == tid:
+            return view
+        view = self.region(tid, 0, self.header.lengths[tid]
+                           if 0 <= tid < self.header.n_targets else 1 << 29)
+        self._chrom_cache = (tid, view)
+        return view
+
+    def region(self, tid: int, beg: int, end: int) -> BamView:
+        """View of records overlapping [beg, end) on `tid` — records
+        are filtered by start position <= end and tid; the caller sees
+        position-sorted records exactly as the reference's iterator
+        emits them."""
+        if not self.streaming:
+            ci = self.core_index()
+            mask = ci["tid"] == tid
+            if beg > 0 or end < (1 << 29):
+                # include any record starting before `end`; upstream
+                # span filters handle the rest (mirrors hts iterator
+                # overlap semantics closely enough for start-sorted
+                # consumers)
+                mask &= ci["pos"] < end
+            soa = {k: v[mask] for k, v in ci.items()}
+            return BamView(self._data, soa)
+        chunks = self._bai.chunks(tid, beg, end)
+        if not chunks:
+            return BamView(b"", {
+                "offsets": np.zeros(0, dtype=np.int64),
+                **{k: np.zeros(0, dtype=np.int32)
+                   for k in ("tid", "pos", "flag", "mapq", "mtid",
+                             "mpos", "tlen", "lqseq")}})
+        parts = [self._reader.read_voffset_range(cb, ce)
+                 for cb, ce in chunks]
+        buf = b"".join(parts)
+        soa = _scan_soa(buf, 0)
+        mask = (soa["tid"] == tid) & (soa["pos"] < end)
+        soa = {k: v[mask] for k, v in soa.items()}
+        return BamView(buf, soa)
+
+    def prefix_view(self, max_records: int) -> BamView:
+        """View over the first ~`max_records` records (library-parameter
+        sampling, reference util.h:771-891 reads the file head)."""
+        if not self.streaming:
+            ci = self.core_index()
+            soa = {k: v[:max_records] for k, v in ci.items()}
+            return BamView(self._data, soa)
+        # ~min record size 40B is a safe lower bound; grow until enough
+        want = max(1 << 20, 64 * max_records)
+        while True:
+            buf = self._reader.read_prefix_blocks(want)
+            soa = _scan_soa(buf, self._rec_start)
+            if len(soa["offsets"]) >= max_records or len(buf) < want:
+                break
+            want *= 4
+        soa = {k: v[:max_records] for k, v in soa.items()}
+        return BamView(buf, soa)
+
+    def iter_soa_chunks(self, chunk_bytes: int = 1 << 23):
+        """Stream BamViews over the whole file in record order with
+        bounded memory (streaming mode decompresses ~chunk_bytes at a
+        time; whole-file mode yields a single view). The sequential
+        analogue of the reference's sam_read1 loop for sampling passes."""
+        if not self.streaming:
+            yield BamView(self._data, self.core_index())
+            return
+        coff = 0
+        leftover = b""
+        first = True
+        while True:
+            data, ncoff = self._reader.read_blocks(coff, chunk_bytes)
+            if not data:
+                break
+            buf = leftover + data
+            start = self._rec_start if first else 0
+            first = False
+            soa = _scan_soa(buf, start)
+            offs = soa["offsets"]
+            if len(offs):
+                last = int(offs[-1])
+                (bs,) = struct.unpack_from("<i", buf, last)
+                endoff = last + 4 + bs
+            else:
+                endoff = start
+            yield BamView(buf, soa)
+            leftover = buf[endoff:]
+            if ncoff == coff:
+                break
+            coff = ncoff
 
     def records(self, tid: int | None = None):
         """Iterate alignment records, optionally filtered to one reference.
@@ -289,6 +542,13 @@ class BamFile:
         Records in a coordinate-sorted BAM come out position-sorted, matching
         the reference's indexed per-chromosome iteration order.
         """
+        if self.streaming:
+            if tid is not None:
+                yield from self.chrom(tid).records()
+            else:
+                for t in range(self.header.n_targets):
+                    yield from self.chrom(t).records()
+            return
         if self._index is not None:
             offsets = self._index["offsets"]
             if tid is not None:
@@ -308,40 +568,23 @@ class BamFile:
 
     def core_index(self):
         """SoA core-field arrays for vectorized pre-filtering
-        (offsets/tid/pos/flag/mapq/mtid/mpos/tlen/lqseq). Built natively
-        at open time; falls back to a struct walk here."""
+        (offsets/tid/pos/flag/mapq/mtid/mpos/tlen/lqseq). Whole-file
+        mode only; streaming callers use chrom()/region()/prefix_view()."""
+        if self.streaming:
+            raise RuntimeError(
+                "core_index() is whole-file; use chrom()/region() in "
+                "streaming mode")
         if self._index is None:
-            self._index = self._build_index_python()
+            self._index = _scan_soa(self._data, self._rec_start)
         return self._index
 
     def _build_index_python(self):
-        data = self._data
-        n = len(data)
-        pos = self._rec_start
-        offsets = []
-        rows = []
-        while pos + 4 <= n:
-            (block_size,) = struct.unpack_from("<i", data, pos)
-            if block_size < 32 or pos + 4 + block_size > n:
-                break
-            offsets.append(pos)
-            rows.append(struct.unpack_from("<iiBBHHHiiii", data, pos + 4))
-            pos += 4 + block_size
-        arr = np.asarray(rows, dtype=np.int64).reshape(len(rows), 11)
-        return {
-            "offsets": np.asarray(offsets, dtype=np.int64),
-            "tid": arr[:, 0].astype(np.int32),
-            "pos": arr[:, 1].astype(np.int32),
-            "mapq": arr[:, 3].astype(np.int32),
-            "flag": arr[:, 6].astype(np.int32),
-            "lqseq": arr[:, 7].astype(np.int32),
-            "mtid": arr[:, 8].astype(np.int32),
-            "mpos": arr[:, 9].astype(np.int32),
-            "tlen": arr[:, 10].astype(np.int32),
-        }
+        return _scan_soa(self._data, self._rec_start)
 
     def mapped_count(self, tid: int) -> int:
         """Whether a chromosome has mapped reads (role of hts_idx_get_stat)."""
+        if self.streaming:
+            return int(self._bai.has_reads(tid))
         if self._index is not None:
             m = (self._index["tid"] == tid) \
                 & ((self._index["flag"] & FUNMAP) == 0)

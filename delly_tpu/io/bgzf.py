@@ -61,6 +61,112 @@ def bgzf_decompress_file(path: str) -> bytes:
         return bgzf_decompress(fh.read())
 
 
+def _block_size_at(fh, coffset: int) -> int:
+    """Total compressed size of the BGZF block at `coffset` (0 at EOF)."""
+    fh.seek(coffset)
+    head = fh.read(18)
+    if len(head) < 18 or head[:2] != b"\x1f\x8b":
+        return 0
+    (xlen,) = struct.unpack_from("<H", head, 10)
+    extra = head[12:18]
+    if xlen > 6:
+        extra = head[12:] + fh.read(xlen - 6)
+    off = 0
+    while off + 4 <= xlen:
+        si1, si2 = extra[off], extra[off + 1]
+        (slen,) = struct.unpack_from("<H", extra, off + 2)
+        if si1 == 66 and si2 == 67 and slen == 2:
+            return struct.unpack_from("<H", extra, off + 4)[0] + 1
+        off += 4 + slen
+    return 0
+
+
+class BgzfReader:
+    """Random-access BGZF reader: decompresses only the blocks covering
+    a requested virtual-offset range. This is the seek machinery behind
+    indexed region queries (role of HTSlib's bgzf_seek + bam_read1 under
+    sam_itr_next)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = open(path, "rb")
+
+    def close(self):
+        self._fh.close()
+
+    def read_voffset_range(self, vbeg: int, vend: int) -> bytes:
+        """Uncompressed bytes for the virtual-offset range [vbeg, vend).
+
+        vbeg/vend are BGZF virtual offsets ((coffset << 16) | uoffset).
+        A vend with uoffset 0 ends at the start of its block."""
+        cbeg, ubeg = vbeg >> 16, vbeg & 0xFFFF
+        cend, uend = vend >> 16, vend & 0xFFFF
+        fh = self._fh
+        if cend > cbeg and uend == 0:
+            # range ends exactly at a block boundary
+            fh.seek(cbeg)
+            comp = fh.read(cend - cbeg)
+            data = bgzf_decompress(comp)
+            return data[ubeg:] if ubeg else data
+        last_size = _block_size_at(fh, cend)
+        fh.seek(cbeg)
+        comp = fh.read(cend + last_size - cbeg)
+        data = bgzf_decompress(comp)
+        if not data:
+            return b""
+        # size of the final block's payload = ISIZE trailer
+        if last_size >= 8 and cend + last_size - cbeg <= len(comp):
+            (isize,) = struct.unpack_from("<I", comp,
+                                          cend - cbeg + last_size - 4)
+        else:
+            isize = 0
+        tail_drop = isize - min(uend, isize)
+        end = len(data) - tail_drop
+        return data[ubeg:end]
+
+    def read_blocks(self, coff: int, max_bytes: int):
+        """Decompress consecutive blocks starting at compressed offset
+        `coff` until at least `max_bytes` uncompressed (or EOF).
+        Returns (data, next_coff)."""
+        fh = self._fh
+        start = coff
+        got = 0
+        while got < max_bytes:
+            size = _block_size_at(fh, coff)
+            if size <= 0:
+                break
+            fh.seek(coff + size - 4)
+            isz = fh.read(4)
+            if len(isz) < 4:
+                break
+            got += struct.unpack("<I", isz)[0]
+            coff += size
+        if coff == start:
+            return b"", start
+        fh.seek(start)
+        return bgzf_decompress(fh.read(coff - start)), coff
+
+    def read_prefix_blocks(self, max_bytes: int) -> bytes:
+        """Decompress blocks from the file start until at least
+        `max_bytes` of uncompressed data (or EOF). Walks block headers
+        to find the boundary, then inflates the span in one call."""
+        fh = self._fh
+        coff = 0
+        got = 0
+        while got < max_bytes:
+            size = _block_size_at(fh, coff)
+            if size <= 0:
+                break
+            fh.seek(coff + size - 4)
+            isz = fh.read(4)
+            if len(isz) < 4:
+                break
+            got += struct.unpack("<I", isz)[0]
+            coff += size
+        fh.seek(0)
+        return bgzf_decompress(fh.read(coff))
+
+
 def _bgzf_block(payload: bytes, level: int = 6) -> bytes:
     comp = zlib.compressobj(level, zlib.DEFLATED, -15)
     cdata = comp.compress(payload) + comp.flush()

@@ -101,24 +101,39 @@ class CnvConfig:
 
 def _mapped_stats(bam) -> tuple:
     """Total mapped reads and covered genome length (role of
-    hts_idx_get_stat in coral.h:679-690). Uses the native SoA index
-    when available."""
-    idx = bam.core_index()
-    if idx is not None:
-        mapped = (idx["flag"] & FUNMAP) == 0
-        tids = idx["tid"]
-        mask = mapped & (tids >= 0)
-        total = int(np.count_nonzero(mask))
-        seen = np.unique(tids[mask])
+    hts_idx_get_stat in coral.h:679-690). Streaming mode reads the
+    index's metadata pseudo-bins (hts_idx_get_stat's source) or falls
+    back to a bounded-memory chunked SoA scan."""
+    if getattr(bam, "streaming", False):
+        total = 0
+        genome_len = 0
+        counted = True
+        for tid in range(bam.header.n_targets):
+            n = bam._bai.mapped_stat(tid)
+            if n is None:
+                counted = False
+                break
+            if n > 0:
+                total += n
+                genome_len += bam.header.lengths[tid]
+        if counted:
+            return total, genome_len
+        total = 0
+        seen = set()
+        for view in bam.iter_soa_chunks():
+            tids = view["tid"]
+            mask = ((view["flag"] & FUNMAP) == 0) & (tids >= 0)
+            total += int(np.count_nonzero(mask))
+            seen.update(np.unique(tids[mask]).tolist())
         genome_len = int(sum(bam.header.lengths[int(t)] for t in seen))
         return total, genome_len
-    per_tid = {}
-    for rec in bam.records():
-        if rec.flag & FUNMAP or rec.tid < 0:
-            continue
-        per_tid[rec.tid] = per_tid.get(rec.tid, 0) + 1
-    total = sum(per_tid.values())
-    genome_len = sum(bam.header.lengths[tid] for tid in per_tid)
+    idx = bam.core_index()
+    mapped = (idx["flag"] & FUNMAP) == 0
+    tids = idx["tid"]
+    mask = mapped & (tids >= 0)
+    total = int(np.count_nonzero(mask))
+    seen = np.unique(tids[mask])
+    genome_len = int(sum(bam.header.lengths[int(t)] for t in seen))
     return total, genome_len
 
 
@@ -182,31 +197,30 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
         last_aligned_pos = 0
         last_aligned_reads = set()
         # SoA-driven counting pass (coral.h:182-294)
-        ci = bam.core_index()
-        sel = np.nonzero(ci["tid"] == ref_index)[0]
-        flag_a = ci["flag"][sel]
+        view = bam.chrom(ref_index)
+        flag_a = view["flag"]
         keep = (((flag_a & (FQCFAIL | FDUP | FUNMAP | FSECONDARY
                             | FSUPPLEMENTARY)) == 0)
-                & (ci["mapq"][sel] >= cfg.min_qual)
+                & (view["mapq"] >= cfg.min_qual)
                 & ~(((flag_a & FPAIRED) != 0)
                     & (((flag_a & FMUNMAP) != 0)
-                       | (ci["mtid"][sel] != ref_index))))
-        sel = sel[keep]
-        offs = ci["offsets"][sel]
+                       | (view["mtid"] != ref_index))))
+        sel = np.nonzero(keep)[0]
+        offs = view["offsets"][sel]
         from delly_tpu.models.genotype_sr import _cigar_stats
-        stats = _cigar_stats(bam, offs)
-        flag_a = ci["flag"][sel]
-        mapq_a = ci["mapq"][sel]
+        stats = _cigar_stats(view, offs)
+        flag_a = view["flag"][sel]
+        mapq_a = view["mapq"][sel]
         # split-read breakpoint collection (prefiltered CIGAR walk)
         clipfire = ((mapq_a >= cfg.mapq_uniq)
                     & ((stats["max_clip"] > cfg.min_clip)
                        | (stats["max_indel"] > cfg.min_ref_sep)))
         offs_l = offs.tolist()
         for i in np.nonzero(clipfire)[0].tolist():
-            add_split_read_breakpoints(bam._parse_at(offs_l[i]),
+            add_split_read_breakpoints(view.parse_at(offs_l[i]),
                                        cfg.min_clip, cfg.min_ref_sep,
                                        reflen, clips)
-        bc = base_coverage_bulk(bam, offs, cfg.mapq_uniq, reflen)
+        bc = base_coverage_bulk(view, offs, cfg.mapq_uniq, reflen)
         if cfg.basecov:
             np.minimum(bc[0], 65534, out=bc[0])
             cov = bc[0].astype(np.uint16)
@@ -219,8 +233,8 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
         if not cfg.basecov:
             seeds_l = hash_sr_batch(stats["name_hash"], stats["fnv_hash"],
                                     flag_a).tolist()
-            pos_l = ci["pos"][sel].tolist()
-            mpos_l = ci["mpos"][sel].tolist()
+            pos_l = view["pos"][sel].tolist()
+            mpos_l = view["mpos"][sel].tolist()
             paired_l = ((flag_a & FPAIRED) != 0).tolist()
             nhash_l = stats["name_hash"].tolist()
             rspan_l = stats["ref_span"].tolist()

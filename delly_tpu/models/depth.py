@@ -38,13 +38,15 @@ def gc_content_track(seq: str, meanisize: int) -> np.ndarray:
     return gc
 
 
-def base_coverage_bulk(bam, offsets, mapq_uniq: int, reflen: int):
+def base_coverage_bulk(view, offsets, mapq_uniq: int, reflen: int):
     """Bulk dual M/=/X base-coverage totals (util.h:454-474) for the
-    records at `offsets` — native diff-array pass with a Python
-    per-record fallback. Returns (total, uniq) int64 arrays, un-clamped."""
+    records at `offsets` of a BamView — native diff-array pass with a
+    Python per-record fallback. Returns (total, uniq) int64 arrays,
+    un-clamped."""
     try:
         from delly_tpu import native
-        bc = native.bam_base_coverage(bam._data, offsets, mapq_uniq, reflen)
+        bc = native.bam_base_coverage(view.data, offsets, mapq_uniq,
+                                      reflen)
         if bc is not None:
             return bc
     except Exception:
@@ -52,7 +54,7 @@ def base_coverage_bulk(bam, offsets, mapq_uniq: int, reflen: int):
     diff_all = np.zeros(reflen + 1, dtype=np.int64)
     diff_uniq = np.zeros(reflen + 1, dtype=np.int64)
     for off in offsets:
-        rec = bam._parse_at(int(off))
+        rec = view.parse_at(int(off))
         uniq = rec.mapq >= mapq_uniq
         rp = rec.pos
         for op, ol in zip(rec.cigar_ops, rec.cigar_lens):

@@ -145,18 +145,17 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
         last_aligned_pos = 0
         last_aligned_reads = set()
         # SoA-driven pass (gcbias.h:238-332)
-        ci = bam.core_index()
-        sel = np.nonzero(ci["tid"] == ref_index)[0]
-        flag_a = ci["flag"][sel]
+        view = bam.chrom(ref_index)
+        flag_a = view["flag"]
         keep = (((flag_a & (FSECONDARY | FQCFAIL | FDUP
                             | FSUPPLEMENTARY | FUNMAP)) == 0)
                 & ~(((flag_a & FPAIRED) != 0)
                     & (((flag_a & FMUNMAP) != 0)
-                       | (ci["mtid"][sel] != ref_index)))
-                & (ci["mapq"][sel] >= cfg.min_qual))
-        sel = sel[keep]
-        offs = ci["offsets"][sel]
-        bc = base_coverage_bulk(bam, offs, cfg.mapq_uniq, reflen)
+                       | (view["mtid"] != ref_index)))
+                & (view["mapq"] >= cfg.min_qual))
+        sel = np.nonzero(keep)[0]
+        offs = view["offsets"][sel]
+        bc = base_coverage_bulk(view, offs, cfg.mapq_uniq, reflen)
         if cfg.basecov:
             np.minimum(bc[0], 65534, out=bc[0])
             cov = bc[0].astype(np.uint16)
@@ -168,10 +167,10 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
         cov_map = cov if cfg.basecov else cov_tot
         if not cfg.basecov:
             from delly_tpu.models.genotype_sr import _cigar_stats
-            stats = _cigar_stats(bam, offs)
-            flag_a = ci["flag"][sel]
-            pos_l = ci["pos"][sel].tolist()
-            mpos_l = ci["mpos"][sel].tolist()
+            stats = _cigar_stats(view, offs)
+            flag_a = view["flag"][sel]
+            pos_l = view["pos"][sel].tolist()
+            mpos_l = view["mpos"][sel].tolist()
             paired_l = ((flag_a & FPAIRED) != 0).tolist()
             rev_l = ((flag_a & FREVERSE) != 0).tolist()
             nhash_l = stats["name_hash"].tolist()

@@ -200,23 +200,22 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
             # native diff-array walk; records parsed only when the
             # clipped read window overlaps an SV breakpoint.
             bam = bams[file_c]
-            ci = bam.core_index()
-            sel = np.nonzero(ci["tid"] == ref_index)[0]
-            flag_a = ci["flag"][sel]
+            view = bam.chrom(ref_index)
+            flag_a = view["flag"]
             keep = (((flag_a & (FSECONDARY | FQCFAIL | FDUP | FUNMAP))
                      == 0)
-                    & (ci["mapq"][sel] >= cfg.min_map_qual))
-            sel = sel[keep]
-            offs = ci["offsets"][sel]
+                    & (view["mapq"] >= cfg.min_map_qual))
+            sel = np.nonzero(keep)[0]
+            offs = view["offsets"][sel]
             from delly_tpu.models.depth import base_coverage_bulk
             cov_bases = base_coverage_bulk(
-                bam, offs, 255, chrom_len)[0].astype(np.int32)
+                view, offs, 255, chrom_len)[0].astype(np.int32)
             from delly_tpu.models.genotype_sr import _cigar_stats
-            stats = _cigar_stats(bam, offs)
-            flag_a = ci["flag"][sel]
-            pos_a = ci["pos"][sel]
+            stats = _cigar_stats(view, offs)
+            flag_a = view["flag"][sel]
+            pos_a = view["pos"][sel]
             prim = (((flag_a & FSUPPLEMENTARY) == 0)
-                    & (ci["lqseq"][sel] >= 2 * cfg.min_flank_size))
+                    & (view["lqseq"][sel] >= 2 * cfg.min_flank_size))
             rs = np.maximum(pos_a - stats["lead_clip"], 0) \
                 + cfg.min_flank_size
             re_ = pos_a + stats["ref_span"] + stats["trail_clip"]
@@ -228,7 +227,7 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
             cand &= lo_a < hi_a
             offs_l = offs.tolist()
             for i in np.nonzero(cand)[0].tolist():
-                rec = bam._parse_at(offs_l[i])
+                rec = view.parse_at(offs_l[i])
                 r_start = int(rs[i])
                 r_end = int(re_c[i])
                 lo = int(lo_a[i])

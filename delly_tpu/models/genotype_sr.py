@@ -245,12 +245,13 @@ def _process_jobs_device(jobs, count_map, ref_aligned_count, cfg,
                     dump_entries.append((sv_id, dumpinfo))
 
 
-def _cigar_stats(bam, offsets):
+def _cigar_stats(view, offsets):
     """Bulk per-record name hashes + CIGAR aggregates (native
-    bam_cigar_stats; Python record parse as fallback)."""
+    bam_cigar_stats; Python record parse as fallback) for a BamView's
+    record buffer."""
     try:
         from delly_tpu import native
-        st = native.bam_cigar_stats(bam._data, offsets)
+        st = native.bam_cigar_stats(view.data, offsets)
         if st is not None:
             return st
     except Exception:
@@ -266,7 +267,7 @@ def _cigar_stats(bam, offsets):
            "lead_clip": np.empty(n, dtype=np.int32),
            "trail_clip": np.empty(n, dtype=np.int32)}
     for i, off in enumerate(offsets):
-        rec = bam._parse_at(int(off))
+        rec = view.parse_at(int(off))
         out["name_hash"][i] = hash_string(rec.qname)
         out["fnv_hash"][i] = _fnv1a64(rec.qname.encode())
         out["ref_span"][i] = rec.alignment_length()
@@ -301,19 +302,19 @@ def _cigar_stats(bam, offsets):
     return out
 
 
-def _match_coverage(bam, offsets, target_len):
+def _match_coverage(view, offsets, target_len):
     """CMATCH base-coverage totals (coverage.h:461-476) for the records
     at `offsets` (native diff-array pass; Python walk as fallback)."""
     try:
         from delly_tpu import native
-        cov = native.bam_match_coverage(bam._data, offsets, target_len)
+        cov = native.bam_match_coverage(view.data, offsets, target_len)
         if cov is not None:
             return cov
     except Exception:
         pass
     diff = np.zeros(target_len + 1, dtype=np.int64)
     for off in offsets:
-        rec = bam._parse_at(int(off))
+        rec = view.parse_at(int(off))
         rp = 0
         for op, ol in zip(rec.cigar_ops, rec.cigar_lens):
             ol = int(ol)
@@ -403,18 +404,18 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
 
             # SoA-driven record walk (coverage.h:456-681): core fields,
             # CIGAR aggregates and name hashes come from bulk native
-            # passes; full records are parsed only for the few reads that
-            # spawn junction-alignment jobs.
-            ci = bam.core_index()
-            sel = np.nonzero(ci["tid"] == ref_index)[0]
+            # passes over the per-chromosome view (indexed streaming on
+            # large inputs); full records are parsed only for the few
+            # reads that spawn junction-alignment jobs.
+            view = bam.chrom(ref_index)
             excl = (FSECONDARY | FQCFAIL | FDUP | FSUPPLEMENTARY
                     | FUNMAP | FMUNMAP)
-            keep = (((ci["flag"][sel] & excl) == 0)
-                    & (ci["mapq"][sel] >= cfg.min_geno_qual))
-            sel = sel[keep]
-            offs = ci["offsets"][sel]
-            stats = _cigar_stats(bam, offs)
-            totals = _match_coverage(bam, offs, target_len)
+            keep = (((view["flag"] & excl) == 0)
+                    & (view["mapq"] >= cfg.min_geno_qual))
+            sel = np.nonzero(keep)[0]
+            offs = view["offsets"][sel]
+            stats = _cigar_stats(view, offs)
+            totals = _match_coverage(view, offs, target_len)
             np.minimum(totals, max_cov - 1, out=totals)
             cov_bases = totals.astype(np.uint16)
 
@@ -423,13 +424,13 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
             span_cum = np.concatenate(([0], np.cumsum(span_bp,
                                                       dtype=np.int64)))
 
-            pos_l = ci["pos"][sel].tolist()
-            flag_l = ci["flag"][sel].tolist()
-            mapq_l = ci["mapq"][sel].tolist()
-            mtid_l = ci["mtid"][sel].tolist()
-            mpos_l = ci["mpos"][sel].tolist()
-            tlen_l = ci["tlen"][sel].tolist()
-            lqseq_l = ci["lqseq"][sel].tolist()
+            pos_l = view["pos"][sel].tolist()
+            flag_l = view["flag"][sel].tolist()
+            mapq_l = view["mapq"][sel].tolist()
+            mtid_l = view["mtid"][sel].tolist()
+            mpos_l = view["mpos"][sel].tolist()
+            tlen_l = view["tlen"][sel].tolist()
+            lqseq_l = view["lqseq"][sel].tolist()
             offs_l = offs.tolist()
             nhash_l = stats["name_hash"].tolist()
             rspan_l = stats["ref_span"].tolist()
@@ -470,7 +471,7 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                                 + itbp.homRight))
                             if spans:
                                 if rec is None:
-                                    rec = bam._parse_at(offs_l[i])
+                                    rec = view.parse_at(offs_l[i])
                                 sequence = adjust_orientation(
                                     rec.seq, bool(itbp.bpPoint), itbp.svt)
                                 jobs.append((
@@ -574,7 +575,7 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                                 if (abs(mpos - sp.otherBppos)
                                         < lib.maxNormalISize):
                                     if dump_out is not None:
-                                        rec = bam._parse_at(offs_l[i])
+                                        rec = view.parse_at(offs_l[i])
                                         _dump_row(file_c, sp.id, rec.qname,
                                                   ref_index, rpos, mtid,
                                                   mpos, mapq_l[i], "PE")

@@ -53,18 +53,17 @@ def find_junctions(cfg, bams, valid_regions, valid_sr=None) -> dict:
             # SoA prefilter (junction.h:319-460): junctions can only
             # start at a clip > min_clip or an indel op > min_ref_sep,
             # so records without one are skipped without parsing.
-            ci = bam.core_index()
-            sel = np.nonzero(ci["tid"] == ref_index)[0]
-            keep = (((ci["flag"][sel] & (FQCFAIL | FDUP | FUNMAP)) == 0)
-                    & (ci["mapq"][sel] >= cfg.min_map_qual))
-            sel = sel[keep]
-            pos_a = ci["pos"][sel]
+            view = bam.chrom(ref_index)
+            keep = (((view["flag"] & (FQCFAIL | FDUP | FUNMAP)) == 0)
+                    & (view["mapq"] >= cfg.min_map_qual))
+            sel = np.nonzero(keep)[0]
+            pos_a = view["pos"][sel]
             vmask = np.zeros(len(pos_a), dtype=bool)
             for lo, hi in valid_regions[ref_index]:
                 vmask |= (pos_a >= lo) & (pos_a < hi)
             sel = sel[vmask]
-            offs = ci["offsets"][sel]
-            stats = _cigar_stats(bam, offs)
+            offs = view["offsets"][sel]
+            stats = _cigar_stats(view, offs)
             seeds = hash_lr_batch(stats["name_hash"],
                                   stats["fnv_hash"]).tolist()
             jfire = ((stats["max_clip"] > cfg.min_clip)
@@ -74,7 +73,7 @@ def find_junctions(cfg, bams, valid_regions, valid_sr=None) -> dict:
                 seed = seeds[i]
                 if valid_sr and seed not in valid_sr:
                     continue
-                rec = bam._parse_at(offs_l[i])
+                rec = view.parse_at(offs_l[i])
                 extract_junctions_lr(read_bp, seed, rec, cfg.min_ref_sep,
                                      cfg.min_clip, cfg.indel_extension)
     for jv in read_bp.values():

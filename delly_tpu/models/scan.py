@@ -107,21 +107,20 @@ def scan(cfg, bam, fasta, li, scan_counts: list) -> None:
                 add_base_coverage(rec, cov, cov_uniq, cfg.mapq_uniq, reflen)
         else:
             # SoA-driven midpoint counting (scan.h:107-198)
-            ci = bam.core_index()
-            sel = np.nonzero(ci["tid"] == ref_index)[0]
-            flag_a = ci["flag"][sel]
+            view = bam.chrom(ref_index)
+            flag_a = view["flag"]
             keep = (((flag_a & (FSECONDARY | FQCFAIL | FDUP
                                 | FSUPPLEMENTARY | FUNMAP)) == 0)
                     & ~(((flag_a & FPAIRED) != 0)
                         & (((flag_a & FMUNMAP) != 0)
-                           | (ci["mtid"][sel] != ref_index)))
-                    & (ci["mapq"][sel] >= cfg.min_qual))
-            sel = sel[keep]
+                           | (view["mtid"] != ref_index)))
+                    & (view["mapq"] >= cfg.min_qual))
+            sel = np.nonzero(keep)[0]
             from delly_tpu.models.genotype_sr import _cigar_stats
-            stats = _cigar_stats(bam, ci["offsets"][sel])
-            flag_a = ci["flag"][sel]
-            pos_a = ci["pos"][sel]
-            mpos_a = ci["mpos"][sel]
+            stats = _cigar_stats(view, view["offsets"][sel])
+            flag_a = view["flag"][sel]
+            pos_a = view["pos"][sel]
+            mpos_a = view["mpos"][sel]
             # pair orientation code 2 (tags.h:218-227) for FR layout
             fwd = (flag_a & 16) == 0
             mrev = (flag_a & 32) != 0
@@ -130,7 +129,7 @@ def scan(cfg, bam, fasta, li, scan_counts: list) -> None:
             paired_a = (flag_a & FPAIRED) != 0
             pos_l = pos_a.tolist()
             mpos_l = mpos_a.tolist()
-            mapq_l = ci["mapq"][sel].tolist()
+            mapq_l = view["mapq"][sel].tolist()
             paired_l = paired_a.tolist()
             fr2_l = fr2.tolist()
             nhash_l = stats["name_hash"].tolist()

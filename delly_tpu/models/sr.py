@@ -58,18 +58,18 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
             mate_map = {}
             last_aligned_pos = 0
             last_aligned_reads = set()
-            # SoA-driven walk (shortpe.h:285-533): hashes and CIGAR
+            # SoA-driven walk (shortpe.h:285-533) over the per-chrom
+            # view (indexed streaming on large inputs): hashes and CIGAR
             # aggregates come from the bulk native pass; full records are
             # parsed only when the junction prefilter fires.
-            ci = bam.core_index()
-            sel = np.nonzero(ci["tid"] == ref_index)[0]
-            keep = (((ci["flag"][sel] & (FQCFAIL | FDUP | FUNMAP)) == 0)
-                    & (ci["mapq"][sel] >= cfg.min_map_qual))
-            sel = sel[keep]
-            offs = ci["offsets"][sel]
-            stats = _cigar_stats(bam, offs)
+            view = bam.chrom(ref_index)
+            keep = (((view["flag"] & (FQCFAIL | FDUP | FUNMAP)) == 0)
+                    & (view["mapq"] >= cfg.min_map_qual))
+            sel = np.nonzero(keep)[0]
+            offs = view["offsets"][sel]
+            stats = _cigar_stats(view, offs)
             seeds_a = hash_sr_batch(stats["name_hash"],
-                                    stats["fnv_hash"], ci["flag"][sel])
+                                    stats["fnv_hash"], view["flag"][sel])
             lib = libs[file_c]
             # Junction rows: parse only records whose CIGAR aggregates
             # fired the clip/indel prefilter.
@@ -78,7 +78,7 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
             offs_l = offs.tolist()
             seeds_l = seeds_a.tolist()
             for i in jfire.tolist():
-                rec = bam._parse_at(offs_l[i])
+                rec = view.parse_at(offs_l[i])
                 extract_junctions_sr(read_bp, seeds_l[i], rec,
                                      cfg.min_ref_sep, cfg.min_clip)
 
@@ -86,12 +86,12 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
             # walk (shortpe.h:391-445) evaluated as one numpy pass; the
             # order-sensitive mate-map pairing below then touches only
             # the surviving abnormal pairs.
-            flag_a = ci["flag"][sel]
-            pos_a = ci["pos"][sel]
-            mapq_a = ci["mapq"][sel]
-            mtid_a = ci["mtid"][sel]
-            mpos_a = ci["mpos"][sel]
-            tlen_a = ci["tlen"][sel]
+            flag_a = view["flag"][sel]
+            pos_a = view["pos"][sel]
+            mapq_a = view["mapq"][sel]
+            mtid_a = view["mtid"][sel]
+            mpos_a = view["mpos"][sel]
+            tlen_a = view["tlen"][sel]
             pe = (flag_a & FPAIRED) != 0
             if lib.median == 0:
                 pe &= False
@@ -230,17 +230,16 @@ def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
         for bam in bams:
             # SoA prefilter (shortpe.h:88-101): only reads whose start
             # position matches an SR-store entry are parsed.
-            ci = bam.core_index()
-            sel = np.nonzero(ci["tid"] == ref_index)[0]
-            flag_a = ci["flag"][sel]
+            view = bam.chrom(ref_index)
+            flag_a = view["flag"]
             keep = (((flag_a & (FQCFAIL | FDUP | FUNMAP | FSECONDARY
                                 | FSUPPLEMENTARY)) == 0)
-                    & (ci["mapq"][sel] >= cfg.min_map_qual))
-            sel = sel[keep]
+                    & (view["mapq"] >= cfg.min_map_qual))
+            sel = np.nonzero(keep)[0]
             hit_arr = np.fromiter(hits, dtype=np.int64, count=len(hits))
-            inhits = np.isin(ci["pos"][sel], hit_arr)
-            for off in ci["offsets"][sel[inhits]].tolist():
-                rec = bam._parse_at(off)
+            inhits = np.isin(view["pos"][sel], hit_arr)
+            for off in view["offsets"][sel[inhits]].tolist():
+                rec = view.parse_at(off)
                 seed = hash_sr(rec.qname, rec.flag)
                 svid = sr_store[ref_index].get((rec.pos, seed))
                 if svid is None:

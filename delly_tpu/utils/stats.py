@@ -40,39 +40,48 @@ def get_library_params(bam, valid_regions, mad_cutoff: int = 9,
     max_screened = 10_000_000
     max_num = 1_000_000
     min_num = 1_000
-    # Vectorized over the SoA core index, replicating the reference's
-    # screening loop (util.h:771-891): record filters, then the aligned/
-    # read/pair caps evaluated in stream order.
+    # Vectorized over SoA chunks in file order (sequential sam_read1
+    # walk of util.h:771-891): record filters, then the aligned/read/
+    # pair caps evaluated in stream order. Chunked iteration keeps
+    # memory bounded on indexed multi-GB inputs.
     import numpy as np
 
-    ci = bam.core_index()
-    order = []
-    for ref_index in range(bam.header.n_targets):
-        if not valid_regions[ref_index]:
-            continue
-        order.append(np.nonzero(ci["tid"] == ref_index)[0])
-    if order:
-        sel = np.concatenate(order)
-    else:
-        sel = np.zeros(0, dtype=np.int64)
-    flag = ci["flag"][sel]
-    lqseq = ci["lqseq"][sel]
-    keep = (((flag & FREAD2) == 0) & (lqseq < 65000)
-            & ((flag & (FSECONDARY | FQCFAIL | FDUP | FSUPPLEMENTARY
-                        | FUNMAP)) == 0))
-    sel = sel[keep]
-    flag = flag[keep]
-    lqseq = lqseq[keep]
-    tid = ci["tid"][sel]
-    mtid = ci["mtid"][sel]
-    pos = ci["pos"][sel]
-    mpos = ci["mpos"][sel]
-    tlen = ci["tlen"][sel]
+    nchr = bam.header.n_targets
+    valid_arr = np.asarray([bool(v) for v in valid_regions], dtype=bool)
+    acc = {k: [] for k in ("flag", "lqseq", "tid", "mtid", "pos",
+                           "mpos", "tlen")}
+    tot = 0
+    tot_pairs = 0
+    for view in bam.iter_soa_chunks():
+        s = view.soa
+        vtid = s["tid"]
+        vflag = s["flag"]
+        keep = ((vtid >= 0) & valid_arr[np.clip(vtid, 0, nchr - 1)]
+                & ((vflag & FREAD2) == 0) & (s["lqseq"] < 65000)
+                & ((vflag & (FSECONDARY | FQCFAIL | FDUP
+                             | FSUPPLEMENTARY | FUNMAP)) == 0))
+        for k in acc:
+            acc[k].append(s[k][keep])
+        kf = vflag[keep]
+        tot += int(keep.sum())
+        tot_pairs += int(np.count_nonzero(
+            ((kf & FPAIRED) != 0) & ((kf & FMUNMAP) == 0)
+            & (vtid[keep] == s["mtid"][keep])))
+        if tot > max_screened or tot_pairs >= max_num:
+            break
+    flag = np.concatenate(acc["flag"]) if acc["flag"] else \
+        np.zeros(0, dtype=np.int32)
+    lqseq = np.concatenate(acc["lqseq"]) if acc["lqseq"] else flag
+    tid = np.concatenate(acc["tid"]) if acc["tid"] else flag
+    mtid = np.concatenate(acc["mtid"]) if acc["mtid"] else flag
+    pos = np.concatenate(acc["pos"]) if acc["pos"] else flag
+    mpos = np.concatenate(acc["mpos"]) if acc["mpos"] else flag
+    tlen = np.concatenate(acc["tlen"]) if acc["tlen"] else flag
     pair = (((flag & FPAIRED) != 0) & ((flag & FMUNMAP) == 0)
             & (tid == mtid))
     pairs_before = np.concatenate(
         ([0], np.cumsum(pair, dtype=np.int64)[:-1]))
-    n = len(sel)
+    n = len(flag)
     idx = np.arange(n, dtype=np.int64)
     reads_before = np.minimum(idx, max_num)
     capped_pairs = np.minimum(pairs_before, max_num)

@@ -8,9 +8,22 @@ mirroring what HTSlib's sam_write1 does for the reference's test data.
 import random
 import struct
 
+import numpy as np
+
 from delly_tpu.io.bgzf import bgzf_compress
 
 _NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+_NT16_LUT = np.full(256, 15, dtype=np.uint8)
+for _c, _i in _NT16.items():
+    _NT16_LUT[ord(_c)] = _i
+
+
+def _pack_seq(seq: str) -> bytes:
+    """4-bit pack a base string (vectorized; generation hot path)."""
+    codes = _NT16_LUT[np.frombuffer(seq.encode(), dtype=np.uint8)]
+    if len(codes) % 2:
+        codes = np.concatenate([codes, np.zeros(1, dtype=np.uint8)])
+    return ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8).tobytes()
 
 
 def encode_record(qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen,
@@ -20,23 +33,26 @@ def encode_record(qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen,
     cig = b"".join(struct.pack("<I", (n << 4) | "MIDNSHP=X".index(op))
                    for op, n in cigar)
     nseq = len(seq)
-    packed = bytearray((nseq + 1) // 2)
-    for i, b in enumerate(seq):
-        code = _NT16.get(b, 15)
-        if i % 2 == 0:
-            packed[i // 2] = code << 4
-        else:
-            packed[i // 2] |= code
     q = bytes([30] * nseq) if qual is None else qual
     body = struct.pack("<iiBBHHHiiii", tid, pos, len(name), mapq, 0,
                        len(cigar), flag, nseq, mtid, mpos, tlen)
-    body += name + cig + bytes(packed) + q
+    body += name + cig + _pack_seq(seq) + q
     return struct.pack("<i", len(body)) + body
 
 
-def write_bam(path, contigs, records):
+def random_contig(rng_or_seed, length: int) -> str:
+    """Fast random ACGT contig (numpy; scales to Mbp)."""
+    seed = (rng_or_seed if isinstance(rng_or_seed, int)
+            else rng_or_seed.randint(0, 2**31))
+    g = np.random.default_rng(seed)
+    return np.frombuffer(b"ACGT", dtype=np.uint8)[
+        g.integers(0, 4, size=length)].tobytes().decode()
+
+
+def write_bam(path, contigs, records, index=True):
     """contigs: list of (name, seq). records: encoded record blobs in
-    coordinate order."""
+    coordinate order. Writes a .bai alongside (like samtools index) so
+    the streaming reader can region-query the file."""
     text = "".join(f"@SQ\tSN:{n}\tLN:{len(s)}\n" for n, s in contigs)
     text += "@RG\tID:synth\tSM:synth\n"
     out = bytearray()
@@ -48,8 +64,13 @@ def write_bam(path, contigs, records):
         out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", len(s))
     for rec in records:
         out += rec
+    comp = bgzf_compress(bytes(out))
     with open(path, "wb") as fh:
-        fh.write(bgzf_compress(bytes(out)))
+        fh.write(comp)
+    if index:
+        from delly_tpu.io.bai import build_bai
+        with open(path + ".bai", "wb") as fh:
+            fh.write(build_bai(comp))
 
 
 def write_fasta(path, contigs):
@@ -268,3 +289,71 @@ def make_lr_insertion_dataset(tmpdir, seed=41):
     write_bam(bam, [("ctg1", ref)], [r[1] for r in recs])
     write_fasta(fa, [("ctg1", ref)])
     return bam, fa, ins
+
+
+def make_multi_contig_del_dataset(tmpdir, n_contigs=4, contig_len=60_000,
+                                  pairs_per_contig=900, sr_per_del=10,
+                                  pe_per_del=14, seed=77, name="multi"):
+    """`n_contigs` contigs, one heterozygous ~8kb DEL per contig with
+    both PE (discordant spanning pairs) and SR (primary+supplementary
+    split reads) evidence, plus normal pairs for library statistics.
+    Returns (bam_path, fasta_path, truth) with truth = [(chrom_name,
+    del_start, del_end)]. Scales to benchmark size via the count
+    parameters."""
+    rng = random.Random(seed)
+    contigs = [(f"chr{c + 1}", random_contig(rng, contig_len))
+               for c in range(n_contigs)]
+    rl = 100
+    isize = 400
+    del_len = 8000
+    truth = []
+    recs = []
+    qid = 0
+    for tid, (cname, ref) in enumerate(contigs):
+        bp1 = contig_len * 2 // 5
+        bp2 = bp1 + del_len
+        truth.append((cname, bp1, bp2))
+        derived = ref[:bp1] + ref[bp2:]
+        # normal pairs
+        for _ in range(pairs_per_contig):
+            p1 = rng.randint(0, contig_len - isize - 1)
+            p2 = p1 + isize - rl
+            recs.append((tid, p1, encode_record(
+                f"p{qid}", 0x63, tid, p1, 60, [("M", rl)], tid, p2,
+                isize, ref[p1:p1 + rl])))
+            recs.append((tid, p2, encode_record(
+                f"p{qid}", 0x93, tid, p2, 60, [("M", rl)], tid, p1,
+                -isize, ref[p2:p2 + rl])))
+            qid += 1
+        # discordant pairs spanning the deletion (3to5, large insert)
+        for _ in range(pe_per_del):
+            off = rng.randint(30, 200)
+            p1 = bp1 - off - rl
+            p2 = bp2 + (isize - off - 2 * rl) + rng.randint(0, 40)
+            tl = p2 + rl - p1
+            recs.append((tid, p1, encode_record(
+                f"d{qid}", 0x61, tid, p1, 60, [("M", rl)], tid, p2,
+                tl, ref[p1:p1 + rl])))
+            recs.append((tid, p2, encode_record(
+                f"d{qid}", 0x91, tid, p2, 60, [("M", rl)], tid, p1,
+                -tl, ref[p2:p2 + rl])))
+            qid += 1
+        # split reads across the junction: primary M+S at bp1,
+        # supplementary S+M at bp2 (same read name -> same seed)
+        for _ in range(sr_per_del):
+            off = rng.randint(30, 70)
+            dpos = bp1 - off
+            seq = derived[dpos:dpos + rl]
+            recs.append((tid, dpos, encode_record(
+                f"s{qid}", 0x0, tid, dpos, 60,
+                [("M", off), ("S", rl - off)], -1, -1, 0, seq)))
+            recs.append((tid, bp2, encode_record(
+                f"s{qid}", 0x800, tid, bp2, 60,
+                [("S", off), ("M", rl - off)], -1, -1, 0, seq)))
+            qid += 1
+    recs.sort(key=lambda r: (r[0], r[1]))
+    bam = f"{tmpdir}/{name}.bam"
+    fa = f"{tmpdir}/{name}.fa"
+    write_bam(bam, contigs, [r[2] for r in recs])
+    write_fasta(fa, contigs)
+    return bam, fa, truth

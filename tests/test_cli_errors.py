@@ -1,0 +1,67 @@
+"""Startup validation: one-line errors + exit 1, no tracebacks
+(reference delly.h:282-372 checked startup diagnostics)."""
+
+import subprocess
+import sys
+
+EX = "/root/reference/example"
+
+
+def _run(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", *args],
+        capture_output=True, text=True,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "HOME": "/root"})
+
+
+def test_missing_alignment_file():
+    r = _run("sr", "-g", f"{EX}/ref.fa", "-o", "/tmp/_x.vcf",
+             "/no/such.bam")
+    assert r.returncode == 1
+    assert "Alignment file is missing: /no/such.bam" in r.stderr
+    assert "Traceback" not in r.stderr
+
+
+def test_missing_reference():
+    r = _run("sr", "-g", "/no/ref.fa", "-o", "/tmp/_x.vcf",
+             f"{EX}/sr.bam")
+    assert r.returncode == 1
+    assert "Reference file is missing: /no/ref.fa" in r.stderr
+    assert "Traceback" not in r.stderr
+
+
+def test_not_a_bam(tmp_path):
+    bad = tmp_path / "bad.bam"
+    bad.write_text("this is not a bam file")
+    r = _run("sr", "-g", f"{EX}/ref.fa", "-o", "/tmp/_x.vcf", str(bad))
+    assert r.returncode == 1
+    assert f"Fail to open file {bad}" in r.stderr
+
+
+def test_missing_exclude_and_vcf():
+    r = _run("sr", "-g", f"{EX}/ref.fa", "-x", "/no/excl.tsv",
+             "-o", "/tmp/_x.vcf", f"{EX}/sr.bam")
+    assert r.returncode == 1
+    assert "Exclude file is missing" in r.stderr
+    r = _run("sr", "-g", f"{EX}/ref.fa", "-v", "/no/sites.bcf",
+             "-o", "/tmp/_x.vcf", f"{EX}/sr.bam")
+    assert r.returncode == 1
+    assert "Input VCF/BCF file is missing" in r.stderr
+
+
+def test_filter_missing_input():
+    r = _run("filter", "-f", "germline", "-o", "/tmp/_x.bcf",
+             "/no/in.bcf")
+    assert r.returncode == 1
+    assert "Input file is missing" in r.stderr
+
+
+def test_mismatched_chromosome_counts(tmp_path):
+    from tests.bamsynth import (make_dup_inv_dataset,
+                                make_translocation_dataset)
+    bam1, fa1 = make_dup_inv_dataset(str(tmp_path))      # 1 contig
+    bam2, _fa2 = make_translocation_dataset(str(tmp_path))  # 2 contigs
+    r = _run("sr", "-g", fa1, "-o", "/tmp/_x.vcf", bam1, bam2)
+    assert r.returncode == 1
+    assert "different number of chromosomes" in r.stderr

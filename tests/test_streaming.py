@@ -1,0 +1,86 @@
+"""Indexed streaming I/O: region queries, bounded memory, e2e parity.
+
+The reference never materializes a BAM — it iterates regions via
+BAI/CSI (sam_itr_queryi, shortpe.h:354). These tests pin our
+equivalent: per-chromosome views decompress only the indexed chunks,
+resident bytes stay O(chromosome) not O(file), and the sr pipeline's
+output is byte-identical between whole-file and streaming modes on a
+multi-contig dataset with implanted deletions.
+"""
+
+import numpy as np
+import pytest
+
+from delly_tpu.io.bam import BamFile
+from tests.bamsynth import make_multi_contig_del_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    return make_multi_contig_del_dataset(str(d), n_contigs=5)
+
+
+def test_streaming_views_match_whole_file(dataset):
+    bam_path, _fa, _truth = dataset
+    whole = BamFile(bam_path, streaming=False)
+    stream = BamFile(bam_path, streaming=True)
+    assert stream.streaming
+    for tid in range(whole.header.n_targets):
+        ci = whole.core_index()
+        m = ci["tid"] == tid
+        v = stream.chrom(tid)
+        assert len(v) == int(m.sum())
+        for k in ("pos", "flag", "mapq", "mtid", "mpos", "tlen",
+                  "lqseq"):
+            np.testing.assert_array_equal(v[k], ci[k][m])
+        # record payloads identical through the region buffer
+        r_s = next(v.records())
+        r_w = next(whole.records(tid=tid))
+        assert (r_s.qname, r_s.seq, r_s.cigar_string()) == \
+            (r_w.qname, r_w.seq, r_w.cigar_string())
+
+
+def test_streaming_memory_is_region_bounded(dataset):
+    bam_path, _fa, _truth = dataset
+    import os
+
+    from delly_tpu.io.bgzf import bgzf_decompress_file
+    total = len(bgzf_decompress_file(bam_path))
+    stream = BamFile(bam_path, streaming=True)
+    peak = 0
+    for tid in range(stream.header.n_targets):
+        v = stream.chrom(tid)
+        peak = max(peak, len(v.data))
+    # 5 equal contigs: a per-chromosome view must be well under half
+    # the decompressed file
+    assert peak < total / 2, (peak, total)
+    # chunked sequential scan also bounded
+    peak_chunk = max(len(v.data)
+                     for v in stream.iter_soa_chunks(chunk_bytes=1 << 18))
+    assert peak_chunk < total / 2
+
+
+def test_sr_pipeline_identical_between_modes(dataset, monkeypatch,
+                                             tmp_path):
+    bam_path, fa, truth = dataset
+    from delly_tpu.models.config import SrConfig
+    from delly_tpu.models.sr import run_sr
+
+    out = {}
+    for mode, thr in (("whole", 1 << 62), ("stream", 0)):
+        monkeypatch.setattr("delly_tpu.io.bam.STREAM_THRESHOLD", thr)
+        path = str(tmp_path / f"{mode}.vcf")
+        cfg = SrConfig(genome=fa, files=[bam_path], outfile=path)
+        assert run_sr(cfg) == 0
+        out[mode] = open(path).read()
+    assert out["whole"] == out["stream"]
+    # and the implanted deletions are actually called
+    body = [ln.split("\t") for ln in out["stream"].splitlines()
+            if ln and not ln.startswith("#")]
+    dels = [(c[0], int(c[1])) for c in body if "SVTYPE=DEL" in c[7]]
+    called = 0
+    for chrom, start, _end in truth:
+        if any(c == chrom and abs(p - start) < 60 for c, p in dels):
+            called += 1
+    assert called >= len(truth) - 1, (called, truth, dels)
