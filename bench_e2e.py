@@ -36,6 +36,16 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests.bamsynth import make_multi_contig_del_dataset
 
+    # Honor JAX_PLATFORMS even when a PJRT plugin registers regardless
+    # of the env filter (the axon TPU tunnel does).
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            import jax
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     os.makedirs(args.workdir, exist_ok=True)
     tag = f"c{args.contigs}_p{args.pairs}_l{args.clen}"
     bam = f"{args.workdir}/multi_{tag}.bam"
@@ -81,8 +91,11 @@ def main():
     dels = [(c[0], int(c[1])) for c in body if "SVTYPE=DEL" in c[7]]
     tp = sum(1 for c, s, _e in truth
              if any(dc == c and abs(dp - s) < 100 for dc, dp in dels))
+    matched_calls = sum(1 for dc, dp in dels
+                        if any(dc == c and abs(dp - s) < 100
+                               for c, s, _e in truth))
     recall = tp / len(truth) if truth else 0.0
-    precision = tp / len(dels) if dels else 0.0
+    precision = matched_calls / len(dels) if dels else 0.0
 
     print(json.dumps({
         "metric": "sr_e2e_reads_per_s",

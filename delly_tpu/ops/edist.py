@@ -311,14 +311,25 @@ def batched_pairs_distance(pairs: list, mode: int = MODE_NW) -> np.ndarray:
     if not pairs:
         return np.zeros(0, dtype=np.int64)
 
-    def bucket(n):
-        b = 256
-        while b < n:
+    def bucket_q(x):
+        # query length drives the Myers word count w = ceil(m/32), and
+        # compile time scales with w. Round to the exact word multiple
+        # below 512 (<= 16 keys, minimal w), powers of two above.
+        if x <= 512:
+            return max(32, -(-x // 32) * 32)
+        b = 1024
+        while b < x:
             b *= 2
         return b
 
-    m = bucket(max(len(a) for a, _ in pairs))
-    n = bucket(max(len(b) for _, b in pairs))
+    def bucket_t(x):
+        b = 128
+        while b < x:
+            b *= 2
+        return b
+
+    m = bucket_q(max(len(a) for a, _ in pairs))
+    n = bucket_t(max(len(b) for _, b in pairs))
     nb = len(pairs)
     q = np.zeros((nb, m), dtype=np.uint8)
     t = np.zeros((nb, n), dtype=np.uint8)

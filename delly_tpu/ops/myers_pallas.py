@@ -16,6 +16,25 @@ from delly_tpu.ops.myers import MAX_ALPHA
 TILE = 1024  # 8 sublanes x 128 lanes
 
 
+def pad_alphabet(letters):
+    """Bucket the alphabet to 4/8/16 letters by repeating the first
+    letter. nalpha is a static compile key, and data-derived alphabets
+    (IUPAC codes appearing in some consensus probes but not others)
+    would otherwise force a fresh pipeline compile per batch — ruinous
+    on slow-compile links. Duplicate letters are harmless: queries and
+    targets are coded by the same last-match loop, so a duplicate's
+    plane is consistent between both sides."""
+    import numpy as np
+    for b in (4, 8, 16):
+        if len(letters) <= b:
+            if len(letters) < b:
+                pad = np.full(b - len(letters), letters[0],
+                              dtype=letters.dtype)
+                letters = np.concatenate([letters, pad])
+            return letters
+    return letters
+
+
 _cache = {}
 
 
@@ -86,6 +105,7 @@ def batched_edit_distance_pallas(queries, qlens, targets, tlens,
         from delly_tpu.ops import edist
         return edist.batched_edit_distance_rowscan(queries, qlens,
                                                    targets, tlens, mode)
+    letters = pad_alphabet(letters)
     nalpha = len(letters)
     w = max(1, (m + 31) // 32)
     ql = np.asarray(qlens, dtype=np.int32)

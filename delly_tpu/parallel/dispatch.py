@@ -119,10 +119,13 @@ def sharded_batched_edit_distance(mesh, queries, qlens, targets, tlens,
     letters = None
     nalpha = 0
     if use_pallas:
+        from delly_tpu.ops.myers_pallas import pad_alphabet
         letters = np.union1d(np.unique(q), np.unique(t))
-        nalpha = len(letters)
-        if nalpha > MAX_ALPHA:
+        if len(letters) > MAX_ALPHA:
             use_pallas = False
+        else:
+            letters = pad_alphabet(letters)
+            nalpha = len(letters)
 
     unit = TILE if use_pallas else 16
     per = _pow2(max(1, -(-b // ndev)), unit)
