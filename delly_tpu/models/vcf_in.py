@@ -29,7 +29,10 @@ def vcf_parse(path: str, header) -> list:
         sv = StructuralVariantRecord()
         tid = header.name2id(rec["chrom"])
         sv.chr = tid
-        sv.svStart = rec["pos"] + 1
+        # VcfReader pos is the 1-based text POS; the reference's
+        # rec->pos is htslib 0-based, so its "+1" (modvcf.h:222) is
+        # already baked in here.
+        sv.svStart = rec["pos"]
         sv.id = len(svs)
         try:
             sv.mapq = int(float(rec["qual"]))
@@ -55,7 +58,7 @@ def vcf_parse(path: str, header) -> list:
         sv.homLen = int(info.get("HOMLEN", 0))
         sv.srSupport = int(info.get("SR", 0))
         sv.chr2 = tid
-        sv.svEnd = rec["pos"] + 1
+        sv.svEnd = rec["pos"]  # modvcf.h:260 (0-based pos + 1)
         if sv.svt < SVT_TRANS:
             if "END" in info:
                 sv.svEnd = int(info["END"])

@@ -76,18 +76,60 @@ def create_profile(a: np.ndarray) -> np.ndarray:
     return p
 
 
+def profile_counts(a: np.ndarray):
+    """Integer profile: per-column counts over A,C,G,T,N,'-' plus the
+    per-column denominator (recognized chars within each row's aligned
+    span). create_profile == counts/denom exactly."""
+    nrows, ncols = a.shape
+    codes = np.full(256, -1, dtype=np.int8)
+    for i, chars in enumerate("ACGTN-"):
+        codes[ord(chars)] = i
+        codes[ord(chars.lower())] = i
+    cls = codes[a]
+    if nrows == 1:
+        cnt = np.zeros((6, ncols), dtype=np.int32)
+        for k in range(6):
+            cnt[k] = (cls[0] == k)
+        return cnt, np.maximum(cnt.sum(axis=0), 0).astype(np.int32)
+    nongap = a != GAP
+    first = np.where(nongap.any(axis=1), nongap.argmax(axis=1), -1)
+    rev_last = nongap[:, ::-1].argmax(axis=1)
+    last = np.where(nongap.any(axis=1), ncols - 1 - rev_last, ncols)
+    first = np.where(nongap.any(axis=1), first, -1)
+    col = np.arange(ncols)
+    covered = (first[:, None] <= col[None, :]) & (col[None, :] <= last[:, None])
+    valid = covered & (cls >= 0)
+    denom = valid.sum(axis=0).astype(np.int32)
+    cnt = np.zeros((6, ncols), dtype=np.int32)
+    for k in range(6):
+        cnt[k] = ((cls == k) & covered).sum(axis=0)
+    return cnt, denom
+
+
 def profile_score_matrix(a1: np.ndarray, a2: np.ndarray, sc: DnaScore) -> np.ndarray:
-    """Pairwise column scores, (m x n) int32 (align.h:89-111)."""
+    """Pairwise column scores, (m x n) int32 (align.h:89-111).
+
+    Evaluated as an exact integer rational — score = trunc(num /
+    (denom1*denom2)) with num an integer contraction — instead of the
+    C++'s float32 accumulation. Results are identical except when the
+    float path's rounding error crosses an integer boundary (ties), and
+    being order-independent it is bit-identical between host numpy and
+    the XLA device kernel (ops/gotoh_device.py)."""
     m, n = a1.shape[1], a2.shape[1]
     if a1.shape[0] == 1 and a2.shape[0] == 1:
         eq = a1[0][:, None] == a2[0][None, :]
         return np.where(eq, sc.match, sc.mismatch).astype(np.int32)
-    p1 = create_profile(a1)[:5]  # gap row excluded from scoring (align.h:106)
-    p2 = create_profile(a2)[:5]
-    w = np.full((5, 5), sc.mismatch, dtype=np.float32)
+    c1, d1 = profile_counts(a1)
+    c2, d2 = profile_counts(a2)
+    # gap row excluded from scoring (align.h:106)
+    w = np.full((5, 5), sc.mismatch, dtype=np.int64)
     np.fill_diagonal(w, sc.match)
-    s = p1.T @ w @ p2  # float32 accumulation like the C++
-    return np.trunc(s).astype(np.int32)
+    num = c1[:5].T.astype(np.int64) @ w @ c2[:5].astype(np.int64)
+    den = d1.astype(np.int64)[:, None] * d2.astype(np.int64)[None, :]
+    den = np.maximum(den, 1)
+    # C float->int conversion truncates toward zero
+    q = np.abs(num) // den
+    return np.where(num < 0, -q, q).astype(np.int32)
 
 
 def _gap_cost(free: bool, idx: np.ndarray, end: int, cost: np.ndarray):

@@ -75,6 +75,36 @@ def upgma(d: np.ndarray, num: int):
     return (nn - 1 if nn > 0 else 0), p
 
 
+_DEVICE_MIN_CELLS = 65536
+_use_device = None
+
+
+def _gotoh_dispatch(a1, a2, ac, sc):
+    """Large profile merges run on the device Gotoh kernel when a TPU
+    backend is present (bit-identical results, see ops/gotoh_device);
+    small merges stay on the host row-vectorized DP where dispatch
+    latency would dominate."""
+    global _use_device
+    if a1.shape[1] * a2.shape[1] >= _DEVICE_MIN_CELLS:
+        if _use_device is None:
+            import os
+            pref = os.environ.get("DELLY_TPU_GOTOH_DEVICE", "auto")
+            if pref == "never":
+                _use_device = False
+            elif pref == "always":
+                _use_device = True
+            else:
+                try:
+                    import jax
+                    _use_device = jax.default_backend() == "tpu"
+                except Exception:
+                    _use_device = False
+        if _use_device:
+            from delly_tpu.ops.gotoh_device import gotoh_device
+            return gotoh_device(a1, a2, ac=ac, sc=sc)
+    return gotoh(a1, a2, ac=ac, sc=sc)
+
+
 def palign(seqs: list, p: np.ndarray, root: int, sc: DnaScore) -> np.ndarray:
     """Progressive alignment (msa.h:91-109)."""
     if p[root][1] == -1 and p[root][2] == -1:
@@ -82,7 +112,7 @@ def palign(seqs: list, p: np.ndarray, root: int, sc: DnaScore) -> np.ndarray:
         return np.frombuffer(s.encode(), dtype=np.uint8)[None, :].copy()
     a1 = palign(seqs, p, int(p[root][1]), sc)
     a2 = palign(seqs, p, int(p[root][2]), sc)
-    _, merged = gotoh(a1, a2, ac=(True, True), sc=sc)
+    _, merged = _gotoh_dispatch(a1, a2, (True, True), sc)
     return merged
 
 

@@ -357,3 +357,181 @@ def make_multi_contig_del_dataset(tmpdir, n_contigs=4, contig_len=60_000,
     write_bam(bam, contigs, [r[2] for r in recs])
     write_fasta(fa, contigs)
     return bam, fa, truth
+
+
+def make_bnd_orientation_dataset(tmpdir, seed=53):
+    """Three contigs and all four BND orientations across different
+    contig pairs (PE-only discordant evidence):
+      ctgA-ctgB 3to3, ctgA-ctgC 5to5, ctgB-ctgC 3to5, ctgA-ctgB 5to3.
+    The svt comes from the second (larger-tid) read's strand bits
+    (tags.h:218-258). Returns (bam, fasta, truth) with truth =
+    [(chr_small, pos_small, chr_big, pos_big, ct_string)]."""
+    rng = random.Random(seed)
+    contigs = [(n, random_contig(rng, 20000)) for n in
+               ("ctgA", "ctgB", "ctgC")]
+    rl = 100
+    isize = 400
+    recs = []
+    qid = 0
+
+    def norm(tid):
+        nonlocal qid
+        ref = contigs[tid][1]
+        p1 = rng.randint(0, len(ref) - isize - 1)
+        p2 = p1 + isize - rl
+        recs.append((tid, p1, encode_record(
+            f"p{qid}", 0x63, tid, p1, 60, [("M", rl)], tid, p2, isize,
+            ref[p1:p1 + rl])))
+        recs.append((tid, p2, encode_record(
+            f"p{qid}", 0x93, tid, p2, 60, [("M", rl)], tid, p1, -isize,
+            ref[p2:p2 + rl])))
+        qid += 1
+
+    for tid in range(3):
+        for _ in range(500):
+            norm(tid)
+
+    # second read fwd+mate fwd -> 3to3; rev+rev -> 5to5;
+    # fwd second -> 3to5; rev second (fwd mate) -> 5to3
+    FREV, FMREV = 0x10, 0x20
+    # ct comes from the larger-tid read: fwd/fwd -> 3to3, rev/rev ->
+    # 5to5; mixed strands give orient 2/3 by position comparison
+    # (tags.h:218-227) then tid>mtid routes fwd->3to5 / rev->5to3.
+    bnds = [
+        (0, 1, 5000, 7000, 0, 0, "3to3"),                    # both fwd
+        (0, 2, 9000, 4000, FREV | FMREV, FREV | FMREV, "5to5"),
+        (1, 2, 12000, 9000, FMREV, FREV, "5to3"),  # r2 rev, r1 fwd
+        (0, 1, 15000, 15000, FREV, FMREV, "3to5"),  # r2 fwd, r1 rev
+    ]
+    truth = []
+    for t1, t2, b1, b2, f1x, f2x, ct in bnds:
+        truth.append((contigs[t1][0], b1, contigs[t2][0], b2, ct))
+        for _ in range(25):
+            o1 = rng.randint(20, 150)
+            o2 = rng.randint(20, 150)
+            p1 = b1 - o1 - rl if not (f1x & FREV) else b1 + o1
+            p2 = b2 - o2 - rl if not (f2x & FREV) else b2 + o2
+            recs.append((t1, p1, encode_record(
+                f"b{qid}", 0x41 | f1x, t1, p1, 60, [("M", rl)], t2, p2,
+                0, contigs[t1][1][p1:p1 + rl])))
+            recs.append((t2, p2, encode_record(
+                f"b{qid}", 0x81 | f2x, t2, p2, 60, [("M", rl)], t1, p1,
+                0, contigs[t2][1][p2:p2 + rl])))
+            qid += 1
+    recs.sort(key=lambda r: (r[0], r[1]))
+    bam = f"{tmpdir}/bnd4.bam"
+    fa = f"{tmpdir}/bnd4.fa"
+    write_bam(bam, contigs, [r[2] for r in recs])
+    write_fasta(fa, contigs)
+    return bam, fa, truth
+
+
+def make_overlapping_dels_dataset(tmpdir, seed=61):
+    """Two overlapping heterozygous deletions on one contig
+    ([20000,28000) and [24000,33000), different haplotypes), each with
+    its own PE + SR evidence."""
+    rng = random.Random(seed)
+    ref = random_contig(rng, 60000)
+    contigs = [("ctg1", ref)]
+    rl = 100
+    isize = 400
+    recs = []
+    qid = 0
+    for _ in range(1500):
+        p1 = rng.randint(0, len(ref) - isize - 1)
+        p2 = p1 + isize - rl
+        recs.append((p1, encode_record(
+            f"p{qid}", 0x63, 0, p1, 60, [("M", rl)], 0, p2, isize,
+            ref[p1:p1 + rl])))
+        recs.append((p2, encode_record(
+            f"p{qid}", 0x93, 0, p2, 60, [("M", rl)], 0, p1, -isize,
+            ref[p2:p2 + rl])))
+        qid += 1
+    truth = [(20000, 28000), (24000, 33000)]
+    for bp1, bp2 in truth:
+        derived = ref[:bp1] + ref[bp2:]
+        for _ in range(14):
+            off = rng.randint(30, 200)
+            p1 = bp1 - off - rl
+            p2 = bp2 + (isize - off - 2 * rl) + rng.randint(0, 40)
+            tl = p2 + rl - p1
+            recs.append((p1, encode_record(
+                f"d{qid}", 0x61, 0, p1, 60, [("M", rl)], 0, p2, tl,
+                ref[p1:p1 + rl])))
+            recs.append((p2, encode_record(
+                f"d{qid}", 0x91, 0, p2, 60, [("M", rl)], 0, p1, -tl,
+                ref[p2:p2 + rl])))
+            qid += 1
+        for _ in range(10):
+            off = rng.randint(30, 70)
+            dpos = bp1 - off
+            seq = derived[dpos:dpos + rl]
+            recs.append((dpos, encode_record(
+                f"s{qid}", 0x0, 0, dpos, 60,
+                [("M", off), ("S", rl - off)], -1, -1, 0, seq)))
+            recs.append((bp2, encode_record(
+                f"s{qid}", 0x800, 0, bp2, 60,
+                [("S", off), ("M", rl - off)], -1, -1, 0, seq)))
+            qid += 1
+    recs.sort(key=lambda r: r[0])
+    bam = f"{tmpdir}/ovl.bam"
+    fa = f"{tmpdir}/ovl.fa"
+    write_bam(bam, contigs, [r[1] for r in recs])
+    write_fasta(fa, contigs)
+    return bam, fa, truth
+
+
+def make_homopolymer_del_dataset(tmpdir, seed=67, hp_len=20):
+    """A deletion whose breakpoints both sit at an A-homopolymer run,
+    creating breakpoint micro-homology (delly reports HOMLEN and may
+    shift the call within the ambiguous range)."""
+    rng = random.Random(seed)
+    ref = random_contig(rng, 40000)
+    bp1, bp2 = 15000, 23000
+    hp = "A" * hp_len
+    ref = ref[:bp1] + hp + ref[bp1 + hp_len:bp2] + hp + ref[bp2 + hp_len:]
+    contigs = [("ctg1", ref)]
+    rl = 100
+    isize = 400
+    recs = []
+    qid = 0
+    for _ in range(1200):
+        p1 = rng.randint(0, len(ref) - isize - 1)
+        p2 = p1 + isize - rl
+        recs.append((p1, encode_record(
+            f"p{qid}", 0x63, 0, p1, 60, [("M", rl)], 0, p2, isize,
+            ref[p1:p1 + rl])))
+        recs.append((p2, encode_record(
+            f"p{qid}", 0x93, 0, p2, 60, [("M", rl)], 0, p1, -isize,
+            ref[p2:p2 + rl])))
+        qid += 1
+    derived = ref[:bp1] + ref[bp2:]
+    for _ in range(12):
+        off = rng.randint(35, 70)
+        p1 = bp1 - off - rl
+        p2 = bp2 + (isize - off - 2 * rl) + rng.randint(0, 40)
+        tl = p2 + rl - p1
+        recs.append((p1, encode_record(
+            f"d{qid}", 0x61, 0, p1, 60, [("M", rl)], 0, p2, tl,
+            ref[p1:p1 + rl])))
+        recs.append((p2, encode_record(
+            f"d{qid}", 0x91, 0, p2, 60, [("M", rl)], 0, p1, -tl,
+            ref[p2:p2 + rl])))
+        qid += 1
+    for _ in range(10):
+        off = rng.randint(30, 70)
+        dpos = bp1 - off
+        seq = derived[dpos:dpos + rl]
+        recs.append((dpos, encode_record(
+            f"s{qid}", 0x0, 0, dpos, 60,
+            [("M", off), ("S", rl - off)], -1, -1, 0, seq)))
+        recs.append((bp2, encode_record(
+            f"s{qid}", 0x800, 0, bp2, 60,
+            [("S", off), ("M", rl - off)], -1, -1, 0, seq)))
+        qid += 1
+    recs.sort(key=lambda r: r[0])
+    bam = f"{tmpdir}/hp.bam"
+    fa = f"{tmpdir}/hp.fa"
+    write_bam(bam, contigs, [r[1] for r in recs])
+    write_fasta(fa, contigs)
+    return bam, fa, (bp1, bp2, hp_len)
