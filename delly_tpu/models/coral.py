@@ -404,14 +404,15 @@ def _write_windows(cfg, data_out, chrn, reflen, gcbound, gc_content,
         if na_flag[i]:
             data_out.write(f"{chrn}\t{start}\t{end}\t{uniq_frac:g}\tNA\tNA\n")
         else:
-            cn = chr_ploidy
-            log_r = 0.0
-            if expcov > 0:
-                cn = ((cfg.expected_cn * covsum / expcov
-                       - chr_ctrl_ploidy * (1 - cfg.purity)) / cfg.purity)
-                log_r = np.log2((covsum + 1.0) / (expcov + 1.0))
+            # shared depth math (ops/depth_math.py) — the same function
+            # the sharded multi-chip step executes, so the mesh path
+            # cannot drift from production semantics.
+            from delly_tpu.ops.depth_math import window_depth
+            cn, log_r = window_depth(np, covsum, expcov, cfg.expected_cn,
+                                     cfg.purity, chr_ctrl_ploidy,
+                                     chr_ploidy)
             data_out.write(f"{chrn}\t{start}\t{end}\t{uniq_frac:g}\t"
-                           f"{log_r:g}\t{cn:g}\n")
+                           f"{float(log_r):g}\t{float(cn):g}\n")
 
 
 def run_cnv(cfg) -> int:

@@ -1,19 +1,20 @@
 """Sharded read-depth step: the multi-chip CNV compute core.
 
-One step mirrors the per-window read-depth math of the reference's CNV
-caller (coral.h:296-414 window logR/CN, bolog.h:88-133 CN likelihoods,
-cnv.h:357-368 noise estimate) over a window axis sharded across the
-device mesh:
+One step runs the PRODUCTION per-window read-depth math
+(ops/depth_math.py — the same functions models/coral.py uses for its
+window logR/CN output and bolog.h CN likelihoods) over a window axis
+sharded across the device mesh:
 
-  1. (W,) per-window fragment counts + mean-GC + uniq fractions,
+  1. (W,) per-window fragment-count sums + mean-GC + uniq fractions,
      sharded over the full mesh,
   2. expected coverage via GC-bias curve gather (101-bin curve is
      replicated; the gather stays on-device),
-  3. log2 ratio and copy-number estimate per window,
-  4. CN0..CN9 Gaussian log-likelihoods per window (MXU-friendly
-     broadcast over the CN axis),
+  3. purity/ploidy-adjusted CN + log2 ratio per window
+     (coral.h:296-414),
+  4. CN0..CN9 Gaussian log10-likelihoods per window (bolog.h:88-133),
   5. the global MAD-of-diffs noise proxy combined across the mesh with
-     psum (replaces the host-side estimate feeding the PELT penalty).
+     psum (replaces the host-side estimate feeding the PELT penalty,
+     cnv.h:357-368).
 """
 
 from __future__ import annotations
@@ -26,13 +27,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from delly_tpu.ops.depth_math import cn_log10_likelihoods, window_depth
+
 MAX_CN = 10
-SMALLEST_GL = -1000.0
-_LOG10E = 0.4342944819032518
 
 
-def depth_shard_fn(covsum, gcfrac, uniqfrac, valid, gc_curve, ploidy,
-                   sd_frac=0.15):
+def depth_shard_fn(covsum, gcfrac, uniqfrac, valid, gc_curve,
+                   expected_cn=2.0, purity=1.0, ctrl_ploidy=2.0,
+                   chr_ploidy=2.0, sd_frac=0.15):
     """Per-shard window math + cross-mesh psum of the noise stats.
 
     covsum:  (W,) float32 fragment-count sum per window
@@ -44,18 +46,12 @@ def depth_shard_fn(covsum, gcfrac, uniqfrac, valid, gc_curve, ploidy,
     gc_bin = jnp.clip((gcfrac * 100.0).astype(jnp.int32), 0, 100)
     expcov = gc_curve[gc_bin]
     ok = valid & (expcov > 0) & (uniqfrac > 0.8)
-    safe_exp = jnp.where(ok, expcov, 1.0)
-    cn = jnp.where(ok, ploidy * covsum / safe_exp, jnp.nan)
-    logr = jnp.where(ok & (covsum > 0),
-                     jnp.log2(ploidy * covsum / safe_exp / ploidy), 0.0)
-
-    # CN likelihoods (bolog.h:88-133): Gaussian in CN space
-    sd = jnp.maximum(sd_frac * jnp.where(ok, cn, ploidy), 0.025)
-    genos = jnp.arange(MAX_CN, dtype=jnp.float32)
-    z = (genos[None, :] - jnp.where(ok, cn, ploidy)[:, None]) / sd[:, None]
-    log_pdf = (-0.5 * z * z - jnp.log(sd[:, None])
-               - 0.5 * jnp.log(2.0 * jnp.pi)) * _LOG10E
-    cnl = jnp.maximum(log_pdf, SMALLEST_GL)
+    cn, logr = window_depth(jnp, covsum, jnp.where(ok, expcov, 0.0),
+                            expected_cn, purity, ctrl_ploidy, chr_ploidy)
+    sd = jnp.maximum(sd_frac * jnp.where(ok, cn, chr_ploidy), 0.025)
+    cnl = cn_log10_likelihoods(
+        jnp, jnp.where(ok, cn, chr_ploidy).astype(jnp.float32),
+        sd.astype(jnp.float32), MAX_CN)
     best_cn = jnp.argmax(cnl, axis=1).astype(jnp.int32)
 
     # Mesh-wide noise proxy: sum |logr[i+1] - logr[i]| within the shard,
@@ -70,11 +66,15 @@ def depth_shard_fn(covsum, gcfrac, uniqfrac, valid, gc_curve, ploidy,
     return logr, cn, cnl, best_cn, noise
 
 
-def make_sharded_depth_step(mesh, ploidy: float = 2.0):
+def make_sharded_depth_step(mesh, expected_cn: float = 2.0,
+                            purity: float = 1.0,
+                            ctrl_ploidy: float = 2.0,
+                            chr_ploidy: float = 2.0):
     """Builds the jitted multi-chip read-depth step over ``mesh``."""
     win = P(("interval", "batch"))
     fn = jax.shard_map(
-        partial(depth_shard_fn, ploidy=ploidy),
+        partial(depth_shard_fn, expected_cn=expected_cn, purity=purity,
+                ctrl_ploidy=ctrl_ploidy, chr_ploidy=chr_ploidy),
         mesh=mesh,
         in_specs=(win, win, win, win, P()),
         out_specs=(win, win, win, win, P()),

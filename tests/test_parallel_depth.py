@@ -33,18 +33,24 @@ def test_depth_step_shapes_and_noise(mesh):
 
 
 def test_depth_step_matches_host_math(mesh):
-    step = make_sharded_depth_step(mesh, ploidy=2.0)
+    step = make_sharded_depth_step(mesh)
     rng = np.random.default_rng(11)
     args = sharded_depth_inputs(rng, mesh, per_device=16)
     logr, cn, cnl, best_cn, noise = map(np.asarray, step(*args))
     covsum = np.asarray(args[0])
     gcfrac = np.asarray(args[1])
     gc_curve = np.asarray(args[4])
+    from delly_tpu.ops.depth_math import window_depth
     for i in range(0, len(covsum), 17):
         exp = gc_curve[min(100, int(gcfrac[i] * 100))]
-        cn_host = 2.0 * covsum[i] / exp
-        assert cn[i] == pytest.approx(cn_host, rel=1e-5)
-        assert logr[i] == pytest.approx(math.log2(cn_host / 2.0), rel=1e-4)
+        # the production window formulas (coral.h:296-414), via the
+        # same shared function the host CNV driver calls
+        cn_host, logr_host = window_depth(np, float(covsum[i]),
+                                          float(exp), 2.0, 1.0, 2.0,
+                                          2.0)
+        cn_host = float(cn_host)
+        assert cn[i] == pytest.approx(float(cn_host), rel=1e-5)
+        assert logr[i] == pytest.approx(float(logr_host), rel=1e-4)
         sd = max(0.15 * cn_host, 0.025)
         # bolog.h:88-133 Gaussian CN likelihood at the best CN
         g = int(best_cn[i])
