@@ -23,10 +23,12 @@ from delly_tpu.models.refine import (
     get_sv_ref,
 )
 from delly_tpu.ops.edist import MODE_HW, batched_pairs_distance
-from delly_tpu.utils.hashing import _fnv1a64, hash_pair_h, hash_string
+from delly_tpu.utils.hashing import (
+    _fnv1a64, hash_pair_h_batch, hash_string,
+)
 from delly_tpu.utils.tags import (
-    Breakpoint, get_sv_type, init_breakpoint, is_translocation,
-    isize_mapping_pos, span_orientation,
+    Breakpoint, get_sv_type_batch, init_breakpoint, is_translocation,
+    isize_mapping_pos_batch, span_orientation,
 )
 
 
@@ -424,22 +426,57 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
             span_cum = np.concatenate(([0], np.cumsum(span_bp,
                                                       dtype=np.int64)))
 
-            pos_l = view["pos"][sel].tolist()
-            flag_l = view["flag"][sel].tolist()
-            mapq_l = view["mapq"][sel].tolist()
-            mtid_l = view["mtid"][sel].tolist()
-            mpos_l = view["mpos"][sel].tolist()
-            tlen_l = view["tlen"][sel].tolist()
-            lqseq_l = view["lqseq"][sel].tolist()
-            offs_l = offs.tolist()
-            nhash_l = stats["name_hash"].tolist()
-            rspan_l = stats["ref_span"].tolist()
-            lsc_l = stats["leading_sc"].tolist()
-            cflags_l = stats["clip_flags"].tolist()
-
             lib = libs[file_c]
             two_flank = 2 * cfg.min_flank_size
             bpr = bp_region[ref_index]
+
+            # Vectorized per-read precompute (the scalar walk's gates,
+            # hashes and svt classifications as numpy passes); the
+            # order-sensitive mate pairing below then touches only
+            # candidate rows.
+            pos_a = view["pos"][sel]
+            flag_a = view["flag"][sel]
+            mtid_a = view["mtid"][sel]
+            mpos_a = view["mpos"][sel]
+            lq_a = view["lqseq"][sel]
+            nh_a = stats["name_hash"]
+            # junction-job candidates: occupancy prefilter
+            rbegin_a = np.maximum(0, pos_a - stats["leading_sc"])
+            rend_a = np.minimum(pos_a + lq_a, target_len)
+            jcand = ((lq_a >= two_flank) & (rbegin_a < rend_a)
+                     & (occ_cum[rend_a] > occ_cum[rbegin_a]))
+            # pairing candidates
+            sv_chr_arr = np.asarray(sv_on_chr, dtype=bool)
+            pm = (((flag_a & FPAIRED) != 0) & (mtid_a >= 0)
+                  & sv_chr_arr[np.clip(mtid_a, 0, len(sv_on_chr) - 1)])
+            rows = np.nonzero(jcand | pm)[0]
+            refidx_a = np.full(len(rows), ref_index, dtype=np.int64)
+            hv1_l = hash_pair_h_batch(
+                nh_a[rows], refidx_a, pos_a[rows], mtid_a[rows],
+                mpos_a[rows]).tolist()
+            hv2_l = hash_pair_h_batch(
+                nh_a[rows], mtid_a[rows], mpos_a[rows], refidx_a,
+                pos_a[rows]).tolist()
+            svtp_l = get_sv_type_batch(flag_a[rows], pos_a[rows],
+                                       mpos_a[rows]).tolist()
+            svt_l = isize_mapping_pos_batch(
+                flag_a[rows], np.int64(ref_index), pos_a[rows],
+                mtid_a[rows], mpos_a[rows], view["tlen"][sel][rows],
+                lib.maxISizeCutoff).tolist()
+            pos_l = pos_a[rows].tolist()
+            flag_l = flag_a[rows].tolist()
+            mapq_l = view["mapq"][sel][rows].tolist()
+            mtid_l = mtid_a[rows].tolist()
+            mpos_l = mpos_a[rows].tolist()
+            lqseq_l = lq_a[rows].tolist()
+            offs_l = offs[rows].tolist()
+            nhash_l = nh_a[rows].tolist()
+            rspan_l = stats["ref_span"][rows].tolist()
+            cflags_l = stats["clip_flags"][rows].tolist()
+            rbegin_l = rbegin_a[rows].tolist()
+            jcand_l = jcand[rows].tolist()
+            pm_l = pm[rows].tolist()
+
             for i in range(len(offs_l)):
                 rpos = pos_l[i]
                 rflag = flag_l[i]
@@ -447,44 +484,40 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                 has_soft_clip = bool(cflags_l[i] & 1)
                 has_clip = bool(cflags_l[i] & 2)
 
-                if lqseq >= two_flank:
-                    rbegin = max(0, rpos - lsc_l[i])
-                    rend_scan = min(rpos + lqseq, target_len)
-                    if (rbegin < rend_scan
-                            and occ_cum[rend_scan] > occ_cum[rbegin]):
-                        it = _bisect.bisect_left(bp_pos_sorted, rbegin)
-                        rec = None
-                        while (it < len(bpr)
-                               and rpos + lqseq >= bpr[it].bppos):
-                            itbp = bpr[it]
-                            it += 1
-                            cm = count_map[file_c][itbp.id]
-                            if (len(cm.ref) + len(cm.alt)
-                                    >= cfg.max_geno_read_count):
-                                continue
-                            spans = (has_soft_clip or (
-                                (not has_clip)
-                                and rpos + cfg.min_flank_size + itbp.homLeft
-                                <= itbp.bppos
-                                and rpos + lqseq
-                                >= itbp.bppos + cfg.min_flank_size
-                                + itbp.homRight))
-                            if spans:
-                                if rec is None:
-                                    rec = view.parse_at(offs_l[i])
-                                sequence = adjust_orientation(
-                                    rec.seq, bool(itbp.bpPoint), itbp.svt)
-                                jobs.append((
-                                    cons_probe_arr[itbp.bpPoint][itbp.id],
-                                    ref_probe_arr[itbp.bpPoint][itbp.id],
-                                    sequence, file_c, itbp.id, mapq_l[i],
-                                    (rec.qname, ref_index, rpos, mtid_l[i],
-                                     mpos_l[i], mapq_l[i])))
+                if jcand_l[i]:
+                    it = _bisect.bisect_left(bp_pos_sorted, rbegin_l[i])
+                    rec = None
+                    while (it < len(bpr)
+                           and rpos + lqseq >= bpr[it].bppos):
+                        itbp = bpr[it]
+                        it += 1
+                        cm = count_map[file_c][itbp.id]
+                        if (len(cm.ref) + len(cm.alt)
+                                >= cfg.max_geno_read_count):
+                            continue
+                        spans = (has_soft_clip or (
+                            (not has_clip)
+                            and rpos + cfg.min_flank_size + itbp.homLeft
+                            <= itbp.bppos
+                            and rpos + lqseq
+                            >= itbp.bppos + cfg.min_flank_size
+                            + itbp.homRight))
+                        if spans:
+                            if rec is None:
+                                rec = view.parse_at(offs_l[i])
+                            sequence = adjust_orientation(
+                                rec.seq, bool(itbp.bpPoint), itbp.svt)
+                            jobs.append((
+                                cons_probe_arr[itbp.bpPoint][itbp.id],
+                                ref_probe_arr[itbp.bpPoint][itbp.id],
+                                sequence, file_c, itbp.id, mapq_l[i],
+                                (rec.qname, ref_index, rpos, mtid_l[i],
+                                 mpos_l[i], mapq_l[i])))
 
                 # Read-count and spanning annotation
-                mtid = mtid_l[i]
-                if (not rflag & FPAIRED) or not sv_on_chr[mtid]:
+                if not pm_l[i]:
                     continue
+                mtid = mtid_l[i]
                 mpos = mpos_l[i]
                 if rpos > last_aligned_pos:
                     last_aligned_reads.clear()
@@ -499,13 +532,13 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                     first = ref_index < mtid
                 if first:
                     last_aligned_reads.add(nh)
-                    hv = hash_pair_h(nh, ref_index, rpos, mtid, mpos)
+                    hv = hv1_l[i]
                     if mtid == ref_index:
                         clip[hv] = (has_soft_clip, mapq_l[i])
                     else:
                         cliptra[hv] = (has_soft_clip, mapq_l[i])
                 else:
-                    hv = hash_pair_h(nh, mtid, mpos, ref_index, rpos)
+                    hv = hv2_l[i]
                     store = clip if mtid == ref_index else cliptra
                     ent = store.pop(hv, None)
                     if ent is None:
@@ -524,7 +557,7 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                         outer = rpos + lqseq - mpos
                     if lib.median == 0:
                         continue
-                    svtype_pair = get_sv_type(rflag, rpos, mpos)
+                    svtype_pair = svtp_l[i]
                     # Normal spanning pair (coverage.h:604-626)
                     if (not pair_clip and svtype_pair == 2
                             and lib.minNormalISize <= outer
@@ -550,9 +583,7 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                             or outer < lib.minNormalISize
                             or outer > lib.maxNormalISize
                             or mtid != ref_index):
-                        svt = isize_mapping_pos(
-                            rflag, ref_index, rpos, mtid, mpos,
-                            tlen_l[i], lib.maxISizeCutoff)
+                        svt = svt_l[i]
                         if svt == -1:
                             continue
                         pbegin = rpos

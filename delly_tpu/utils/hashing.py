@@ -89,3 +89,18 @@ def hash_pair_h(qhash: int, a: int, b: int, c: int, d: int) -> int:
     for v in (a, b, c, d):
         seed = hash_combine(seed, v & MASK64)
     return seed
+
+
+def hash_pair_h_batch(qhash, a, b, c, d):
+    """Vectorized hash_pair_h over numpy arrays (uint64 wraparound
+    arithmetic matches the scalar path bit-for-bit)."""
+    import numpy as np
+
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    six = np.uint64(6)
+    two = np.uint64(2)
+    seed = np.asarray(qhash).astype(np.uint64)
+    for v in (a, b, c, d):
+        v = np.asarray(v).astype(np.int64).astype(np.uint64)
+        seed = seed ^ (v + gold + (seed << six) + (seed >> two))
+    return seed

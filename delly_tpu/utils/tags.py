@@ -108,6 +108,18 @@ def isize_mapping_pos(flag: int, tid: int, pos: int, mtid: int, mpos: int,
     return 3
 
 
+def get_sv_type_batch(flag, pos, mpos):
+    """Vectorized get_sv_type (tags.h:218-227) over numpy arrays."""
+    import numpy as np
+
+    f16 = (flag & 16) != 0
+    f32 = (flag & 32) != 0
+    return np.where(
+        ~f16,
+        np.where(~f32, 0, np.where(pos < mpos, 2, 3)),
+        np.where(~f32, np.where(pos > mpos, 2, 3), 1)).astype(np.int64)
+
+
 def isize_mapping_pos_batch(flag, tid, pos, mtid, mpos, tlen, cutoff):
     """Vectorized isize_mapping_pos (tags.h:229-258) over numpy arrays;
     -1 marks pairs with no SV signal. `cutoff` is the per-library
