@@ -371,7 +371,6 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
     for file_c, bam in enumerate(bams):
         cliptra = {}
         for ref_index in range(header.n_targets):
-            clip = {}
             if not sv_on_chr[ref_index]:
                 continue
             target_len = header.lengths[ref_index]
@@ -399,8 +398,6 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
             span_bppos = [s.bppos for s in span_point]
             bp_pos_sorted = [b.bppos for b in bp_region[ref_index]]
 
-            last_aligned_pos = 0
-            last_aligned_reads = set()
             jobs = []
             import bisect as _bisect
 
@@ -431,9 +428,7 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
             bpr = bp_region[ref_index]
 
             # Vectorized per-read precompute (the scalar walk's gates,
-            # hashes and svt classifications as numpy passes); the
-            # order-sensitive mate pairing below then touches only
-            # candidate rows.
+            # hashes and svt classifications as numpy passes).
             pos_a = view["pos"][sel]
             flag_a = view["flag"][sel]
             mtid_a = view["mtid"][sel]
@@ -445,173 +440,303 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
             rend_a = np.minimum(pos_a + lq_a, target_len)
             jcand = ((lq_a >= two_flank) & (rbegin_a < rend_a)
                      & (occ_cum[rend_a] > occ_cum[rbegin_a]))
-            # pairing candidates
+            jrows = np.nonzero(jcand)[0]
+            j_pos = pos_a[jrows].tolist()
+            j_lq = lq_a[jrows].tolist()
+            j_mapq = view["mapq"][sel][jrows].tolist()
+            j_mtid = mtid_a[jrows].tolist()
+            j_mpos = mpos_a[jrows].tolist()
+            j_cfl = stats["clip_flags"][jrows].tolist()
+            j_offs = offs[jrows].tolist()
+            j_rb = rbegin_a[jrows].tolist()
+            for k in range(len(j_offs)):
+                rpos = j_pos[k]
+                lqseq = j_lq[k]
+                has_soft_clip = bool(j_cfl[k] & 1)
+                has_clip = bool(j_cfl[k] & 2)
+                it = _bisect.bisect_left(bp_pos_sorted, j_rb[k])
+                rec = None
+                while (it < len(bpr)
+                       and rpos + lqseq >= bpr[it].bppos):
+                    itbp = bpr[it]
+                    it += 1
+                    cm = count_map[file_c][itbp.id]
+                    if (len(cm.ref) + len(cm.alt)
+                            >= cfg.max_geno_read_count):
+                        continue
+                    spans = (has_soft_clip or (
+                        (not has_clip)
+                        and rpos + cfg.min_flank_size + itbp.homLeft
+                        <= itbp.bppos
+                        and rpos + lqseq
+                        >= itbp.bppos + cfg.min_flank_size
+                        + itbp.homRight))
+                    if spans:
+                        if rec is None:
+                            rec = view.parse_at(j_offs[k])
+                        sequence = adjust_orientation(
+                            rec.seq, bool(itbp.bpPoint), itbp.svt)
+                        jobs.append((
+                            cons_probe_arr[itbp.bpPoint][itbp.id],
+                            ref_probe_arr[itbp.bpPoint][itbp.id],
+                            sequence, file_c, itbp.id, j_mapq[k],
+                            (rec.qname, ref_index, rpos, j_mtid[k],
+                             j_mpos[k], j_mapq[k])))
+
+            # --- Read-count and spanning annotation -------------------
+            # The reference's mate-map pairing (coverage.h:550-600) is a
+            # per-key store/overwrite/pop automaton in file order. For
+            # intra-chromosome pairs it vectorizes exactly: first-ness
+            # (first_pair_obs incl. the same-position seen-set) is a
+            # group-min over (pos, name-hash), and store/pop matching is
+            # "each second read pairs with the latest first since the
+            # previous second of the same key" — a segmented cummax.
+            # Inter-chromosome pairs keep the scalar dict (cliptra spans
+            # chromosomes); span walks then run in merged file order so
+            # every list append and %2 tally is order-identical.
             sv_chr_arr = np.asarray(sv_on_chr, dtype=bool)
             pm = (((flag_a & FPAIRED) != 0) & (mtid_a >= 0)
                   & sv_chr_arr[np.clip(mtid_a, 0, len(sv_on_chr) - 1)])
-            rows = np.nonzero(jcand | pm)[0]
-            refidx_a = np.full(len(rows), ref_index, dtype=np.int64)
-            hv1_l = hash_pair_h_batch(
-                nh_a[rows], refidx_a, pos_a[rows], mtid_a[rows],
-                mpos_a[rows]).tolist()
-            hv2_l = hash_pair_h_batch(
-                nh_a[rows], mtid_a[rows], mpos_a[rows], refidx_a,
-                pos_a[rows]).tolist()
-            svtp_l = get_sv_type_batch(flag_a[rows], pos_a[rows],
-                                       mpos_a[rows]).tolist()
-            svt_l = isize_mapping_pos_batch(
-                flag_a[rows], np.int64(ref_index), pos_a[rows],
-                mtid_a[rows], mpos_a[rows], view["tlen"][sel][rows],
-                lib.maxISizeCutoff).tolist()
-            pos_l = pos_a[rows].tolist()
-            flag_l = flag_a[rows].tolist()
-            mapq_l = view["mapq"][sel][rows].tolist()
-            mtid_l = mtid_a[rows].tolist()
-            mpos_l = mpos_a[rows].tolist()
-            lqseq_l = lq_a[rows].tolist()
-            offs_l = offs[rows].tolist()
-            nhash_l = nh_a[rows].tolist()
-            rspan_l = stats["ref_span"][rows].tolist()
-            cflags_l = stats["clip_flags"][rows].tolist()
-            rbegin_l = rbegin_a[rows].tolist()
-            jcand_l = jcand[rows].tolist()
-            pm_l = pm[rows].tolist()
+            prow = np.nonzero(pm)[0]
+            P = len(prow)
+            b_pos = pos_a[prow]
+            b_mpos = mpos_a[prow]
+            b_mtid = mtid_a[prow]
+            b_flag = flag_a[prow]
+            b_mapq = view["mapq"][sel][prow]
+            b_lq = lq_a[prow]
+            b_nh = nh_a[prow]
+            b_rspan = stats["ref_span"][prow]
+            b_clip = (stats["clip_flags"][prow] & 1) != 0
+            b_offs = offs[prow]
+            refs = np.full(P, ref_index, dtype=np.int64)
+            b_hv1 = hash_pair_h_batch(b_nh, refs, b_pos, b_mtid, b_mpos)
+            b_hv2 = hash_pair_h_batch(b_nh, b_mtid, b_mpos, refs, b_pos)
+            b_svtp = get_sv_type_batch(b_flag, b_pos, b_mpos)
+            b_svt = isize_mapping_pos_batch(
+                b_flag, np.int64(ref_index), b_pos, b_mtid, b_mpos,
+                view["tlen"][sel][prow], lib.maxISizeCutoff)
 
-            for i in range(len(offs_l)):
-                rpos = pos_l[i]
-                rflag = flag_l[i]
-                lqseq = lqseq_l[i]
-                has_soft_clip = bool(cflags_l[i] & 1)
-                has_clip = bool(cflags_l[i] & 2)
+            intra = b_mtid == ref_index
+            lt = intra & (b_pos < b_mpos)
+            eqm = intra & (b_pos == b_mpos)
+            inter_first = ~intra & (ref_index < b_mtid)
+            uncond = lt | inter_first
+            # same-position seen-set: an eqm row is "first" iff it is
+            # the earliest (pos, nh) row among all rows that insert
+            first_mask = uncond.copy()
+            cond = np.nonzero(uncond | eqm)[0]
+            if len(cond):
+                so = np.lexsort((cond, b_nh[cond].astype(np.int64),
+                                 b_pos[cond].astype(np.int64)))
+                cs = cond[so]
+                newg = np.ones(len(cs), dtype=bool)
+                if len(cs) > 1:
+                    newg[1:] = ((b_pos[cs[1:]] != b_pos[cs[:-1]])
+                                | (b_nh[cs[1:]] != b_nh[cs[:-1]]))
+                gstart = np.maximum.accumulate(
+                    np.where(newg, np.arange(len(cs)), 0))
+                gmin = cs[gstart]
+                eq_first = np.zeros(P, dtype=bool)
+                eq_first[cs] = cs == gmin
+                first_mask |= eqm & eq_first
 
-                if jcand_l[i]:
-                    it = _bisect.bisect_left(bp_pos_sorted, rbegin_l[i])
-                    rec = None
-                    while (it < len(bpr)
-                           and rpos + lqseq >= bpr[it].bppos):
-                        itbp = bpr[it]
-                        it += 1
-                        cm = count_map[file_c][itbp.id]
-                        if (len(cm.ref) + len(cm.alt)
-                                >= cfg.max_geno_read_count):
+            # intra store/pop matching (exact dict semantics incl.
+            # same-key overwrite: a second matches the latest first
+            # since the previous second of its key)
+            ii = np.nonzero(intra)[0]
+            S_rows = np.zeros(0, dtype=np.int64)
+            F_rows = np.zeros(0, dtype=np.int64)
+            if len(ii):
+                keyz = np.where(first_mask[ii], b_hv1[ii], b_hv2[ii])
+                so = np.lexsort((ii, keyz))
+                k_s = keyz[so]
+                r_s = ii[so]
+                isF = first_mask[ii][so]
+                newg = np.ones(len(so), dtype=bool)
+                if len(so) > 1:
+                    newg[1:] = k_s[1:] != k_s[:-1]
+                gid = np.cumsum(newg).astype(np.int64)
+                L = np.int64(P + 1)
+                fv = np.where(isF, r_s, np.int64(-1)) + gid * L
+                lastF = np.maximum.accumulate(fv) - gid * L
+                sv_ = np.where(~isF, r_s, np.int64(-1)) + gid * L
+                accS = np.maximum.accumulate(sv_) - gid * L
+                prevS = np.empty_like(accS)
+                prevS[0] = -1
+                prevS[1:] = accS[:-1]
+                prevS = np.where(newg, np.int64(-1), prevS)
+                matched = (~isF) & (lastF >= 0) & (lastF > prevS)
+                S_rows = r_s[matched]
+                F_rows = lastF[matched]
+                order = np.argsort(S_rows, kind="stable")
+                S_rows = S_rows[order]
+                F_rows = F_rows[order]
+
+            pq = np.minimum(b_mapq[F_rows], b_mapq[S_rows])
+            pclip = b_clip[F_rows] | b_clip[S_rows]
+            qok = pq >= cfg.min_geno_qual
+            S_rows = S_rows[qok]
+            F_rows = F_rows[qok]
+            pq = pq[qok]
+            pclip = pclip[qok]
+
+            # fragment coverage: midpoint counting with saturation
+            mid = b_pos[S_rows] + b_rspan[S_rows] // 2
+            mid = mid[mid < target_len]
+            if len(mid):
+                frag = np.bincount(mid, minlength=target_len)
+                np.minimum(frag, max_cov - 1, out=frag)
+                cov_fragment = np.maximum(
+                    cov_fragment, frag.astype(np.uint16))
+
+            # inter-chromosome pairs through the scalar cliptra dict
+            inter_events = []  # (row, pair_quality)
+            irows = np.nonzero(~intra)[0]
+            if len(irows):
+                i_first = first_mask[irows].tolist()
+                i_hv1 = b_hv1[irows].tolist()
+                i_hv2 = b_hv2[irows].tolist()
+                i_clipf = b_clip[irows].tolist()
+                i_mapq = b_mapq[irows].tolist()
+                ir_l = irows.tolist()
+                for k in range(len(ir_l)):
+                    if i_first[k]:
+                        cliptra[i_hv1[k]] = (i_clipf[k], i_mapq[k])
+                    else:
+                        ent = cliptra.pop(i_hv2[k], None)
+                        if ent is None:
                             continue
-                        spans = (has_soft_clip or (
-                            (not has_clip)
-                            and rpos + cfg.min_flank_size + itbp.homLeft
-                            <= itbp.bppos
-                            and rpos + lqseq
-                            >= itbp.bppos + cfg.min_flank_size
-                            + itbp.homRight))
-                        if spans:
-                            if rec is None:
-                                rec = view.parse_at(offs_l[i])
-                            sequence = adjust_orientation(
-                                rec.seq, bool(itbp.bpPoint), itbp.svt)
-                            jobs.append((
-                                cons_probe_arr[itbp.bpPoint][itbp.id],
-                                ref_probe_arr[itbp.bpPoint][itbp.id],
-                                sequence, file_c, itbp.id, mapq_l[i],
-                                (rec.qname, ref_index, rpos, mtid_l[i],
-                                 mpos_l[i], mapq_l[i])))
+                        pair_quality = min(ent[1], i_mapq[k])
+                        if pair_quality < cfg.min_geno_qual:
+                            continue
+                        inter_events.append((ir_l[k], pair_quality))
 
-                # Read-count and spanning annotation
-                if not pm_l[i]:
-                    continue
-                mtid = mtid_l[i]
-                mpos = mpos_l[i]
-                if rpos > last_aligned_pos:
-                    last_aligned_reads.clear()
-                    last_aligned_pos = rpos
-                nh = nhash_l[i]
-                # first_pair_obs (tags.h:269-274) on SoA fields
-                if mtid == ref_index:
-                    first = (rpos < mpos
-                             or (rpos == mpos
-                                 and nh not in last_aligned_reads))
-                else:
-                    first = ref_index < mtid
-                if first:
-                    last_aligned_reads.add(nh)
-                    hv = hv1_l[i]
-                    if mtid == ref_index:
-                        clip[hv] = (has_soft_clip, mapq_l[i])
+            if lib.median != 0 and (len(S_rows) or inter_events):
+                # span-walk candidates (vectorized gates), walked in
+                # merged file order for order-identical tallies
+                events = []
+                if len(S_rows):
+                    s_pos = b_pos[S_rows]
+                    s_mpos = b_mpos[S_rows]
+                    s_lq = b_lq[S_rows]
+                    outer = np.where(s_pos < s_mpos,
+                                     s_mpos + s_lq - s_pos,
+                                     s_pos + s_lq - s_mpos)
+                    norm = (~pclip & (b_svtp[S_rows] == 2)
+                            & (outer >= lib.minNormalISize)
+                            & (outer <= lib.maxNormalISize))
+                    spanlen = (0.8 * outer).astype(np.int64)
+                    pbeg_n = np.minimum(s_pos, s_mpos) \
+                        + (outer - spanlen) // 2
+                    hi_n = np.minimum(pbeg_n + spanlen, target_len)
+                    lo_n = np.maximum(0, pbeg_n)
+                    norm &= (pbeg_n < hi_n) \
+                        & (span_cum[np.clip(hi_n, 0, target_len)]
+                           > span_cum[np.clip(lo_n, 0, target_len)])
+                    ab = (~((b_svtp[S_rows] == 2)
+                            & (outer >= lib.minNormalISize)
+                            & (outer <= lib.maxNormalISize))
+                          & (b_svt[S_rows] != -1))
+                    rev = (b_flag[S_rows] & FREVERSE) != 0
+                    pbeg_a = np.where(
+                        rev, np.maximum(0, s_pos + s_lq
+                                        - lib.maxNormalISize), s_pos)
+                    pend_a = np.where(
+                        rev, np.minimum(s_pos + s_lq, target_len),
+                        np.minimum(s_pos + lib.maxNormalISize,
+                                   target_len))
+                    ab &= (pbeg_a < pend_a) \
+                        & (span_cum[np.clip(pend_a, 0, target_len)]
+                           > span_cum[np.clip(pbeg_a, 0, target_len)])
+                    for k in np.nonzero(norm | ab)[0].tolist():
+                        events.append((int(S_rows[k]), "i", k))
+                for row, quality in inter_events:
+                    # inter pairs only reach the abnormal section
+                    if b_svt[row] == -1:
+                        continue
+                    rpos = int(b_pos[row])
+                    lqseq = int(b_lq[row])
+                    if b_flag[row] & FREVERSE:
+                        pbeg = max(0, rpos + lqseq - lib.maxNormalISize)
+                        pend = min(rpos + lqseq, target_len)
                     else:
-                        cliptra[hv] = (has_soft_clip, mapq_l[i])
-                else:
-                    hv = hv2_l[i]
-                    store = clip if mtid == ref_index else cliptra
-                    ent = store.pop(hv, None)
-                    if ent is None:
-                        continue
-                    pair_quality = min(ent[1], mapq_l[i])
-                    pair_clip = ent[0] or has_soft_clip
-                    if pair_quality < cfg.min_geno_qual:
-                        continue
-                    if mtid == ref_index:
-                        mid = rpos + rspan_l[i] // 2
-                        if mid < target_len and cov_fragment[mid] < max_cov - 1:
-                            cov_fragment[mid] += 1
-                    if rpos < mpos:
-                        outer = mpos + lqseq - rpos
-                    else:
-                        outer = rpos + lqseq - mpos
-                    if lib.median == 0:
-                        continue
-                    svtype_pair = svtp_l[i]
-                    # Normal spanning pair (coverage.h:604-626)
-                    if (not pair_clip and svtype_pair == 2
-                            and lib.minNormalISize <= outer
-                            <= lib.maxNormalISize
-                            and mtid == ref_index):
-                        spanlen = int(0.8 * outer)
-                        pbegin = min(rpos, mpos)
-                        st = pbegin + (outer - spanlen) // 2
-                        hi = min(st + spanlen, target_len)
-                        lo0 = max(0, st)
-                        if st < hi and span_cum[hi] > span_cum[lo0]:
+                        pbeg = rpos
+                        pend = min(rpos + lib.maxNormalISize, target_len)
+                    if pbeg < pend and span_cum[pend] > span_cum[pbeg]:
+                        events.append((row, "x", quality))
+                events.sort(key=lambda e: e[0])
+
+                for row, kind, aux in events:
+                    rpos = int(b_pos[row])
+                    mpos = int(b_mpos[row])
+                    mtid = int(b_mtid[row])
+                    lqseq = int(b_lq[row])
+                    if kind == "i":
+                        k = aux
+                        pair_quality = int(pq[k])
+                        if norm[k]:
+                            st = int(pbeg_n[k])
+                            spl = int(spanlen[k])
                             it = _bisect.bisect_left(span_bppos, st)
                             while (it < len(span_point)
-                                   and st + spanlen >= span_point[it].bppos):
+                                   and st + spl >= span_point[it].bppos):
                                 sp = span_point[it]
                                 it += 1
                                 ref_aligned_span_count[file_c][sp.id] += 1
                                 if ref_aligned_span_count[file_c][sp.id] % 2:
                                     span_map[file_c][sp.id].ref.append(
                                         pair_quality)
-                    # Abnormal spanning (coverage.h:629-669)
-                    if (svtype_pair != 2
-                            or outer < lib.minNormalISize
-                            or outer > lib.maxNormalISize
-                            or mtid != ref_index):
-                        svt = svt_l[i]
-                        if svt == -1:
-                            continue
-                        pbegin = rpos
-                        pend = min(rpos + lib.maxNormalISize, target_len)
-                        if rflag & FREVERSE:
-                            pbegin = max(0, rpos + lqseq
-                                         - lib.maxNormalISize)
-                            pend = min(rpos + lqseq, target_len)
-                        if (pbegin < pend
-                                and span_cum[pend] > span_cum[pbegin]):
-                            it = _bisect.bisect_left(span_bppos, pbegin)
+                        if ab[k]:
+                            svt = int(b_svt[row])
+                            pbeg = int(pbeg_a[k])
+                            pend = int(pend_a[k])
+                            it = _bisect.bisect_left(span_bppos, pbeg)
                             while (it < len(span_point)
                                    and pend >= span_point[it].bppos):
                                 sp = span_point[it]
                                 it += 1
-                                if svt != sp.svt:
-                                    continue
-                                if mtid != sp.chr2:
+                                if svt != sp.svt or mtid != sp.chr2:
                                     continue
                                 if (abs(mpos - sp.otherBppos)
                                         < lib.maxNormalISize):
                                     if dump_out is not None:
-                                        rec = view.parse_at(offs_l[i])
-                                        _dump_row(file_c, sp.id, rec.qname,
-                                                  ref_index, rpos, mtid,
-                                                  mpos, mapq_l[i], "PE")
+                                        rec = view.parse_at(
+                                            int(b_offs[row]))
+                                        _dump_row(file_c, sp.id,
+                                                  rec.qname, ref_index,
+                                                  rpos, mtid, mpos,
+                                                  int(b_mapq[row]), "PE")
                                     span_map[file_c][sp.id].alt.append(
                                         pair_quality)
+                    else:
+                        pair_quality = aux
+                        svt = int(b_svt[row])
+                        if b_flag[row] & FREVERSE:
+                            pbeg = max(0, rpos + lqseq
+                                       - lib.maxNormalISize)
+                            pend = min(rpos + lqseq, target_len)
+                        else:
+                            pbeg = rpos
+                            pend = min(rpos + lib.maxNormalISize,
+                                       target_len)
+                        it = _bisect.bisect_left(span_bppos, pbeg)
+                        while (it < len(span_point)
+                               and pend >= span_point[it].bppos):
+                            sp = span_point[it]
+                            it += 1
+                            if svt != sp.svt or mtid != sp.chr2:
+                                continue
+                            if (abs(mpos - sp.otherBppos)
+                                    < lib.maxNormalISize):
+                                if dump_out is not None:
+                                    rec = view.parse_at(int(b_offs[row]))
+                                    _dump_row(file_c, sp.id, rec.qname,
+                                              ref_index, rpos, mtid,
+                                              mpos, int(b_mapq[row]),
+                                              "PE")
+                                span_map[file_c][sp.id].alt.append(
+                                    pair_quality)
             dump_entries = [] if dump_out is not None else None
             _process_jobs_device(jobs, count_map, ref_aligned_read_count,
                                  cfg, dump_entries)
@@ -620,7 +745,6 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                         in dump_entries:
                     _dump_row(file_c, sv_id, qname, tid, pos, mtid, mpos,
                               mapq, "SR")
-            clip.clear()
 
             # Assign fragment/base counts to SVs (coverage.h:684-733)
             cb_cum = np.concatenate(([0], np.cumsum(cov_bases,
