@@ -24,13 +24,17 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--engine", choices=["sr", "lr"], default="sr")
     ap.add_argument("--contigs", type=int, default=8)
     ap.add_argument("--pairs", type=int, default=40_000,
-                    help="normal pairs per contig")
+                    help="normal pairs per contig (sr) / background "
+                         "reads per contig (lr)")
     ap.add_argument("--len", dest="clen", type=int, default=1_500_000)
     ap.add_argument("--workdir", default="/tmp/delly_tpu_bench_e2e")
     ap.add_argument("--fresh", action="store_true")
     args = ap.parse_args()
+    if args.engine == "lr":
+        return run_lr_bench(args)
 
     # tests/ holds the synthetic writer
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -107,6 +111,75 @@ def main():
         "recall": round(recall, 4),
         "precision": round(precision, 4),
         "calls": len(dels),
+        "truth": len(truth),
+    }))
+    return 0
+
+
+def run_lr_bench(args):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.bamsynth import make_lr_genome_dataset
+
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            import jax
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+    os.makedirs(args.workdir, exist_ok=True)
+    tag = f"lr_c{args.contigs}_r{args.pairs}_l{args.clen}"
+    bam = f"{args.workdir}/{tag}.bam"
+    fa = f"{args.workdir}/{tag}.fa"
+    truth_path = f"{args.workdir}/{tag}.truth"
+    if args.fresh or not (os.path.exists(bam) and os.path.exists(fa)
+                          and os.path.exists(truth_path)):
+        t0 = time.time()
+        bam, fa, truth = make_lr_genome_dataset(
+            args.workdir, n_contigs=args.contigs, contig_len=args.clen,
+            reads_per_contig=args.pairs, name=tag)
+        with open(truth_path, "w") as fh:
+            for c, kind, p, ln in truth:
+                fh.write(f"{c}\t{kind}\t{p}\t{ln}\n")
+        print(f"[bench_e2e] generated {bam} "
+              f"({os.path.getsize(bam) / 1e6:.1f} MB compressed) "
+              f"in {time.time() - t0:.1f}s", file=sys.stderr)
+    truth = [ln.split("\t") for ln in
+             open(truth_path).read().splitlines()]
+    truth = [(c, k, int(p), int(ln)) for c, k, p, ln in truth]
+    n_reads = (args.pairs + 24) * args.contigs
+    n_bases = n_reads * 4000
+
+    from delly_tpu.models.config import LrConfig
+    from delly_tpu.models.lr import run_lr
+    out = f"{args.workdir}/{tag}.vcf"
+    cfg = LrConfig(genome=fa, files=[bam], outfile=out)
+    t0 = time.time()
+    rc = run_lr(cfg)
+    wall = time.time() - t0
+    if rc != 0:
+        print(json.dumps({"metric": "lr_e2e_bases_per_s", "value": 0,
+                          "unit": "bases/s", "error": f"rc={rc}"}))
+        return 1
+    body = [ln.split("\t") for ln in open(out).read().splitlines()
+            if ln and not ln.startswith("#")]
+    calls = []
+    for c in body:
+        info = dict(kv.split("=", 1) for kv in c[7].split(";")
+                    if "=" in kv)
+        calls.append((c[0], info.get("SVTYPE"), int(c[1])))
+    tp = sum(1 for c, k, p, _l in truth
+             if any(cc == c and kk == k and abs(pp - p) < 60
+                    for cc, kk, pp in calls))
+    recall = tp / len(truth) if truth else 0.0
+    print(json.dumps({
+        "metric": "lr_e2e_bases_per_s",
+        "value": round(n_bases / wall, 1),
+        "unit": "bases/s",
+        "wall_s": round(wall, 2),
+        "n_reads": n_reads,
+        "recall": round(recall, 4),
+        "calls": len(calls),
         "truth": len(truth),
     }))
     return 0

@@ -83,30 +83,30 @@ def _base_counts(align_mat: np.ndarray, mask: np.ndarray | None = None):
     return counts
 
 
+_AMBIG_LUT = np.full((5, 5), ord("-"), dtype=np.uint8)
+for (_k1, _k2), _ch in _AMBIG.items():
+    _AMBIG_LUT[_k1, _k2] = ord(_ch)
+
+
 def _ambig_consensus(counts: np.ndarray) -> str:
     """Column consensus with two-letter ambiguity codes
     (assemble.h:200-259): dominant base if it more than doubles the
-    runner-up, else the IUPAC pair code."""
+    runner-up, else the IUPAC pair code. The reference's scalar scan
+    resolves ties as first-maximum for both ranks, which np.argmax
+    reproduces (runner-up = first argmax with the winner masked)."""
     ncols = counts.shape[1]
-    out = []
-    for j in range(ncols):
-        cj = counts[:, j]
-        # first/second index mirroring the reference's scan order
-        max_idx, snd_idx = 0, 1
-        if cj[max_idx] < cj[snd_idx]:
-            max_idx, snd_idx = 1, 0
-        for i in range(2, 5):
-            if cj[i] > cj[max_idx]:
-                snd_idx = max_idx
-                max_idx = i
-            elif cj[i] > cj[snd_idx]:
-                snd_idx = i
-        if 2 * cj[snd_idx] < cj[max_idx]:
-            out.append("ACGT-"[max_idx])
-        else:
-            k1, k2 = sorted((max_idx, snd_idx))
-            out.append(_AMBIG.get((k1, k2), "-"))
-    return "".join(out)
+    cols = np.arange(ncols)
+    max_idx = np.argmax(counts, axis=0)
+    masked = counts.copy()
+    masked[max_idx, cols] = -1
+    snd_idx = np.argmax(masked, axis=0)
+    max_val = counts[max_idx, cols]
+    snd_val = counts[snd_idx, cols]
+    base = np.frombuffer(b"ACGT-", dtype=np.uint8)[max_idx]
+    amb = _AMBIG_LUT[np.minimum(max_idx, snd_idx),
+                     np.maximum(max_idx, snd_idx)]
+    out = np.where(2 * snd_val < max_val, base, amb)
+    return out.tobytes().decode()
 
 
 def consensus_edlib(align_mat: np.ndarray) -> str:
@@ -305,15 +305,14 @@ def best_diagonal(k_i: np.ndarray, k_j: np.ndarray, len_i: int,
         np.add.at(diag, d, 1)
     window = 20
     size = len(diag)
-    window_val = int(diag[:min(window, size)].sum())
-    best_diag = window // 2
-    best_window_val = window_val
-    for d in range(window, size):
-        window_val -= int(diag[d - window])
-        window_val += int(diag[d])
-        if window_val > best_window_val:
-            best_window_val = window_val
-            best_diag = d - window // 2
+    if size <= window:
+        return window // 2 - len_j
+    # sliding-window sums via prefix sums; the scalar scan's
+    # first-strict-maximum tie preference is np.argmax's
+    cs = np.concatenate(([0], np.cumsum(diag)))
+    wsum = cs[window:] - cs[:-window]
+    k = int(np.argmax(wsum))
+    best_diag = window // 2 if k == 0 else k + window - 1 - window // 2
     return best_diag - len_j
 
 

@@ -535,3 +535,60 @@ def make_homopolymer_del_dataset(tmpdir, seed=67, hp_len=20):
     write_bam(bam, contigs, [r[1] for r in recs])
     write_fasta(fa, contigs)
     return bam, fa, (bp1, bp2, hp_len)
+
+
+def make_lr_genome_dataset(tmpdir, n_contigs=4, contig_len=1_000_000,
+                           reads_per_contig=250, read_len=4000,
+                           var_reads=12, seed=83, name="lrbig"):
+    """Genome-scale long-read dataset: per contig one ~1kb DEL (D op)
+    and one 500bp INS (I op), heterozygous (var_reads carriers each),
+    plus background reads. Returns (bam, fasta, truth) with truth =
+    [(chrom, kind, pos, length)]."""
+    rng = random.Random(seed)
+    contigs = [(f"chr{c + 1}", random_contig(rng, contig_len))
+               for c in range(n_contigs)]
+    del_len, ins_len = 1000, 500
+    recs = []
+    truth = []
+    qid = 0
+    for tid, (cname, ref) in enumerate(contigs):
+        posd = contig_len // 3
+        posi = 2 * contig_len // 3
+        ins_seq = random_contig(rng, ins_len)
+        truth.append((cname, "DEL", posd, del_len))
+        truth.append((cname, "INS", posi, ins_len))
+        # background reads
+        for _ in range(reads_per_contig):
+            p = rng.randint(0, contig_len - read_len - 1)
+            recs.append((tid, p, encode_record(
+                f"b{qid}", 0x0, tid, p, 60, [("M", read_len)], -1, -1,
+                0, ref[p:p + read_len])))
+            qid += 1
+        # DEL carriers: M(lo) D(del_len) M(hi)
+        for _ in range(var_reads):
+            lo = rng.randint(800, 1800)
+            hi = rng.randint(800, 1800)
+            p = posd - lo
+            seq = ref[p:posd] + ref[posd + del_len:posd + del_len + hi]
+            recs.append((tid, p, encode_record(
+                f"d{qid}", 0x0, tid, p, 60,
+                [("M", lo), ("D", del_len), ("M", hi)], -1, -1, 0,
+                seq)))
+            qid += 1
+        # INS carriers: M(lo) I(ins_len) M(hi)
+        for _ in range(var_reads):
+            lo = rng.randint(800, 1800)
+            hi = rng.randint(800, 1800)
+            p = posi - lo
+            seq = ref[p:posi] + ins_seq + ref[posi:posi + hi]
+            recs.append((tid, p, encode_record(
+                f"i{qid}", 0x0, tid, p, 60,
+                [("M", lo), ("I", ins_len), ("M", hi)], -1, -1, 0,
+                seq)))
+            qid += 1
+    recs.sort(key=lambda r: (r[0], r[1]))
+    bam = f"{tmpdir}/{name}.bam"
+    fa = f"{tmpdir}/{name}.fa"
+    write_bam(bam, contigs, [r[2] for r in recs])
+    write_fasta(fa, contigs)
+    return bam, fa, truth
