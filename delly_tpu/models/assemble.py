@@ -151,25 +151,20 @@ def convert_alignment(query: str, align_mat: np.ndarray, mode: int,
     # leading flank
     if missing_start:
         out[:nrows, :missing_start] = align_mat[:, :missing_start]
-    # aligned block: target columns
+    # aligned block: target columns advance on non-INSERT ops, the
+    # query row on non-DELETE ops (vectorized scatter)
     q = np.frombuffer(query.encode(), dtype=np.uint8)
-    q_idx = -1
-    for j in range(alen):
-        if ops[j] == EDOP_INSERT:
-            pass  # gap column in target
-        else:
-            t_idx += 1
-            out[:nrows, j + missing_start] = align_mat[:, t_idx]
-        if ops[j] == EDOP_DELETE:
-            pass  # gap in query row (already GAP)
-        else:
-            q_idx += 1
-            out[nrows, j + missing_start] = q[q_idx]
+    jj = np.nonzero(ops != EDOP_INSERT)[0]
+    if len(jj):
+        out[:nrows, missing_start + jj] = \
+            align_mat[:, t_idx + 1:t_idx + 1 + len(jj)]
+        t_idx += len(jj)
+    kk = np.nonzero(ops != EDOP_DELETE)[0]
+    if len(kk):
+        out[nrows, missing_start + kk] = q[:len(kk)]
     if missing_end:
-        for j in range(alen + missing_start,
-                       alen + missing_start + missing_end):
-            t_idx += 1
-            out[:nrows, j] = align_mat[:, t_idx]
+        out[:nrows, missing_start + alen:] = \
+            align_mat[:, t_idx + 1:t_idx + 1 + missing_end]
     return out
 
 
