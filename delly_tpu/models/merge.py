@@ -372,18 +372,27 @@ def collect_svtype(cfg: MergeConfig, svtin: int, contig_map: dict,
     nodes = []
     for file_c, rdr in enumerate(readers):
         site_list = len(rdr.samples) == 0
-        for rec in rdr.records:
+        # svt decode happens once per record, not once per svt pass:
+        # bucket the reader's records by decoded svt on first use
+        # (readers are cached across the nine per-type passes).
+        buckets = getattr(rdr, "_svt_buckets", None)
+        if buckets is None:
+            buckets = {}
+            for rec in rdr.records:
+                info = rec["info"]
+                svt_str = info.get("SVTYPE")
+                if svt_str is None:
+                    continue
+                ct = info.get("CT")
+                dsvt = merge_decode_svt(
+                    str(svt_str), str(ct) if ct is not None else None)
+                buckets.setdefault(dsvt, []).append(rec)
+            rdr._svt_buckets = buckets
+        for rec in buckets.get(svtin, ()):
             info = rec["info"]
             if cfg.filter_for_pass and rec["filter"] != "PASS":
                 continue
-            svt_str = info.get("SVTYPE")
-            if svt_str is None:
-                continue
-            ct = info.get("CT")
-            recsvt = merge_decode_svt(str(svt_str),
-                                      str(ct) if ct is not None else None)
-            if recsvt != svtin:
-                continue
+            recsvt = svtin
             precise = "PRECISE" in info
             if cfg.filter_for_precise and not precise:
                 continue
@@ -851,11 +860,29 @@ def _site_header_lines():
     return keep + SITE_HEADER_EXTRA
 
 
-def _sorted_stream(readers: list, contig_map: dict):
+def _sorted_stream(readers: list, contig_map: dict, svtin: int = None):
     """k-way position-sorted stream over per-file parsed records,
-    yielding (file_idx, rec) (merge.h:1010-1016)."""
+    yielding (file_idx, rec) (merge.h:1010-1016). With `svtin`, streams
+    only that SV type's records via the per-reader buckets built by
+    collect_svtype (order within each file is preserved)."""
     heap = []
-    iters = [iter(r.records) for r in readers]
+    if svtin is None:
+        iters = [iter(r.records) for r in readers]
+    elif all(hasattr(r, "_svt_buckets") for r in readers):
+        iters = [iter(r._svt_buckets.get(svtin, ())) for r in readers]
+    else:
+        def _flt(rd):
+            for rec in rd.records:
+                info = rec["info"]
+                svt_str = info.get("SVTYPE")
+                if svt_str is None:
+                    continue
+                ct = info.get("CT")
+                if merge_decode_svt(
+                        str(svt_str),
+                        str(ct) if ct is not None else None) == svtin:
+                    yield rec
+        iters = [_flt(r) for r in readers]
     for fi, it in enumerate(iters):
         rec = next(it, None)
         if rec is not None:
@@ -882,18 +909,13 @@ def emit_selected(cfg: MergeConfig, svtin: int, contig_map: dict,
     writer = VcfWriter(outfile, names, [0] * len(names), [],
                        header_lines=_site_header_lines(), format_keys=[])
 
-    for fi, rec in _sorted_stream(readers, contig_map):
+    for fi, rec in _sorted_stream(readers, contig_map, svtin=svtin):
         key = (fi, rec["id"])
         agg = selected.get(key)
         if agg is None:
             continue
         info_in = rec["info"]
-        svt_str = info_in.get("SVTYPE")
-        ct = info_in.get("CT")
-        recsvt = merge_decode_svt(str(svt_str),
-                                  str(ct) if ct is not None else None)
-        if recsvt != svtin:
-            continue
+        recsvt = svtin
         chrom = rec["chrom"]
         sv_start = rec["pos"] - 1
         sv_end = _info_int(info_in, "END", sv_start + 1)
