@@ -318,6 +318,14 @@ def read_bam_header(path: str, genome: str | None = None) -> "BamHeader":
         reader.close()
 
 
+def _empty_soa():
+    return {
+        "offsets": np.zeros(0, dtype=np.int64),
+        **{k: np.zeros(0, dtype=np.int32)
+           for k in ("tid", "pos", "flag", "mapq", "mtid", "mpos",
+                     "tlen", "lqseq")}}
+
+
 class BamView:
     """Position-sorted records of one region/chromosome: a record byte
     buffer plus SoA core-field arrays (offsets are into `data`). In
@@ -375,11 +383,27 @@ class BamFile:
         self._data = None
         self._bai = None
         self._reader = None
+        self._cram = None
         self._chrom_cache = (None, None)  # (tid, BamView)
         with open(path, "rb") as fh:
             magic = fh.read(4)
         if magic == b"CRAM":
-            # CRAM input: decode + transcode to an uncompressed BAM
+            csize = os.path.getsize(path)
+            # CRAM compresses harder than BGZF; assume ~6x
+            if streaming is None:
+                streaming = csize * 6 > STREAM_THRESHOLD
+            if streaming:
+                # container-granular region decode (io/cram.CramStream):
+                # memory stays O(region) like the indexed BAM path
+                from delly_tpu.io.cram import CramStream
+                self._cram = CramStream(path, genome)
+                self.header = BamHeader(text=self._cram.sam_text,
+                                        names=self._cram.names,
+                                        lengths=self._cram.lengths)
+                self._rec_start = 0
+                self.streaming = True
+                return
+            # small CRAM: decode + transcode to an uncompressed BAM
             # stream once, then every downstream consumer (SoA index,
             # native passes, record parsing) runs unchanged (io/cram.py).
             from delly_tpu.io.cram import cram_to_bam_bytes
@@ -471,16 +495,15 @@ class BamFile:
                 mask &= ci["pos"] < end
             soa = {k: v[mask] for k, v in ci.items()}
             return BamView(self._data, soa)
-        chunks = self._bai.chunks(tid, beg, end)
-        if not chunks:
-            return BamView(b"", {
-                "offsets": np.zeros(0, dtype=np.int64),
-                **{k: np.zeros(0, dtype=np.int32)
-                   for k in ("tid", "pos", "flag", "mapq", "mtid",
-                             "mpos", "tlen", "lqseq")}})
-        parts = [self._reader.read_voffset_range(cb, ce)
-                 for cb, ce in chunks]
-        buf = b"".join(parts)
+        if self._cram is not None:
+            buf = self._cram.decode_region(tid, beg, end)
+        else:
+            chunks = self._bai.chunks(tid, beg, end)
+            if not chunks:
+                return BamView(b"", _empty_soa())
+            parts = [self._reader.read_voffset_range(cb, ce)
+                     for cb, ce in chunks]
+            buf = b"".join(parts)
         soa = _scan_soa(buf, 0)
         mask = (soa["tid"] == tid) & (soa["pos"] < end)
         soa = {k: v[mask] for k, v in soa.items()}
@@ -493,6 +516,25 @@ class BamFile:
             ci = self.core_index()
             soa = {k: v[:max_records] for k, v in ci.items()}
             return BamView(self._data, soa)
+        if self._cram is not None:
+            parts = []
+            soas = []
+            base = 0
+            total = 0
+            for buf in self._cram.iter_container_bytes():
+                soa = _scan_soa(buf, 0)
+                soa["offsets"] = soa["offsets"] + base
+                parts.append(buf)
+                soas.append(soa)
+                base += len(buf)
+                total += len(soa["offsets"])
+                if total >= max_records:
+                    break
+            if not soas:
+                return BamView(b"", _empty_soa())
+            merged = {k: np.concatenate([s[k] for s in soas])[:max_records]
+                      for k in soas[0]}
+            return BamView(b"".join(parts), merged)
         # ~min record size 40B is a safe lower bound; grow until enough
         want = max(1 << 20, 64 * max_records)
         while True:
@@ -511,6 +553,10 @@ class BamFile:
         analogue of the reference's sam_read1 loop for sampling passes."""
         if not self.streaming:
             yield BamView(self._data, self.core_index())
+            return
+        if self._cram is not None:
+            for buf in self._cram.iter_container_bytes():
+                yield BamView(buf, _scan_soa(buf, 0))
             return
         coff = 0
         leftover = b""
@@ -584,6 +630,8 @@ class BamFile:
     def mapped_count(self, tid: int) -> int:
         """Whether a chromosome has mapped reads (role of hts_idx_get_stat)."""
         if self.streaming:
+            if self._cram is not None:
+                return int(self._cram.has_reads(tid))
             return int(self._bai.has_reads(tid))
         if self._index is not None:
             m = (self._index["tid"] == tid) \

@@ -1713,3 +1713,194 @@ def _decode_slice_native(ch, sh, streams, slice_refseq, rg_names):
             return None
         return out[:rc].tobytes()
     return None
+
+
+# ---------------------------------------------------------------------
+# Streaming region reader (role of htslib's cram_seek + sam_itr_queryi:
+# containers carry (ref_id, start, span), so per-chromosome/region
+# decode touches only the matching containers — memory O(region))
+# ---------------------------------------------------------------------
+
+
+class CramStream:
+    """Container-granular CRAM 3.0 region reader.
+
+    Opens the file, parses the SAM header and walks container headers
+    only (a few hundred bytes each); record decode happens per region
+    via the same slice decoders the whole-file transcoder uses."""
+
+    def __init__(self, path: str, genome: str | None = None):
+        self.path = path
+        self._fh = open(path, "rb")
+        magic = self._fh.read(6)
+        if magic[:4] != b"CRAM":
+            raise ValueError(f"{path}: not a CRAM file")
+        if magic[4] != 3:
+            raise ValueError(f"{path}: CRAM {magic[4]}.{magic[5]} "
+                             f"unsupported (need 3.x)")
+        pos = 26
+        head = self._read_at(pos, 1 << 16)
+        hdr, hpos = read_container_header(head, 0)
+        need = hpos + hdr["length"]
+        if need > len(head):
+            head = self._read_at(pos, need)
+        _m, ctype, _cid, htext, bpos = read_block(head, hpos)
+        if ctype != CT_FILE_HEADER:
+            raise ValueError("first block is not the SAM header")
+        (tlen,) = struct.unpack_from("<i", htext, 0)
+        self.sam_text = htext[4:4 + tlen].decode()
+        self.names = []
+        self.lengths = []
+        self.rg_names = []
+        for line in self.sam_text.split("\n"):
+            if line.startswith("@SQ"):
+                sn = ln = None
+                for f in line.split("\t"):
+                    if f.startswith("SN:"):
+                        sn = f[3:]
+                    elif f.startswith("LN:"):
+                        ln = int(f[3:])
+                self.names.append(sn)
+                self.lengths.append(ln or 0)
+            elif line.startswith("@RG"):
+                for f in line.split("\t"):
+                    if f.startswith("ID:"):
+                        self.rg_names.append(f[3:].encode())
+
+        self._genome = genome
+        self._fasta = None
+        self._ref_cache = {}
+
+        # container table: (offset, total_len, ref_id, start, span,
+        # nrec, nblocks)
+        self.containers = []
+        off = pos + need
+        while True:
+            chunk = self._read_at(off, 1024)
+            if len(chunk) < 12 or chunk[:len(CRAM_EOF)] == CRAM_EOF:
+                break
+            try:
+                ch_hdr, hlen = read_container_header(chunk, 0)
+            except (struct.error, IndexError):
+                chunk = self._read_at(off, 1 << 16)
+                ch_hdr, hlen = read_container_header(chunk, 0)
+            total = hlen + ch_hdr["length"]
+            self.containers.append(
+                (off, total, ch_hdr["ref_id"], ch_hdr["start"],
+                 ch_hdr["span"], ch_hdr["nrec"], ch_hdr["nblocks"]))
+            off += total
+
+    def _read_at(self, off: int, n: int) -> bytes:
+        self._fh.seek(off)
+        return self._fh.read(n)
+
+    def _get_ref(self, tid):
+        if tid < 0 or tid >= len(self.names):
+            return None
+        if tid not in self._ref_cache:
+            if self._fasta is None and self._genome:
+                from delly_tpu.io.fasta import FastaFile
+                self._fasta = FastaFile(self._genome)
+            if self._fasta is not None \
+                    and self._fasta.has_seq(self.names[tid]):
+                self._ref_cache[tid] = self._fasta.fetch(
+                    self.names[tid]).upper().encode()
+            else:
+                self._ref_cache[tid] = None
+        return self._ref_cache[tid]
+
+    def bam_header_bytes(self) -> bytes:
+        out = bytearray()
+        st = self.sam_text.encode()
+        out += b"BAM\x01" + struct.pack("<i", len(st)) + st
+        out += struct.pack("<i", len(self.names))
+        for nm, ln in zip(self.names, self.lengths):
+            nb = (nm or "").encode() + b"\x00"
+            out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
+        return bytes(out)
+
+    def has_reads(self, tid: int) -> bool:
+        return any(rid == tid or rid == -2
+                   for _o, _t, rid, _s, _sp, nrec, _nb in self.containers
+                   if nrec > 0)
+
+    def _decode_container(self, off: int, total: int) -> bytes:
+        """Decode one container to BAM record bytes (same slice path as
+        cram_to_bam_bytes)."""
+        raw = self._read_at(off, total)
+        _hdr, pos = read_container_header(raw, 0)
+        cend = total
+        _m, ctype, _cid, chraw, pos = read_block(raw, pos)
+        if ctype != CT_COMP_HEADER:
+            raise ValueError("expected compression header block")
+        ch = CompressionHeader(chraw)
+        parts = []
+        while pos < cend:
+            _m, ctype, _cid, sraw, pos = read_block(raw, pos)
+            if ctype != CT_SLICE_HEADER:
+                raise ValueError("expected slice header block")
+            sh = parse_slice_header(sraw)
+            zblocks = []
+            for _b in range(sh["nblocks"]):
+                m2, ct2, cid2, zdata, rsize, pos = read_block_raw(raw, pos)
+                zblocks.append((m2, ct2, cid2, zdata, rsize))
+            parts.append(self._decode_slice_item(ch, sh, zblocks))
+        return b"".join(parts)
+
+    def _decode_slice_item(self, ch, sh, zblocks) -> bytes:
+        core_raw = b""
+        streams = {}
+        embedded_ref = None
+        for m2, ct2, cid2, zdata, rsize in zblocks:
+            braw = decompress_block(m2, zdata, rsize)
+            if ct2 == CT_CORE:
+                core_raw = braw
+            elif ct2 == CT_EXTERNAL:
+                streams[cid2] = braw
+                if cid2 == sh["embed_ref"]:
+                    embedded_ref = braw
+        if ch.rr:
+            if embedded_ref is not None:
+                srs = (b"\x00" * (sh["start"] - 1)) + embedded_ref
+            elif sh["ref_id"] >= 0:
+                srs = self._get_ref(sh["ref_id"])
+            else:
+                srs = None
+        else:
+            srs = None
+        if sh["ref_id"] != -2 and not core_raw:
+            nat = _decode_slice_native(ch, sh, streams, srs,
+                                       self.rg_names)
+            if nat is not None:
+                return nat
+        recs = _decode_slice(ch, sh, core_raw, streams, self._get_ref,
+                             self.names, srs)
+        _resolve_mates(recs)
+        part = bytearray()
+        for r in recs:
+            part += _bam_encode_record(r, self.rg_names)
+        return bytes(part)
+
+    def decode_region(self, tid: int, beg: int, end: int) -> bytes:
+        """BAM record bytes for containers that can overlap
+        [beg, end) on `tid` (multi-ref -2 containers included; the
+        caller masks by tid/pos on the SoA)."""
+        parts = []
+        for off, total, rid, start, span, nrec, _nb in self.containers:
+            if nrec == 0:
+                continue
+            if rid not in (tid, -2):
+                continue
+            if rid == tid and span > 0 \
+                    and (start - 1 + span <= beg or start - 1 >= end):
+                continue
+            parts.append(self._decode_container(off, total))
+        return b"".join(parts)
+
+    def iter_container_bytes(self):
+        """Sequential per-container BAM record bytes (all refs, file
+        order) for bounded-memory sampling passes."""
+        for off, total, rid, start, span, nrec, _nb in self.containers:
+            if nrec == 0:
+                continue
+            yield self._decode_container(off, total)

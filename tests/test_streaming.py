@@ -84,3 +84,43 @@ def test_sr_pipeline_identical_between_modes(dataset, monkeypatch,
         if any(c == chrom and abs(p - start) < 60 for c, p in dels):
             called += 1
     assert called >= len(truth) - 1, (called, truth, dels)
+
+
+def test_cram_streaming_matches_transcode(tmp_path):
+    """CRAM region streaming (CramStream) produces the same records
+    and identical sr output as the whole-file transcode path."""
+    import subprocess
+    import sys
+
+    from delly_tpu.io.bam import BamFile
+    from delly_tpu.io.cram import write_cram
+
+    ex = "/root/reference/example"
+    cram = str(tmp_path / "sr.cram")
+    write_cram(BamFile(f"{ex}/sr.bam"), f"{ex}/ref.fa", cram)
+    whole = BamFile(cram, genome=f"{ex}/ref.fa", streaming=False)
+    stream = BamFile(cram, genome=f"{ex}/ref.fa", streaming=True)
+    assert stream._cram is not None
+    ci = whole.core_index()
+    v = stream.chrom(0)
+    m = ci["tid"] == 0
+    assert len(v) == int(m.sum())
+    for k in ("pos", "flag", "mapq", "mtid", "mpos", "tlen", "lqseq"):
+        np.testing.assert_array_equal(v[k], ci[k][m])
+
+    outs = []
+    for thr in ("1", str(1 << 62)):
+        out = str(tmp_path / f"cram_{thr}.vcf")
+        r = subprocess.run(
+            [sys.executable, "-m", "delly_tpu.cli", "sr",
+             "-g", f"{ex}/ref.fa", "-o", out, cram],
+            capture_output=True, text=True, timeout=600,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "HOME": "/root",
+                 "DELLY_TPU_STREAM_THRESHOLD": thr})
+        assert r.returncode == 0, r.stderr[-1500:]
+        outs.append(open(out).read())
+    assert outs[0] == outs[1]
+    body = [ln for ln in outs[0].splitlines()
+            if ln and not ln.startswith("#")]
+    assert len(body) == 1 and "SVTYPE=DEL" in body[0]
