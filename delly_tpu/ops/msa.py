@@ -32,14 +32,97 @@ def lcs(s1: str, s2: str) -> int:
     return int(prev[-1])
 
 
+_lcs_cache = {}
+_lcs_use_device = None
+
+
+def _lcs_device_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def kern(a, alens, b, blens):
+        B, M = a.shape
+        N = b.shape[1]
+        colmask = (jnp.arange(1, N + 1, dtype=jnp.int32)[None, :]
+                   <= blens[:, None])
+        row0 = jnp.zeros((B, N + 1), dtype=jnp.int32)
+
+        def step(prev, qi_i):
+            qi, i = qi_i
+            active = i <= alens
+            eq = ((qi[:, None] == b) & colmask).astype(jnp.int32)
+            cand = jnp.maximum(prev[:, :-1] + eq, prev[:, 1:])
+            body = jax.lax.associative_scan(jnp.maximum, cand, axis=1)
+            cur = jnp.concatenate(
+                [jnp.zeros((B, 1), dtype=jnp.int32), body], axis=1)
+            cur = jnp.where(active[:, None], cur, prev)
+            return cur, None
+
+        rows = jnp.arange(1, M + 1, dtype=jnp.int32)
+        final, _ = jax.lax.scan(step, row0, (a.T, rows))
+        return final[jnp.arange(B), blens]
+
+    return kern
+
+
+def lcs_pairs(pairs: list) -> np.ndarray:
+    """Batched LCS lengths for (a, b) string pairs — one padded device
+    batch (the row recurrence reduces to an in-row prefix max, the same
+    shape as the edit-distance kernels). Used for the MSA similarity
+    matrix (reference HOT LOOP 3 feeder, msa.h:10-44)."""
+    global _lcs_use_device
+    if not pairs:
+        return np.zeros(0, dtype=np.int64)
+    if _lcs_use_device is None:
+        try:
+            import jax
+            _lcs_use_device = jax.default_backend() == "tpu"
+        except Exception:
+            _lcs_use_device = False
+    if not _lcs_use_device or len(pairs) < 8:
+        return np.asarray([lcs(a, b) for a, b in pairs], dtype=np.int64)
+
+    def bucket(x):
+        v = 128
+        while v < x:
+            v *= 2
+        return v
+
+    import jax.numpy as jnp
+    m = bucket(max(len(a) for a, _ in pairs))
+    n = bucket(max(len(b) for _, b in pairs))
+    nb = len(pairs)
+    a = np.zeros((nb, m), dtype=np.uint8)
+    b = np.zeros((nb, n), dtype=np.uint8)
+    al = np.zeros(nb, dtype=np.int32)
+    bl = np.zeros(nb, dtype=np.int32)
+    for i, (x, y) in enumerate(pairs):
+        xb = x.encode()
+        yb = y.encode()
+        a[i, :len(xb)] = np.frombuffer(xb, dtype=np.uint8)
+        b[i, :len(yb)] = np.frombuffer(yb, dtype=np.uint8)
+        al[i] = len(xb)
+        bl[i] = len(yb)
+    fn = _lcs_cache.get("kern")
+    if fn is None:
+        fn = _lcs_cache["kern"] = _lcs_device_fn()
+    out = fn(jnp.asarray(a), jnp.asarray(al), jnp.asarray(b),
+             jnp.asarray(bl))
+    return np.asarray(out).astype(np.int64)
+
+
 def distance_matrix(seqs: list) -> np.ndarray:
-    """Similarity percent matrix (msa.h:32-44)."""
+    """Similarity percent matrix (msa.h:32-44); the all-pairs LCS runs
+    as one batched device call on TPU backends."""
     num = len(seqs)
     d = np.full((2 * num + 1, 2 * num + 1), -1, dtype=np.int64)
-    for i in range(num):
-        for j in range(i + 1, num):
-            d[i][j] = (lcs(seqs[i], seqs[j]) * 100) // min(
-                len(seqs[i]), len(seqs[j]))
+    idx = [(i, j) for i in range(num) for j in range(i + 1, num)]
+    if not idx:
+        return d
+    ls = lcs_pairs([(seqs[i], seqs[j]) for i, j in idx])
+    for k, (i, j) in enumerate(idx):
+        d[i][j] = (int(ls[k]) * 100) // min(len(seqs[i]), len(seqs[j]))
     return d
 
 

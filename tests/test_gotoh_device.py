@@ -98,3 +98,31 @@ def test_msa_consensus_identical_through_device():
     finally:
         msa_mod.gotoh = orig
     assert (sup_d, cons_d) == (sup_h, cons_h)
+
+
+def test_lcs_device_kernel_parity():
+    """Batched device LCS == scalar host LCS (msa.h:10-30)."""
+    import jax.numpy as jnp
+
+    from delly_tpu.ops.msa import _lcs_device_fn, lcs
+    rng = random.Random(19)
+    pairs = []
+    for _ in range(40):
+        a = "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 150)))
+        b = "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 170)))
+        pairs.append((a, b))
+    m = max(len(a) for a, _ in pairs)
+    n = max(len(b) for _, b in pairs)
+    qa = np.zeros((len(pairs), m), dtype=np.uint8)
+    tb = np.zeros((len(pairs), n), dtype=np.uint8)
+    al = np.zeros(len(pairs), dtype=np.int32)
+    bl = np.zeros(len(pairs), dtype=np.int32)
+    for i, (a, b) in enumerate(pairs):
+        qa[i, :len(a)] = np.frombuffer(a.encode(), dtype=np.uint8)
+        tb[i, :len(b)] = np.frombuffer(b.encode(), dtype=np.uint8)
+        al[i], bl[i] = len(a), len(b)
+    fn = _lcs_device_fn()
+    out = np.asarray(fn(jnp.asarray(qa), jnp.asarray(al),
+                        jnp.asarray(tb), jnp.asarray(bl)))
+    for i, (a, b) in enumerate(pairs):
+        assert int(out[i]) == lcs(a, b), (i, a, b)
