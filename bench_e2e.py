@@ -24,7 +24,8 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--engine", choices=["sr", "lr"], default="sr")
+    ap.add_argument("--engine", choices=["sr", "lr", "cnv"],
+                    default="sr")
     ap.add_argument("--contigs", type=int, default=8)
     ap.add_argument("--pairs", type=int, default=40_000,
                     help="normal pairs per contig (sr) / background "
@@ -35,6 +36,8 @@ def main():
     args = ap.parse_args()
     if args.engine == "lr":
         return run_lr_bench(args)
+    if args.engine == "cnv":
+        return run_cnv_bench(args)
 
     # tests/ holds the synthetic writer
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -112,6 +115,71 @@ def main():
         "precision": round(precision, 4),
         "calls": len(dels),
         "truth": len(truth),
+    }))
+    return 0
+
+
+def run_cnv_bench(args):
+    """Read-depth engine over the sr dataset (same generator): three
+    full-genome read passes (scan, GC bias, count) + segmentation."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.bamsynth import make_multi_contig_del_dataset
+
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            import jax
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+    os.makedirs(args.workdir, exist_ok=True)
+    tag = f"c{args.contigs}_p{args.pairs}_l{args.clen}"
+    bam = f"{args.workdir}/multi_{tag}.bam"
+    fa = f"{args.workdir}/multi_{tag}.fa"
+    if not (os.path.exists(bam) and os.path.exists(fa)):
+        bam, fa, _truth = make_multi_contig_del_dataset(
+            args.workdir, n_contigs=args.contigs, contig_len=args.clen,
+            pairs_per_contig=args.pairs, name=f"multi_{tag}")
+    n_reads = 2 * args.pairs * args.contigs + 48 * args.contigs
+
+    from delly_tpu.models.coral import CnvConfig, run_cnv
+    out = f"{args.workdir}/cnv_{tag}.vcf"
+    cov = f"{args.workdir}/cnv_{tag}.cov.gz"
+    cfg = CnvConfig(genome=fa, bam_file=bam, outfile=out, covfile=cov)
+    t0 = time.time()
+    rc = run_cnv(cfg)
+    wall = time.time() - t0
+    if rc != 0:
+        print(json.dumps({"metric": "cnv_e2e_reads_per_s", "value": 0,
+                          "unit": "reads/s", "error": f"rc={rc}"}))
+        return 1
+    body = [ln.split("\t") for ln in open(out).read().splitlines()
+            if ln and not ln.startswith("#")]
+    # implanted homozygous coverage holes (bamsynth: [4/5*len,
+    # +min(60k, len/10)) per contig)
+    hole_len = min(60_000, args.clen // 10)
+    hit = 0
+    for c in range(args.contigs):
+        lo = args.clen * 4 // 5
+        hi = lo + hole_len
+        for rec in body:
+            if rec[0] != f"chr{c + 1}":
+                continue
+            info = dict(kv.split("=", 1) for kv in rec[7].split(";")
+                        if "=" in kv)
+            s = int(rec[1])
+            e = int(info.get("END", s))
+            if s < hi and e > lo:
+                hit += 1
+                break
+    print(json.dumps({
+        "metric": "cnv_e2e_reads_per_s",
+        "value": round(n_reads / wall, 1),
+        "unit": "reads/s",
+        "wall_s": round(wall, 2),
+        "n_reads": n_reads,
+        "calls": len(body),
+        "hole_recall": round(hit / args.contigs, 4),
     }))
     return 0
 

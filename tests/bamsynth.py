@@ -40,13 +40,27 @@ def encode_record(qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen,
     return struct.pack("<i", len(body)) + body
 
 
-def random_contig(rng_or_seed, length: int) -> str:
-    """Fast random ACGT contig (numpy; scales to Mbp)."""
+def random_contig(rng_or_seed, length: int, gc_blocks: int = 0) -> str:
+    """Fast random ACGT contig (numpy; scales to Mbp). With
+    `gc_blocks` > 0, the contig gets block-wise GC-content variation
+    (0.35–0.60) so GC-percentile machinery (delly cnv) has a real
+    distribution to work with."""
     seed = (rng_or_seed if isinstance(rng_or_seed, int)
             else rng_or_seed.randint(0, 2**31))
     g = np.random.default_rng(seed)
-    return np.frombuffer(b"ACGT", dtype=np.uint8)[
-        g.integers(0, 4, size=length)].tobytes().decode()
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    if not gc_blocks:
+        return letters[g.integers(0, 4, size=length)].tobytes().decode()
+    block = max(1, length // gc_blocks)
+    out = np.empty(length, dtype=np.uint8)
+    pos = 0
+    while pos < length:
+        n = min(block, length - pos)
+        gc = g.uniform(0.35, 0.60)
+        p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+        out[pos:pos + n] = letters[g.choice(4, size=n, p=p)]
+        pos += n
+    return out.tobytes().decode()
 
 
 def write_bam(path, contigs, records, index=True):
@@ -301,7 +315,9 @@ def make_multi_contig_del_dataset(tmpdir, n_contigs=4, contig_len=60_000,
     del_start, del_end)]. Scales to benchmark size via the count
     parameters."""
     rng = random.Random(seed)
-    contigs = [(f"chr{c + 1}", random_contig(rng, contig_len))
+    contigs = [(f"chr{c + 1}",
+                random_contig(rng, contig_len,
+                              gc_blocks=max(1, contig_len // 10_000)))
                for c in range(n_contigs)]
     rl = 100
     isize = 400
@@ -314,16 +330,24 @@ def make_multi_contig_del_dataset(tmpdir, n_contigs=4, contig_len=60_000,
         bp2 = bp1 + del_len
         truth.append((cname, bp1, bp2))
         derived = ref[:bp1] + ref[bp2:]
-        # normal pairs
+        # homozygous read-depth hole (a CN0 region for the cnv engine;
+        # carries no PE/SR signal so the sr truth set is unaffected)
+        hole_lo = contig_len * 4 // 5
+        hole_hi = hole_lo + min(60_000, contig_len // 10)
+        # normal pairs (insert-size spread so MAD > 0: the scan's
+        # strict normal-insert bounds need real variance, scan.h:151)
         for _ in range(pairs_per_contig):
-            p1 = rng.randint(0, contig_len - isize - 1)
-            p2 = p1 + isize - rl
+            isz = isize + rng.randint(-60, 60)
+            p1 = rng.randint(0, contig_len - isz - 1)
+            if hole_lo - isz < p1 < hole_hi:
+                continue
+            p2 = p1 + isz - rl
             recs.append((tid, p1, encode_record(
                 f"p{qid}", 0x63, tid, p1, 60, [("M", rl)], tid, p2,
-                isize, ref[p1:p1 + rl])))
+                isz, ref[p1:p1 + rl])))
             recs.append((tid, p2, encode_record(
                 f"p{qid}", 0x93, tid, p2, 60, [("M", rl)], tid, p1,
-                -isize, ref[p2:p2 + rl])))
+                -isz, ref[p2:p2 + rl])))
             qid += 1
         # discordant pairs spanning the deletion (3to5, large insert)
         for _ in range(pe_per_del):
