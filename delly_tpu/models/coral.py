@@ -35,7 +35,7 @@ from delly_tpu.models.gcbias import (
     GcBias, estimate_regional_gc, gc_bias, reg_corr_factor,
 )
 from delly_tpu.models.scan import scan, select_windows
-from delly_tpu.utils.hashing import hash_pair_h, hash_sr_batch
+from delly_tpu.utils.hashing import hash_sr_batch
 from delly_tpu.utils.stats import get_library_params
 from delly_tpu.utils.log import stage
 
@@ -193,9 +193,6 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
         cov_map = cov if cfg.basecov else cov_tot
 
         clips = []
-        mate_map = {}
-        last_aligned_pos = 0
-        last_aligned_reads = set()
         # SoA-driven counting pass (coral.h:182-294)
         view = bam.chrom(ref_index)
         flag_a = view["flag"]
@@ -231,42 +228,46 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
         cov_uniq = bc[1].astype(np.uint16)
         cov_map = cov if cfg.basecov else cov_tot
         if not cfg.basecov:
-            seeds_l = hash_sr_batch(stats["name_hash"], stats["fnv_hash"],
-                                    flag_a).tolist()
-            pos_l = view["pos"][sel].tolist()
-            mpos_l = view["mpos"][sel].tolist()
-            paired_l = ((flag_a & FPAIRED) != 0).tolist()
-            nhash_l = stats["name_hash"].tolist()
-            rspan_l = stats["ref_span"].tolist()
-            for i in range(len(pos_l)):
-                rpos = pos_l[i]
-                midpoint = rpos + rspan_l[i] // 2
-                if paired_l[i]:
-                    mpos = mpos_l[i]
-                    if rpos > last_aligned_pos:
-                        last_aligned_reads.clear()
-                        last_aligned_pos = rpos
-                    # first_pair_obs (tags.h:269-274): probe with
-                    # hash_string, add the hash_sr seed
-                    if (rpos < mpos
-                            or (rpos == mpos
-                                and nhash_l[i]
-                                not in last_aligned_reads)):
-                        last_aligned_reads.add(seeds_l[i])
-                        hv = hash_pair_h(nhash_l[i], ref_index, rpos,
-                                         ref_index, mpos)
-                        mate_map[hv] = True
-                        continue
-                    hv = hash_pair_h(nhash_l[i], ref_index, mpos,
-                                     ref_index, rpos)
-                    if not mate_map.get(hv):
-                        continue
-                    del mate_map[hv]
-                    isize = rpos + rspan_l[i] - mpos
-                    if li.minNormalISize < isize < li.maxNormalISize:
-                        midpoint = mpos + isize // 2
-                if 0 <= midpoint < reflen and cov[midpoint] < 65534:
-                    cov[midpoint] += 1
+            from delly_tpu.models.pairing import (
+                first_obs_mask, match_store_pop,
+                saturating_midpoint_counts,
+            )
+            from delly_tpu.utils.hashing import hash_pair_h_batch
+            seeds_a = hash_sr_batch(stats["name_hash"],
+                                    stats["fnv_hash"], flag_a)
+            pos_a = view["pos"][sel]
+            mpos_a = view["mpos"][sel]
+            nh_a = stats["name_hash"]
+            rspan_a = stats["ref_span"]
+            paired_a = (flag_a & FPAIRED) != 0
+            mids = []
+            pr = np.nonzero(paired_a)[0]
+            if len(pr):
+                refs = np.full(len(pr), ref_index, dtype=np.int64)
+                # first_pair_obs (tags.h:269-274): probe with
+                # hash_string, insert the hash_sr seed
+                p_first = first_obs_mask(pos_a[pr],
+                                         pos_a[pr] < mpos_a[pr],
+                                         pos_a[pr] == mpos_a[pr],
+                                         nh_a[pr], seeds_a[pr])
+                hv1 = hash_pair_h_batch(nh_a[pr], refs, pos_a[pr], refs,
+                                        mpos_a[pr])
+                hv2 = hash_pair_h_batch(nh_a[pr], refs, mpos_a[pr],
+                                        refs, pos_a[pr])
+                keys = np.where(p_first, hv1, hv2)
+                S_loc, _F = match_store_pop(keys, p_first)
+                S = pr[S_loc]
+                isize = pos_a[S] + rspan_a[S] - mpos_a[S]
+                inb = ((isize > li.minNormalISize)
+                       & (isize < li.maxNormalISize))
+                mids.append(np.where(inb, mpos_a[S] + isize // 2,
+                                     pos_a[S] + rspan_a[S] // 2))
+            up = np.nonzero(~paired_a)[0]
+            if len(up):
+                mids.append(pos_a[up] + rspan_a[up] // 2)
+            if mids:
+                cov = saturating_midpoint_counts(
+                    np.concatenate(mids), reflen)
 
         uniq_content = uniq_content_track(cov_map, cov_uniq, seq,
                                           cfg.meanisize)

@@ -19,7 +19,7 @@ from delly_tpu.io.bam import (
 from delly_tpu.models.depth import (
     base_coverage_bulk, gc_content_track, uniq_content_track,
 )
-from delly_tpu.utils.hashing import hash_pair_h
+
 from delly_tpu.utils.log import stage
 
 
@@ -141,9 +141,6 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
         cov_tot = None if cfg.basecov else np.zeros(reflen, dtype=np.uint16)
         cov_map = cov if cfg.basecov else cov_tot
 
-        mate_map = {}
-        last_aligned_pos = 0
-        last_aligned_reads = set()
         # SoA-driven pass (gcbias.h:238-332)
         view = bam.chrom(ref_index)
         flag_a = view["flag"]
@@ -167,45 +164,48 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
         cov_map = cov if cfg.basecov else cov_tot
         if not cfg.basecov:
             from delly_tpu.models.genotype_sr import _cigar_stats
+            from delly_tpu.models.pairing import (
+                first_obs_mask, match_store_pop,
+                saturating_midpoint_counts,
+            )
+            from delly_tpu.utils.hashing import hash_pair_h_batch
             stats = _cigar_stats(view, offs)
             flag_a = view["flag"][sel]
-            pos_l = view["pos"][sel].tolist()
-            mpos_l = view["mpos"][sel].tolist()
-            paired_l = ((flag_a & FPAIRED) != 0).tolist()
-            rev_l = ((flag_a & FREVERSE) != 0).tolist()
-            nhash_l = stats["name_hash"].tolist()
-            rspan_l = stats["ref_span"].tolist()
+            pos_a = view["pos"][sel]
+            mpos_a = view["mpos"][sel]
+            nh_a = stats["name_hash"]
+            rspan_a = stats["ref_span"]
+            paired_a = (flag_a & FPAIRED) != 0
+            rev_a = (flag_a & FREVERSE) != 0
             half = cfg.meanisize // 2
-            for i in range(len(pos_l)):
-                rpos = pos_l[i]
-                midpoint = rpos + rspan_l[i] // 2
-                if paired_l[i]:
-                    mpos = mpos_l[i]
-                    if rpos > last_aligned_pos:
-                        last_aligned_reads.clear()
-                        last_aligned_pos = rpos
-                    nh = nhash_l[i]
-                    if (rpos < mpos
-                            or (rpos == mpos
-                                and nh not in last_aligned_reads)):
-                        last_aligned_reads.add(nh)
-                        hv = hash_pair_h(nh, ref_index, rpos, ref_index,
-                                         mpos)
-                        mate_map[hv] = True
-                        continue
-                    hv = hash_pair_h(nh, ref_index, mpos, ref_index, rpos)
-                    if not mate_map.get(hv):
-                        continue
-                    mate_map[hv] = False
-                    isize = rpos + rspan_l[i] - mpos
-                    if li.minNormalISize < isize < li.maxNormalISize:
-                        midpoint = mpos + isize // 2
-                    elif rev_l[i]:
-                        midpoint = rpos + rspan_l[i] - half
-                    else:
-                        midpoint = rpos + half
-                if 0 <= midpoint < reflen and cov[midpoint] < 65534:
-                    cov[midpoint] += 1
+            mids = []
+            pr = np.nonzero(paired_a)[0]
+            if len(pr):
+                refs = np.full(len(pr), ref_index, dtype=np.int64)
+                p_first = first_obs_mask(pos_a[pr],
+                                         pos_a[pr] < mpos_a[pr],
+                                         pos_a[pr] == mpos_a[pr],
+                                         nh_a[pr])
+                hv1 = hash_pair_h_batch(nh_a[pr], refs, pos_a[pr], refs,
+                                        mpos_a[pr])
+                hv2 = hash_pair_h_batch(nh_a[pr], refs, mpos_a[pr],
+                                        refs, pos_a[pr])
+                keys = np.where(p_first, hv1, hv2)
+                S_loc, _F = match_store_pop(keys, p_first)
+                S = pr[S_loc]
+                isize = pos_a[S] + rspan_a[S] - mpos_a[S]
+                inb = ((isize > li.minNormalISize)
+                       & (isize < li.maxNormalISize))
+                mids.append(np.where(
+                    inb, mpos_a[S] + isize // 2,
+                    np.where(rev_a[S], pos_a[S] + rspan_a[S] - half,
+                             pos_a[S] + half)))
+            up = np.nonzero(~paired_a)[0]
+            if len(up):
+                mids.append(pos_a[up] + rspan_a[up] // 2)
+            if mids:
+                cov = saturating_midpoint_counts(
+                    np.concatenate(mids), reflen)
 
         uniq_content = uniq_content_track(cov_map, cov_uniq, seq,
                                           cfg.meanisize)

@@ -517,61 +517,26 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                 b_flag, np.int64(ref_index), b_pos, b_mtid, b_mpos,
                 view["tlen"][sel][prow], lib.maxISizeCutoff)
 
+            from delly_tpu.models.pairing import (
+                first_obs_mask, match_store_pop,
+            )
             intra = b_mtid == ref_index
             lt = intra & (b_pos < b_mpos)
             eqm = intra & (b_pos == b_mpos)
             inter_first = ~intra & (ref_index < b_mtid)
-            uncond = lt | inter_first
-            # same-position seen-set: an eqm row is "first" iff it is
-            # the earliest (pos, nh) row among all rows that insert
-            first_mask = uncond.copy()
-            cond = np.nonzero(uncond | eqm)[0]
-            if len(cond):
-                so = np.lexsort((cond, b_nh[cond].astype(np.int64),
-                                 b_pos[cond].astype(np.int64)))
-                cs = cond[so]
-                newg = np.ones(len(cs), dtype=bool)
-                if len(cs) > 1:
-                    newg[1:] = ((b_pos[cs[1:]] != b_pos[cs[:-1]])
-                                | (b_nh[cs[1:]] != b_nh[cs[:-1]]))
-                gstart = np.maximum.accumulate(
-                    np.where(newg, np.arange(len(cs)), 0))
-                gmin = cs[gstart]
-                eq_first = np.zeros(P, dtype=bool)
-                eq_first[cs] = cs == gmin
-                first_mask |= eqm & eq_first
+            first_mask = first_obs_mask(b_pos, lt | inter_first, eqm,
+                                        b_nh)
 
             # intra store/pop matching (exact dict semantics incl.
-            # same-key overwrite: a second matches the latest first
-            # since the previous second of its key)
+            # same-key overwrite)
             ii = np.nonzero(intra)[0]
             S_rows = np.zeros(0, dtype=np.int64)
             F_rows = np.zeros(0, dtype=np.int64)
             if len(ii):
                 keyz = np.where(first_mask[ii], b_hv1[ii], b_hv2[ii])
-                so = np.lexsort((ii, keyz))
-                k_s = keyz[so]
-                r_s = ii[so]
-                isF = first_mask[ii][so]
-                newg = np.ones(len(so), dtype=bool)
-                if len(so) > 1:
-                    newg[1:] = k_s[1:] != k_s[:-1]
-                gid = np.cumsum(newg).astype(np.int64)
-                L = np.int64(P + 1)
-                fv = np.where(isF, r_s, np.int64(-1)) + gid * L
-                lastF = np.maximum.accumulate(fv) - gid * L
-                sv_ = np.where(~isF, r_s, np.int64(-1)) + gid * L
-                accS = np.maximum.accumulate(sv_) - gid * L
-                prevS = np.empty_like(accS)
-                prevS[0] = -1
-                prevS[1:] = accS[:-1]
-                prevS = np.where(newg, np.int64(-1), prevS)
-                matched = (~isF) & (lastF >= 0) & (lastF > prevS)
-                S_rows = r_s[matched]
-                F_rows = lastF[matched]
-                order = np.argsort(S_rows, kind="stable")
-                S_rows = S_rows[order]
-                F_rows = F_rows[order]
+                si, fi_ = match_store_pop(keyz, first_mask[ii])
+                S_rows = ii[si]
+                F_rows = ii[fi_]
 
             pq = np.minimum(b_mapq[F_rows], b_mapq[S_rows])
             pclip = b_clip[F_rows] | b_clip[S_rows]

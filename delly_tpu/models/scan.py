@@ -16,7 +16,7 @@ from delly_tpu.io.bam import (
     FDUP, FMUNMAP, FPAIRED, FQCFAIL, FSECONDARY, FSUPPLEMENTARY, FUNMAP,
 )
 from delly_tpu.models.depth import add_base_coverage
-from delly_tpu.utils.hashing import hash_pair_h
+
 from delly_tpu.utils.log import stage
 
 
@@ -91,9 +91,6 @@ def scan(cfg, bam, fasta, li, scan_counts: list) -> None:
 
         cov = np.zeros(reflen, dtype=np.uint16) if cfg.basecov else None
         cov_uniq = np.zeros(reflen, dtype=np.uint16) if cfg.basecov else None
-        mate_map = {}
-        last_aligned_pos = 0
-        last_aligned_reads = set()
         if cfg.basecov:
             for rec in bam.records(tid=ref_index):
                 if rec.flag & (FSECONDARY | FQCFAIL | FDUP | FSUPPLEMENTARY
@@ -117,62 +114,76 @@ def scan(cfg, bam, fasta, li, scan_counts: list) -> None:
                     & (view["mapq"] >= cfg.min_qual))
             sel = np.nonzero(keep)[0]
             from delly_tpu.models.genotype_sr import _cigar_stats
+            from delly_tpu.models.pairing import (
+                first_obs_mask, match_store_pop,
+            )
+            from delly_tpu.utils.hashing import hash_pair_h_batch
             stats = _cigar_stats(view, view["offsets"][sel])
             flag_a = view["flag"][sel]
             pos_a = view["pos"][sel]
             mpos_a = view["mpos"][sel]
+            mapq_a = view["mapq"][sel]
+            nh_a = stats["name_hash"]
+            rspan_a = stats["ref_span"]
             # pair orientation code 2 (tags.h:218-227) for FR layout
             fwd = (flag_a & 16) == 0
             mrev = (flag_a & 32) != 0
             fr2 = np.where(fwd, mrev & (pos_a < mpos_a),
                            (~mrev) & (pos_a > mpos_a))
             paired_a = (flag_a & FPAIRED) != 0
-            pos_l = pos_a.tolist()
-            mpos_l = mpos_a.tolist()
-            mapq_l = view["mapq"][sel].tolist()
-            paired_l = paired_a.tolist()
-            fr2_l = fr2.tolist()
-            nhash_l = stats["name_hash"].tolist()
-            rspan_l = stats["ref_span"].tolist()
-            wins = scan_counts[ref_index]
-            for i in range(len(pos_l)):
-                paired = paired_l[i]
-                rpos = pos_l[i]
-                if paired and not fr2_l[i]:
-                    continue
-                midpoint = rpos + rspan_l[i] // 2
-                if paired:
-                    mpos = mpos_l[i]
-                    if rpos > last_aligned_pos:
-                        last_aligned_reads.clear()
-                        last_aligned_pos = rpos
-                    nh = nhash_l[i]
-                    if (rpos < mpos
-                            or (rpos == mpos
-                                and nh not in last_aligned_reads)):
-                        last_aligned_reads.add(nh)
-                        hv = hash_pair_h(nh, ref_index, rpos, ref_index,
-                                         mpos)
-                        mate_map[hv] = True
-                        continue
-                    hv = hash_pair_h(nh, ref_index, mpos, ref_index, rpos)
-                    if not mate_map.get(hv):
-                        continue
-                    mate_map[hv] = False
-                    isize = rpos + rspan_l[i] - mpos
-                    if li.minNormalISize < isize < li.maxNormalISize:
-                        midpoint = mpos + isize // 2
-                    else:
-                        continue
+            use = ~paired_a | fr2
 
-                if 0 <= midpoint < reflen:
-                    b = find_bin(midpoint)
-                    if b >= 0:
-                        w = wins[b]
-                        w.cov += 1
-                        if mapq_l[i] >= cfg.mapq_uniq:
-                            w.uniqcov += 1
-                        total_cov += 1
+            # vectorized mate pairing (scan.h:131-166 automaton)
+            pr = np.nonzero(paired_a & use)[0]
+            mids = []
+            qual_src = []
+            if len(pr):
+                refs = np.full(len(pr), ref_index, dtype=np.int64)
+                p_first = first_obs_mask(pos_a[pr],
+                                         pos_a[pr] < mpos_a[pr],
+                                         pos_a[pr] == mpos_a[pr],
+                                         nh_a[pr])
+                hv1 = hash_pair_h_batch(nh_a[pr], refs, pos_a[pr], refs,
+                                        mpos_a[pr])
+                hv2 = hash_pair_h_batch(nh_a[pr], refs, mpos_a[pr],
+                                        refs, pos_a[pr])
+                keys = np.where(p_first, hv1, hv2)
+                S_loc, _F = match_store_pop(keys, p_first)
+                S = pr[S_loc]
+                isize = pos_a[S] + rspan_a[S] - mpos_a[S]
+                inb = ((isize > li.minNormalISize)
+                       & (isize < li.maxNormalISize))
+                S = S[inb]
+                mids.append(mpos_a[S] + isize[inb] // 2)
+                qual_src.append(mapq_a[S])
+            up = np.nonzero(~paired_a)[0]
+            if len(up):
+                mids.append(pos_a[up] + rspan_a[up] // 2)
+                qual_src.append(mapq_a[up])
+            if mids:
+                mid = np.concatenate(mids)
+                mq = np.concatenate(qual_src)
+                ok = (mid >= 0) & (mid < reflen)
+                mid = mid[ok]
+                mq = mq[ok]
+                if bin_of is not None:
+                    bins = bin_of[mid]
+                else:
+                    bins = mid // cfg.scan_window
+                    bins = np.where(bins < reflen // cfg.scan_window,
+                                    bins, -1)
+                okb = bins >= 0
+                bins = bins[okb]
+                mq = mq[okb]
+                wins = scan_counts[ref_index]
+                nb = len(wins)
+                covb = np.bincount(bins, minlength=nb)
+                uniqb = np.bincount(bins[mq >= cfg.mapq_uniq],
+                                    minlength=nb)
+                for b in np.nonzero(covb)[0].tolist():
+                    wins[b].cov += int(covb[b])
+                    wins[b].uniqcov += int(uniqb[b])
+                total_cov += int(covb.sum())
 
         if cfg.basecov:
             nz = np.nonzero(cov)[0]
