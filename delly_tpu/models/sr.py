@@ -23,8 +23,9 @@ from delly_tpu.models.refine import adjust_orientation, align_consensus
 from delly_tpu.ops.gotoh import DnaScore
 from delly_tpu.ops.msa import msa
 from delly_tpu.models.genotype_sr import _cigar_stats
+from delly_tpu.models.pairing import first_obs_mask, match_store_pop
 from delly_tpu.utils.hashing import (
-    hash_pair_h, hash_sr, hash_sr_batch,
+    hash_pair_h_batch, hash_sr, hash_sr_batch,
 )
 from delly_tpu.utils.stats import (
     get_library_params, get_variability, parse_exclude_intervals,
@@ -55,9 +56,6 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
         for ref_index in range(header.n_targets):
             if not valid_regions[ref_index]:
                 continue
-            mate_map = {}
-            last_aligned_pos = 0
-            last_aligned_reads = set()
             # SoA-driven walk (shortpe.h:285-533) over the per-chrom
             # view (indexed streaming on large inputs): hashes and CIGAR
             # aggregates come from the bulk native pass; full records are
@@ -108,54 +106,84 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
             pe &= ~((svt_a == 2)
                     & (lib.maxISizeCutoff > np.abs(tlen_a)))
             cand = np.nonzero(pe)[0]
-            pos_l = pos_a[cand].tolist()
-            mapq_l = mapq_a[cand].tolist()
-            mtid_l = mtid_a[cand].tolist()
-            mpos_l = mpos_a[cand].tolist()
-            flag_l = flag_a[cand].tolist()
-            svt_l = svt_a[cand].tolist()
-            rspan_l = stats["ref_span"][cand].tolist()
-            nhash_l = stats["name_hash"][cand].tolist()
-            cseeds_l = seeds_a[cand].tolist()
-            for i in range(len(pos_l)):
-                rpos = pos_l[i]
-                mtid = mtid_l[i]
-                mpos = mpos_l[i]
-                svt = svt_l[i]
-                if rpos > last_aligned_pos:
-                    last_aligned_reads.clear()
-                    last_aligned_pos = rpos
-                # first_pair_obs (tags.h:269-274): the reference probes
-                # the seed set with hash_string(qname)
-                if ref_index == mtid:
-                    first = (rpos < mpos
-                             or (rpos == mpos
-                                 and nhash_l[i] not in last_aligned_reads))
-                else:
-                    first = ref_index < mtid
-                if first:
-                    last_aligned_reads.add(cseeds_l[i])
-                    hv = hash_pair_h(nhash_l[i], ref_index, rpos, mtid, mpos)
-                    entry = (mapq_l[i], rspan_l[i])
-                    if is_translocation(svt):
-                        matetra[hv] = entry
-                    else:
-                        mate_map[hv] = entry
-                else:
-                    hv = hash_pair_h(nhash_l[i], mtid, mpos, ref_index, rpos)
-                    store = matetra if is_translocation(svt) else mate_map
-                    ent = store.get(hv)
+            c_pos = pos_a[cand]
+            c_mapq = mapq_a[cand]
+            c_mtid = mtid_a[cand]
+            c_mpos = mpos_a[cand]
+            c_flag = flag_a[cand]
+            c_svt = svt_a[cand]
+            c_rspan = stats["ref_span"][cand]
+            c_nh = stats["name_hash"][cand]
+            c_seed = seeds_a[cand]
+            intra = c_mtid == ref_index
+            # first_pair_obs (tags.h:269-274): the reference probes the
+            # seed set with hash_string(qname) but inserts hash_sr
+            first = first_obs_mask(
+                c_pos,
+                (intra & (c_pos < c_mpos))
+                | (~intra & (ref_index < c_mtid)),
+                intra & (c_pos == c_mpos), c_nh, c_seed)
+            refs = np.full(len(cand), ref_index, dtype=np.int64)
+            hv1 = hash_pair_h_batch(c_nh, refs, c_pos, c_mtid, c_mpos)
+            hv2 = hash_pair_h_batch(c_nh, c_mtid, c_mpos, refs, c_pos)
+
+            # intra pairs (never translocations) through the vectorized
+            # store/pop automaton; zero-mapq firsts are filtered after
+            # matching, which yields the same skip outcomes as the
+            # reference's non-consuming probe
+            ii = np.nonzero(intra)[0]
+            if len(ii):
+                keys = np.where(first[ii], hv1[ii], hv2[ii])
+                si, fi_ = match_store_pop(keys, first[ii])
+                S = ii[si]
+                F = ii[fi_]
+                ok = c_mapq[F] != 0
+                S, F = S[ok], F[ok]
+                pq = np.minimum(c_mapq[F], c_mapq[S]).tolist()
+                malen = c_rspan[F].tolist()
+                s_pos = c_pos[S].tolist()
+                s_mtid = c_mtid[S].tolist()
+                s_mpos = c_mpos[S].tolist()
+                s_flag = c_flag[S].tolist()
+                s_svt = c_svt[S].tolist()
+                s_rspan = c_rspan[S].tolist()
+                for k in range(len(s_pos)):
+                    bam_records[s_svt[k]].append(BamAlignRecord(
+                        tid=ref_index, pos=s_pos[k], mtid=s_mtid[k],
+                        mpos=s_mpos[k], alen=s_rspan[k],
+                        malen=malen[k], median=lib.median, mad=lib.mad,
+                        maxNormalISize=lib.maxNormalISize,
+                        flag=s_flag[k], mapQuality=pq[k]))
+                lib.abnormal_pairs += len(s_pos)
+
+            # inter-chromosome pairs: scalar dict (matetra spans chroms)
+            xi = np.nonzero(~intra)[0]
+            if len(xi):
+                x_first = first[xi].tolist()
+                x_hv1 = hv1[xi].tolist()
+                x_hv2 = hv2[xi].tolist()
+                x_mapq = c_mapq[xi].tolist()
+                x_rspan = c_rspan[xi].tolist()
+                x_pos = c_pos[xi].tolist()
+                x_mtid = c_mtid[xi].tolist()
+                x_mpos = c_mpos[xi].tolist()
+                x_flag = c_flag[xi].tolist()
+                x_svt = c_svt[xi].tolist()
+                for k in range(len(x_first)):
+                    if x_first[k]:
+                        matetra[x_hv1[k]] = (x_mapq[k], x_rspan[k])
+                        continue
+                    ent = matetra.get(x_hv2[k])
                     if ent is None or not ent[0]:
                         continue
-                    pair_quality = min(ent[0], mapq_l[i])
-                    alen_mate = ent[1]
-                    del store[hv]
-                    bam_records[svt].append(BamAlignRecord(
-                        tid=ref_index, pos=rpos, mtid=mtid, mpos=mpos,
-                        alen=rspan_l[i], malen=alen_mate,
+                    del matetra[x_hv2[k]]
+                    bam_records[x_svt[k]].append(BamAlignRecord(
+                        tid=ref_index, pos=x_pos[k], mtid=x_mtid[k],
+                        mpos=x_mpos[k], alen=x_rspan[k], malen=ent[1],
                         median=lib.median, mad=lib.mad,
                         maxNormalISize=lib.maxNormalISize,
-                        flag=flag_l[i], mapQuality=pair_quality))
+                        flag=x_flag[k],
+                        mapQuality=min(ent[0], x_mapq[k])))
                     lib.abnormal_pairs += 1
         for jv in read_bp.values():
             jv.sort(key=lambda j: j.sort_key())
