@@ -290,6 +290,26 @@ def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
                         if sequence not in seq_store[svid]:
                             seq_store[svid][sequence] = rec.mapq
 
+        # cross-SV batched LCS: one device call covers every SV's MSA
+        # similarity matrix for this chromosome
+        from delly_tpu.ops.msa import distance_matrix_from_lcs, lcs_pairs
+        sv_seqs = {}
+        pair_slices = {}
+        all_pairs = []
+        for svid in range(len(svs)):
+            if is_translocation(svs[svid].svt) \
+                    or svs[svid].chr != ref_index \
+                    or len(seq_store[svid]) <= 1:
+                continue
+            seqs = list(seq_store[svid].keys())
+            sv_seqs[svid] = seqs
+            start = len(all_pairs)
+            all_pairs.extend((seqs[i], seqs[j])
+                             for i in range(len(seqs))
+                             for j in range(i + 1, len(seqs)))
+            pair_slices[svid] = (start, len(all_pairs))
+        ls_all = lcs_pairs(all_pairs)
+
         for svid in range(len(svs)):
             if is_translocation(svs[svid].svt):
                 continue
@@ -300,8 +320,11 @@ def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
                 svs[svid].srSupport = 0
                 svs[svid].srAlignQuality = 0
                 continue
-            seqs = list(seq_store[svid].keys())
-            _, svs[svid].consensus = msa(seqs, cfg.min_clique_size, sc)
+            seqs = sv_seqs[svid]
+            lo, hi = pair_slices[svid]
+            d = distance_matrix_from_lcs(seqs, ls_all[lo:hi])
+            _, svs[svid].consensus = msa(seqs, cfg.min_clique_size, sc,
+                                         d=d)
             if not align_consensus(cfg, header.lengths, seq, None, svs[svid]):
                 svs[svid].consensus = ""
                 svs[svid].srSupport = 0

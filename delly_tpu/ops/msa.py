@@ -226,12 +226,30 @@ def consensus(align: np.ndarray, min_clique_size: int) -> str:
     return "".join(out)
 
 
-def msa(seqs: list, min_clique_size: int, sc: DnaScore | None = None):
-    """msa.h:185-239. Returns (support, consensus string)."""
+def msa(seqs: list, min_clique_size: int, sc: DnaScore | None = None,
+        d: np.ndarray | None = None):
+    """msa.h:185-239. Returns (support, consensus string). `d` lets a
+    caller supply the similarity matrix from a cross-SV batched LCS
+    pass (distance_matrix_from_lcs)."""
     sc = sc or DnaScore()
     num = len(seqs)
-    d = distance_matrix(seqs)
+    if d is None:
+        d = distance_matrix(seqs)
     root, p = upgma(d, num)
     align = palign(seqs, p, int(root), sc)
     cs = consensus(align, min_clique_size)
     return align.shape[0], cs
+
+
+def distance_matrix_from_lcs(seqs: list, ls) -> np.ndarray:
+    """Similarity matrix from precomputed LCS lengths for the i<j pair
+    list in row-major order (msa.h:32-44)."""
+    num = len(seqs)
+    d = np.full((2 * num + 1, 2 * num + 1), -1, dtype=np.int64)
+    k = 0
+    for i in range(num):
+        for j in range(i + 1, num):
+            d[i][j] = (int(ls[k]) * 100) // min(len(seqs[i]),
+                                                len(seqs[j]))
+            k += 1
+    return d
