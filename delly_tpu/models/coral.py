@@ -168,7 +168,7 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
             chr_ctrl_ploidy -= 1
             chr_ploidy -= 1
         seq = fasta.fetch(name)
-        gc_content = gc_content_track(seq, cfg.meanisize)
+        gc_content = gc_content_track(seq, cfg.meanisize, key=(cfg.genome, name))
 
         # Broad-tile regional correction factors (coral.h:164-179)
         tile_fac = np.zeros(0, dtype=np.float64)

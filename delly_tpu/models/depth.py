@@ -21,9 +21,27 @@ from delly_tpu.io.bam import (
 MAX_COVERAGE = np.iinfo(np.uint16).max
 
 
-def gc_content_track(seq: str, meanisize: int) -> np.ndarray:
+_GC_MEMO: dict = {}
+
+
+def gc_content_track(seq: str, meanisize: int, key=None) -> np.ndarray:
     """Per-bp GC count over a centered fragment-sized window
-    (coral.h:142-162). Positions within halfwin of either end stay 0."""
+    (coral.h:142-162). Positions within halfwin of either end stay 0.
+    `key` (e.g. a chromosome name) memoizes the track across the CNV
+    engine's three genome passes."""
+    if key is not None:
+        hit = _GC_MEMO.get((key, meanisize, len(seq)))
+        if hit is not None:
+            return hit
+    track = _gc_content_track(seq, meanisize)
+    if key is not None:
+        if len(_GC_MEMO) > 3:
+            _GC_MEMO.clear()
+        _GC_MEMO[(key, meanisize, len(seq))] = track
+    return track
+
+
+def _gc_content_track(seq: str, meanisize: int) -> np.ndarray:
     n = len(seq)
     b = np.frombuffer(seq.encode(), dtype=np.uint8)
     up = b & ~np.uint8(0x20)

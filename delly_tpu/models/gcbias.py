@@ -134,7 +134,7 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
             for b, w in enumerate(scan_counts[ref_index]):
                 bin_of[w.start:w.end] = b
 
-        gc_content = gc_content_track(seq, cfg.meanisize)
+        gc_content = gc_content_track(seq, cfg.meanisize, key=(cfg.genome, name))
 
         cov = np.zeros(reflen, dtype=np.uint16)
         cov_uniq = np.zeros(reflen, dtype=np.uint16)
@@ -280,7 +280,7 @@ def estimate_regional_gc(cfg, bam, fasta, gcbound, gcbias: list,
         if not fasta.has_seq(name):
             continue
         seq = fasta.fetch(name)
-        gc_content = gc_content_track(seq, cfg.meanisize).astype(np.int64)
+        gc_content = gc_content_track(seq, cfg.meanisize, key=(cfg.genome, name)).astype(np.int64)
         reflen = header.lengths[ref_index]
         in_range = (gc_content > gcbound[0]) & (gc_content < gcbound[1])
 
