@@ -74,3 +74,58 @@ def test_asm_end_to_end_squashed():
     for l in records:
         gt = l.split("\t")[9].split(":")[0]
         assert gt in ("0/1", "1/1", "0|1", "1|0")
+
+
+def test_asm_diploid_genome_scale(tmp_path):
+    """Two haplotype assemblies (one ~2Mb alignment each) with a shared
+    homozygous DEL and a hap1-only heterozygous INS -> phased GTs
+    (asmode.h squashed/diploid pipeline at assembly scale)."""
+    import os
+    import random
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import (encode_record, random_contig, write_bam,
+                          write_fasta)
+    rng = random.Random(91)
+    L = 2_000_000
+    ref = random_contig(rng, L)
+    posd, dell = L // 3, 1200
+    posi, insl = 2 * L // 3, 600
+    ins_seq = random_contig(rng, insl)
+
+    def hap(qname, with_ins):
+        cig = [("M", posd), ("D", dell)]
+        seq = ref[:posd]
+        if with_ins:
+            cig += [("M", posi - (posd + dell)), ("I", insl),
+                    ("M", L - posi)]
+            seq += ref[posd + dell:posi] + ins_seq + ref[posi:]
+        else:
+            cig += [("M", L - (posd + dell))]
+            seq += ref[posd + dell:]
+        return encode_record(qname, 0x0, 0, 0, 60, cig, -1, -1, 0, seq)
+
+    h1 = str(tmp_path / "h1.bam")
+    h2 = str(tmp_path / "h2.bam")
+    fa = str(tmp_path / "asm.fa")
+    write_bam(h1, [("chr1", ref)], [hap("s.hap1", True)])
+    write_bam(h2, [("chr1", ref)], [hap("s.hap2", False)])
+    write_fasta(fa, [("chr1", ref)])
+    out = str(tmp_path / "asm.vcf")
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "asm", "-g", fa,
+         "-o", out, "-y", "diploid", h1, h2],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    recs = [l.split("\t") for l in open(out) if not l.startswith("#")]
+    assert len(recs) == 2, [x[:5] for x in recs]
+    by_type = {}
+    for rec in recs:
+        info = dict(kv.split("=", 1) for kv in rec[7].split(";")
+                    if "=" in kv)
+        by_type[info["SVTYPE"]] = (int(rec[1]), rec[9].split(":")[0])
+    dpos, dgt = by_type["DEL"]
+    ipos, igt = by_type["INS"]
+    # Reference asmode.h:619-655: hom-alt (both haps) does not set PS, so
+    # GT stays unphased 1/1; het sets ps=1 -> phased 1|0 / 0|1.
+    assert abs(dpos - posd) < 50 and dgt == "1/1"
+    assert abs(ipos - posi) < 50 and igt in ("1|0", "0|1")
