@@ -16,6 +16,10 @@ import math
 
 SMALLEST_GL = -1000.0
 _LOG10E = 0.4342944819032518
+# double-precision exp() underflows to 0.0 below this argument; the
+# scalar path (ops.likelihood.compute_cnls, mirroring bolog.h:94-96
+# log10(pdf) in double) therefore snaps any such tail to SMALLEST_GL.
+_EXP_UNDERFLOW = -745.1332191019412
 
 
 def window_depth(xp, covsum, expcov, expected_cn, purity, ctrl_ploidy,
@@ -37,9 +41,19 @@ def window_depth(xp, covsum, expcov, expected_cn, purity, ctrl_ploidy,
 
 def cn_log10_likelihoods(xp, mean, sd, max_cn: int = 10):
     """(W, max_cn) Gaussian CN log10-likelihoods, clamped at
-    SMALLEST_GL (bolog.h:88-133 / ops.likelihood.compute_cnls)."""
+    SMALLEST_GL (bolog.h:88-133 / ops.likelihood.compute_cnls).
+
+    Tail semantics match the scalar/host path exactly: bolog.h takes
+    log10 of a double pdf, so once exp(-z^2/2) underflows the value
+    snaps straight to SMALLEST_GL — log-likelihoods between the
+    underflow point (~-323) and SMALLEST_GL (-1000) are unreachable.
+    The analytic log-form here reproduces that by gating on the exp
+    argument rather than clamping the analytic value alone.
+    """
     genos = xp.arange(max_cn, dtype=mean.dtype)
     z = (genos[None, :] - mean[:, None]) / sd[:, None]
-    log10pdf = (-0.5 * z * z) * _LOG10E \
+    exp_arg = -0.5 * z * z
+    log10pdf = exp_arg * _LOG10E \
         - xp.log10(sd[:, None]) - 0.5 * math.log10(2.0 * math.pi)
-    return xp.maximum(log10pdf, SMALLEST_GL)
+    return xp.where(exp_arg < _EXP_UNDERFLOW, SMALLEST_GL,
+                    xp.maximum(log10pdf, SMALLEST_GL))

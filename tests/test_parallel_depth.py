@@ -60,6 +60,36 @@ def test_depth_step_matches_host_math(mesh):
         assert g == int(round(min(cn_host, MAX_CN - 1)))
 
 
+def test_cnl_tail_parity_with_scalar_path():
+    """cn_log10_likelihoods matches compute_cnls (bolog.h exp-form)
+    everywhere, including the deep tail where the double pdf underflows
+    to 0 and the likelihood snaps to SMALLEST_GL: analytic values in
+    (-1000, ~-323) must be unreachable on the device path too."""
+    from delly_tpu.ops.depth_math import SMALLEST_GL, cn_log10_likelihoods
+    means = np.array([0.0, 0.07, 0.5, 1.9, 2.0, 3.4, 6.0, 9.5])
+    sds = np.array([0.025, 0.025, 0.05, 0.15, 0.3, 0.4, 0.9, 1.4])
+    got = cn_log10_likelihoods(np, means.astype(np.float64),
+                               sds.astype(np.float64), MAX_CN)
+    saw_underflow = False
+    for i, (m, sd) in enumerate(zip(means, sds)):
+        for g in range(MAX_CN):
+            pdf = math.exp(-0.5 * ((g - m) / sd) ** 2) / (
+                sd * math.sqrt(2 * math.pi))
+            want = max(math.log10(pdf), SMALLEST_GL) if pdf > 0 \
+                else SMALLEST_GL
+            if pdf == 0.0:
+                saw_underflow = True
+                assert got[i, g] == SMALLEST_GL
+            else:
+                assert got[i, g] == pytest.approx(want, abs=1e-9)
+    # the grid must actually exercise the underflow band, e.g.
+    # mean=0 sd=0.025 geno=2: analytic ~ -347 -> snapped to -1000
+    assert saw_underflow
+    # no emitted value may fall in the unreachable band
+    arr = np.asarray(got)
+    assert not np.any((arr < -324.0) & (arr > SMALLEST_GL))
+
+
 def test_depth_step_psum_matches_local(mesh):
     """The psum'd noise proxy equals the host-side global average."""
     step = make_sharded_depth_step(mesh)
