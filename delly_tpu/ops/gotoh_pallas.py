@@ -1,0 +1,278 @@
+"""Batched Pallas TPU kernel for the affine-gap profile Gotoh DP.
+
+The progressive-MSA merges of MANY SVs run in lockstep on one device
+(reference runs one `gotoh()` per ThreadPool task, msa.h:91-109 /
+gotoh.h:71-174). TPU-first design rather than a port:
+
+- 8 pairs ride the VPU sublanes; the DP row (all columns) rides the
+  lanes, so every recurrence is a full (8, K) vector op;
+- the in-row horizontal gap chain is a max-plus prefix scan done as
+  log2(K) shift+max steps;
+- the per-cell profile score is computed in-kernel from the column
+  count profiles (5 broadcast FMAs per row) using the same exact
+  integer-rational formulation as ops.gotoh.profile_score_matrix;
+- rows stream through a (batch, row-block) grid with the S/V wavefront
+  carried in VMEM scratch across row blocks; the packed direction bits
+  (same 4-bit layout as ops/gotoh_device.py) are emitted 4 rows per
+  int32 lane so the traceback tile transfers at 1 byte/cell.
+
+Results are bit-identical to ops.gotoh.gotoh (the reference oracle);
+the host walks the direction bits in O(m+n).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from delly_tpu.ops.gotoh import (
+    DnaScore, INF, create_alignment, gotoh as gotoh_host, profile_counts,
+    to_align,
+)
+from delly_tpu.ops.gotoh_device import _traceback
+
+TILE_B = 8      # pairs per kernel tile (VPU sublanes)
+ROWS_BLK = 8    # DP rows per grid step (2 packed int32 bit rows)
+MAX_K = 4096    # largest padded dimension served by the kernel
+
+_cache = {}
+
+
+def _bucket_k(x: int) -> int:
+    b = 128
+    while b < x:
+        b *= 2
+    return b
+
+
+def _build(K: int, hfree: bool, vfree: bool, sc: DnaScore,
+           interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    GO, GE = int(sc.go), int(sc.ge)
+    MATCH, MISMATCH = int(sc.match), int(sc.mismatch)
+    nblk = K // ROWS_BLK
+    NINF = -INF
+
+    def kernel(c1_ref, d1_ref, wc2_ref, d2_ref, mlen_ref, nlen_ref,
+               best_ref, bits_ref, sS_ref, sV_ref):
+        r_blk = pl.program_id(1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, K), 1) + 1
+        nlen = nlen_ref[0][:, :1]               # (TILE_B, 1)
+        mlen = mlen_ref[0][:, :1]
+        # per-pair vertical gap costs (column 0 is handled as a scalar
+        # boundary; lanes are columns 1..K). Free at col == nlen when
+        # vertical-free (align.h:45-73).
+        if vfree:
+            vfree_col = col == nlen
+            vg_open = jnp.where(vfree_col, 0, GO + GE)
+            vg_ext = jnp.where(vfree_col, 0, GE)
+        else:
+            vg_open = jnp.full((TILE_B, K), GO + GE, jnp.int32)
+            vg_ext = jnp.full((TILE_B, K), GE, jnp.int32)
+
+        @pl.when(r_blk == 0)
+        def _():
+            # DP row 0 (gotoh.h:112-116)
+            if hfree:
+                sS_ref[:] = jnp.zeros((TILE_B, K), jnp.int32)
+            else:
+                sS_ref[:] = GO + col * GE
+            sV_ref[:] = jnp.full((TILE_B, K), NINF, jnp.int32)
+            best_ref[0] = jnp.full((TILE_B, 128), NINF, jnp.int32)
+
+        packed = jnp.zeros((TILE_B, K), jnp.int32)
+        base = r_blk * ROWS_BLK
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, K), 1)
+
+        def lane_col(arr, idx):
+            # Mosaic cannot load one unaligned lane dynamically; a
+            # masked cross-lane reduction extracts column `idx` of the
+            # (TILE_B, K) array as (TILE_B, 1). Exact for our integer
+            # valued f32 counts (sum of one value and zeros).
+            return jnp.sum(jnp.where(lane == idx, arr, 0.0), axis=1,
+                           keepdims=True)
+
+        for rr in range(ROWS_BLK):
+            r = base + rr + 1                   # DP row 1..K
+            # exact integer-rational profile score for this row
+            num = jnp.zeros((TILE_B, K), jnp.float32)
+            for k in range(5):
+                num = num + lane_col(c1_ref[0, k], base + rr) \
+                    * wc2_ref[0, k]
+            den = jnp.maximum(
+                lane_col(d1_ref[0], base + rr) * d2_ref[0], 1.0)
+            q = jnp.floor(jnp.abs(num) / den)
+            score = jnp.where(num < 0, -q, q).astype(jnp.int32)
+
+            if hfree:
+                row_free = r == mlen            # (TILE_B, 1)
+                O = jnp.where(row_free, 0, GO + GE)
+                E = jnp.where(row_free, 0, GE)
+            else:
+                O = jnp.full((TILE_B, 1), GO + GE, jnp.int32)
+                E = jnp.full((TILE_B, 1), GE, jnp.int32)
+            # column-0 boundary values (gotoh.h:117-123); S[0][0] is 0
+            # in every config, so the r==1 diagonal seed is 0.
+            s_r0 = jnp.int32(0) if vfree else jnp.int32(GO) + r * GE
+            s_r0_prev = jnp.int32(0) if vfree \
+                else jnp.where(r == 1, 0, jnp.int32(GO) + (r - 1) * GE)
+
+            S_prev = sS_ref[:]
+            V_prev = sV_ref[:]
+            V_body = jnp.maximum(S_prev + vg_open, V_prev + vg_ext)
+            S_diag = jnp.concatenate(
+                [jnp.full((TILE_B, 1), s_r0_prev, jnp.int32),
+                 S_prev[:, :-1]], axis=1)
+            t = jnp.maximum(S_diag + score, V_body)
+            # horizontal chain: max-plus prefix scan over the lanes
+            zin = jnp.concatenate(
+                [jnp.full((TILE_B, 1), s_r0, jnp.int32),
+                 (t - col * E)[:, :-1]], axis=1)
+            s = 1
+            while s < K:
+                sh = jnp.concatenate(
+                    [jnp.full((TILE_B, s), NINF, jnp.int32),
+                     zin[:, :-s]], axis=1)
+                zin = jnp.maximum(zin, sh)
+                s *= 2
+            H_body = zin + (col - 1) * E + O
+            S_body = jnp.maximum(t, H_body)
+            H_prevcol = jnp.concatenate(
+                [jnp.full((TILE_B, 1), NINF, jnp.int32),
+                 H_body[:, :-1]], axis=1)
+            bits = ((S_body == H_body).astype(jnp.int32)
+                    | (S_body == V_body).astype(jnp.int32) * 2
+                    | (H_body != H_prevcol + E).astype(jnp.int32) * 4
+                    | (V_body != V_prev + vg_ext).astype(jnp.int32) * 8)
+            packed = packed | (bits << (8 * (rr % 4)))
+            if rr % 4 == 3:
+                bits_ref[0, rr // 4] = packed
+                packed = jnp.zeros((TILE_B, K), jnp.int32)
+
+            # best score S[mlen][nlen] (gotoh.h final cell)
+            at_n = jnp.max(jnp.where(col == nlen, S_body, NINF),
+                           axis=1, keepdims=True)
+            best_ref[0] = jnp.where(r == mlen, at_n, best_ref[0])
+            sS_ref[:] = S_body
+            sV_ref[:] = V_body
+
+    def call(c1, d1, wc2, d2, mlen, nlen):
+        g = c1.shape[0]
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((g, TILE_B, 128), jnp.int32),
+                jax.ShapeDtypeStruct((g, K // 4, TILE_B, K), jnp.int32),
+            ),
+            grid=(g, nblk),
+            in_specs=[
+                pl.BlockSpec((1, 5, TILE_B, K), lambda i, r: (i, 0, 0, 0)),
+                pl.BlockSpec((1, TILE_B, K), lambda i, r: (i, 0, 0)),
+                pl.BlockSpec((1, 5, TILE_B, K), lambda i, r: (i, 0, 0, 0)),
+                pl.BlockSpec((1, TILE_B, K), lambda i, r: (i, 0, 0)),
+                pl.BlockSpec((1, TILE_B, 128), lambda i, r: (i, 0, 0)),
+                pl.BlockSpec((1, TILE_B, 128), lambda i, r: (i, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, TILE_B, 128), lambda i, r: (i, 0, 0)),
+                pl.BlockSpec((1, ROWS_BLK // 4, TILE_B, K),
+                             lambda i, r: (i, r, 0, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((TILE_B, K), jnp.int32),
+                pltpu.VMEM((TILE_B, K), jnp.int32),
+            ],
+            interpret=interpret,
+        )(c1, d1, wc2, d2, mlen, nlen)
+
+    w = np.full((5, 5), MISMATCH, dtype=np.float32)
+    np.fill_diagonal(w, MATCH)
+    w = jnp.asarray(w)
+
+    @jax.jit
+    def run(c1, d1, c2, d2, mlen, nlen):
+        # c1/c2: (g, 5, TILE_B, K) f32 counts; d1/d2: (g, TILE_B, K)
+        wc2 = jnp.einsum("ab,gbtk->gatk", w, c2)
+        return call(c1, d1, wc2, d2, mlen, nlen)
+
+    return run
+
+
+_ALLOWED = frozenset(b"ACGTN-acgtn")
+
+
+def _eligible(a1: np.ndarray, a2: np.ndarray) -> bool:
+    m, n = a1.shape[1], a2.shape[1]
+    return (0 < m <= MAX_K and 0 < n <= MAX_K
+            and a1.shape[0] * a2.shape[0] * 125 < (1 << 24)
+            and _ALLOWED.issuperset(a1.tobytes())
+            and _ALLOWED.issuperset(a2.tobytes()))
+
+
+def gotoh_batch(jobs, ac=(False, False), sc: DnaScore | None = None,
+                interpret: bool = False):
+    """Batched gotoh() over a list of (a1, a2) jobs — same contract and
+    bit-identical results as ops.gotoh.gotoh per job. Jobs the kernel
+    cannot serve (exotic alphabet, count-product overflow, oversized)
+    fall back to the host DP individually."""
+    sc = sc or DnaScore()
+    jobs = [(to_align(a1), to_align(a2)) for a1, a2 in jobs]
+    results = [None] * len(jobs)
+    by_bucket = {}
+    for idx, (a1, a2) in enumerate(jobs):
+        if not _eligible(a1, a2):
+            results[idx] = gotoh_host(a1, a2, ac=ac, sc=sc)
+            continue
+        K = _bucket_k(max(a1.shape[1], a2.shape[1]))
+        by_bucket.setdefault(K, []).append(idx)
+
+    import jax.numpy as jnp
+
+    for K, idxs in sorted(by_bucket.items()):
+        g = -(-len(idxs) // TILE_B)
+        c1 = np.zeros((g, 5, TILE_B, K), dtype=np.float32)
+        d1 = np.zeros((g, TILE_B, K), dtype=np.float32)
+        c2 = np.zeros((g, 5, TILE_B, K), dtype=np.float32)
+        d2 = np.zeros((g, TILE_B, K), dtype=np.float32)
+        ml = np.ones((g, TILE_B, 128), dtype=np.int32)
+        nl = np.ones((g, TILE_B, 128), dtype=np.int32)
+        for slot, idx in enumerate(idxs):
+            a1, a2 = jobs[idx]
+            gi, b = divmod(slot, TILE_B)
+            cc1, dd1 = profile_counts(a1)
+            cc2, dd2 = profile_counts(a2)
+            m, n = a1.shape[1], a2.shape[1]
+            c1[gi, :, b, :m] = cc1[:5]
+            d1[gi, b, :m] = dd1
+            c2[gi, :, b, :n] = cc2[:5]
+            d2[gi, b, :n] = dd2
+            ml[gi, b, :] = m
+            nl[gi, b, :] = n
+        key = (K, bool(ac[0]), bool(ac[1]),
+               sc.match, sc.mismatch, sc.go, sc.ge, interpret)
+        fn = _cache.get(key)
+        if fn is None:
+            fn = _cache[key] = _build(K, bool(ac[0]), bool(ac[1]), sc,
+                                      interpret)
+        best, bits = fn(jnp.asarray(c1), jnp.asarray(d1),
+                        jnp.asarray(c2), jnp.asarray(d2),
+                        jnp.asarray(ml), jnp.asarray(nl))
+        best = np.asarray(best)
+        bits = np.asarray(bits)
+        for slot, idx in enumerate(idxs):
+            a1, a2 = jobs[idx]
+            gi, b = divmod(slot, TILE_B)
+            m, n = a1.shape[1], a2.shape[1]
+            # unpack 4 rows per int32: row r sits at byte r%4 of
+            # packed row r//4
+            pk = bits[gi, : -(-m // 4), b, :n]
+            rows = np.empty((pk.shape[0] * 4, n), dtype=np.uint8)
+            for byte in range(4):
+                rows[byte::4] = (pk >> (8 * byte)) & 0xFF
+            trace = _traceback(rows[:m], m, n)
+            merged = create_alignment(trace, a1, a2)
+            results[idx] = (int(best[gi, b, 0]), merged)
+    return results
