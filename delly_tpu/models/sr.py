@@ -310,6 +310,21 @@ def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
             pair_slices[svid] = (start, len(all_pairs))
         ls_all = lcs_pairs(all_pairs)
 
+        # lockstep MSA: all of this chromosome's SVs progress through
+        # their guide trees together; merges at the same depth run as
+        # one batched device Gotoh call (ops.msa.msa_batch)
+        from delly_tpu.ops.msa import msa_batch
+        batch_ids = [svid for svid in sv_seqs]
+        batch_items = []
+        for svid in batch_ids:
+            lo, hi = pair_slices[svid]
+            batch_items.append((sv_seqs[svid],
+                                distance_matrix_from_lcs(
+                                    sv_seqs[svid], ls_all[lo:hi])))
+        consensi = dict(zip(batch_ids,
+                            msa_batch(batch_items, cfg.min_clique_size,
+                                      sc)))
+
         for svid in range(len(svs)):
             if is_translocation(svs[svid].svt):
                 continue
@@ -320,11 +335,7 @@ def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
                 svs[svid].srSupport = 0
                 svs[svid].srAlignQuality = 0
                 continue
-            seqs = sv_seqs[svid]
-            lo, hi = pair_slices[svid]
-            d = distance_matrix_from_lcs(seqs, ls_all[lo:hi])
-            _, svs[svid].consensus = msa(seqs, cfg.min_clique_size, sc,
-                                         d=d)
+            _, svs[svid].consensus = consensi[svid]
             if not align_consensus(cfg, header.lengths, seq, None, svs[svid]):
                 svs[svid].consensus = ""
                 svs[svid].srSupport = 0

@@ -253,3 +253,104 @@ def distance_matrix_from_lcs(seqs: list, ls) -> np.ndarray:
                                                 len(seqs[j]))
             k += 1
     return d
+
+
+_BATCH_MIN_CELLS = 262144
+_pallas_pref = None
+
+
+def _pallas_batch_mode():
+    """'tpu' = compiled kernel, 'interpret' = interpreter (tests),
+    None = host. Env DELLY_TPU_GOTOH_PALLAS: auto|always|never."""
+    global _pallas_pref
+    if _pallas_pref is None:
+        import os
+        pref = os.environ.get("DELLY_TPU_GOTOH_PALLAS", "auto")
+        if pref == "never":
+            _pallas_pref = (None,)
+        else:
+            try:
+                import jax
+                on_tpu = jax.default_backend() == "tpu"
+            except Exception:
+                on_tpu = False
+            if on_tpu:
+                _pallas_pref = ("tpu",)
+            elif pref == "always":
+                _pallas_pref = ("interpret",)
+            else:
+                _pallas_pref = (None,)
+    return _pallas_pref[0]
+
+
+def _gotoh_dispatch_batch(pairs: list, ac, sc):
+    """Batched merge dispatch: one lockstep Pallas call when the round
+    is big enough to amortize a device dispatch, else the per-pair
+    host/XLA path. Results are bit-identical either way."""
+    mode = _pallas_batch_mode()
+    if mode is not None and len(pairs) > 1:
+        cells = sum(a1.shape[1] * a2.shape[1] for a1, a2 in pairs)
+        if cells >= _BATCH_MIN_CELLS or mode == "interpret":
+            from delly_tpu.ops.gotoh_pallas import gotoh_batch
+            return gotoh_batch(pairs, ac=ac, sc=sc,
+                               interpret=(mode == "interpret"))
+    return [_gotoh_dispatch(a1, a2, ac, sc) for a1, a2 in pairs]
+
+
+def msa_batch(items: list, min_clique_size: int,
+              sc: DnaScore | None = None) -> list:
+    """Lockstep MSA across SVs: same per-item results as msa(), but
+    guide-tree merges at the same depth across ALL items run as one
+    batched device Gotoh call (the reference runs one msa() per
+    ThreadPool task instead, shortpe.h:174-201).
+
+    items: list of (seqs, d) with d the similarity matrix (or None to
+    compute it here). Returns [(support, consensus), ...].
+    """
+    sc = sc or DnaScore()
+    out = [None] * len(items)
+    trees = []
+    levels = {}           # (item, node) -> depth
+    rounds = {}           # depth -> [(item, node)]
+    for ii, (seqs, d) in enumerate(items):
+        num = len(seqs)
+        if d is None:
+            d = distance_matrix(seqs)
+        root, p = upgma(d.copy(), num)  # upgma consumes its matrix
+        trees.append((int(root), p))
+
+        def walk(nd, _ii=ii, _p=p):
+            c1, c2 = int(_p[nd][1]), int(_p[nd][2])
+            if c1 == -1 and c2 == -1:
+                levels[(_ii, nd)] = 0
+                return 0
+            lv = 1 + max(walk(c1), walk(c2))
+            levels[(_ii, nd)] = lv
+            rounds.setdefault(lv, []).append((_ii, nd))
+            return lv
+
+        walk(int(root))
+
+    stores = [dict() for _ in items]
+
+    def fetch(ii, nd):
+        if nd < len(items[ii][0]):
+            s = items[ii][0][nd]
+            return np.frombuffer(s.encode(), dtype=np.uint8)[None, :].copy()
+        return stores[ii].pop(nd)
+
+    for lv in sorted(rounds):
+        jobs = rounds[lv]
+        pairs = []
+        for ii, nd in jobs:
+            p = trees[ii][1]
+            pairs.append((fetch(ii, int(p[nd][1])),
+                          fetch(ii, int(p[nd][2]))))
+        merged = _gotoh_dispatch_batch(pairs, (True, True), sc)
+        for (ii, nd), (_score, mg) in zip(jobs, merged):
+            stores[ii][nd] = mg
+
+    for ii, (root, _p) in enumerate(trees):
+        align = fetch(ii, root)
+        out[ii] = (align.shape[0], consensus(align, min_clique_size))
+    return out

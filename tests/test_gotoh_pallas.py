@@ -98,3 +98,46 @@ def test_fallback_paths():
         hs, hm = gotoh(a1, a2, ac=(True, True))
         assert ds == hs
         np.testing.assert_array_equal(dm, hm)
+
+
+def test_msa_batch_parity_both_paths(monkeypatch):
+    """Lockstep msa_batch == per-item msa(), on the host path and on
+    the forced Pallas path."""
+    import delly_tpu.ops.msa as M
+    from delly_tpu.ops.msa import distance_matrix, msa, msa_batch
+    rng = random.Random(5)
+    items = []
+    for _ in range(5):
+        base = _rand_seq(rng, 120, 260)
+        seqs = [_mutate(rng, base) for _ in range(rng.randint(2, 7))]
+        items.append((seqs, distance_matrix(seqs)))
+    want = [msa(s, 2, d=d.copy()) for s, d in items]
+    monkeypatch.setenv("DELLY_TPU_GOTOH_PALLAS", "never")
+    monkeypatch.setattr(M, "_pallas_pref", None)
+    assert msa_batch(items, 2) == want
+    monkeypatch.setenv("DELLY_TPU_GOTOH_PALLAS", "always")
+    monkeypatch.setattr(M, "_pallas_pref", None)
+    assert msa_batch(items, 2) == want
+    monkeypatch.setattr(M, "_pallas_pref", None)
+
+
+def test_sr_e2e_pallas_msa_identical(tmp_path, monkeypatch):
+    """sr on the example data with the Pallas MSA path forced produces
+    byte-identical output to the default path."""
+    import subprocess
+    import sys
+    ref = "/root/reference/example"
+    outs = []
+    for mode in ("never", "always"):
+        out = str(tmp_path / f"sr_{mode}.vcf")
+        env = dict(__import__("os").environ,
+                   DELLY_TPU_GOTOH_PALLAS=mode, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, "-m", "delly_tpu.cli", "sr", "-g",
+             f"{ref}/ref.fa", "-o", out, f"{ref}/sr.bam"],
+            capture_output=True, text=True, timeout=590, env=env)
+        assert r.returncode == 0, r.stderr[-1500:]
+        outs.append(open(out).read())
+    assert outs[0] == outs[1]
+    assert len([l for l in outs[0].splitlines()
+                if not l.startswith("#")]) == 1
