@@ -261,6 +261,23 @@ def gotoh(a1, a2, ac=(False, False), sc: DnaScore | None = None):
     return int(S[-1, -1]), merged
 
 
+def create_alignment_codes(codes: np.ndarray, a1: np.ndarray,
+                           a2: np.ndarray) -> np.ndarray:
+    """Vectorized create_alignment over int trace codes in FORWARD
+    order (0=s, 1=h, 2=v) — same output as create_alignment on the
+    equivalent char list."""
+    n1, n2 = a1.shape[0], a2.shape[0]
+    L = len(codes)
+    out = np.full((n1 + n2, L), GAP, dtype=np.uint8)
+    adv1 = codes != 1          # s/v consume a column of a1
+    adv2 = codes != 2          # s/h consume a column of a2
+    row = np.cumsum(adv1) - adv1
+    col = np.cumsum(adv2) - adv2
+    out[:n1, adv1] = a1[:, row[adv1]]
+    out[n1:, adv2] = a2[:, col[adv2]]
+    return out
+
+
 def create_alignment(trace: list, a1: np.ndarray, a2: np.ndarray) -> np.ndarray:
     """align.h:202-229. trace is in traceback order (reversed here)."""
     n1, n2 = a1.shape[0], a2.shape[0]

@@ -16,8 +16,10 @@ gotoh.h:71-174). TPU-first design rather than a port:
   (same 4-bit layout as ops/gotoh_device.py) are emitted 4 rows per
   int32 lane so the traceback tile transfers at 1 byte/cell.
 
-Results are bit-identical to ops.gotoh.gotoh (the reference oracle);
-the host walks the direction bits in O(m+n).
+Results are bit-identical to ops.gotoh.gotoh (the reference oracle).
+The traceback is also on-device: a lockstep vmapped pointer walk over
+the packed tile (_build_tb), so only O(m+n) trace codes per pair are
+transferred back — the O(K^2) bit tile never leaves HBM.
 """
 
 from __future__ import annotations
@@ -25,13 +27,16 @@ from __future__ import annotations
 import numpy as np
 
 from delly_tpu.ops.gotoh import (
-    DnaScore, INF, create_alignment, gotoh as gotoh_host, profile_counts,
-    to_align,
+    DnaScore, INF, create_alignment_codes, gotoh as gotoh_host,
+    profile_counts, to_align,
 )
-from delly_tpu.ops.gotoh_device import _traceback
 
 TILE_B = 8      # pairs per kernel tile (VPU sublanes)
-ROWS_BLK = 8    # DP rows per grid step (2 packed int32 bit rows)
+ROWS_BLK = 32   # DP rows per grid step (8 packed int32 bit rows);
+                # measured ~1.25x over 8 rows/step on v5e (fewer grid
+                # steps amortize block swaps)
+ROWS_BLK_INTERP = 8  # interpret mode (tests): 4x smaller traced body,
+                     # keeps CPU XLA compile time in check
 MAX_K = 4096    # largest padded dimension served by the kernel
 
 _cache = {}
@@ -53,6 +58,7 @@ def _build(K: int, hfree: bool, vfree: bool, sc: DnaScore,
 
     GO, GE = int(sc.go), int(sc.ge)
     MATCH, MISMATCH = int(sc.match), int(sc.mismatch)
+    ROWS_BLK = ROWS_BLK_INTERP if interpret else globals()["ROWS_BLK"]
     nblk = K // ROWS_BLK
     NINF = -INF
 
@@ -201,6 +207,82 @@ def _build(K: int, hfree: bool, vfree: bool, sc: DnaScore,
     return run
 
 
+_tb_cache = {}
+
+
+def _build_tb(K: int):
+    """On-device traceback over the packed direction tile: a lockstep
+    vmapped pointer walk (same preference order as gotoh.h:134-174 /
+    gotoh_device._traceback) so only O(m+n) trace codes — not the
+    O(K^2) bit tile — ever leave the device."""
+    import jax
+    import jax.numpy as jnp
+
+    L = 2 * K + 2
+    CAP = 4 * K + 8           # safety bound; valid walks need <= 2(m+n)
+
+    def tb_one(bits_p, m, n):
+        # bits_p: (K//4, K) int32 packed rows; m, n: int32 (0 = pad slot)
+        def get_b(row, col):
+            r = jnp.clip(row - 1, 0, K - 1)
+            c = jnp.clip(col - 1, 0, K - 1)
+            w = bits_p[r // 4, c]
+            return (w >> (8 * (r % 4))) & 0xFF
+
+        def cond(st):
+            row, col, last, i, it, codes = st
+            return ((row > 0) | (col > 0)) & (it < CAP)
+
+        def body(st):
+            row, col, last, i, it, codes = st
+            b = get_b(row, col)
+            bSH = (b & 1) != 0
+            bSV = (b & 2) != 0
+            bHO = (b & 4) != 0
+            bVO = (b & 8) != 0
+            interior = (row > 0) & (col > 0)
+            is_s = last == 0
+            is_h = last == 1
+            is_v = last == 2
+            # 's' dispatch, same elif order as the host walk
+            go_h = ((row == 0) & (col > 0)) | (interior & bSH)
+            go_v = (~go_h) & (((col == 0) & (row > 0)) | (interior & bSV))
+            s_move = is_s & ~go_h & ~go_v
+            h_opened = jnp.where(row == 0, col == 1, bHO)
+            v_opened = jnp.where(col == 0, row == 1, bVO)
+            new_last = jnp.where(
+                is_s,
+                jnp.where(go_h, 1, jnp.where(go_v, 2, 0)),
+                jnp.where(is_h,
+                          jnp.where(h_opened, 0, 1),
+                          jnp.where(v_opened, 0, 2))).astype(jnp.int32)
+            emit = s_move | is_h | is_v
+            code = jnp.where(s_move, 0, jnp.where(is_h, 1, 2))
+            dec_r = (s_move | is_v).astype(jnp.int32)
+            dec_c = (s_move | is_h).astype(jnp.int32)
+            codes = codes.at[i].set(
+                jnp.where(emit, code, codes[i]).astype(jnp.int8))
+            return (jnp.maximum(row - dec_r, 0),
+                    jnp.maximum(col - dec_c, 0), new_last,
+                    i + emit.astype(jnp.int32), it + 1, codes)
+
+        _, _, _, i, _, codes = jax.lax.while_loop(
+            cond, body,
+            (m, n, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+             jnp.zeros((L,), jnp.int8)))
+        return codes, i
+
+    @jax.jit
+    def run(bits, m_flat, n_flat):
+        # bits: (g, K//4, TILE_B, K); m_flat/n_flat: (g*TILE_B,) int32
+        g = bits.shape[0]
+        bp = jnp.transpose(bits, (0, 2, 1, 3)).reshape(
+            (g * TILE_B, K // 4, K))
+        return jax.vmap(tb_one)(bp, m_flat, n_flat)
+
+    return run
+
+
 _ALLOWED = frozenset(b"ACGTN-acgtn")
 
 
@@ -260,19 +342,25 @@ def gotoh_batch(jobs, ac=(False, False), sc: DnaScore | None = None,
         best, bits = fn(jnp.asarray(c1), jnp.asarray(d1),
                         jnp.asarray(c2), jnp.asarray(d2),
                         jnp.asarray(ml), jnp.asarray(nl))
+        # on-device traceback: only O(m+n) codes per pair come back to
+        # the host (pad slots get m=n=0 so their walk is empty)
+        mf = np.zeros((g * TILE_B,), dtype=np.int32)
+        nf = np.zeros((g * TILE_B,), dtype=np.int32)
+        for slot, idx in enumerate(idxs):
+            a1, a2 = jobs[idx]
+            mf[slot] = a1.shape[1]
+            nf[slot] = a2.shape[1]
+        tb = _tb_cache.get(K)
+        if tb is None:
+            tb = _tb_cache[K] = _build_tb(K)
+        codes, lens = tb(bits, jnp.asarray(mf), jnp.asarray(nf))
         best = np.asarray(best)
-        bits = np.asarray(bits)
+        codes = np.asarray(codes)
+        lens = np.asarray(lens)
         for slot, idx in enumerate(idxs):
             a1, a2 = jobs[idx]
             gi, b = divmod(slot, TILE_B)
-            m, n = a1.shape[1], a2.shape[1]
-            # unpack 4 rows per int32: row r sits at byte r%4 of
-            # packed row r//4
-            pk = bits[gi, : -(-m // 4), b, :n]
-            rows = np.empty((pk.shape[0] * 4, n), dtype=np.uint8)
-            for byte in range(4):
-                rows[byte::4] = (pk >> (8 * byte)) & 0xFF
-            trace = _traceback(rows[:m], m, n)
-            merged = create_alignment(trace, a1, a2)
+            fwd = codes[slot, :lens[slot]][::-1]
+            merged = create_alignment_codes(fwd, a1, a2)
             results[idx] = (int(best[gi, b, 0]), merged)
     return results
