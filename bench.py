@@ -59,6 +59,9 @@ def main() -> None:
 
     # Device kernel
     import jax
+
+    from delly_tpu.utils.jaxenv import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from delly_tpu.ops.edist import MODE_HW, edit_distance

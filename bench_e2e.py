@@ -45,13 +45,8 @@ def main():
 
     # Honor JAX_PLATFORMS even when a PJRT plugin registers regardless
     # of the env filter (the axon TPU tunnel does).
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            import jax
-            jax.config.update("jax_platforms",
-                              os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from delly_tpu.utils.jaxenv import setup as _jax_setup
+    _jax_setup()
 
     os.makedirs(args.workdir, exist_ok=True)
     tag = f"c{args.contigs}_p{args.pairs}_l{args.clen}"
@@ -125,13 +120,8 @@ def run_cnv_bench(args):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests.bamsynth import make_multi_contig_del_dataset
 
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            import jax
-            jax.config.update("jax_platforms",
-                              os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from delly_tpu.utils.jaxenv import setup as _jax_setup
+    _jax_setup()
     os.makedirs(args.workdir, exist_ok=True)
     tag = f"c{args.contigs}_p{args.pairs}_l{args.clen}"
     bam = f"{args.workdir}/multi_{tag}.bam"
@@ -188,13 +178,8 @@ def run_lr_bench(args):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests.bamsynth import make_lr_genome_dataset
 
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            import jax
-            jax.config.update("jax_platforms",
-                              os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from delly_tpu.utils.jaxenv import setup as _jax_setup
+    _jax_setup()
     os.makedirs(args.workdir, exist_ok=True)
     tag = f"lr_c{args.contigs}_r{args.pairs}_l{args.clen}"
     bam = f"{args.workdir}/{tag}.bam"

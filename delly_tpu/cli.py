@@ -17,22 +17,8 @@ def _pin_platform() -> None:
     the persistent compilation cache so repeated CLI invocations reuse
     compiled kernels (compiles dominate cold-start wall time on
     slow-compile links)."""
-    try:
-        import jax
-        plat = os.environ.get("JAX_PLATFORMS")
-        if plat:
-            jax.config.update("jax_platforms", plat)
-        cache = os.path.join(
-            os.environ.get("XDG_CACHE_HOME",
-                           os.path.join(os.path.expanduser("~"),
-                                        ".cache")),
-            "delly_tpu", "jaxcache")
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from delly_tpu.utils.jaxenv import setup
+    setup()
 
 
 def _startup_checks(genome: str | None = None, files=(), exclude: str = "",
