@@ -95,6 +95,15 @@ def get_lib():
     lib.bgzf_inflate.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    try:
+        lib.bgzf_total_out.restype = ctypes.c_longlong
+        lib.bgzf_total_out.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.bgzf_inflate_into.restype = ctypes.c_longlong
+        lib.bgzf_inflate_into.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_size_t]
+    except AttributeError:
+        pass  # older cached .so without the into-variant
     lib.bgzf_deflate.restype = ctypes.c_longlong
     lib.bgzf_deflate.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
@@ -186,11 +195,31 @@ def _default_threads() -> int:
     return min(os.cpu_count() or 1, 8)
 
 
+_PyBytes_FromStringAndSize = ctypes.pythonapi.PyBytes_FromStringAndSize
+_PyBytes_FromStringAndSize.restype = ctypes.py_object
+_PyBytes_FromStringAndSize.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+_PyBytes_AsString = ctypes.pythonapi.PyBytes_AsString
+_PyBytes_AsString.restype = ctypes.c_void_p
+_PyBytes_AsString.argtypes = [ctypes.py_object]
+
+
 def bgzf_inflate(data: bytes, threads: int | None = None):
     """Parallel BGZF decompression. Returns bytes or None on failure."""
     lib = get_lib()
     if lib is None:
         return None
+    if hasattr(lib, "bgzf_inflate_into"):
+        # Size via a header-only scan, then inflate straight into a
+        # fresh bytes object (filled while its refcount is 1) — saves
+        # a full output-sized copy vs. string_at.
+        total = lib.bgzf_total_out(data, len(data))
+        if total < 0:
+            return None
+        buf = _PyBytes_FromStringAndSize(None, total)
+        rc = lib.bgzf_inflate_into(data, len(data),
+                                   threads or _default_threads(),
+                                   _PyBytes_AsString(buf), total)
+        return buf if rc == total else None
     out = ctypes.POINTER(ctypes.c_uint8)()
     rc = lib.bgzf_inflate(data, len(data),
                           threads or _default_threads(),

@@ -75,18 +75,11 @@ static int scan_blocks(const uint8_t* data, size_t n,
   return 0;
 }
 
-// Decompress a BGZF stream with `threads` workers. Returns the number of
-// output bytes, or a negative error code. The caller owns *out (free
-// with delly_free).
-long long bgzf_inflate(const uint8_t* data, size_t n, int threads,
-                       uint8_t** out) {
-  std::vector<BgzfBlock> blocks;
-  size_t total = 0;
-  int rc = scan_blocks(data, n, blocks, total);
-  if (rc != 0) return rc;
-  uint8_t* buf = (uint8_t*)std::malloc(total ? total : 1);
-  if (!buf) return -3;
-
+// Inflate every block of the table into `buf` with `threads` workers.
+// Returns 0 on success or a negative error code.
+static int inflate_blocks(const uint8_t* data,
+                          const std::vector<BgzfBlock>& blocks,
+                          uint8_t* buf, int threads) {
   std::atomic<size_t> next(0);
   std::atomic<int> err(0);
   auto worker = [&]() {
@@ -115,8 +108,49 @@ long long bgzf_inflate(const uint8_t* data, size_t n, int threads,
     for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
     for (auto& th : pool) th.join();
   }
-  if (err.load() != 0) { std::free(buf); return err.load(); }
+  return err.load();
+}
+
+// Decompress a BGZF stream with `threads` workers. Returns the number of
+// output bytes, or a negative error code. The caller owns *out (free
+// with delly_free).
+long long bgzf_inflate(const uint8_t* data, size_t n, int threads,
+                       uint8_t** out) {
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  int rc = scan_blocks(data, n, blocks, total);
+  if (rc != 0) return rc;
+  uint8_t* buf = (uint8_t*)std::malloc(total ? total : 1);
+  if (!buf) return -3;
+  int erc = inflate_blocks(data, blocks, buf, threads);
+  if (erc != 0) { std::free(buf); return erc; }
   *out = buf;
+  return (long long)total;
+}
+
+// Total uncompressed size of a BGZF stream (sum of ISIZE trailers via
+// a header-only scan), or a negative error code.
+long long bgzf_total_out(const uint8_t* data, size_t n) {
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  int rc = scan_blocks(data, n, blocks, total);
+  if (rc != 0) return rc;
+  return (long long)total;
+}
+
+// Decompress directly into a caller-owned buffer of capacity `cap`
+// (sized via bgzf_total_out — lets Python decompress straight into a
+// fresh bytes object, no intermediate copy). Returns bytes written or
+// a negative error code.
+long long bgzf_inflate_into(const uint8_t* data, size_t n, int threads,
+                            uint8_t* out, size_t cap) {
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  int rc = scan_blocks(data, n, blocks, total);
+  if (rc != 0) return rc;
+  if (total > cap) return -6;
+  int erc = inflate_blocks(data, blocks, out, threads);
+  if (erc != 0) return erc;
   return (long long)total;
 }
 

@@ -23,10 +23,12 @@ class LibraryInfo:
     abnormal_pairs: int = 0
 
 
-def _median_nth(values: list) -> int:
-    """nth_element-style median: element at index n//2 of the sorted list."""
-    s = sorted(values)
-    return s[len(s) // 2]
+def _nth_element(arr) -> int:
+    """nth_element-style median (util.h): np.partition selects the same
+    element a sorted copy would hold at index n//2."""
+    import numpy as np
+    k = len(arr) // 2
+    return int(np.partition(np.asarray(arr), k)[k])
 
 
 def get_library_params(bam, valid_regions, mad_cutoff: int = 9,
@@ -90,10 +92,10 @@ def get_library_params(bam, valid_regions, mad_cutoff: int = 9,
                  | (capped_pairs >= max_num))
     stop = int(np.argmax(done_mask)) if done_mask.any() else n
     num_reads = min(stop, max_num)
-    readsizes = lqseq[:num_reads].tolist()
+    readsizes = lqseq[:num_reads]
     pw = np.nonzero(pair[:stop])[0][:max_num]
     num_pairs = len(pw)
-    isizes = np.abs(tlen[pw]).tolist()
+    isizes = np.abs(tlen[pw])
     # orientation tally (tags.h:218-227): code 2 = FR default layout
     pf = flag[pw]
     pp = pos[pw]
@@ -104,10 +106,10 @@ def get_library_params(bam, valid_regions, mad_cutoff: int = 9,
     rplus = int(np.count_nonzero(is_fr))
     nonrplus = num_pairs - rplus
     if num_reads >= min_num:
-        lib.rs = _median_nth(readsizes)
+        lib.rs = _nth_element(readsizes)
     if num_pairs >= min_num:
-        median = _median_nth(isizes)
-        mad = _median_nth([abs(i - median) for i in isizes])
+        median = _nth_element(isizes)
+        mad = _nth_element(np.abs(isizes - median))
         if 50 <= median <= 100000:
             if rplus < nonrplus:
                 import sys
