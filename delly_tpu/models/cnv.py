@@ -65,7 +65,6 @@ def collect_breakpoints(cfg, gcbound, gc_content, uniq_content, gcbias,
     chrbp = []
     if not clips:
         return chrbp
-    clips = sorted(clips)
     bp_tol = 2 * cfg.min_clip
     flank_exp_target = cfg.target_exp_cov if cfg.target_exp_cov > 0 else 1000.0
     max_flank = 1000000
@@ -121,34 +120,33 @@ def collect_breakpoints(cfg, gcbound, gc_content, uniq_content, gcbias,
                 i = j
         return z
 
-    i = 0
-    n = len(clips)
-    while i < n:
-        j = i
-        possum = clips[i]
-        support = 1
-        while j + 1 < n and clips[j + 1] - clips[j] <= bp_tol:
-            j += 1
-            possum += clips[j]
-            support += 1
-        if support >= cfg.min_bp_support:
-            bppos = possum // support
-            zl = flank_z(bppos, True)
-            zr = flank_z(bppos, False)
-            if len(zl) >= 2 and len(zr) >= 2:
-                ml = float(np.mean(zl))
-                mr = float(np.mean(zr))
-                ss = float(np.sum((np.asarray(zl) - ml) ** 2)
-                           + np.sum((np.asarray(zr) - mr) ** 2))
-                sd = np.sqrt(ss / (len(zl) + len(zr) - 2))
-                se = sd * np.sqrt(1.0 / len(zl) + 1.0 / len(zr))
-                cn_l = cfg.ploidy * 2.0 ** ml
-                cn_r = cfg.ploidy * 2.0 ** mr
-                if abs(cn_l - cn_r) >= min_cn_shift and abs(mr - ml) >= 3 * se:
-                    qual = 50 + min(support, 40)
-                    chrbp.append(SVBreakpoint(bppos, -bp_tol, bp_tol, qual,
-                                              support))
-        i = j + 1
+    # cluster boundaries wherever the gap between consecutive sorted
+    # clips exceeds bp_tol (same chaining as the scalar walk)
+    ca = np.sort(np.asarray(clips, dtype=np.int64))
+    brk = np.nonzero(np.diff(ca) > bp_tol)[0]
+    cl_start = np.concatenate(([0], brk + 1))
+    cl_end = np.concatenate((brk + 1, [len(ca)]))
+    cl_support = cl_end - cl_start
+    csum = np.concatenate(([0], np.cumsum(ca)))
+    cl_possum = csum[cl_end] - csum[cl_start]
+    for k in np.nonzero(cl_support >= cfg.min_bp_support)[0]:
+        support = int(cl_support[k])
+        bppos = int(cl_possum[k]) // support
+        zl = flank_z(bppos, True)
+        zr = flank_z(bppos, False)
+        if len(zl) >= 2 and len(zr) >= 2:
+            ml = float(np.mean(zl))
+            mr = float(np.mean(zr))
+            ss = float(np.sum((np.asarray(zl) - ml) ** 2)
+                       + np.sum((np.asarray(zr) - mr) ** 2))
+            sd = np.sqrt(ss / (len(zl) + len(zr) - 2))
+            se = sd * np.sqrt(1.0 / len(zl) + 1.0 / len(zr))
+            cn_l = cfg.ploidy * 2.0 ** ml
+            cn_r = cfg.ploidy * 2.0 ** mr
+            if abs(cn_l - cn_r) >= min_cn_shift and abs(mr - ml) >= 3 * se:
+                qual = 50 + min(support, 40)
+                chrbp.append(SVBreakpoint(bppos, -bp_tol, bp_tol, qual,
+                                          support))
     chrbp.sort(key=lambda b: (b.pos, b.qual))
     return chrbp
 
@@ -241,10 +239,7 @@ def segment_rd(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
         if bounds[-1] < nv:
             bounds.append(nv)
     else:
-        i = 0
-        while i + pcf_win_bases <= nv:
-            bounds.append(i + pcf_win_bases)
-            i += pcf_win_bases
+        bounds.extend(range(pcf_win_bases, nv + 1, pcf_win_bases))
         if bounds[-1] < nv:
             bounds.append(nv)
     b = np.asarray(bounds, dtype=np.int64)

@@ -320,20 +320,27 @@ def _write_windows(cfg, data_out, chrn, reflen, gcbound, gc_content,
             np.float64)))) if nv else [0.0])
         cu = np.concatenate(([0.0], np.cumsum(cov_uniq.astype(np.float64))))
         ct = np.concatenate(([0.0], np.cumsum(cov_map.astype(np.float64))))
-        start = 0
+        # greedy boundary chain, then all window sums vectorized
+        bidx = [0]
         i = 0
         while i < nv:
             j = int(np.searchsorted(craw, craw[i] + cfg.target_exp_cov,
                                     side="left"))
             if j > nv:
                 break
-            end = int(vpos[j - 1]) + 1
-            wins.append((start, end, j - i, float(ccov[j] - ccov[i]),
-                         float(ccor[j] - ccor[i]),
-                         float(cu[end] - cu[start]),
-                         float(ct[end] - ct[start]), True))
-            start = end
+            bidx.append(j)
             i = j
+        if len(bidx) > 1:
+            b = np.asarray(bidx, dtype=np.int64)
+            ends = vpos[b[1:] - 1] + 1
+            starts = np.concatenate(([0], ends[:-1]))
+            wins = list(zip(
+                starts.tolist(), ends.tolist(), (b[1:] - b[:-1]).tolist(),
+                (ccov[b[1:]] - ccov[b[:-1]]).tolist(),
+                (ccor[b[1:]] - ccor[b[:-1]]).tolist(),
+                (cu[ends] - cu[starts]).tolist(),
+                (ct[ends] - ct[starts]).tolist(),
+                [True] * (len(b) - 1)))
     else:
         cu = np.concatenate(([0.0], np.cumsum(cov_uniq.astype(np.float64))))
         ct = np.concatenate(([0.0], np.cumsum(cov_map.astype(np.float64))))
@@ -345,17 +352,17 @@ def _write_windows(cfg, data_out, chrn, reflen, gcbound, gc_content,
             pos_all = np.arange(reflen)
             evals = evals * np.where(valid, tile_fac[pos_all // reg_win], 1.0)
         cexp = np.concatenate(([0.0], np.cumsum(evals)))
-        for start in range(0, reflen, cfg.window_offset):
-            if start + cfg.window_size >= reflen:
-                break
-            end = start + cfg.window_size
-            winlen = int(cval[end] - cval[start])
-            wins.append((start, end, winlen,
-                         float(ccovm[end] - ccovm[start]),
-                         float(cexp[end] - cexp[start]),
-                         float(cu[end] - cu[start]),
-                         float(ct[end] - ct[start]),
-                         winlen >= cfg.frac_window * cfg.window_size))
+        starts = np.arange(0, reflen, cfg.window_offset, dtype=np.int64)
+        starts = starts[starts + cfg.window_size < reflen]
+        ends = starts + cfg.window_size
+        winlen = cval[ends] - cval[starts]
+        wins = list(zip(
+            starts.tolist(), ends.tolist(), winlen.tolist(),
+            (ccovm[ends] - ccovm[starts]).tolist(),
+            (cexp[ends] - cexp[starts]).tolist(),
+            (cu[ends] - cu[starts]).tolist(),
+            (ct[ends] - ct[starts]).tolist(),
+            (winlen >= cfg.frac_window * cfg.window_size).tolist()))
 
     nw = len(wins)
     na_flag = [False] * nw

@@ -22,6 +22,10 @@ MAX_COVERAGE = np.iinfo(np.uint16).max
 
 
 _GC_MEMO: dict = {}
+# cache budget in track bytes (~2 B/bp): covers many small contigs
+# outright; at human-chromosome scale a couple of tracks fit and the
+# rest recompute — memory stays bounded either way
+_GC_MEMO_BUDGET = 256 * 1024 * 1024
 
 
 def gc_content_track(seq: str, meanisize: int, key=None) -> np.ndarray:
@@ -35,7 +39,8 @@ def gc_content_track(seq: str, meanisize: int, key=None) -> np.ndarray:
             return hit
     track = _gc_content_track(seq, meanisize)
     if key is not None:
-        if len(_GC_MEMO) > 3:
+        held = sum(t.nbytes for t in _GC_MEMO.values())
+        if held + track.nbytes > _GC_MEMO_BUDGET:
             _GC_MEMO.clear()
         _GC_MEMO[(key, meanisize, len(seq))] = track
     return track
@@ -45,14 +50,16 @@ def _gc_content_track(seq: str, meanisize: int) -> np.ndarray:
     n = len(seq)
     b = np.frombuffer(seq.encode(), dtype=np.uint8)
     up = b & ~np.uint8(0x20)
-    gcref = ((up == ord("C")) | (up == ord("G"))).astype(np.int64)
+    # int32 prefix sums are exact for contigs < 2 Gbp; window sums via
+    # shifted slices of the cumsum (no index-array gathers)
+    gcref = ((up == ord("C")) | (up == ord("G"))).astype(np.int32)
     gc = np.zeros(n, dtype=np.uint16)
     halfwin = meanisize // 2
     if n <= 2 * halfwin:
         return gc
-    cs = np.concatenate(([0], np.cumsum(gcref)))
-    pos = np.arange(halfwin, n - halfwin)
-    gc[pos] = (cs[pos + halfwin + 1] - cs[pos - halfwin]).astype(np.uint16)
+    cs = np.concatenate(([0], np.cumsum(gcref, dtype=np.int32)))
+    gc[halfwin:n - halfwin] = (
+        cs[2 * halfwin + 1:n + 1] - cs[:n - 2 * halfwin]).astype(np.uint16)
     return gc
 
 
