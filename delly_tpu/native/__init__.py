@@ -351,10 +351,10 @@ def edist_many(q: np.ndarray, qlens: np.ndarray, t: np.ndarray,
         return None
     q = np.ascontiguousarray(q, dtype=np.uint8)
     t = np.ascontiguousarray(t, dtype=np.uint8)
-    qlens = np.ascontiguousarray(qlens, dtype=np.int32)
-    tlens = np.ascontiguousarray(tlens, dtype=np.int32)
     nb, mcap = q.shape
     ncap = t.shape[1]
+    qlens = np.ascontiguousarray(np.minimum(qlens, mcap), dtype=np.int32)
+    tlens = np.ascontiguousarray(np.minimum(tlens, ncap), dtype=np.int32)
     out = np.empty(nb, dtype=np.int32)
     lib.edist_many(q.ctypes.data_as(ctypes.c_char_p),
                    qlens.ctypes.data_as(ctypes.c_void_p), mcap,
