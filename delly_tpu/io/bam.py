@@ -360,6 +360,8 @@ class BamView:
 # region instead of whole-file (compressed size * typical ~3x ratio).
 STREAM_THRESHOLD = int(os.environ.get("DELLY_TPU_STREAM_THRESHOLD",
                                       64 * 1024 * 1024))
+# Background decode of the next chromosome during sequential scans.
+_PREFETCH = os.environ.get("DELLY_TPU_PREFETCH", "1") != "0"
 
 
 class BamFile:
@@ -385,6 +387,9 @@ class BamFile:
         self._reader = None
         self._cram = None
         self._chrom_cache = (None, None)  # (tid, BamView)
+        self._prefetch = (None, None)     # (tid, Future[BamView])
+        self._prefetch_pool = None
+        self._preader = None              # dedicated prefetch handle
         with open(path, "rb") as fh:
             magic = fh.read(4)
         if magic == b"CRAM":
@@ -470,14 +475,61 @@ class BamFile:
     def chrom(self, tid: int) -> BamView:
         """View of all records on reference `tid` (the per-chromosome
         iteration every driver uses; reference sam_itr_queryi(tid, 0,
-        len))."""
+        len)). Sequential scans overlap I/O with compute: serving tid
+        kicks off a background decode of tid+1 on a second file handle
+        (the native BGZF inflate and SoA scan release the GIL)."""
         ctid, view = self._chrom_cache
         if ctid == tid:
             return view
-        view = self.region(tid, 0, self.header.lengths[tid]
-                           if 0 <= tid < self.header.n_targets else 1 << 29)
+        ptid, fut = self._prefetch
+        self._prefetch = (None, None)
+        if ptid == tid:
+            try:
+                view = fut.result()
+            except Exception:
+                view = None
+        else:
+            view = None
+            if fut is not None:
+                fut.cancel()
+        if view is None:
+            view = self.region(tid, 0, self.header.lengths[tid]
+                               if 0 <= tid < self.header.n_targets
+                               else 1 << 29)
         self._chrom_cache = (tid, view)
+        self._start_prefetch(tid + 1)
         return view
+
+    def _start_prefetch(self, tid: int) -> None:
+        if (not self.streaming or self._cram is not None
+                or self._bai is None or not _PREFETCH
+                or not (0 <= tid < self.header.n_targets)):
+            return
+        if self._prefetch[0] == tid:
+            return
+        import concurrent.futures
+        if self._prefetch_pool is None:
+            self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1)
+        self._prefetch = (tid, self._prefetch_pool.submit(
+            self._decode_chrom_bg, tid))
+
+    def _decode_chrom_bg(self, tid: int):
+        """region(tid, 0, len) on the dedicated prefetch reader."""
+        from delly_tpu.io.bgzf import BgzfReader
+        if self._preader is None:
+            self._preader = BgzfReader(self.path)
+        end = self.header.lengths[tid]
+        chunks = self._bai.chunks(tid, 0, end)
+        if not chunks:
+            return BamView(b"", _empty_soa())
+        parts = [self._preader.read_voffset_range(cb, ce)
+                 for cb, ce in chunks]
+        buf = b"".join(parts)
+        soa = _scan_soa(buf, 0)
+        mask = (soa["tid"] == tid) & (soa["pos"] < end)
+        soa = {k: v[mask] for k, v in soa.items()}
+        return BamView(buf, soa)
 
     def region(self, tid: int, beg: int, end: int) -> BamView:
         """View of records overlapping [beg, end) on `tid` — records
