@@ -302,6 +302,26 @@ def main(argv=None) -> int:
     _pin_platform()
     argv = sys.argv[1:] if argv is None else argv
     from delly_tpu.version import VERSION
+    # Word-command front door (reference delly.cpp:47-64): "version",
+    # "help", "warranty" and "license" are accepted as bare words in
+    # addition to the usual --flags.
+    if argv:
+        word = argv[0]
+        if word in ("version", "--version-only", "-v"):
+            print(f"delly-tpu {VERSION}", file=sys.stderr)
+            return 0
+        if word in ("warranty", "--warranty", "-w"):
+            print("This program is distributed in the hope that it will "
+                  "be useful,\nbut WITHOUT ANY WARRANTY; without even the "
+                  "implied warranty of\nMERCHANTABILITY or FITNESS FOR A "
+                  "PARTICULAR PURPOSE.", file=sys.stderr)
+            return 0
+        if word in ("license", "--license", "-l"):
+            print("BSD 3-Clause License. See the LICENSE file for the "
+                  "full text.", file=sys.stderr)
+            return 0
+        if word in ("help", "-?"):
+            argv = ["--help"]
     parser = argparse.ArgumentParser(
         prog="delly-tpu",
         description="TPU-native structural variant discovery and genotyping")

@@ -65,3 +65,16 @@ def test_mismatched_chromosome_counts(tmp_path):
     r = _run("sr", "-g", fa1, "-o", "/tmp/_x.vcf", bam1, bam2)
     assert r.returncode == 1
     assert "different number of chromosomes" in r.stderr
+
+
+def test_word_commands():
+    # Reference delly.cpp:47-64 accepts bare words as commands.
+    for word, needle in [("version", "delly-tpu"),
+                         ("warranty", "WITHOUT ANY WARRANTY"),
+                         ("license", "BSD")]:
+        r = _run(word)
+        assert r.returncode == 0, (word, r.stderr)
+        assert needle in (r.stderr + r.stdout)
+    r = _run("help")
+    assert r.returncode == 0
+    assert "sr" in (r.stdout + r.stderr)
