@@ -377,25 +377,40 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
             cov_fragment = np.zeros(target_len, dtype=np.uint16)
             max_cov = np.iinfo(np.uint16).max
 
-            bp_occupied = np.zeros(target_len, dtype=bool)
-            for b in bp_region[ref_index]:
-                bp_occupied[b.regionStart:b.regionEnd] = True
+            # Sparse occupancy: merged disjoint [start,end) intervals.
+            # "any occupied base in [a,b)" becomes a searchsorted probe
+            # instead of a dense O(chrom) cumsum (coverage.h keeps a
+            # dense bitset; breakpoint sets are sparse so interval
+            # algebra is equivalent and O(#regions)).
+            if bp_region[ref_index]:
+                _ivs = sorted((b.regionStart, b.regionEnd)
+                              for b in bp_region[ref_index])
+                _ms, _me = [_ivs[0][0]], [_ivs[0][1]]
+                for _s, _e in _ivs[1:]:
+                    if _s <= _me[-1]:
+                        if _e > _me[-1]:
+                            _me[-1] = _e
+                    else:
+                        _ms.append(_s)
+                        _me.append(_e)
+                occ_starts = np.asarray(_ms, dtype=np.int64)
+                occ_ends = np.asarray(_me, dtype=np.int64)
+            else:
+                occ_starts = occ_ends = np.zeros(0, dtype=np.int64)
 
             span_point = []
-            span_bp = np.zeros(target_len, dtype=bool)
             for sv in svs:
                 if sv.peSupport == 0:
                     continue
                 if sv.chr == ref_index and sv.svStart < target_len:
-                    span_bp[sv.svStart] = True
                     span_point.append(SpanPoint(sv.svStart, sv.svt, sv.id,
                                                 sv.chr2, sv.svEnd))
                 if sv.chr2 == ref_index and sv.svEnd < target_len:
-                    span_bp[sv.svEnd] = True
                     span_point.append(SpanPoint(sv.svEnd, sv.svt, sv.id,
                                                 sv.chr, sv.svStart))
             span_point.sort(key=lambda s: s.bppos)
             span_bppos = [s.bppos for s in span_point]
+            span_pos_arr = np.asarray(span_bppos, dtype=np.int64)
             bp_pos_sorted = [b.bppos for b in bp_region[ref_index]]
 
             jobs = []
@@ -418,10 +433,10 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
             np.minimum(totals, max_cov - 1, out=totals)
             cov_bases = totals.astype(np.uint16)
 
-            occ_cum = np.concatenate(([0], np.cumsum(bp_occupied,
-                                                     dtype=np.int64)))
-            span_cum = np.concatenate(([0], np.cumsum(span_bp,
-                                                      dtype=np.int64)))
+            def _span_hits(lo, hi):
+                """Count of span breakpoints in [lo, hi) > 0 (vector)."""
+                return (np.searchsorted(span_pos_arr, hi, side="left")
+                        > np.searchsorted(span_pos_arr, lo, side="left"))
 
             lib = libs[file_c]
             two_flank = 2 * cfg.min_flank_size
@@ -438,8 +453,13 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
             # junction-job candidates: occupancy prefilter
             rbegin_a = np.maximum(0, pos_a - stats["leading_sc"])
             rend_a = np.minimum(pos_a + lq_a, target_len)
-            jcand = ((lq_a >= two_flank) & (rbegin_a < rend_a)
-                     & (occ_cum[rend_a] > occ_cum[rbegin_a]))
+            if len(occ_starts):
+                _oi = np.searchsorted(occ_starts, rend_a, side="left")
+                occ_hit = ((_oi > 0)
+                           & (occ_ends[np.maximum(_oi - 1, 0)] > rbegin_a))
+            else:
+                occ_hit = np.zeros(len(rend_a), dtype=bool)
+            jcand = (lq_a >= two_flank) & (rbegin_a < rend_a) & occ_hit
             jrows = np.nonzero(jcand)[0]
             j_pos = pos_a[jrows].tolist()
             j_lq = lq_a[jrows].tolist()
@@ -596,9 +616,9 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                         + (outer - spanlen) // 2
                     hi_n = np.minimum(pbeg_n + spanlen, target_len)
                     lo_n = np.maximum(0, pbeg_n)
-                    norm &= (pbeg_n < hi_n) \
-                        & (span_cum[np.clip(hi_n, 0, target_len)]
-                           > span_cum[np.clip(lo_n, 0, target_len)])
+                    norm &= (pbeg_n < hi_n) & _span_hits(
+                        np.clip(lo_n, 0, target_len),
+                        np.clip(hi_n, 0, target_len))
                     ab = (~((b_svtp[S_rows] == 2)
                             & (outer >= lib.minNormalISize)
                             & (outer <= lib.maxNormalISize))
@@ -611,9 +631,9 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                         rev, np.minimum(s_pos + s_lq, target_len),
                         np.minimum(s_pos + lib.maxNormalISize,
                                    target_len))
-                    ab &= (pbeg_a < pend_a) \
-                        & (span_cum[np.clip(pend_a, 0, target_len)]
-                           > span_cum[np.clip(pbeg_a, 0, target_len)])
+                    ab &= (pbeg_a < pend_a) & _span_hits(
+                        np.clip(pbeg_a, 0, target_len),
+                        np.clip(pend_a, 0, target_len))
                     for k in np.nonzero(norm | ab)[0].tolist():
                         events.append((int(S_rows[k]), "i", k))
                 for row, quality in inter_events:
@@ -628,7 +648,9 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                     else:
                         pbeg = rpos
                         pend = min(rpos + lib.maxNormalISize, target_len)
-                    if pbeg < pend and span_cum[pend] > span_cum[pbeg]:
+                    if pbeg < pend and (
+                            _bisect.bisect_left(span_bppos, pend)
+                            > _bisect.bisect_left(span_bppos, pbeg)):
                         events.append((row, "x", quality))
                 events.sort(key=lambda e: e[0])
 
@@ -711,18 +733,27 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                     _dump_row(file_c, sv_id, qname, tid, pos, mtid, mpos,
                               mapq, "SR")
 
-            # Assign fragment/base counts to SVs (coverage.h:684-733)
-            cb_cum = np.concatenate(([0], np.cumsum(cov_bases,
-                                                    dtype=np.int64)))
-            cf_cum = np.concatenate(([0], np.cumsum(cov_fragment,
-                                                    dtype=np.int64)))
+            # Assign fragment/base counts to SVs (coverage.h:684-733).
+            # Few SVs per chromosome: direct slice sums beat a dense
+            # O(chrom) prefix sum; prefix form only when many queries.
+            svs_here = sum(1 for sv in svs if sv.chr == ref_index)
+            use_cum = svs_here > 64
+            if use_cum:
+                cb_src = np.concatenate(([0], np.cumsum(
+                    cov_bases, dtype=np.int64)))
+                cf_src = np.concatenate(([0], np.cumsum(
+                    cov_fragment, dtype=np.int64)))
+            else:
+                cb_src, cf_src = cov_bases, cov_fragment
 
-            def _range_sum(cum, a, b):
+            def _range_sum(src, a, b):
                 a = max(0, min(a, target_len))
                 b = max(0, min(b, target_len))
                 if a >= b:
                     return 0
-                return int(cum[b] - cum[a])
+                if use_cum:
+                    return int(src[b] - src[a])
+                return int(np.sum(src[a:b], dtype=np.int64))
 
             for sv in svs:
                 if sv.chr != ref_index:
@@ -734,7 +765,7 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                     small_sv = True
                 elif (sv.svEnd - sv.svStart) <= cfg.indelsize:
                     small_sv = True
-                cum = cb_cum if small_sv else cf_cum
+                cum = cb_src if small_sv else cf_src
                 lstart = max(sv.svStart - half, 0)
                 cov_count[file_c][sv.id].leftRC = _range_sum(
                     cum, lstart, sv.svStart)
