@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import struct
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
@@ -386,7 +387,16 @@ class BamFile:
         self._bai = None
         self._reader = None
         self._cram = None
-        self._chrom_cache = (None, None)  # (tid, BamView)
+        # Byte-budgeted LRU of decoded per-chromosome views: multi-pass
+        # drivers (cnv's scan/gcbias/count passes, sr's scan+assembly+
+        # genotyping) revisit chromosomes; re-decoding each pass costs
+        # more than the views' memory on all but huge inputs. The
+        # budget keeps streaming-mode memory bounded (O(budget), not
+        # O(file)); a view larger than the whole budget is still
+        # served, just never retained.
+        self._chrom_cache: "OrderedDict[int, BamView]" = OrderedDict()
+        self._cache_budget = int(os.environ.get(
+            "DELLY_TPU_VIEW_CACHE_MB", "1024")) << 20
         self._prefetch = (None, None)     # (tid, Future[BamView])
         self._prefetch_pool = None
         self._preader = None              # dedicated prefetch handle
@@ -478,8 +488,9 @@ class BamFile:
         len)). Sequential scans overlap I/O with compute: serving tid
         kicks off a background decode of tid+1 on a second file handle
         (the native BGZF inflate and SoA scan release the GIL)."""
-        ctid, view = self._chrom_cache
-        if ctid == tid:
+        view = self._chrom_cache.get(tid)
+        if view is not None:
+            self._chrom_cache.move_to_end(tid)
             return view
         ptid, fut = self._prefetch
         self._prefetch = (None, None)
@@ -496,9 +507,28 @@ class BamFile:
             view = self.region(tid, 0, self.header.lengths[tid]
                                if 0 <= tid < self.header.n_targets
                                else 1 << 29)
-        self._chrom_cache = (tid, view)
-        self._start_prefetch(tid + 1)
+        self._cache_put(tid, view)
+        if tid + 1 not in self._chrom_cache:
+            self._start_prefetch(tid + 1)
         return view
+
+    @staticmethod
+    def _view_nbytes(view) -> int:
+        n = len(view.data)
+        try:
+            n += sum(a.nbytes for a in view.soa.values())
+        except Exception:
+            pass
+        return n
+
+    def _cache_put(self, tid: int, view) -> None:
+        self._chrom_cache[tid] = view
+        self._chrom_cache.move_to_end(tid)
+        total = sum(self._view_nbytes(v)
+                    for v in self._chrom_cache.values())
+        while total > self._cache_budget and len(self._chrom_cache) > 1:
+            _old, oldv = self._chrom_cache.popitem(last=False)
+            total -= self._view_nbytes(oldv)
 
     def _start_prefetch(self, tid: int) -> None:
         if (not self.streaming or self._cram is not None
