@@ -176,6 +176,15 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+    lib.edist_scan.restype = None
+    lib.edist_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_void_p]
+    lib.edist_path_banded.restype = None
+    lib.edist_path_banded.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
     # Cheap self-test: a wrong/corrupt binary fails here instead of
     # mid-pipeline, and the caller falls back to pure Python.
     try:
@@ -363,6 +372,36 @@ def edist_many(q: np.ndarray, qlens: np.ndarray, t: np.ndarray,
                    threads or _default_threads(),
                    out.ctypes.data_as(ctypes.c_void_p))
     return out
+
+
+def edist_scan(q: bytes, t: bytes, mode: int, eq: bytes | None = None):
+    """Myers bit-parallel distance + leftmost optimal end column (DP
+    column coords) for one pair, or None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(2, dtype=np.int32)
+    lib.edist_scan(q, len(q), t, len(t), mode, eq,
+                   out.ctypes.data_as(ctypes.c_void_p))
+    return int(out[0]), int(out[1])
+
+
+def edist_path_banded(q: bytes, t: bytes, mode: int,
+                      eq: bytes | None, lo: int, hi: int,
+                      end_col: int = -1):
+    """Banded edit-distance alignment with in-C traceback. Returns
+    (dist, end_loc, ops uint8 array) or None; dist >= 1<<29 means the
+    readout cell fell outside the corridor (caller widens)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    m, n = len(q), len(t)
+    ops = np.empty(m + n + 1, dtype=np.uint8)
+    out = np.empty(3, dtype=np.int32)
+    lib.edist_path_banded(q, m, t, n, mode, eq, lo, hi, end_col,
+                          ops.ctypes.data_as(ctypes.c_void_p),
+                          out.ctypes.data_as(ctypes.c_void_p))
+    return int(out[0]), int(out[1]) - 1, ops[:int(out[2])].copy()
 
 
 def bam_cigar_stats(data: bytes, offsets: np.ndarray,

@@ -1509,6 +1509,188 @@ void edist_matrix_mt(const uint8_t* q, int32_t m, const uint8_t* t,
   for (auto& th : pool) th.join();
 }
 
+// Single-pair Myers bit-parallel distance scan returning the distance
+// AND the leftmost optimal end column (DP column coordinates, 0 =
+// empty-target alignment). Same recurrence as edist_many; eq adds
+// IUPAC-style custom equality (Peq bit r of letter c set when
+// eq[q[r]][c]). out2 = {dist, end_col}.
+void edist_scan(const uint8_t* q, int32_t m, const uint8_t* t, int32_t n,
+                int32_t mode, const uint8_t* eq, int32_t* out2) {
+  if (m == 0) {
+    out2[0] = (mode == 0) ? n : 0;
+    out2[1] = (mode == 0) ? n : 0;
+    return;
+  }
+  const int32_t w = (m + 63) / 64;
+  std::vector<uint64_t> peq((size_t)256 * w, 0);
+  for (int32_t r = 0; r < m; ++r) {
+    if (eq) {
+      const uint8_t* eqrow = eq + (size_t)q[r] * 256;
+      for (int32_t c = 0; c < 256; ++c)
+        if (eqrow[c]) peq[(size_t)c * w + (r >> 6)] |= 1ULL << (r & 63);
+    } else {
+      peq[(size_t)q[r] * w + (r >> 6)] |= 1ULL << (r & 63);
+    }
+  }
+  std::vector<uint64_t> pv(w, ~0ULL), mv(w, 0ULL);
+  const int32_t hi_word = (m - 1) >> 6;
+  const int32_t hi_bit = (m - 1) & 63;
+  const int32_t hin0 = (mode == 2) ? 0 : 1;
+  int32_t score = m;
+  int32_t res = (mode == 0) ? ((n == 0) ? m : 0x7FFFFFFF) : m;
+  int32_t end_col = (mode == 0) ? n : 0;
+  for (int32_t j = 0; j < n; ++j) {
+    const uint64_t* eqrow = peq.data() + (size_t)t[j] * w;
+    int32_t hin = hin0;
+    for (int32_t wi = 0; wi < w; ++wi) {
+      uint64_t eqw = eqrow[wi];
+      const uint64_t hin_neg = (uint64_t)(hin < 0);
+      const uint64_t hin_pos = (uint64_t)(hin > 0);
+      const uint64_t pvw = pv[wi], mvw = mv[wi];
+      const uint64_t xv = eqw | mvw;
+      const uint64_t eq2 = eqw | hin_neg;
+      const uint64_t xh = (((eq2 & pvw) + pvw) ^ pvw) | eq2;
+      uint64_t ph = mvw | ~(xh | pvw);
+      uint64_t mh = pvw & xh;
+      const int32_t hout =
+          (int32_t)((ph >> 63) & 1) - (int32_t)((mh >> 63) & 1);
+      if (wi == hi_word)
+        score += (int32_t)((ph >> hi_bit) & 1)
+               - (int32_t)((mh >> hi_bit) & 1);
+      ph = (ph << 1) | hin_pos;
+      mh = (mh << 1) | hin_neg;
+      pv[wi] = mh | ~(xv | ph);
+      mv[wi] = ph & xv;
+      hin = hout;
+    }
+    if (mode == 0) {
+      if (j + 1 == n) res = score;
+    } else if (score < res) {
+      res = score;
+      end_col = j + 1;
+    }
+  }
+  out2[0] = res;
+  out2[1] = end_col;
+}
+
+// Banded unit-cost edit-distance DP with in-C traceback (Ukkonen
+// corridor; role of edlib's banded alignment, edlib.cpp TASK_PATH).
+// Corridor: cells (i, j) with j - i in [lo, hi]. Band storage is
+// (m+1) x W row-major, W = hi - lo + 1, diag slot k = j - i - lo;
+// predecessors in band coords: diag (i-1, k), up (i-1, k+1),
+// left (i, k-1). When the corridor half-width is >= the true
+// distance, every cell of every optimal path lies inside the band
+// and the band values on those cells equal the full-matrix values,
+// so the greedy traceback (up INSERT, then left DELETE, then diag
+// -- the edlib obtainAlignmentTraceback order) walks identically to
+// the full-matrix walk. Readout: mode 0 = cell (m, n); mode 1 =
+// leftmost min over row m; mode 2 = end_col if >= 0, else leftmost
+// min. ops_out needs capacity m + n. out3 = {dist, end_col, nops};
+// dist = INF (1<<29) signals the readout cell is outside the band.
+void edist_path_banded(const uint8_t* q, int32_t m, const uint8_t* t,
+                       int32_t n, int32_t mode, const uint8_t* eq,
+                       int32_t lo, int32_t hi, int32_t end_col,
+                       uint8_t* ops_out, int32_t* out3) {
+  const int32_t INF = 1 << 29;
+  const int64_t W = (int64_t)hi - lo + 1;
+  std::vector<int32_t> band((size_t)(m + 1) * W);
+  auto B = [&](int32_t i, int32_t j) -> int32_t& {
+    return band[(size_t)i * W + (j - i - lo)];
+  };
+  for (int64_t k = 0; k < W; ++k) {
+    int64_t j = k + lo;
+    band[k] = (j < 0 || j > n) ? INF
+              : ((mode == 2) ? 0 : (int32_t)j);
+  }
+  for (int32_t i = 1; i <= m; ++i) {
+    const uint8_t qc = q[i - 1];
+    const uint8_t* eqrow = eq ? eq + (size_t)qc * 256 : nullptr;
+    int32_t* cur = band.data() + (size_t)i * W;
+    const int32_t* prev = cur - W;
+    for (int64_t k = 0; k < W; ++k) {
+      int64_t j = (int64_t)i + k + lo;
+      if (j < 0 || j > n) {
+        cur[k] = INF;
+        continue;
+      }
+      if (j == 0) {
+        cur[k] = i;
+        continue;
+      }
+      const uint8_t tc = t[j - 1];
+      int32_t sub = eqrow ? (eqrow[tc] ? 0 : 1) : ((qc == tc) ? 0 : 1);
+      int32_t best = prev[k] >= INF ? INF : prev[k] + sub;   // diagonal
+      if (k + 1 < W && prev[k + 1] < INF) {                  // up
+        int32_t v = prev[k + 1] + 1;
+        if (v < best) best = v;
+      }
+      if (k > 0 && cur[k - 1] < INF) {                       // left
+        int32_t v = cur[k - 1] + 1;
+        if (v < best) best = v;
+      }
+      cur[k] = best > INF ? INF : best;
+    }
+  }
+  if (mode == 0) end_col = n;
+  if (end_col < 0) {   // leftmost min over row m inside the corridor
+    int32_t best = INF;
+    for (int64_t k = 0; k < W; ++k) {
+      int64_t j = (int64_t)m + k + lo;
+      if (j < 0 || j > n) continue;
+      int32_t v = band[(size_t)m * W + k];
+      if (v < best) {
+        best = v;
+        end_col = (int32_t)j;
+      }
+    }
+    if (end_col < 0) end_col = 0;
+  }
+  int32_t dist = INF;
+  if (end_col - m >= lo && end_col - m <= hi)
+    dist = B(m, end_col);
+  out3[0] = dist;
+  out3[1] = end_col;
+  out3[2] = 0;
+  if (dist >= INF) return;
+  // greedy traceback, emitted reversed then flipped in place
+  // (0=MATCH, 1=INSERT, 2=DELETE, 3=MISMATCH -- edlib op codes)
+  int32_t i = m, j = end_col, nops = 0;
+  auto in_band = [&](int32_t bi, int32_t bj) {
+    return bj - bi >= lo && bj - bi <= hi && bj >= 0 && bj <= n;
+  };
+  while (i > 0) {
+    int32_t curv = B(i, j);
+    if (in_band(i - 1, j) && B(i - 1, j) < INF
+        && B(i - 1, j) + 1 == curv) {
+      ops_out[nops++] = 1;                       // up: INSERT
+      --i;
+    } else if (j > 0 && in_band(i, j - 1) && B(i, j - 1) < INF
+               && B(i, j - 1) + 1 == curv) {
+      ops_out[nops++] = 2;                       // left: DELETE
+      --j;
+    } else if (j == 0) {
+      ops_out[nops++] = 1;                       // column 0: INSERT
+      --i;
+    } else {
+      const uint8_t qc = q[i - 1], tc = t[j - 1];
+      bool is_match = eq ? (eq[(size_t)qc * 256 + tc] != 0) : (qc == tc);
+      ops_out[nops++] = is_match ? 0 : 3;
+      --i;
+      --j;
+    }
+  }
+  if (mode != 2) {
+    while (j > 0) {
+      ops_out[nops++] = 2;
+      --j;
+    }
+  }
+  for (int32_t a = 0, b = nops - 1; a < b; ++a, --b)
+    std::swap(ops_out[a], ops_out[b]);
+  out3[2] = nops;
+}
+
 void delly_free(uint8_t* ptr) { std::free(ptr); }
 
 }  // extern "C"

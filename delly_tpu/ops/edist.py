@@ -105,6 +105,20 @@ def edit_distance(query, target, mode: int = MODE_NW, k: int = -1,
         else:
             d, e = 0, -1
         return (d, e) if (k < 0 or d <= k) else (-1, -1)
+    if len(t):
+        try:
+            from delly_tpu import native
+            sc = native.edist_scan(
+                q.tobytes(), t.tobytes(), mode,
+                None if eq is None else
+                np.ascontiguousarray(eq, dtype=np.uint8).tobytes())
+        except Exception:
+            sc = None
+        if sc is not None:
+            dist, end_col = sc
+            if k >= 0 and dist > k:
+                return -1, -1
+            return dist, (len(t) - 1 if mode == MODE_NW else end_col - 1)
     D = _dp_matrix(q, t, mode, eq)
     last = D[-1]
     if mode == MODE_NW:
@@ -119,6 +133,51 @@ def edit_distance(query, target, mode: int = MODE_NW, k: int = -1,
     return dist, end
 
 
+def _align_banded(q: np.ndarray, t: np.ndarray, mode: int,
+                  eq: np.ndarray | None):
+    """Ukkonen-corridor path alignment (native). Exact: the corridor
+    half-width is grown until it provably contains every optimal-path
+    cell, at which point band values and the greedy traceback equal
+    the full-matrix ones. Returns (dist, end_loc, ops) or None to fall
+    back to the full DP."""
+    try:
+        from delly_tpu import native
+        if native.get_lib() is None:
+            return None
+    except Exception:
+        return None
+    m, n = len(q), len(t)
+    qb, tb = q.tobytes(), t.tobytes()
+    eqb = None if eq is None else \
+        np.ascontiguousarray(eq, dtype=np.uint8).tobytes()
+    INF = 1 << 29
+    if mode == MODE_HW:
+        sc = native.edist_scan(qb, tb, mode, eqb)
+        if sc is None:
+            return None
+        dist, end_col = sc
+        if end_col <= 0 or 2 * (2 * dist + 9) >= n:
+            return None          # degenerate / band ~ full width
+        w = dist + 8             # optimal-path cells: |j-i-c| <= dist
+        c = end_col - m
+        return native.edist_path_banded(qb, tb, mode, eqb,
+                                        c - w, c + w, end_col)
+    sc = native.edist_scan(qb, tb, mode, eqb)
+    if sc is None:
+        return None
+    dist = sc[0]
+    base_lo = min(0, n - m)
+    base_hi = max(0, n - m)
+    w = dist + 8                 # w > dist: provably exact corridor
+    if (base_hi - base_lo) + 2 * w >= n + 1:
+        return None              # band as wide as the matrix
+    r = native.edist_path_banded(qb, tb, mode, eqb,
+                                 base_lo - w, base_hi + w, -1)
+    if r is None or r[0] >= INF or r[0] != dist:
+        return None
+    return r
+
+
 def align(query, target, mode: int = MODE_NW, k: int = -1,
           eq: np.ndarray | None = None):
     """Distance, end location, and alignment path (edlib TASK_PATH role).
@@ -131,6 +190,13 @@ def align(query, target, mode: int = MODE_NW, k: int = -1,
     q = np.frombuffer(query.encode(), dtype=np.uint8) if isinstance(query, str) else query
     t = np.frombuffer(target.encode(), dtype=np.uint8) if isinstance(target, str) else target
     m, n = len(q), len(t)
+    if m and n:
+        banded = _align_banded(q, t, mode, eq)
+        if banded is not None:
+            dist, end_loc, ops = banded
+            if k >= 0 and dist > k:
+                return -1, -1, np.zeros(0, dtype=np.uint8)
+            return dist, end_loc, ops
     D = _dp_matrix(q, t, mode, eq) if m else None
     if m == 0:
         if mode == MODE_NW:
