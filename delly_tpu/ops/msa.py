@@ -162,30 +162,58 @@ _DEVICE_MIN_CELLS = 65536
 _use_device = None
 
 
+_BANDED_MIN_DIM = 8192
+
+
 def _gotoh_dispatch(a1, a2, ac, sc):
     """Large profile merges run on the device Gotoh kernel when a TPU
     backend is present (bit-identical results, see ops/gotoh_device);
     small merges stay on the host row-vectorized DP where dispatch
-    latency would dominate."""
+    latency would dominate. Sequence-vs-sequence merges beyond
+    _BANDED_MIN_DIM use the corridor DP (ops/gotoh_banded) on host
+    and device alike — O(m*band) instead of O(m*n); the reference's
+    consensus windows never reach this size, so the corridor only
+    engages on long-context inputs the full DP could not serve."""
     global _use_device
+    if (a1.shape[0] == 1 and a2.shape[0] == 1
+            and max(a1.shape[1], a2.shape[1]) > _BANDED_MIN_DIM
+            and min(a1.shape[1], a2.shape[1]) >= 1):
+        from delly_tpu.ops.gotoh_banded import (
+            gotoh_banded_batch, gotoh_banded_host,
+        )
+        if _device_backend():
+            return gotoh_banded_batch([(a1, a2)], ac=ac, sc=sc)[0]
+        m, n = a1.shape[1], a2.shape[1]
+        if n > m:
+            best, merged = gotoh_banded_host(a2, a1, ac=(ac[1], ac[0]),
+                                             sc=sc)
+            n1 = a2.shape[0]
+            merged = np.concatenate([merged[n1:], merged[:n1]], axis=0)
+            return best, merged
+        return gotoh_banded_host(a1, a2, ac=ac, sc=sc)
     if a1.shape[1] * a2.shape[1] >= _DEVICE_MIN_CELLS:
-        if _use_device is None:
-            import os
-            pref = os.environ.get("DELLY_TPU_GOTOH_DEVICE", "auto")
-            if pref == "never":
-                _use_device = False
-            elif pref == "always":
-                _use_device = True
-            else:
-                try:
-                    import jax
-                    _use_device = jax.default_backend() == "tpu"
-                except Exception:
-                    _use_device = False
-        if _use_device:
+        if _device_backend():
             from delly_tpu.ops.gotoh_device import gotoh_device
             return gotoh_device(a1, a2, ac=ac, sc=sc)
     return gotoh(a1, a2, ac=ac, sc=sc)
+
+
+def _device_backend() -> bool:
+    global _use_device
+    if _use_device is None:
+        import os
+        pref = os.environ.get("DELLY_TPU_GOTOH_DEVICE", "auto")
+        if pref == "never":
+            _use_device = False
+        elif pref == "always":
+            _use_device = True
+        else:
+            try:
+                import jax
+                _use_device = jax.default_backend() == "tpu"
+            except Exception:
+                _use_device = False
+    return _use_device
 
 
 def palign(seqs: list, p: np.ndarray, root: int, sc: DnaScore) -> np.ndarray:
