@@ -213,3 +213,38 @@ def test_sr_regenotyping_roundtrip(tmp_path):
     fmt = g[0][8].split(":")
     vals = dict(zip(fmt, g[0][9].split(":")))
     assert int(vals["DV"]) > 0 and int(vals["RV"]) > 0
+
+def test_cnv_regenotyping_roundtrip(tmp_path):
+    """cnv -v re-genotypes a CNV site list (coral.h genotyping-only
+    mode): discovery finds the implanted CN0 hole; the -v pass over the
+    same BAM must reproduce the same RDCN at the same sites."""
+    bam, fa, _truth = make_multi_contig_del_dataset(
+        str(tmp_path), n_contigs=2, contig_len=120_000,
+        pairs_per_contig=2500, name="cnvrt")
+    disc = str(tmp_path / "cnv_disc.vcf")
+    _run(["cnv", "-g", fa, "-o", disc, bam])
+    sites = _vcf_records(disc)
+    assert sites, "discovery produced no CNV records"
+
+    geno = str(tmp_path / "cnv_geno.vcf")
+    _run(["cnv", "-g", fa, "-o", geno, "-v", disc, bam])
+    got = _vcf_records(geno)
+    assert len(got) == len(sites)
+
+    def keyed(recs):
+        out = {}
+        for r in recs:
+            info = _info(r)
+            fmt = dict(zip(r[8].split(":"), r[9].split(":")))
+            out[(r[0], int(r[1]), info.get("END"))] = fmt.get("RDCN")
+        return out
+
+    want = keyed(sites)
+    have = keyed(got)
+    assert set(have) == set(want)
+    for k in want:
+        assert have[k] == want[k], (k, have[k], want[k])
+    # deletion CNVs must genotype below diploid (the genome-scale CN0
+    # hole recall is asserted by bench_e2e's cnv engine run)
+    cns = [float(v) for v in have.values() if v not in (None, ".")]
+    assert min(cns) < 1.5, cns
