@@ -27,8 +27,8 @@ def _pack_seq(seq: str) -> bytes:
 
 
 def encode_record(qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen,
-                  seq, qual=None):
-    """cigar: list of (op_char, length)."""
+                  seq, qual=None, aux=b""):
+    """cigar: list of (op_char, length). aux: raw BAM aux bytes."""
     name = qname.encode() + b"\x00"
     cig = b"".join(struct.pack("<I", (n << 4) | "MIDNSHP=X".index(op))
                    for op, n in cigar)
@@ -36,8 +36,16 @@ def encode_record(qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen,
     q = bytes([30] * nseq) if qual is None else qual
     body = struct.pack("<iiBBHHHiiii", tid, pos, len(name), mapq, 0,
                        len(cigar), flag, nseq, mtid, mpos, tlen)
-    body += name + cig + _pack_seq(seq) + q
+    body += name + cig + _pack_seq(seq) + q + aux
     return struct.pack("<i", len(body)) + body
+
+
+def aux_mm_ml(mm: str, ml_probs) -> bytes:
+    """MM (Z string) + ML (B/C array) aux block (SAMtags base mods)."""
+    out = b"MMZ" + mm.encode() + b"\x00"
+    probs = bytes(ml_probs)
+    out += b"MLBC" + struct.pack("<i", len(probs)) + probs
+    return out
 
 
 def random_contig(rng_or_seed, length: int, gc_blocks: int = 0) -> str:

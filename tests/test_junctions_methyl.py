@@ -140,3 +140,81 @@ def test_collect_methyl_windows():
     assert tot == [2, 2]
     assert meth[0] + meth[1] == 2  # two methylated calls overall
     assert set(cpg[0]) == {100, 101}
+
+
+def test_lr_methylation_end_to_end(tmp_path):
+    """Full lr run on a synthetic BAM carrying MM/ML tags: ALT reads
+    fully 5mC-methylated, REF reads unmethylated — the called DEL's
+    MR/MA/MNC/MDV FORMAT fields must reflect that split
+    (methyl.h accumulation + modvcf.h:622-657 emission)."""
+    import os
+    import random
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import (aux_mm_ml, encode_record, random_contig,
+                          write_bam, write_fasta)
+
+    rng = random.Random(7)
+    clen = 120_000
+    ref = random_contig(rng, clen)
+    contigs = [("chrM1", ref)]
+    del_len = 1500
+    posd = clen // 2
+    read_len = 6000
+    recs = []
+    qid = 0
+
+    def mm_for(seq, methylated):
+        ncs = seq.upper().count("C")
+        if ncs == 0:
+            return b""
+        mm = "C+m," + ",".join("0" * 1 for _ in range(ncs)) + ";"
+        prob = 230 if methylated else 15
+        return aux_mm_ml(mm, [prob] * ncs)
+
+    # background REF reads across the DEL, unmethylated
+    for _ in range(14):
+        p = posd - rng.randint(3000, 4500)
+        seq = ref[p:p + read_len]
+        recs.append((p, encode_record(
+            f"r{qid}", 0x0, 0, p, 60, [("M", read_len)], -1, -1, 0,
+            seq, aux=mm_for(seq, False))))
+        qid += 1
+    # ALT reads spanning the DEL, fully methylated
+    for _ in range(12):
+        lo = rng.randint(1500, 2500)
+        hi = rng.randint(1500, 2500)
+        p = posd - lo
+        seq = ref[p:posd] + ref[posd + del_len:posd + del_len + hi]
+        recs.append((p, encode_record(
+            f"a{qid}", 0x0, 0, p, 60,
+            [("M", lo), ("D", del_len), ("M", hi)], -1, -1, 0, seq,
+            aux=mm_for(seq, True))))
+        qid += 1
+    recs.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "meth.bam")
+    fa = str(tmp_path / "meth.fa")
+    write_bam(bam, contigs, [r[1] for r in recs])
+    write_fasta(fa, contigs)
+
+    out = str(tmp_path / "meth.vcf")
+    r = subprocess.run([sys.executable, "-m", "delly_tpu.cli", "lr",
+                        "-g", fa, "-o", out, bam],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    body = [ln.split("\t") for ln in open(out)
+            if ln.strip() and not ln.startswith("#")]
+    dels = [rec for rec in body if "SVTYPE=DEL" in rec[7]]
+    assert dels, body
+    rec = dels[0]
+    fmt = dict(zip(rec[8].split(":"), rec[9].split(":")))
+    assert {"MR", "MA", "MNC", "MDV"} <= set(fmt)
+    # comma-joined per-breakpoint-side values; take populated ones
+    mr = [int(x) for x in fmt["MR"].split(",") if x not in (".", "")]
+    ma = [int(x) for x in fmt["MA"].split(",") if x not in (".", "")]
+    assert ma and max(ma) >= 80, fmt
+    assert mr and max(mr) <= 20, fmt
+    mdv = [int(x) for x in fmt["MDV"].split(",") if x not in (".", "")]
+    assert mdv and max(mdv) >= 5, fmt
