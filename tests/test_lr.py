@@ -162,3 +162,68 @@ def test_lr_end_to_end_example():
     assert "PRECISE" in fields[7]
     gt = fields[9].split(":")[0]
     assert gt in ("0/1", "1/1", "0|1", "1|0")
+
+
+def test_lr_hp_ps_phasing_end_to_end(tmp_path):
+    """HP/PS aux tags flow into the HP (hp1ref,hp1alt,hp2ref,hp2alt)
+    and PS FORMAT fields (genotype.h haplotype pass)."""
+    import os
+    import random
+    import struct
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import (encode_record, random_contig, write_bam,
+                          write_fasta)
+
+    rng = random.Random(13)
+    clen = 120_000
+    ref = random_contig(rng, clen)
+    contigs = [("chrP1", ref)]
+    del_len = 1500
+    posd = clen // 2
+    read_len = 6000
+
+    def hp_ps(hp, ps):
+        return b"HPC" + bytes([hp]) + b"PSi" + struct.pack("<i", ps)
+
+    recs = []
+    qid = 0
+    for _ in range(12):          # REF reads on haplotype 1
+        p = posd - rng.randint(3000, 4500)
+        recs.append((p, encode_record(
+            f"r{qid}", 0x0, 0, p, 60, [("M", read_len)], -1, -1, 0,
+            ref[p:p + read_len], aux=hp_ps(1, 77))))
+        qid += 1
+    for _ in range(10):          # ALT reads on haplotype 2
+        lo = rng.randint(1500, 2500)
+        hi = rng.randint(1500, 2500)
+        p = posd - lo
+        seq = ref[p:posd] + ref[posd + del_len:posd + del_len + hi]
+        recs.append((p, encode_record(
+            f"a{qid}", 0x0, 0, p, 60,
+            [("M", lo), ("D", del_len), ("M", hi)], -1, -1, 0, seq,
+            aux=hp_ps(2, 77))))
+        qid += 1
+    recs.sort(key=lambda r: r[0])
+    bam = str(tmp_path / "phase.bam")
+    fa = str(tmp_path / "phase.fa")
+    write_bam(bam, contigs, [r[1] for r in recs])
+    write_fasta(fa, contigs)
+
+    out = str(tmp_path / "phase.vcf")
+    r = subprocess.run([sys.executable, "-m", "delly_tpu.cli", "lr",
+                        "-g", fa, "-o", out, bam],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    body = [ln.split("\t") for ln in open(out)
+            if ln.strip() and not ln.startswith("#")]
+    dels = [rec for rec in body if "SVTYPE=DEL" in rec[7]]
+    assert dels, body
+    fmt = dict(zip(dels[0][8].split(":"), dels[0][9].split(":")))
+    hp1ref, hp1alt, hp2ref, hp2alt = [int(x) for x in
+                                      fmt["HP"].split(",")]
+    assert hp1ref >= 8 and hp2alt >= 6, fmt["HP"]
+    assert hp1alt == 0 and hp2ref == 0, fmt["HP"]
+    assert fmt["PS"] == "77", fmt
