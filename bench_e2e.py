@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--len", dest="clen", type=int, default=1_500_000)
     ap.add_argument("--workdir", default="/tmp/delly_tpu_bench_e2e")
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--error-rate", type=float, default=0.0,
+                    help="per-base substitution error rate (lr reads)")
     args = ap.parse_args()
     if args.engine == "lr":
         return run_lr_bench(args)
@@ -182,6 +184,8 @@ def run_lr_bench(args):
     _jax_setup()
     os.makedirs(args.workdir, exist_ok=True)
     tag = f"lr_c{args.contigs}_r{args.pairs}_l{args.clen}"
+    if args.error_rate > 0:
+        tag += f"_e{args.error_rate:g}"
     bam = f"{args.workdir}/{tag}.bam"
     fa = f"{args.workdir}/{tag}.fa"
     truth_path = f"{args.workdir}/{tag}.truth"
@@ -190,7 +194,8 @@ def run_lr_bench(args):
         t0 = time.time()
         bam, fa, truth = make_lr_genome_dataset(
             args.workdir, n_contigs=args.contigs, contig_len=args.clen,
-            reads_per_contig=args.pairs, name=tag)
+            reads_per_contig=args.pairs, name=tag,
+            error_rate=args.error_rate)
         with open(truth_path, "w") as fh:
             for c, kind, p, ln in truth:
                 fh.write(f"{c}\t{kind}\t{p}\t{ln}\n")

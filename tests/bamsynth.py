@@ -569,13 +569,34 @@ def make_homopolymer_del_dataset(tmpdir, seed=67, hp_len=20):
     return bam, fa, (bp1, bp2, hp_len)
 
 
+def add_read_errors(rng_or_seed, seq: str, rate: float) -> str:
+    """Substitution errors at `rate` (uniform; keeps CIGAR geometry so
+    implanted-SV truth coordinates stay exact while consensus/realign
+    stages see realistic noise)."""
+    if rate <= 0:
+        return seq
+    seed = (rng_or_seed if isinstance(rng_or_seed, int)
+            else rng_or_seed.randint(0, 2**31))
+    g = np.random.default_rng(seed)
+    b = np.frombuffer(seq.encode(), dtype=np.uint8).copy()
+    hit = np.flatnonzero(g.random(len(b)) < rate)
+    if len(hit):
+        letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+        # shift by 1-3 letters so the substitution always changes the base
+        codes = np.searchsorted(letters, b[hit]) % 4
+        b[hit] = letters[(codes + g.integers(1, 4, len(hit))) % 4]
+    return b.tobytes().decode()
+
+
 def make_lr_genome_dataset(tmpdir, n_contigs=4, contig_len=1_000_000,
                            reads_per_contig=250, read_len=4000,
-                           var_reads=12, seed=83, name="lrbig"):
+                           var_reads=12, seed=83, name="lrbig",
+                           error_rate=0.0):
     """Genome-scale long-read dataset: per contig one ~1kb DEL (D op)
     and one 500bp INS (I op), heterozygous (var_reads carriers each),
     plus background reads. Returns (bam, fasta, truth) with truth =
-    [(chrom, kind, pos, length)]."""
+    [(chrom, kind, pos, length)]. error_rate adds substitution noise
+    to every read (long-read realism)."""
     rng = random.Random(seed)
     contigs = [(f"chr{c + 1}", random_contig(rng, contig_len))
                for c in range(n_contigs)]
@@ -594,14 +615,17 @@ def make_lr_genome_dataset(tmpdir, n_contigs=4, contig_len=1_000_000,
             p = rng.randint(0, contig_len - read_len - 1)
             recs.append((tid, p, encode_record(
                 f"b{qid}", 0x0, tid, p, 60, [("M", read_len)], -1, -1,
-                0, ref[p:p + read_len])))
+                0, add_read_errors(rng, ref[p:p + read_len],
+                                   error_rate))))
             qid += 1
         # DEL carriers: M(lo) D(del_len) M(hi)
         for _ in range(var_reads):
             lo = rng.randint(800, 1800)
             hi = rng.randint(800, 1800)
             p = posd - lo
-            seq = ref[p:posd] + ref[posd + del_len:posd + del_len + hi]
+            seq = add_read_errors(
+                rng, ref[p:posd] + ref[posd + del_len:posd + del_len + hi],
+                error_rate)
             recs.append((tid, p, encode_record(
                 f"d{qid}", 0x0, tid, p, 60,
                 [("M", lo), ("D", del_len), ("M", hi)], -1, -1, 0,
@@ -612,7 +636,9 @@ def make_lr_genome_dataset(tmpdir, n_contigs=4, contig_len=1_000_000,
             lo = rng.randint(800, 1800)
             hi = rng.randint(800, 1800)
             p = posi - lo
-            seq = ref[p:posi] + ins_seq + ref[posi:posi + hi]
+            seq = add_read_errors(
+                rng, ref[p:posi] + ins_seq + ref[posi:posi + hi],
+                error_rate)
             recs.append((tid, p, encode_record(
                 f"i{qid}", 0x0, tid, p, 60,
                 [("M", lo), ("I", ins_len), ("M", hi)], -1, -1, 0,

@@ -227,3 +227,35 @@ def test_lr_hp_ps_phasing_end_to_end(tmp_path):
     assert hp1ref >= 8 and hp2alt >= 6, fmt["HP"]
     assert hp1alt == 0 and hp2ref == 0, fmt["HP"]
     assert fmt["PS"] == "77", fmt
+
+
+def test_lr_calls_survive_ont_error_rates(tmp_path):
+    """DEL + INS still called exactly with 10% substitution noise on
+    every read (ONT-class realism; exercises the consensus +
+    realignment stack rather than exact-match shortcuts)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import make_lr_genome_dataset
+
+    from delly_tpu.models.config import LrConfig
+    from delly_tpu.models.lr import run_lr
+
+    bam, fa, truth = make_lr_genome_dataset(
+        str(tmp_path), n_contigs=1, contig_len=200_000,
+        reads_per_contig=60, var_reads=12, error_rate=0.10,
+        name="noisy")
+    out = str(tmp_path / "noisy.vcf")
+    cfg = LrConfig(genome=fa, files=[bam], outfile=out)
+    assert run_lr(cfg) == 0
+    body = [ln.split("\t") for ln in open(out)
+            if ln.strip() and not ln.startswith("#")]
+    calls = []
+    for rec in body:
+        info = dict(kv.split("=", 1) for kv in rec[7].split(";")
+                    if "=" in kv)
+        calls.append((rec[0], info.get("SVTYPE"), int(rec[1])))
+    for c, kind, pos, _l in truth:
+        assert any(cc == c and kk == kind and abs(pp - pos) < 60
+                   for cc, kk, pp in calls), (c, kind, pos, calls)
