@@ -52,6 +52,8 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     tag = f"c{args.contigs}_p{args.pairs}_l{args.clen}"
+    if args.error_rate > 0:
+        tag += f"_e{args.error_rate:g}"
     bam = f"{args.workdir}/multi_{tag}.bam"
     fa = f"{args.workdir}/multi_{tag}.fa"
     truth_path = f"{args.workdir}/multi_{tag}.truth"
@@ -60,7 +62,8 @@ def main():
         t0 = time.time()
         bam, fa, truth = make_multi_contig_del_dataset(
             args.workdir, n_contigs=args.contigs, contig_len=args.clen,
-            pairs_per_contig=args.pairs, name=f"multi_{tag}")
+            pairs_per_contig=args.pairs, name=f"multi_{tag}",
+            error_rate=args.error_rate)
         with open(truth_path, "w") as fh:
             for c, s, e in truth:
                 fh.write(f"{c}\t{s}\t{e}\n")

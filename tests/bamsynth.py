@@ -315,7 +315,8 @@ def make_lr_insertion_dataset(tmpdir, seed=41):
 
 def make_multi_contig_del_dataset(tmpdir, n_contigs=4, contig_len=60_000,
                                   pairs_per_contig=900, sr_per_del=10,
-                                  pe_per_del=14, seed=77, name="multi"):
+                                  pe_per_del=14, seed=77, name="multi",
+                                  error_rate=0.0):
     """`n_contigs` contigs, one heterozygous ~8kb DEL per contig with
     both PE (discordant spanning pairs) and SR (primary+supplementary
     split reads) evidence, plus normal pairs for library statistics.
@@ -352,10 +353,10 @@ def make_multi_contig_del_dataset(tmpdir, n_contigs=4, contig_len=60_000,
             p2 = p1 + isz - rl
             recs.append((tid, p1, encode_record(
                 f"p{qid}", 0x63, tid, p1, 60, [("M", rl)], tid, p2,
-                isz, ref[p1:p1 + rl])))
+                isz, add_read_errors(rng, ref[p1:p1 + rl], error_rate))))
             recs.append((tid, p2, encode_record(
                 f"p{qid}", 0x93, tid, p2, 60, [("M", rl)], tid, p1,
-                -isz, ref[p2:p2 + rl])))
+                -isz, add_read_errors(rng, ref[p2:p2 + rl], error_rate))))
             qid += 1
         # discordant pairs spanning the deletion (3to5, large insert)
         for _ in range(pe_per_del):
@@ -365,17 +366,17 @@ def make_multi_contig_del_dataset(tmpdir, n_contigs=4, contig_len=60_000,
             tl = p2 + rl - p1
             recs.append((tid, p1, encode_record(
                 f"d{qid}", 0x61, tid, p1, 60, [("M", rl)], tid, p2,
-                tl, ref[p1:p1 + rl])))
+                tl, add_read_errors(rng, ref[p1:p1 + rl], error_rate))))
             recs.append((tid, p2, encode_record(
                 f"d{qid}", 0x91, tid, p2, 60, [("M", rl)], tid, p1,
-                -tl, ref[p2:p2 + rl])))
+                -tl, add_read_errors(rng, ref[p2:p2 + rl], error_rate))))
             qid += 1
         # split reads across the junction: primary M+S at bp1,
         # supplementary S+M at bp2 (same read name -> same seed)
         for _ in range(sr_per_del):
             off = rng.randint(30, 70)
             dpos = bp1 - off
-            seq = derived[dpos:dpos + rl]
+            seq = add_read_errors(rng, derived[dpos:dpos + rl], error_rate)
             recs.append((tid, dpos, encode_record(
                 f"s{qid}", 0x0, tid, dpos, 60,
                 [("M", off), ("S", rl - off)], -1, -1, 0, seq)))

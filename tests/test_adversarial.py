@@ -248,3 +248,20 @@ def test_cnv_regenotyping_roundtrip(tmp_path):
     # hole recall is asserted by bench_e2e's cnv engine run)
     cns = [float(v) for v in have.values() if v not in (None, ".")]
     assert min(cns) < 1.5, cns
+
+
+def test_sr_calls_survive_sequencing_errors(tmp_path):
+    """Both implanted DELs called exactly with 1%% per-base
+    substitution noise on every read (Illumina-class realism)."""
+    bam, fa, truth = make_multi_contig_del_dataset(
+        str(tmp_path), n_contigs=2, contig_len=80_000,
+        error_rate=0.01, name="noisy_sr")
+    out = str(tmp_path / "noisy_sr.vcf")
+    _run(["sr", "-g", fa, "-o", out, bam])
+    recs = _vcf_records(out)
+    dels = [(r[0], int(r[1]), _info(r)) for r in recs
+            if _info(r).get("SVTYPE") == "DEL"]
+    for chrom, start, end in truth:
+        assert any(c == chrom and abs(p - start) <= 30
+                   and abs(int(i.get("END", 0)) - end) <= 30
+                   for c, p, i in dels), (chrom, start, dels)
