@@ -24,8 +24,10 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--engine", choices=["sr", "lr", "cnv"],
+    ap.add_argument("--engine", choices=["sr", "lr", "cnv", "merge"],
                     default="sr")
+    ap.add_argument("--samples", type=int, default=50,
+                    help="cohort size (merge engine)")
     ap.add_argument("--contigs", type=int, default=8)
     ap.add_argument("--pairs", type=int, default=40_000,
                     help="normal pairs per contig (sr) / background "
@@ -40,6 +42,8 @@ def main():
         return run_lr_bench(args)
     if args.engine == "cnv":
         return run_cnv_bench(args)
+    if args.engine == "merge":
+        return run_merge_bench(args)
 
     # tests/ holds the synthetic writer
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -244,6 +248,93 @@ def run_lr_bench(args):
         "truth": len(truth),
     }))
     return 0
+
+
+def run_merge_bench(args):
+    """Cohort-scale multi-sample merge (merge.h): `--samples` call
+    sets, `--pairs` shared loci each (DEL/DUP/INV mix across
+    `--contigs` contigs) with per-sample breakpoint jitter; times the
+    k-way merge + union-find clustering + site emission."""
+    import json as _json
+    import random
+
+    from delly_tpu.utils.jaxenv import setup as _jax_setup
+    _jax_setup()
+    os.makedirs(args.workdir, exist_ok=True)
+    rng = random.Random(5)
+    nloci = args.pairs if args.pairs < 20_000 else 3000
+    contigs = [(f"chr{c + 1}", 50_000_000) for c in range(args.contigs)]
+    svts = ["DEL", "DUP", "INV"]
+    loci = []
+    for i in range(nloci):
+        cname, clen = contigs[i % len(contigs)]
+        pos = rng.randint(10_000, clen - 200_000)
+        loci.append((cname, pos, pos + rng.randint(300, 120_000),
+                     svts[i % 3]))
+    hdr_lines = ["##fileformat=VCFv4.2"]
+    hdr_lines += [f"##contig=<ID={n},length={ln}>" for n, ln in contigs]
+    hdr_lines += [
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="E">',
+        '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="T">',
+        '##INFO=<ID=CT,Number=1,Type=String,Description="C">',
+        '##INFO=<ID=PE,Number=1,Type=Integer,Description="P">',
+        '##INFO=<ID=SR,Number=1,Type=Integer,Description="S">',
+        '##INFO=<ID=SRMAPQ,Number=1,Type=Integer,Description="Q">',
+        '##INFO=<ID=SRQ,Number=1,Type=Float,Description="Q">',
+        '##INFO=<ID=CE,Number=1,Type=Float,Description="Q">',
+        '##INFO=<ID=PRECISE,Number=0,Type=Flag,Description="P">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">',
+        '##FORMAT=<ID=RR,Number=1,Type=Integer,Description="G">',
+        '##FORMAT=<ID=RV,Number=1,Type=Integer,Description="G">',
+    ]
+    ct_of = {"DEL": "3to5", "DUP": "5to3", "INV": "3to3"}
+    files = []
+    t0 = time.time()
+    for s in range(args.samples):
+        path = f"{args.workdir}/merge_s{s}.vcf"
+        with open(path, "w") as fh:
+            fh.write("\n".join(hdr_lines) + "\n")
+            fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\t"
+                     f"INFO\tFORMAT\tS{s}\n")
+            rows = []
+            for i, (cname, b1, b2, svt) in enumerate(loci):
+                if rng.random() < 0.3:
+                    continue          # sample lacks this SV
+                j1 = b1 + rng.randint(-40, 40)
+                j2 = b2 + rng.randint(-40, 40)
+                rows.append(
+                    (cname, j1,
+                     f"{cname}\t{j1}\t{svt}{i:05d}\tN\t<{svt}>\t"
+                     f"700\tPASS\tPRECISE;SVTYPE={svt};"
+                     f"CT={ct_of[svt]};END={j2};PE=9;SR=8;SRMAPQ=60;"
+                     f"SRQ=0.97;CE=1.9\tGT:RR:RV\t0/1:12:11"))
+            rows.sort(key=lambda r: (r[0], r[1]))
+            fh.write("\n".join(r[2] for r in rows) + "\n")
+        files.append(path)
+    gen_s = time.time() - t0
+    out = f"{args.workdir}/merged_{args.samples}x{nloci}.bcf"
+    from delly_tpu.models.merge import MergeConfig, run_merge
+    cfg = MergeConfig(outfile=out, files=files)
+    t0 = time.time()
+    rc = run_merge(cfg)
+    wall = time.time() - t0
+    from delly_tpu.io.bcf import bcf_to_vcf_text
+    body = [ln for ln in bcf_to_vcf_text(
+        open(out, "rb").read()).split("\n")
+        if ln and not ln.startswith("#")]
+    n_in = args.samples * nloci
+    print(_json.dumps({
+        "metric": "merge_sites_per_s",
+        "value": round(n_in / wall, 1),
+        "unit": "input sites/s",
+        "wall_s": round(wall, 2),
+        "samples": args.samples,
+        "loci": nloci,
+        "merged_sites": len(body),
+        "gen_s": round(gen_s, 2),
+        "rc": rc,
+    }))
+    return rc
 
 
 if __name__ == "__main__":

@@ -603,93 +603,132 @@ def _cluster_unionfind(cfg: MergeConfig, nodes: list) -> "UnionFind":
     seg_start = np.zeros(n, dtype=np.int64)
     for k in range(1, n):
         seg_start[k] = seg_start[k - 1] if tid[k] == tid[k - 1] else k
-    for i in range(1, n):
-        # start[] is sorted only within each tid segment, so the window
-        # search must be bounded to the segment: pairs then satisfy the
-        # reference's scan-window break (pos_off <= scan_win,
-        # merge.h:668-671) exactly, and arm windows larger than scan_win
-        # (TR 2*trperiod, MEI maxHom+10) cannot resurrect pairs the
-        # reference never tests.
-        s0 = int(seg_start[i])
-        j0 = s0 + int(np.searchsorted(start[s0:i], start[i] - scan_win,
-                                      side="left"))
-        if j0 >= i:
-            continue
-        if i - j0 < 24 and not trans[i]:
-            # sparse region: scalar beats numpy setup overhead
-            for j in range(i - 1, j0 - 1, -1):
-                if uf.find(i) != uf.find(j) \
-                        and sv_match(cfg, nodes[i], nodes[j]):
-                    uf.unite(i, j)
-            continue
-        js = np.arange(j0, i)
-        if trans[i]:
-            for j in js.tolist():
-                if uf.find(i) != uf.find(j) \
-                        and sv_match(cfg, nodes[i], nodes[j]):
-                    uf.unite(i, j)
-            continue
-        pos_off = start[i] - start[js]
-        max_hom = np.maximum(hom[i], hom[js])
-        min_s = np.minimum(size[i], size[js])
-        max_s = np.maximum(size[i], size[js])
-        size_ratio = np.where(max_s > 0, min_s / np.maximum(max_s, 1), 1.0)
-        st = np.where(sub[i] > 0, sub[i], sub[js])
-        st = np.where((sub[i] > 0) & (sub[js] > 0),
-                      np.minimum(sub[i], sub[js]), st)
-        seq_pair = (slen[i] > 0) & (slen[js] > 0)
-        max_len = np.maximum(slen[i], slen[js])
+    # Candidate pairs (i, j in [j0_i, i)): start[] is sorted only
+    # within each tid segment, so the window search is bounded to the
+    # segment — pairs then satisfy the reference's scan-window break
+    # (pos_off <= scan_win, merge.h:668-671) exactly, and arm windows
+    # larger than scan_win (TR 2*trperiod, MEI maxHom+10) cannot
+    # resurrect pairs the reference never tests. The union-find
+    # partition is the transitive closure of the match relation, which
+    # is order-independent, so all pairs are evaluated as one numpy
+    # pass and united in bulk (vs the reference's per-i inner loop).
+    idx = np.arange(n, dtype=np.int64)
+    j0s = np.empty(n, dtype=np.int64)
+    for s0 in np.unique(seg_start):
+        s0 = int(s0)
+        e0 = s0 + int(np.searchsorted(seg_start[s0:], s0, side="right"))
+        j0s[s0:e0] = s0 + np.searchsorted(
+            start[s0:e0], start[s0:e0] - scan_win, side="left")
+    counts = np.maximum(idx - j0s, 0)
+    if counts.sum() == 0:
+        return uf
+    pi = np.repeat(idx, counts)
+    within = np.arange(len(pi), dtype=np.int64) \
+        - np.repeat(np.cumsum(counts) - counts, counts)
+    pj = np.repeat(j0s, counts) + within
 
-        mei = (st >= 1) & (st <= 6)
-        tr = st == 7
-        norm = ~mei & ~tr
+    # translocations go through the scalar matcher pair by pair
+    tmask = trans[pi]
+    for a, b in zip(pi[tmask].tolist(), pj[tmask].tolist()):
+        if uf.find(a) != uf.find(b) and sv_match(cfg, nodes[a],
+                                                 nodes[b]):
+            uf.unite(a, b)
+    keep = ~tmask
+    pi, pj = pi[keep], pj[keep]
 
-        match = np.zeros(len(js), dtype=bool)
-        scalar = np.zeros(len(js), dtype=bool)
+    pos_off = start[pi] - start[pj]
+    max_hom = np.maximum(hom[pi], hom[pj])
+    min_s = np.minimum(size[pi], size[pj])
+    max_s = np.maximum(size[pi], size[pj])
+    size_ratio = np.where(max_s > 0, min_s / np.maximum(max_s, 1), 1.0)
+    st = np.where(sub[pi] > 0, sub[pi], sub[pj])
+    st = np.where((sub[pi] > 0) & (sub[pj] > 0),
+                  np.minimum(sub[pi], sub[pj]), st)
+    seq_pair = (slen[pi] > 0) & (slen[pj] > 0)
+    max_len = np.maximum(slen[pi], slen[pj])
 
-        # MEI arm (merge.h:258-272)
-        w_mei = np.maximum(cfg.mei_offset, max_hom + 10)
-        ok = (mei & ~((istr[i] >= 0) & (istr[js] >= 0)
-                      & (istr[i] != istr[js]))
-              & (pos_off <= w_mei) & (size_ratio >= cfg.mei_size_ratio))
-        need = ok & seq_pair & (max_s < cfg.seq_cutoff)
-        match |= ok & ~need
-        scalar |= need
+    mei = (st >= 1) & (st <= 6)
+    tr = st == 7
+    norm = ~mei & ~tr
 
-        # TR arm (merge.h:274-284)
-        w_tr = np.maximum(cfg.tr_offset,
-                          (cfg.tr_frac * max_s).astype(np.int64))
-        w_tr = np.maximum(w_tr, np.where(trp[i] > 0, 2 * trp[i], 0))
-        w_tr = np.maximum(w_tr, np.where(trp[js] > 0, 2 * trp[js], 0))
-        ok = tr & (pos_off <= w_tr)
-        need = ok & seq_pair & (max_s < cfg.seq_cutoff)
-        match |= ok & ~need
-        scalar |= need
+    match = np.zeros(len(pi), dtype=bool)
+    scalar = np.zeros(len(pi), dtype=bool)
 
-        # normal arm (merge.h:286-308)
-        w_n = np.minimum(cfg.bpoffset,
-                         (cfg.norm_frac * max_s).astype(np.int64))
-        w_n = np.maximum(np.maximum(w_n, 50), max_hom)
-        lo = np.maximum(start[i], start[js])
-        hi = np.minimum(end[i], end[js])
-        span = np.maximum(np.maximum(end[i] - start[i],
-                                     end[js] - start[js]), 1)
-        rec = np.where(hi > lo, (hi - lo) / span, 0.0)
-        ok = norm & (pos_off <= w_n) & (rec >= cfg.recoverlap)
-        ok &= ~((svt[i] == 4) & (size_ratio < 0.7))
-        seq_arm = svt[i] == 0 or svt[i] == 3
-        need = ok & seq_arm & seq_pair & (max_len < cfg.seq_cutoff)
-        match |= ok & ~need
-        scalar |= need
+    # MEI arm (merge.h:258-272)
+    w_mei = np.maximum(cfg.mei_offset, max_hom + 10)
+    ok = (mei & ~((istr[pi] >= 0) & (istr[pj] >= 0)
+                  & (istr[pi] != istr[pj]))
+          & (pos_off <= w_mei) & (size_ratio >= cfg.mei_size_ratio))
+    need = ok & seq_pair & (max_s < cfg.seq_cutoff)
+    match |= ok & ~need
+    scalar |= need
 
-        for j in js[match].tolist():
-            if uf.find(i) != uf.find(j):
-                uf.unite(i, j)
-        for j in js[scalar].tolist():
-            if uf.find(i) != uf.find(j) \
-                    and sv_match(cfg, nodes[i], nodes[j]):
-                uf.unite(i, j)
+    # TR arm (merge.h:274-284)
+    w_tr = np.maximum(cfg.tr_offset,
+                      (cfg.tr_frac * max_s).astype(np.int64))
+    w_tr = np.maximum(w_tr, np.where(trp[pi] > 0, 2 * trp[pi], 0))
+    w_tr = np.maximum(w_tr, np.where(trp[pj] > 0, 2 * trp[pj], 0))
+    ok = tr & (pos_off <= w_tr)
+    need = ok & seq_pair & (max_s < cfg.seq_cutoff)
+    match |= ok & ~need
+    scalar |= need
+
+    # normal arm (merge.h:286-308)
+    w_n = np.minimum(cfg.bpoffset,
+                     (cfg.norm_frac * max_s).astype(np.int64))
+    w_n = np.maximum(np.maximum(w_n, 50), max_hom)
+    lo = np.maximum(start[pi], start[pj])
+    hi = np.minimum(end[pi], end[pj])
+    span = np.maximum(np.maximum(end[pi] - start[pi],
+                                 end[pj] - start[pj]), 1)
+    rec = np.where(hi > lo, (hi - lo) / span, 0.0)
+    ok = norm & (pos_off <= w_n) & (rec >= cfg.recoverlap)
+    ok &= ~((svt[pi] == 4) & (size_ratio < 0.7))
+    seq_arm = (svt[pi] == 0) | (svt[pi] == 3)
+    need = ok & seq_arm & seq_pair & (max_len < cfg.seq_cutoff)
+    match |= ok & ~need
+    scalar |= need
+
+    _bulk_unite(uf, n, pi[match], pj[match])
+    for a, b in zip(pi[scalar].tolist(), pj[scalar].tolist()):
+        if uf.find(a) != uf.find(b) and sv_match(cfg, nodes[a],
+                                                 nodes[b]):
+            uf.unite(a, b)
     return uf
+
+
+def _bulk_unite(uf: "UnionFind", n: int, mi, mj) -> None:
+    """Union all (mi, mj) edges: one sparse connected-components pass
+    (O(n) unites into `uf`) instead of an O(edges) Python loop. The
+    closure is order-independent, so the result partition is identical
+    to pairwise unites."""
+    import numpy as np
+
+    if len(mi) == 0:
+        return
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+    except Exception:
+        for a, b in zip(mi.tolist(), mj.tolist()):
+            if uf.find(a) != uf.find(b):
+                uf.unite(a, b)
+        return
+    g = coo_matrix((np.ones(len(mi), dtype=np.int8), (mi, mj)),
+                   shape=(n, n))
+    _nc, lab = connected_components(g, directed=False)
+    order = np.argsort(lab, kind="stable")
+    ls = lab[order]
+    seg = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+    bounds = np.append(seg, len(ls))
+    for k in range(len(seg)):
+        members = order[bounds[k]:bounds[k + 1]]
+        if len(members) < 2:
+            continue
+        r = int(members[0])
+        for m in members[1:].tolist():
+            if uf.find(r) != uf.find(m):
+                uf.unite(r, m)
 
 
 def cluster_and_select(cfg: MergeConfig, nodes: list,
