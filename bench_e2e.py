@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--error-rate", type=float, default=0.0,
                     help="per-base substitution error rate (lr reads)")
+    ap.add_argument("--indel-error-rate", type=float, default=0.0,
+                    help="per-base 1bp-indel error rate (lr reads)")
     args = ap.parse_args()
     if args.engine == "lr":
         return run_lr_bench(args)
@@ -193,6 +195,8 @@ def run_lr_bench(args):
     tag = f"lr_c{args.contigs}_r{args.pairs}_l{args.clen}"
     if args.error_rate > 0:
         tag += f"_e{args.error_rate:g}"
+    if args.indel_error_rate > 0:
+        tag += f"_i{args.indel_error_rate:g}"
     bam = f"{args.workdir}/{tag}.bam"
     fa = f"{args.workdir}/{tag}.fa"
     truth_path = f"{args.workdir}/{tag}.truth"
@@ -202,7 +206,8 @@ def run_lr_bench(args):
         bam, fa, truth = make_lr_genome_dataset(
             args.workdir, n_contigs=args.contigs, contig_len=args.clen,
             reads_per_contig=args.pairs, name=tag,
-            error_rate=args.error_rate)
+            error_rate=args.error_rate,
+            indel_error_rate=args.indel_error_rate)
         with open(truth_path, "w") as fh:
             for c, kind, p, ln in truth:
                 fh.write(f"{c}\t{kind}\t{p}\t{ln}\n")

@@ -589,16 +589,86 @@ def add_read_errors(rng_or_seed, seq: str, rate: float) -> str:
     return b.tobytes().decode()
 
 
+def noisy_segment(g, ref_seq: str, sub_rate: float,
+                  indel_rate: float):
+    """One aligned segment with substitution + 1bp indel noise.
+    Consumes exactly len(ref_seq) reference bases; returns
+    (cigar_ops, read_seq) where cigar_ops is a list of (op, len) with
+    op in M/I/D (how a real aligner would represent the noisy read)."""
+    if sub_rate <= 0 and indel_rate <= 0:
+        return [("M", len(ref_seq))], ref_seq
+    letters = "ACGT"
+    b = np.frombuffer(ref_seq.encode(), dtype=np.uint8).copy()
+    L = len(b)
+    r = g.random(L)
+    # substitutions
+    sub_hit = np.flatnonzero(r < sub_rate)
+    if len(sub_hit):
+        let = np.frombuffer(b"ACGT", dtype=np.uint8)
+        codes = np.searchsorted(let, b[sub_hit]) % 4
+        b[sub_hit] = let[(codes + g.integers(1, 4, len(sub_hit))) % 4]
+    # indels: positions (interior only), half insertions half deletions
+    ind = np.flatnonzero((r >= sub_rate)
+                         & (r < sub_rate + indel_rate))
+    ind = ind[(ind > 0) & (ind < L - 1)]
+    is_ins = g.random(len(ind)) < 0.5
+    ops = []
+    seq = []
+    prev = 0
+    for pos, insv in zip(ind.tolist(), is_ins.tolist()):
+        mlen = pos - prev
+        if mlen > 0:
+            ops.append(("M", mlen))
+            seq.append(b[prev:pos].tobytes().decode())
+        if insv:
+            ops.append(("M", 1))
+            seq.append(b[pos:pos + 1].tobytes().decode())
+            ops.append(("I", 1))
+            seq.append(letters[int(g.integers(0, 4))])
+            prev = pos + 1
+        else:
+            ops.append(("D", 1))
+            prev = pos + 1
+    if prev < L:
+        ops.append(("M", L - prev))
+        seq.append(b[prev:].tobytes().decode())
+    # merge adjacent same-op runs
+    merged = []
+    for op, ln in ops:
+        if merged and merged[-1][0] == op:
+            merged[-1][1] += ln
+        else:
+            merged.append([op, ln])
+    return [(op, ln) for op, ln in merged], "".join(seq)
+
+
 def make_lr_genome_dataset(tmpdir, n_contigs=4, contig_len=1_000_000,
                            reads_per_contig=250, read_len=4000,
                            var_reads=12, seed=83, name="lrbig",
-                           error_rate=0.0):
+                           error_rate=0.0, indel_error_rate=0.0):
     """Genome-scale long-read dataset: per contig one ~1kb DEL (D op)
     and one 500bp INS (I op), heterozygous (var_reads carriers each),
     plus background reads. Returns (bam, fasta, truth) with truth =
-    [(chrom, kind, pos, length)]. error_rate adds substitution noise
-    to every read (long-read realism)."""
+    [(chrom, kind, pos, length)]. error_rate adds substitution noise;
+    indel_error_rate adds 1bp I/D noise with matching CIGARs (ONT
+    error realism)."""
     rng = random.Random(seed)
+    g = np.random.default_rng(seed + 1)
+
+    def seg(ref_seq):
+        return noisy_segment(g, ref_seq, error_rate, indel_error_rate)
+
+    def cat(*parts):
+        # parts: (ops, seq) or a bare structural op like (("D", n), "")
+        ops, seq = [], []
+        for po, ps in parts:
+            for op, ln in po:
+                if ops and ops[-1][0] == op:
+                    ops[-1] = (op, ops[-1][1] + ln)
+                else:
+                    ops.append((op, ln))
+            seq.append(ps)
+        return ops, "".join(seq)
     contigs = [(f"chr{c + 1}", random_contig(rng, contig_len))
                for c in range(n_contigs)]
     del_len, ins_len = 1000, 500
@@ -614,36 +684,32 @@ def make_lr_genome_dataset(tmpdir, n_contigs=4, contig_len=1_000_000,
         # background reads
         for _ in range(reads_per_contig):
             p = rng.randint(0, contig_len - read_len - 1)
+            ops, seq = seg(ref[p:p + read_len])
             recs.append((tid, p, encode_record(
-                f"b{qid}", 0x0, tid, p, 60, [("M", read_len)], -1, -1,
-                0, add_read_errors(rng, ref[p:p + read_len],
-                                   error_rate))))
+                f"b{qid}", 0x0, tid, p, 60, ops, -1, -1, 0, seq)))
             qid += 1
         # DEL carriers: M(lo) D(del_len) M(hi)
         for _ in range(var_reads):
             lo = rng.randint(800, 1800)
             hi = rng.randint(800, 1800)
             p = posd - lo
-            seq = add_read_errors(
-                rng, ref[p:posd] + ref[posd + del_len:posd + del_len + hi],
-                error_rate)
+            ops, seq = cat(seg(ref[p:posd]), ([("D", del_len)], ""),
+                           seg(ref[posd + del_len:
+                                   posd + del_len + hi]))
             recs.append((tid, p, encode_record(
-                f"d{qid}", 0x0, tid, p, 60,
-                [("M", lo), ("D", del_len), ("M", hi)], -1, -1, 0,
-                seq)))
+                f"d{qid}", 0x0, tid, p, 60, ops, -1, -1, 0, seq)))
             qid += 1
         # INS carriers: M(lo) I(ins_len) M(hi)
         for _ in range(var_reads):
             lo = rng.randint(800, 1800)
             hi = rng.randint(800, 1800)
             p = posi - lo
-            seq = add_read_errors(
-                rng, ref[p:posi] + ins_seq + ref[posi:posi + hi],
-                error_rate)
+            ins_noisy = add_read_errors(rng, ins_seq, error_rate)
+            ops, seq = cat(seg(ref[p:posi]),
+                           ([("I", len(ins_noisy))], ins_noisy),
+                           seg(ref[posi:posi + hi]))
             recs.append((tid, p, encode_record(
-                f"i{qid}", 0x0, tid, p, 60,
-                [("M", lo), ("I", ins_len), ("M", hi)], -1, -1, 0,
-                seq)))
+                f"i{qid}", 0x0, tid, p, 60, ops, -1, -1, 0, seq)))
             qid += 1
     recs.sort(key=lambda r: (r[0], r[1]))
     bam = f"{tmpdir}/{name}.bam"

@@ -230,9 +230,10 @@ def test_lr_hp_ps_phasing_end_to_end(tmp_path):
 
 
 def test_lr_calls_survive_ont_error_rates(tmp_path):
-    """DEL + INS still called exactly with 10% substitution noise on
-    every read (ONT-class realism; exercises the consensus +
-    realignment stack rather than exact-match shortcuts)."""
+    """DEL + INS still called exactly with 5% substitution + 5% 1bp
+    indel noise on every read (ONT-class realism with realistic noisy
+    CIGARs; exercises the consensus + realignment stack rather than
+    exact-match shortcuts)."""
     import os
     import sys
 
@@ -244,8 +245,8 @@ def test_lr_calls_survive_ont_error_rates(tmp_path):
 
     bam, fa, truth = make_lr_genome_dataset(
         str(tmp_path), n_contigs=1, contig_len=200_000,
-        reads_per_contig=60, var_reads=12, error_rate=0.10,
-        name="noisy")
+        reads_per_contig=60, var_reads=12, error_rate=0.05,
+        indel_error_rate=0.05, name="noisy")
     out = str(tmp_path / "noisy.vcf")
     cfg = LrConfig(genome=fa, files=[bam], outfile=out)
     assert run_lr(cfg) == 0
