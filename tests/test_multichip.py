@@ -52,3 +52,52 @@ def test_sr_vcf_byte_identical_1_vs_8_devices(mesh, example_dir):
     body = [ln for ln in vcf8.splitlines()
             if ln and not ln.startswith("#")]
     assert len(body) == 1 and "SVTYPE=DEL" in body[0]
+
+
+def test_sr_multi_sv_dataset_byte_identical_on_mesh(mesh, tmp_path):
+    """Synthetic multi-contig dataset (several DELs + noise) through
+    the full sr pipeline: 8-device == 1-device byte-for-byte."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import make_multi_contig_del_dataset
+
+    bam, fa, truth = make_multi_contig_del_dataset(
+        str(tmp_path), n_contigs=3, contig_len=80_000,
+        error_rate=0.005, name="mesh_sr")
+    vcf1 = run_sr_on_mesh(make_mesh(1), bam, fa)
+    vcf8 = run_sr_on_mesh(mesh, bam, fa)
+    assert vcf8 == vcf1
+    body = [ln for ln in vcf8.splitlines()
+            if ln and not ln.startswith("#")]
+    assert len(body) == len(truth)
+
+
+def test_lr_vcf_byte_identical_1_vs_8_devices(mesh, tmp_path):
+    """lr engine (probe genotyping + consensus device batches) under
+    the mesh: 8-device == 1-device byte-for-byte."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import make_lr_genome_dataset
+
+    from delly_tpu.models.config import LrConfig
+    from delly_tpu.models.lr import run_lr
+
+    bam, fa, truth = make_lr_genome_dataset(
+        str(tmp_path), n_contigs=1, contig_len=200_000,
+        reads_per_contig=60, var_reads=12, error_rate=0.02,
+        name="mesh_lr")
+    outs = {}
+    for label, m in (("one", make_mesh(1)), ("eight", mesh)):
+        out = str(tmp_path / f"lr_{label}.vcf")
+        cfg = LrConfig(genome=fa, files=[bam], outfile=out)
+        with dispatch.use_mesh(m):
+            assert run_lr(cfg) == 0
+        outs[label] = open(out).read()
+    assert outs["one"] == outs["eight"]
+    body = [ln for ln in outs["eight"].splitlines()
+            if ln and not ln.startswith("#")]
+    assert len(body) == len(truth)
