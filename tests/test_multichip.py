@@ -101,3 +101,27 @@ def test_lr_vcf_byte_identical_1_vs_8_devices(mesh, tmp_path):
     body = [ln for ln in outs["eight"].splitlines()
             if ln and not ln.startswith("#")]
     assert len(body) == len(truth)
+
+
+def test_cnv_vcf_byte_identical_1_vs_8_devices(mesh, tmp_path):
+    """cnv engine under the mesh: 8-device == 1-device byte-for-byte
+    (window depth math shared with parallel/depth_step)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import make_multi_contig_del_dataset
+
+    from delly_tpu.models.coral import CnvConfig, run_cnv
+
+    bam, fa, _truth = make_multi_contig_del_dataset(
+        str(tmp_path), n_contigs=2, contig_len=120_000,
+        pairs_per_contig=2500, name="mesh_cnv")
+    outs = {}
+    for label, m in (("one", make_mesh(1)), ("eight", mesh)):
+        out = str(tmp_path / f"cnv_{label}.vcf")
+        cfg = CnvConfig(genome=fa, bam_file=bam, outfile=out)
+        with dispatch.use_mesh(m):
+            assert run_cnv(cfg) == 0
+        outs[label] = open(out).read()
+    assert outs["one"] == outs["eight"]
