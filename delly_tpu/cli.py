@@ -33,6 +33,18 @@ def _startup_checks(genome: str | None = None, files=(), exclude: str = "",
         if _missing(genome):
             print(f"Reference file is missing: {genome}", file=sys.stderr)
             return 1
+        # Parseability probe (delly.h faidx_fetch checks): a garbage or
+        # binary genome should produce a one-line diagnostic up front,
+        # not a KeyError deep in a pipeline.
+        try:
+            from delly_tpu.io.fasta import FastaFile
+            fa = FastaFile(genome)
+            if not fa.names:
+                raise ValueError("no sequences found")
+        except Exception as exc:
+            print(f"Fail to open genome fasta index for {genome} "
+                  f"({type(exc).__name__}: {exc})", file=sys.stderr)
+            return 1
     for f in files:
         if _missing(f):
             kind = "Alignment" if alignment else "Input"

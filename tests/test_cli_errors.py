@@ -78,3 +78,39 @@ def test_word_commands():
     r = _run("help")
     assert r.returncode == 0
     assert "sr" in (r.stdout + r.stderr)
+
+
+def test_corrupt_inputs_fail_cleanly(tmp_path):
+    """Truncated/corrupt/binary inputs exit 0/1 with one-line errors —
+    never a traceback (failure-detection parity with delly.h's checked
+    startup plus our top-level guard)."""
+    import random
+
+    data = open(f"{EX}/sr.bam", "rb").read()
+    tiny = tmp_path / "tiny.bam"
+    tiny.write_bytes(data[:len(data) // 20])
+    garbage = tmp_path / "garbage.bam"
+    garbage.write_bytes(bytes(random.Random(1).randbytes(5000)))
+    flipped = bytearray(data)
+    for i in range(2000, 4000, 7):
+        flipped[i] ^= 0xFF
+    flip = tmp_path / "flip.bam"
+    flip.write_bytes(bytes(flipped))
+    badfa = tmp_path / "bad.fa"
+    badfa.write_bytes(bytes(random.Random(2).randbytes(1000)))
+
+    cases = [
+        ["sr", "-g", f"{EX}/ref.fa", "-o", str(tmp_path / "o.vcf"),
+         str(tiny)],
+        ["sr", "-g", f"{EX}/ref.fa", "-o", str(tmp_path / "o.vcf"),
+         str(garbage)],
+        ["sr", "-g", f"{EX}/ref.fa", "-o", str(tmp_path / "o.vcf"),
+         str(flip)],
+        ["sr", "-g", str(badfa), "-o", str(tmp_path / "o.vcf"),
+         f"{EX}/sr.bam"],
+    ]
+    for args in cases:
+        r = _run(*args)
+        assert r.returncode == 1, args
+        assert "Traceback" not in r.stderr, r.stderr[-800:]
+        assert r.stderr.strip(), args
