@@ -456,7 +456,7 @@ def bam_match_coverage(data: bytes, offsets: np.ndarray, target_len: int):
                            offsets.ctypes.data_as(ctypes.c_void_p),
                            len(offsets), target_len,
                            diff.ctypes.data_as(ctypes.c_void_p))
-    return np.cumsum(diff[:target_len], dtype=np.int64)
+    return np.cumsum(diff[:target_len])
 
 
 def itf8_decode_stream(data: bytes):
@@ -500,8 +500,10 @@ def bam_base_coverage(data: bytes, offsets: np.ndarray, mapq_uniq: int,
                           len(offsets), mapq_uniq, reflen,
                           diff_all.ctypes.data_as(ctypes.c_void_p),
                           diff_uniq.ctypes.data_as(ctypes.c_void_p))
-    return (np.cumsum(diff_all[:reflen], dtype=np.int64),
-            np.cumsum(diff_uniq[:reflen], dtype=np.int64))
+    # int32 prefix sums are exact (depth <= read count << 2^31) and
+    # avoid numpy's slower cross-dtype accumulation path
+    return (np.cumsum(diff_all[:reflen]),
+            np.cumsum(diff_uniq[:reflen]))
 
 
 def bam_scan(data: bytes, start: int):
