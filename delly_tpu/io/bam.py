@@ -397,6 +397,7 @@ class BamFile:
         self._chrom_cache: "OrderedDict[int, BamView]" = OrderedDict()
         self._cache_budget = int(os.environ.get(
             "DELLY_TPU_VIEW_CACHE_MB", "1024")) << 20
+        self._cache_dropped = 0
         self._prefetch = (None, None)     # (tid, Future[BamView])
         self._prefetch_pool = None
         self._preader = None              # dedicated prefetch handle
@@ -491,6 +492,7 @@ class BamFile:
         view = self._chrom_cache.get(tid)
         if view is not None:
             self._chrom_cache.move_to_end(tid)
+            self._cache_dropped = 0
             return view
         ptid, fut = self._prefetch
         self._prefetch = (None, None)
@@ -522,13 +524,24 @@ class BamFile:
         return n
 
     def _cache_put(self, tid: int, view) -> None:
-        self._chrom_cache[tid] = view
-        self._chrom_cache.move_to_end(tid)
         total = sum(self._view_nbytes(v)
                     for v in self._chrom_cache.values())
-        while total > self._cache_budget and len(self._chrom_cache) > 1:
-            _old, oldv = self._chrom_cache.popitem(last=False)
-            total -= self._view_nbytes(oldv)
+        if total + self._view_nbytes(view) > self._cache_budget \
+                and self._chrom_cache:
+            # Working set exceeds the budget: retaining the newest
+            # entry would evict one that a sequential re-pass will ask
+            # for first (classic LRU thrash, 0% hits). Keep the
+            # resident prefix instead so multi-pass drivers still hit
+            # on budget/|view| chromosomes; reset if the access
+            # pattern stops matching the resident set.
+            self._cache_dropped += 1
+            if self._cache_dropped > 2 * len(self._chrom_cache) + 4:
+                self._chrom_cache.clear()
+                self._cache_dropped = 0
+            return
+        self._cache_dropped = 0
+        self._chrom_cache[tid] = view
+        self._chrom_cache.move_to_end(tid)
 
     def _start_prefetch(self, tid: int) -> None:
         if (not self.streaming or self._cram is not None
