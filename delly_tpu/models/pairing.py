@@ -38,6 +38,15 @@ def first_obs_mask(pos, uncond, eqm, check_vals, add_vals=None):
     first = lt.copy()
     if not eqm.any():
         return first
+    try:
+        from delly_tpu import native
+        got = native.pair_first_obs(
+            pos, lt, eqm, check_vals,
+            check_vals if add_vals is None else add_vals)
+        if got is not None:
+            return got
+    except Exception:
+        pass
     if add_vals is None or add_vals is check_vals:
         # group-min over (pos, value) among inserting/probing rows
         cond = np.nonzero(lt | eqm)[0]
@@ -86,6 +95,13 @@ def match_store_pop(keys, first_mask):
     P = len(keys)
     if P == 0:
         return (np.zeros(0, dtype=np.int64),) * 2
+    try:
+        from delly_tpu import native
+        got = native.pair_match(keys, first_mask)
+        if got is not None:
+            return got
+    except Exception:
+        pass
     idx = np.arange(P, dtype=np.int64)
     so = np.lexsort((idx, keys))
     k_s = keys[so]

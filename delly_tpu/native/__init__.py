@@ -180,6 +180,15 @@ def get_lib():
     lib.edist_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_char_p, ctypes.c_void_p]
+    lib.pair_first_obs.restype = None
+    lib.pair_first_obs.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p]
+    lib.pair_match.restype = ctypes.c_int64
+    lib.pair_match.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.edist_path_banded.restype = None
     lib.edist_path_banded.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
@@ -402,6 +411,46 @@ def edist_path_banded(q: bytes, t: bytes, mode: int,
                           ops.ctypes.data_as(ctypes.c_void_p),
                           out.ctypes.data_as(ctypes.c_void_p))
     return int(out[0]), int(out[1]) - 1, ops[:int(out[2])].copy()
+
+
+def pair_first_obs(pos, uncond, eqm, chk, add):
+    """Single-pass first-mate mask (models/pairing semantics), or
+    None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(pos)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    uncond = np.ascontiguousarray(uncond, dtype=np.uint8)
+    eqm = np.ascontiguousarray(eqm, dtype=np.uint8)
+    chk = np.ascontiguousarray(chk, dtype=np.uint64)
+    add = np.ascontiguousarray(add, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint8)
+    lib.pair_first_obs(pos.ctypes.data_as(ctypes.c_void_p),
+                       uncond.ctypes.data_as(ctypes.c_void_p),
+                       eqm.ctypes.data_as(ctypes.c_void_p),
+                       chk.ctypes.data_as(ctypes.c_void_p),
+                       add.ctypes.data_as(ctypes.c_void_p), n,
+                       out.ctypes.data_as(ctypes.c_void_p))
+    return out.astype(bool)
+
+
+def pair_match(keys, first_mask):
+    """Single-pass dict store/pop matcher, or None. Returns
+    (S_rows, F_rows) int64 in file order."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(keys)
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    first = np.ascontiguousarray(first_mask, dtype=np.uint8)
+    s_out = np.empty(n, dtype=np.int64)
+    f_out = np.empty(n, dtype=np.int64)
+    cnt = lib.pair_match(keys.ctypes.data_as(ctypes.c_void_p),
+                         first.ctypes.data_as(ctypes.c_void_p), n,
+                         s_out.ctypes.data_as(ctypes.c_void_p),
+                         f_out.ctypes.data_as(ctypes.c_void_p))
+    return s_out[:cnt].copy(), f_out[:cnt].copy()
 
 
 def bam_cigar_stats(data: bytes, offsets: np.ndarray,

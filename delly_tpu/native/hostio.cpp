@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <unordered_set>
 #include <vector>
 
 #include <zlib.h>
@@ -1689,6 +1690,85 @@ void edist_path_banded(const uint8_t* q, int32_t m, const uint8_t* t,
   for (int32_t a = 0, b = nops - 1; a < b; ++a, --b)
     std::swap(ops_out[a], ops_out[b]);
   out3[2] = nops;
+}
+
+// Mate-pair automaton, single sequential pass (the reference's
+// qualities/clip dict walks, shortpe.h:411-445 / coverage.h:550-600 /
+// tags.h:269-274 _firstPairObs). Semantically identical to the
+// vectorized numpy formulation in models/pairing.py (which property-
+// tests both against scalar oracles).
+//
+// pair_first_obs: rows arrive in file order with non-decreasing pos.
+// `uncond` rows are first and insert add[i] into the per-position
+// seen-set; `eqm` rows (same-position mates) probe chk[i] and are
+// first only when unseen (then insert add[i]).
+void pair_first_obs(const int64_t* pos, const uint8_t* uncond,
+                    const uint8_t* eqm, const uint64_t* chk,
+                    const uint64_t* add, int64_t n,
+                    uint8_t* first_out) {
+  std::unordered_set<uint64_t> seen;
+  int64_t last_pos = INT64_MIN;
+  for (int64_t i = 0; i < n; ++i) {
+    if (pos[i] != last_pos) {
+      seen.clear();
+      last_pos = pos[i];
+    }
+    uint8_t f = uncond[i];
+    if (!f && eqm[i]) f = (seen.find(chk[i]) == seen.end()) ? 1 : 0;
+    first_out[i] = f;
+    if (f) seen.insert(add[i]);
+  }
+}
+
+// pair_match: dict store/overwrite on first rows, probe+pop on second
+// rows. Emits (second_row, first_row) matches in file order; returns
+// the match count. Open-addressing table with tombstones (keys are
+// 64-bit hashes; load factor <= 0.5).
+int64_t pair_match(const uint64_t* keys, const uint8_t* first,
+                   int64_t n, int64_t* s_out, int64_t* f_out) {
+  uint64_t cap = 16;
+  while (cap < (uint64_t)2 * (uint64_t)(n > 0 ? n : 1)) cap <<= 1;
+  const uint64_t mask = cap - 1;
+  std::vector<uint64_t> tkey(cap);
+  std::vector<int64_t> tval(cap);
+  std::vector<uint8_t> state(cap, 0);  // 0 empty, 1 full, 2 tombstone
+  int64_t nout = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t k = keys[i];
+    uint64_t h = k;
+    h ^= h >> 33; h *= 0xff51afd7ed558ccdULL; h ^= h >> 33;
+    uint64_t slot = h & mask;
+    if (first[i]) {
+      uint64_t ins = UINT64_MAX;
+      for (;;) {
+        uint8_t st = state[slot];
+        if (st == 0) {
+          if (ins == UINT64_MAX) ins = slot;
+          break;
+        }
+        if (st == 1 && tkey[slot] == k) { ins = slot; break; }
+        if (st == 2 && ins == UINT64_MAX) ins = slot;
+        slot = (slot + 1) & mask;
+      }
+      state[ins] = 1;
+      tkey[ins] = k;
+      tval[ins] = i;
+    } else {
+      for (;;) {
+        uint8_t st = state[slot];
+        if (st == 0) break;
+        if (st == 1 && tkey[slot] == k) {
+          s_out[nout] = i;
+          f_out[nout] = tval[slot];
+          ++nout;
+          state[slot] = 2;  // pop
+          break;
+        }
+        slot = (slot + 1) & mask;
+      }
+    }
+  }
+  return nout;
 }
 
 void delly_free(uint8_t* ptr) { std::free(ptr); }

@@ -105,3 +105,60 @@ def test_saturating_midpoint_counts():
     out = saturating_midpoint_counts(mids, 100, cap=1)
     assert out[0] == 1 and out[1] == 1 and out[5] == 1 and out[99] == 1
     assert out.sum() == 4  # -3 and 100 out of range; cap clamps the dup
+
+
+def test_native_matches_numpy_formulation():
+    """The native single-pass automaton and the vectorized numpy
+    formulation agree on random inputs (both are also property-tested
+    against the scalar oracles above)."""
+    import numpy as np
+
+    from delly_tpu import native
+    from delly_tpu.models import pairing
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(19)
+    for trial in range(30):
+        n = int(rng.integers(1, 2000))
+        pos = np.sort(rng.integers(0, 60, n)).astype(np.int64)
+        uncond = rng.random(n) < 0.45
+        eqm = ~uncond & (rng.random(n) < 0.5)
+        chk = rng.integers(0, 25, n).astype(np.uint64)
+        add = (chk if trial % 2 == 0
+               else rng.integers(0, 25, n).astype(np.uint64))
+        got = native.pair_first_obs(pos, uncond, eqm, chk, add)
+        # scalar oracle (the replay loop the numpy path refines)
+        seen = set()
+        last = -1
+        want = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if pos[i] != last:
+                seen.clear()
+                last = pos[i]
+            f = bool(uncond[i]) or (bool(eqm[i])
+                                    and int(chk[i]) not in seen)
+            if not uncond[i] and not eqm[i]:
+                f = False
+            want[i] = f
+            if f:
+                seen.add(int(add[i]))
+        np.testing.assert_array_equal(got, want, err_msg=str(trial))
+
+        keys = rng.integers(0, 40, n).astype(np.uint64)
+        first = rng.random(n) < 0.5
+        gs, gf = native.pair_match(keys, first)
+        # dict oracle
+        store = {}
+        ws, wf = [], []
+        for i in range(n):
+            if first[i]:
+                store[int(keys[i])] = i
+            else:
+                j = store.pop(int(keys[i]), None)
+                if j is not None:
+                    ws.append(i)
+                    wf.append(j)
+        np.testing.assert_array_equal(gs, ws)
+        np.testing.assert_array_equal(gf, wf)
