@@ -524,18 +524,25 @@ class BamFile:
         return n
 
     def _cache_put(self, tid: int, view) -> None:
+        nb = self._view_nbytes(view)
+        if nb > self._cache_budget:
+            return               # single view larger than the budget
         total = sum(self._view_nbytes(v)
                     for v in self._chrom_cache.values())
-        if total + self._view_nbytes(view) > self._cache_budget \
-                and self._chrom_cache:
+        if total + nb > self._cache_budget:
             # Working set exceeds the budget: retaining the newest
             # entry would evict one that a sequential re-pass will ask
             # for first (classic LRU thrash, 0% hits). Keep the
-            # resident prefix instead so multi-pass drivers still hit
-            # on budget/|view| chromosomes; reset if the access
-            # pattern stops matching the resident set.
+            # resident prefix for the life of this reader instead —
+            # drivers revisit chromosomes in the same order every
+            # pass, so the resident entries keep hitting. Only a
+            # long run of misses with NO hits at all (an access
+            # pattern that never touches the resident set) clears it.
             self._cache_dropped += 1
-            if self._cache_dropped > 2 * len(self._chrom_cache) + 4:
+            if self._cache_dropped > 4 * max(
+                    len(self._chrom_cache),
+                    self.header.n_targets
+                    if self.header is not None else 0) + 16:
                 self._chrom_cache.clear()
                 self._cache_dropped = 0
             return

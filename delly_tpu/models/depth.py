@@ -66,7 +66,7 @@ def _gc_content_track(seq: str, meanisize: int) -> np.ndarray:
 def base_coverage_bulk(view, offsets, mapq_uniq: int, reflen: int):
     """Bulk dual M/=/X base-coverage totals (util.h:454-474) for the
     records at `offsets` of a BamView — native diff-array pass with a
-    Python per-record fallback. Returns (total, uniq) int64 arrays,
+    Python per-record fallback. Returns (total, uniq) int32 arrays,
     un-clamped."""
     try:
         from delly_tpu import native
@@ -76,8 +76,8 @@ def base_coverage_bulk(view, offsets, mapq_uniq: int, reflen: int):
             return bc
     except Exception:
         pass
-    diff_all = np.zeros(reflen + 1, dtype=np.int64)
-    diff_uniq = np.zeros(reflen + 1, dtype=np.int64)
+    diff_all = np.zeros(reflen + 1, dtype=np.int32)
+    diff_uniq = np.zeros(reflen + 1, dtype=np.int32)
     for off in offsets:
         rec = view.parse_at(int(off))
         uniq = rec.mapq >= mapq_uniq
@@ -96,7 +96,8 @@ def base_coverage_bulk(view, offsets, mapq_uniq: int, reflen: int):
                 rp += ol
             elif op in (CDEL, CREF_SKIP):
                 rp += ol
-    return (np.cumsum(diff_all[:reflen]), np.cumsum(diff_uniq[:reflen]))
+    return (np.cumsum(diff_all[:reflen], dtype=np.int32),
+            np.cumsum(diff_uniq[:reflen], dtype=np.int32))
 
 
 def add_base_coverage(rec, cov: np.ndarray, cov_uniq: np.ndarray,

@@ -314,7 +314,7 @@ def _match_coverage(view, offsets, target_len):
             return cov
     except Exception:
         pass
-    diff = np.zeros(target_len + 1, dtype=np.int64)
+    diff = np.zeros(target_len + 1, dtype=np.int32)
     for off in offsets:
         rec = view.parse_at(int(off))
         rp = 0
@@ -329,7 +329,7 @@ def _match_coverage(view, offsets, target_len):
                 rp += ol
             elif op in (CDEL, CREF_SKIP):
                 rp += ol
-    return np.cumsum(diff[:target_len])
+    return np.cumsum(diff[:target_len], dtype=np.int32)
 
 
 def annotate_coverage(cfg, bams, fasta, libs, svs):

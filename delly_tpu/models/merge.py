@@ -622,11 +622,34 @@ def _cluster_unionfind(cfg: MergeConfig, nodes: list) -> "UnionFind":
     counts = np.maximum(idx - j0s, 0)
     if counts.sum() == 0:
         return uf
-    pi = np.repeat(idx, counts)
-    within = np.arange(len(pi), dtype=np.int64) \
-        - np.repeat(np.cumsum(counts) - counts, counts)
-    pj = np.repeat(j0s, counts) + within
+    # Evaluate in bounded pair blocks: peak memory stays
+    # O(PAIR_BLOCK), not O(total window pairs) (large recurrent
+    # cohorts have ~samples^2 pairs per locus).
+    PAIR_BLOCK = 2_000_000
+    ccum = np.concatenate(([0], np.cumsum(counts)))
+    i_lo = 0
+    while i_lo < n:
+        i_hi = int(np.searchsorted(ccum, ccum[i_lo] + PAIR_BLOCK,
+                                   side="left"))
+        i_hi = max(i_hi, i_lo + 1)
+        blk = slice(i_lo, i_hi)
+        cblk = counts[blk]
+        pi = np.repeat(idx[blk], cblk)
+        within = np.arange(len(pi), dtype=np.int64) \
+            - np.repeat(np.cumsum(cblk) - cblk, cblk)
+        pj = np.repeat(j0s[blk], cblk) + within
+        _match_pair_block(cfg, nodes, uf, n, pi, pj, start, end, size,
+                          hom, sub, trp, istr, svt, slen, trans)
+        i_lo = i_hi
+    return uf
 
+
+def _match_pair_block(cfg, nodes, uf, n, pi, pj, start, end, size, hom,
+                      sub, trp, istr, svt, slen, trans):
+    import numpy as np
+
+    if len(pi) == 0:
+        return
     # translocations go through the scalar matcher pair by pair
     tmask = trans[pi]
     for a, b in zip(pi[tmask].tolist(), pj[tmask].tolist()):
@@ -635,6 +658,8 @@ def _cluster_unionfind(cfg: MergeConfig, nodes: list) -> "UnionFind":
             uf.unite(a, b)
     keep = ~tmask
     pi, pj = pi[keep], pj[keep]
+    if len(pi) == 0:
+        return
 
     pos_off = start[pi] - start[pj]
     max_hom = np.maximum(hom[pi], hom[pj])
@@ -694,7 +719,6 @@ def _cluster_unionfind(cfg: MergeConfig, nodes: list) -> "UnionFind":
         if uf.find(a) != uf.find(b) and sv_match(cfg, nodes[a],
                                                  nodes[b]):
             uf.unite(a, b)
-    return uf
 
 
 def _bulk_unite(uf: "UnionFind", n: int, mi, mj) -> None:

@@ -493,7 +493,7 @@ def bam_cigar_stats(data: bytes, offsets: np.ndarray,
 
 
 def bam_match_coverage(data: bytes, offsets: np.ndarray, target_len: int):
-    """CMATCH base-coverage counts (int64, length target_len) for the
+    """CMATCH base-coverage counts (int32, length target_len) for the
     records at `offsets`, un-clamped (caller applies the saturation cap),
     or None."""
     lib = get_lib()
@@ -536,7 +536,7 @@ def rans_decode(data: bytes, out_sz: int):
 def bam_base_coverage(data: bytes, offsets: np.ndarray, mapq_uniq: int,
                       reflen: int):
     """Dual M/=/X base-coverage totals (util.h:454-474) for the records
-    at `offsets`: (total int64[reflen], uniq int64[reflen]) un-clamped,
+    at `offsets`: (total int32[reflen], uniq int32[reflen]) un-clamped,
     or None."""
     lib = get_lib()
     if lib is None:

@@ -66,16 +66,16 @@ def gotoh_banded_host(a1, a2, ac=(False, False),
     hfree, vfree = bool(ac[0]), bool(ac[1])
 
     k = np.arange(B, dtype=np.int64)
-    # band rows: S/H/V for the previous and current row, band coords
-    Sb = np.full((m + 1, B), NINF, dtype=np.int64)
-    Vb = np.full((m + 1, B), NINF, dtype=np.int64)
-    Hb = np.full((m + 1, B), NINF, dtype=np.int64)
+    # rolling previous row for S/V (only r-1 is ever read); the bits
+    # tile is the only O(m*band) state, as the traceback needs it
     bits = np.zeros((m + 1, B), dtype=np.uint8)
 
     col0 = off[0] + k            # off[0] == 0
     in0 = col0 <= n
-    Sb[0] = np.where(in0, 0 if hfree else GO + col0 * GE, NINF)
-    Sb[0, 0] = 0
+    S_prev = np.where(in0, 0 if hfree else GO + col0 * GE,
+                      np.int64(NINF))
+    S_prev[0] = 0
+    V_prev = np.full(B, NINF, dtype=np.int64)
     for r in range(1, m + 1):
         d = int(off[r] - off[r - 1])
         col = off[r] + k
@@ -90,9 +90,9 @@ def gotoh_banded_host(a1, a2, ac=(False, False),
             else:
                 out[-by:] = prev[:by]
             return out
-        S_up = shift(Sb[r - 1], d)        # (r-1, col)
-        V_up = shift(Vb[r - 1], d)
-        S_diag = shift(Sb[r - 1], d - 1)  # (r-1, col-1)
+        S_up = shift(S_prev, d)        # (r-1, col)
+        V_up = shift(V_prev, d)
+        S_diag = shift(S_prev, d - 1)  # (r-1, col-1)
 
         if vfree:
             vg_open = np.where(col == n, 0, GO + GE)
@@ -124,13 +124,12 @@ def gotoh_banded_host(a1, a2, ac=(False, False),
         # column-0 boundary (only while the corridor still covers it)
         S_body = np.where(col == 0, s_col0, S_body)
         V_body = np.where(col == 0, s_col0, V_body)
-        H_body = np.where(col == 0, NINF, H_body)
         S_body = np.where(inb, S_body, NINF)
-        Sb[r], Vb[r], Hb[r] = S_body, V_body, H_body
+        S_prev, V_prev = S_body, V_body
         bits[r] = b
 
     slot_n = n - int(off[m])
-    best = int(Sb[m, slot_n])
+    best = int(S_prev[slot_n])
     codes = _walk_bits(bits, off, m, n)
     merged = create_alignment_codes(codes, a1, a2)
     return best, merged
@@ -434,8 +433,14 @@ def gotoh_banded_batch(jobs, ac=(False, False),
     for idx, (a1, a2, swap) in enumerate(prep):
         m, n = a1.shape[1], a2.shape[1]
         eac = (ac[1], ac[0]) if swap else ac
-        if (a1.shape[0] != 1 or a2.shape[0] != 1 or n < 1
-                or m > max_m
+        if a1.shape[0] != 1 or a2.shape[0] != 1 or n < 1:
+            # shapes the corridor oracle does not serve (multi-row
+            # profiles, empty sequence): exact full Gotoh
+            from delly_tpu.ops.gotoh import gotoh as _gotoh_full
+            best, merged = _gotoh_full(a1, a2, ac=eac, sc=sc)
+            results[idx] = _unswap(best, merged, a1, a2, swap)
+            continue
+        if (m > max_m
                 or not _ALLOWED.issuperset(a1.tobytes())
                 or not _ALLOWED.issuperset(a2.tobytes())):
             best, merged = gotoh_banded_host(a1, a2, ac=eac, sc=sc,

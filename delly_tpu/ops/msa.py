@@ -178,24 +178,75 @@ def _gotoh_dispatch(a1, a2, ac, sc):
     if (a1.shape[0] == 1 and a2.shape[0] == 1
             and max(a1.shape[1], a2.shape[1]) > _BANDED_MIN_DIM
             and min(a1.shape[1], a2.shape[1]) >= 1):
-        from delly_tpu.ops.gotoh_banded import (
-            gotoh_banded_batch, gotoh_banded_host,
-        )
-        if _device_backend():
-            return gotoh_banded_batch([(a1, a2)], ac=ac, sc=sc)[0]
-        m, n = a1.shape[1], a2.shape[1]
-        if n > m:
-            best, merged = gotoh_banded_host(a2, a1, ac=(ac[1], ac[0]),
-                                             sc=sc)
-            n1 = a2.shape[0]
-            merged = np.concatenate([merged[n1:], merged[:n1]], axis=0)
-            return best, merged
-        return gotoh_banded_host(a1, a2, ac=ac, sc=sc)
+        return _banded_or_full(a1, a2, ac, sc)
     if a1.shape[1] * a2.shape[1] >= _DEVICE_MIN_CELLS:
         if _device_backend():
             from delly_tpu.ops.gotoh_device import gotoh_device
             return gotoh_device(a1, a2, ac=ac, sc=sc)
     return gotoh(a1, a2, ac=ac, sc=sc)
+
+
+def _banded_or_full(a1, a2, ac, sc):
+    """Long-context sequence merge: corridor Gotoh with a band sized
+    from the Myers edit distance, validated by checking the traceback
+    never rides an interior corridor edge; any doubt falls back to the
+    exact full DP."""
+    m, n = a1.shape[1], a2.shape[1]
+    d = None
+    try:
+        from delly_tpu import native
+        if native.get_lib() is not None:
+            sc_d = native.edist_scan(a1[0].tobytes(), a2[0].tobytes(),
+                                     0, None)
+            if sc_d is not None:
+                d = sc_d[0]
+    except Exception:
+        d = None
+    if d is None:
+        return gotoh(a1, a2, ac=ac, sc=sc)
+    band = 512
+    while band < 2 * (d + 8) + 256:
+        band *= 2
+    if band > 4096:
+        return gotoh(a1, a2, ac=ac, sc=sc)
+    from delly_tpu.ops.gotoh_banded import (
+        gotoh_banded_batch, gotoh_banded_host,
+    )
+    if _device_backend():
+        best, merged = gotoh_banded_batch([(a1, a2)], ac=ac, sc=sc,
+                                          band=band)[0]
+    elif n > m:
+        best, merged = gotoh_banded_host(a2, a1, ac=(ac[1], ac[0]),
+                                         sc=sc, band=band)
+        merged = np.concatenate([merged[1:], merged[:1]], axis=0)
+    else:
+        best, merged = gotoh_banded_host(a1, a2, ac=ac, sc=sc,
+                                         band=band)
+    if _trace_touches_edge(merged, m, n, band):
+        return gotoh(a1, a2, ac=ac, sc=sc)
+    return best, merged
+
+
+def _trace_touches_edge(merged, m, n, band):
+    """True when the alignment path comes within 2 slots of an
+    interior corridor edge (matrix boundaries do not count)."""
+    from delly_tpu.ops.gotoh import GAP
+    from delly_tpu.ops.gotoh_banded import corridor_offsets
+    swap = n > m
+    mm, nn = (n, m) if swap else (m, n)
+    off = corridor_offsets(mm, nn, band)
+    r1 = merged[0] != GAP      # consumes a1
+    r2 = merged[1] != GAP      # consumes a2
+    ia = np.cumsum(r1)
+    ja = np.cumsum(r2)
+    i_band = ja if swap else ia
+    j_band = ia if swap else ja
+    slot = j_band - off[i_band]
+    left_interior = off[i_band] > 0
+    right_interior = off[i_band] + band - 1 < nn
+    touch = ((slot <= 1) & left_interior) \
+        | ((slot >= band - 2) & right_interior)
+    return bool(touch.any())
 
 
 def _device_backend() -> bool:

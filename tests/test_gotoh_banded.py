@@ -94,12 +94,30 @@ def test_kernel_bit_identical_to_host(ac):
 
 
 def test_palign_dispatch_routes_long_pairs_to_banded():
+    """The long-context dispatch (Myers-sized corridor + edge-touch
+    validation) returns the EXACT full-DP result on a realistic pair."""
     from delly_tpu.ops import msa as msamod
     rng = np.random.default_rng(5)
     s1 = rng.choice(ALPHA, 9000)
-    s2 = _mutate(rng, s1, 0.03)[:9000]
+    s2 = _mutate(rng, s1, 0.01)[:9000]
     got = msamod._gotoh_dispatch(s1[None], s2[None], (True, True),
                                  DnaScore())
-    want = gotoh_banded_host(s1[None], s2[None], ac=(True, True))
+    want = gotoh(s1[None], s2[None], ac=(True, True))
+    assert got[0] == want[0]
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_palign_dispatch_falls_back_on_distant_pairs():
+    """A pair whose edit distance implies a corridor wider than 4096
+    routes to the exact full DP (no silent banding)."""
+    from delly_tpu.ops import msa as msamod
+    rng = np.random.default_rng(9)
+    s1 = rng.choice(ALPHA, 8600)
+    # a 3000-base insertion near the start pushes the optimal path far
+    # off the diagonal
+    s2 = np.concatenate([s1[:200], rng.choice(ALPHA, 3000), s1[200:]])
+    got = msamod._gotoh_dispatch(s1[None], s2[None], (True, True),
+                                 DnaScore())
+    want = gotoh(s1[None], s2[None], ac=(True, True))
     assert got[0] == want[0]
     np.testing.assert_array_equal(got[1], want[1])
