@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 
 from delly_tpu.io.vcf import VcfReader
@@ -99,8 +100,10 @@ def _serialize(rec, out) -> None:
     out.append("\t".join(cols))
 
 
+@lru_cache(maxsize=256)
 def _parse_gt(gt: str):
-    """Returns (a0, a1) or None for missing."""
+    """Returns (a0, a1) or None for missing. Cohorts carry only a
+    handful of distinct GT strings, so the parse is memoized."""
     parts = gt.replace("|", "/").split("/")
     if len(parts) != 2 or "." in parts:
         return None
@@ -111,9 +114,12 @@ def _parse_gt(gt: str):
 
 
 def _fmt_int(sm, key):
+    v = sm.get(key, ".")
+    if type(v) is int:
+        return v
     try:
-        return int(sm.get(key, "."))
-    except ValueError:
+        return int(v)
+    except (TypeError, ValueError):
         return None
 
 
