@@ -114,3 +114,43 @@ def test_corrupt_inputs_fail_cleanly(tmp_path):
         assert r.returncode == 1, args
         assert "Traceback" not in r.stderr, r.stderr[-800:]
         assert r.stderr.strip(), args
+
+
+def test_fuzzed_record_bytes_never_crash(tmp_path):
+    """Corrupted DECOMPRESSED BAM records (re-compressed so they reach
+    the native SoA scanner, not just the inflate layer) and corrupted
+    CRAM containers exit 0/1 with no traceback — the native planes
+    bound every read (cram_decode_slice hardening, bam_scan record
+    length clamps)."""
+    import random
+
+    from delly_tpu.io.bam import BamFile
+    from delly_tpu.io.bgzf import bgzf_compress, bgzf_decompress_file
+    from delly_tpu.io.cram import write_cram
+
+    raw = bgzf_decompress_file(f"{EX}/sr.bam")
+    base_cram = str(tmp_path / "base.cram")
+    write_cram(BamFile(f"{EX}/sr.bam"), f"{EX}/ref.fa", base_cram)
+    craw = open(base_cram, "rb").read()
+
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        b = bytearray(raw)
+        for _ in range(200):
+            b[rng.randrange(10000, len(b))] = rng.randrange(256)
+        p = str(tmp_path / f"fz{seed}.bam")
+        open(p, "wb").write(bgzf_compress(bytes(b)))
+        r = _run("sr", "-g", f"{EX}/ref.fa",
+                 "-o", str(tmp_path / "o.vcf"), p)
+        assert r.returncode in (0, 1)
+        assert "Traceback" not in r.stderr, r.stderr[-600:]
+
+        c = bytearray(craw)
+        for _ in range(120):
+            c[rng.randrange(600, len(c))] = rng.randrange(256)
+        pc = str(tmp_path / f"fz{seed}.cram")
+        open(pc, "wb").write(bytes(c))
+        r = _run("sr", "-g", f"{EX}/ref.fa",
+                 "-o", str(tmp_path / "o.vcf"), pc)
+        assert r.returncode in (0, 1)
+        assert "Traceback" not in r.stderr, r.stderr[-600:]
