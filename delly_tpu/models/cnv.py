@@ -157,6 +157,13 @@ def cnv_segment(y: np.ndarray, beta: float, kmin: int) -> list:
     n = len(y)
     if n < 2 * kmin:
         return []
+    try:
+        from delly_tpu import native
+        got = native.cnv_segment_core(y, beta, kmin)
+        if got is not None:
+            return got
+    except Exception:
+        pass
     s1 = np.concatenate(([0.0], np.cumsum(y)))
     s2 = np.concatenate(([0.0], np.cumsum(y * y)))
     big = np.finfo(np.float64).max

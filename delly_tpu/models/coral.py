@@ -298,6 +298,28 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
     return 0
 
 
+def _bounded_sums(x, bounds, dtype=None):
+    """Sums of x over [bounds[k], bounds[k+1]) for a strictly
+    increasing boundary chain (one np.add.reduceat pass: no prefix
+    arrays, no dtype-conversion copies). bounds[-1] <= len(x)."""
+    if bounds[-1] >= len(x):
+        return np.add.reduceat(x, bounds[:-1], dtype=dtype)
+    return np.add.reduceat(x, bounds, dtype=dtype)[:-1]
+
+
+def _range_sums(x, starts, ends, dtype=None):
+    """Sums over [starts[i], ends[i]) — reduceat when the windows tile
+    contiguously (the production layouts), prefix-sum fallback
+    otherwise (overlapping user windows)."""
+    if len(starts) == 0:
+        return np.zeros(0, dtype=dtype or np.float64)
+    if np.all(starts[1:] == ends[:-1]):
+        bounds = np.append(starts, ends[-1])
+        return _bounded_sums(x, bounds, dtype=dtype)
+    cs = np.concatenate(([0], np.cumsum(x, dtype=dtype)))
+    return cs[ends] - cs[starts]
+
+
 def _write_windows(cfg, data_out, chrn, reflen, gcbound, gc_content,
                    uniq_content, cov, cov_uniq, cov_map, cov_curve,
                    tile_fac, reg_win, chr_ploidy, chr_ctrl_ploidy):
@@ -315,11 +337,6 @@ def _write_windows(cfg, data_out, chrn, reflen, gcbound, gc_content,
         elif nv:
             ecor = e1
         craw = np.concatenate(([0.0], np.cumsum(e1))) if nv else [0.0]
-        ccor = np.concatenate(([0.0], np.cumsum(ecor))) if nv else [0.0]
-        ccov = (np.concatenate(([0.0], np.cumsum(cov[vpos].astype(
-            np.float64)))) if nv else [0.0])
-        cu = np.concatenate(([0.0], np.cumsum(cov_uniq.astype(np.float64))))
-        ct = np.concatenate(([0.0], np.cumsum(cov_map.astype(np.float64))))
         # greedy boundary chain, then all window sums vectorized
         bidx = [0]
         i = 0
@@ -336,32 +353,32 @@ def _write_windows(cfg, data_out, chrn, reflen, gcbound, gc_content,
             starts = np.concatenate(([0], ends[:-1]))
             wins = list(zip(
                 starts.tolist(), ends.tolist(), (b[1:] - b[:-1]).tolist(),
-                (ccov[b[1:]] - ccov[b[:-1]]).tolist(),
-                (ccor[b[1:]] - ccor[b[:-1]]).tolist(),
-                (cu[ends] - cu[starts]).tolist(),
-                (ct[ends] - ct[starts]).tolist(),
+                _bounded_sums(cov[vpos], b,
+                              dtype=np.float64).tolist(),
+                _bounded_sums(ecor, b).tolist(),
+                _range_sums(cov_uniq, starts, ends,
+                            dtype=np.float64).tolist(),
+                _range_sums(cov_map, starts, ends,
+                            dtype=np.float64).tolist(),
                 [True] * (len(b) - 1)))
     else:
-        cu = np.concatenate(([0.0], np.cumsum(cov_uniq.astype(np.float64))))
-        ct = np.concatenate(([0.0], np.cumsum(cov_map.astype(np.float64))))
-        cval = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
-        ccovm = np.concatenate(
-            ([0.0], np.cumsum(np.where(valid, cov, 0).astype(np.float64))))
+        starts = np.arange(0, reflen, cfg.window_offset, dtype=np.int64)
+        starts = starts[starts + cfg.window_size < reflen]
+        ends = starts + cfg.window_size
         evals = np.where(valid, cov_curve[gc_content.astype(np.int64)], 0.0)
         if len(tile_fac):
             pos_all = np.arange(reflen)
             evals = evals * np.where(valid, tile_fac[pos_all // reg_win], 1.0)
-        cexp = np.concatenate(([0.0], np.cumsum(evals)))
-        starts = np.arange(0, reflen, cfg.window_offset, dtype=np.int64)
-        starts = starts[starts + cfg.window_size < reflen]
-        ends = starts + cfg.window_size
-        winlen = cval[ends] - cval[starts]
+        winlen = _range_sums(valid, starts, ends, dtype=np.int64)
         wins = list(zip(
             starts.tolist(), ends.tolist(), winlen.tolist(),
-            (ccovm[ends] - ccovm[starts]).tolist(),
-            (cexp[ends] - cexp[starts]).tolist(),
-            (cu[ends] - cu[starts]).tolist(),
-            (ct[ends] - ct[starts]).tolist(),
+            _range_sums(np.where(valid, cov, 0), starts, ends,
+                        dtype=np.float64).tolist(),
+            _range_sums(evals, starts, ends).tolist(),
+            _range_sums(cov_uniq, starts, ends,
+                        dtype=np.float64).tolist(),
+            _range_sums(cov_map, starts, ends,
+                        dtype=np.float64).tolist(),
             (winlen >= cfg.frac_window * cfg.window_size).tolist()))
 
     nw = len(wins)

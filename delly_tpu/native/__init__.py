@@ -45,7 +45,9 @@ def _lib_path() -> str:
     or different CPU generation gets a fresh build, and a read-only
     package install falls back to ~/.cache."""
     with open(_SRC, "rb") as fh:
-        key = hashlib.sha256(fh.read() + " ".join(_arch_flags()).encode())
+        key = hashlib.sha256(
+            fh.read()
+            + (" ".join(_arch_flags()) + " -ffp-contract=off").encode())
     name = f"libhostio-{key.hexdigest()[:12]}.so"
     if os.access(_DIR, os.W_OK):
         return os.path.join(_DIR, name)
@@ -61,7 +63,8 @@ def _build(lib_path: str) -> bool:
     try:
         tmp = lib_path + f".tmp{os.getpid()}"
         subprocess.run(
-            ["g++", "-O3", *_arch_flags(), "-std=c++17", "-shared",
+            ["g++", "-O3", *_arch_flags(), "-ffp-contract=off",
+             "-std=c++17", "-shared",
              "-fPIC", "-pthread", "-o", tmp, _SRC, "-lz"],
             check=True, capture_output=True)
         os.replace(tmp, lib_path)
@@ -180,6 +183,10 @@ def get_lib():
     lib.edist_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_char_p, ctypes.c_void_p]
+    lib.cnv_segment_core.restype = ctypes.c_int64
+    lib.cnv_segment_core.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_void_p]
     lib.pair_first_obs.restype = None
     lib.pair_first_obs.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -411,6 +418,19 @@ def edist_path_banded(q: bytes, t: bytes, mode: int,
                           ops.ctypes.data_as(ctypes.c_void_p),
                           out.ctypes.data_as(ctypes.c_void_p))
     return int(out[0]), int(out[1]) - 1, ops[:int(out[2])].copy()
+
+
+def cnv_segment_core(y: np.ndarray, beta: float, kmin: int):
+    """Native PELT-like optimal partition (cnv.h:237-291), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    out = np.empty(max(len(y), 1), dtype=np.int64)
+    nb = lib.cnv_segment_core(y.ctypes.data_as(ctypes.c_void_p),
+                              len(y), float(beta), int(kmin),
+                              out.ctypes.data_as(ctypes.c_void_p))
+    return out[:nb].tolist()
 
 
 def pair_first_obs(pos, uncond, eqm, chk, add):

@@ -1692,6 +1692,68 @@ void edist_path_banded(const uint8_t* q, int32_t m, const uint8_t* t,
   out3[2] = nops;
 }
 
+// Penalized optimal-partition segmentation with pruning (reference
+// cnv.h:237-291; same recurrence and tie/pruning behavior as the
+// numpy formulation in models/cnv.py::cnv_segment — first-minimum
+// argmin, prune when cost > f[t]). Double math matches numpy exactly
+// (the build disables FP contraction). Returns the number of internal
+// boundaries written to out_bounds (in ascending order).
+int64_t cnv_segment_core(const double* y, int64_t n, double beta,
+                         int64_t kmin, int64_t* out_bounds) {
+  if (n < 2 * kmin) return 0;
+  std::vector<double> s1(n + 1, 0.0), s2(n + 1, 0.0);
+  for (int64_t i = 0; i < n; ++i) {
+    s1[i + 1] = s1[i] + y[i];
+    s2[i + 1] = s2[i] + y[i] * y[i];
+  }
+  std::vector<double> f(n + 1, 0.0);
+  std::vector<int64_t> prev(n + 1, 0);
+  f[0] = -beta;
+  std::vector<int64_t> r_set, r_next;
+  r_set.reserve(n);
+  r_next.reserve(n);
+  for (int64_t t = kmin; t <= n; ++t) {
+    if (t == kmin || t >= 2 * kmin) r_set.push_back(t - kmin);
+    double best = 0.0;
+    int64_t bi = -1;
+    r_next.clear();
+    // two passes like the numpy code: argmin first, then prune with
+    // the final f[t] (cost <= f[t])
+    for (size_t k = 0; k < r_set.size(); ++k) {
+      const int64_t s = r_set[k];
+      const double nn = (double)(t - s);
+      const double sm = s1[t] - s1[s];
+      const double cost = f[s] + ((s2[t] - s2[s]) - sm * sm / nn);
+      const double val = cost + beta;
+      if (bi < 0 || val < best) {
+        best = val;
+        bi = (int64_t)k;
+      }
+    }
+    f[t] = best;
+    prev[t] = r_set[bi];
+    for (size_t k = 0; k < r_set.size(); ++k) {
+      const int64_t s = r_set[k];
+      const double nn = (double)(t - s);
+      const double sm = s1[t] - s1[s];
+      const double cost = f[s] + ((s2[t] - s2[s]) - sm * sm / nn);
+      if (cost <= f[t]) r_next.push_back(s);
+    }
+    r_set.swap(r_next);
+  }
+  int64_t nb = 0;
+  int64_t t = n;
+  while (t > 0) {
+    int64_t s = prev[t];
+    if (s > 0) out_bounds[nb++] = s;
+    if (s >= t) break;
+    t = s;
+  }
+  for (int64_t a = 0, b = nb - 1; a < b; ++a, --b)
+    std::swap(out_bounds[a], out_bounds[b]);
+  return nb;
+}
+
 // Mate-pair automaton, single sequential pass (the reference's
 // qualities/clip dict walks, shortpe.h:411-445 / coverage.h:550-600 /
 // tags.h:269-274 _firstPairObs). Semantically identical to the

@@ -138,3 +138,35 @@ def test_sr_dump_file():
     kinds = {l.split("\t")[-1] for l in lines[1:]}
     assert kinds == {"SR", "PE"}
     assert all(l.split("\t")[0].startswith("DEL") for l in lines[1:])
+
+
+def test_cnv_segment_native_matches_numpy():
+    """The native PELT core returns byte-identical boundaries to the
+    numpy formulation (double math, FP contraction disabled)."""
+    import numpy as np
+
+    from delly_tpu import native
+    from delly_tpu.models import cnv as cnvmod
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(23)
+    for trial in range(25):
+        n = int(rng.integers(8, 4000))
+        y = rng.normal(0, 0.3, n)
+        # implant steps
+        for _ in range(int(rng.integers(0, 5))):
+            a = int(rng.integers(0, n))
+            b = min(n, a + int(rng.integers(10, 400)))
+            y[a:b] += rng.normal(0, 1.5)
+        beta = float(rng.uniform(0.5, 8.0))
+        native_b = native.cnv_segment_core(y, beta, 4)
+        # numpy path (bypass the native dispatch)
+        orig = native.cnv_segment_core
+        native.cnv_segment_core = lambda *a: None
+        try:
+            numpy_b = cnvmod.cnv_segment(y, beta, 4)
+        finally:
+            native.cnv_segment_core = orig
+        assert native_b == numpy_b, (trial, native_b, numpy_b)
