@@ -396,7 +396,7 @@ class BamFile:
         # served, just never retained.
         self._chrom_cache: "OrderedDict[int, BamView]" = OrderedDict()
         self._cache_budget = int(os.environ.get(
-            "DELLY_TPU_VIEW_CACHE_MB", "1024")) << 20
+            "DELLY_TPU_VIEW_CACHE_MB", "8192")) << 20
         self._cache_dropped = 0
         self._prefetch = (None, None)     # (tid, Future[BamView])
         self._prefetch_pool = None

@@ -12,6 +12,8 @@ vectorized host preprocessing feeding the device window reductions.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from delly_tpu.io.bam import (
@@ -22,10 +24,11 @@ MAX_COVERAGE = np.iinfo(np.uint16).max
 
 
 _GC_MEMO: dict = {}
-# cache budget in track bytes (~2 B/bp): covers many small contigs
-# outright; at human-chromosome scale a couple of tracks fit and the
-# rest recompute — memory stays bounded either way
-_GC_MEMO_BUDGET = 256 * 1024 * 1024
+# cache budget in track bytes (~2 B/bp): covers whole genomes up to
+# ~1 Gbp; beyond it the resident prefix is kept (no clear-all thrash)
+# and the rest recompute — memory stays bounded either way
+_GC_MEMO_BUDGET = int(os.environ.get(
+    "DELLY_TPU_GC_MEMO_MB", "2048")) * 1024 * 1024
 
 
 def gc_content_track(seq: str, meanisize: int, key=None) -> np.ndarray:
@@ -40,9 +43,8 @@ def gc_content_track(seq: str, meanisize: int, key=None) -> np.ndarray:
     track = _gc_content_track(seq, meanisize)
     if key is not None:
         held = sum(t.nbytes for t in _GC_MEMO.values())
-        if held + track.nbytes > _GC_MEMO_BUDGET:
-            _GC_MEMO.clear()
-        _GC_MEMO[(key, meanisize, len(seq))] = track
+        if held + track.nbytes <= _GC_MEMO_BUDGET:
+            _GC_MEMO[(key, meanisize, len(seq))] = track
     return track
 
 
