@@ -220,3 +220,30 @@ def test_lr_insertion_end_to_end(tmp_path):
     assert "SVTYPE=INS" in f[7] and "PRECISE" in f[7]
     assert int(f[1]) == 20000
     assert "SVLEN=500" in f[7]
+
+
+def test_sr_multi_sample_direct_call(tmp_path):
+    """Two alignment files in one sr run: per-sample columns, both
+    genotyped at every implanted DEL (delly.h multi-sample mode)."""
+    import shutil
+
+    from bamsynth import make_multi_contig_del_dataset
+
+    bam, fa, truth = make_multi_contig_del_dataset(
+        str(tmp_path), n_contigs=2, contig_len=80_000, name="ms1")
+    b2 = str(tmp_path / "ms2.bam")
+    shutil.copy(bam, b2)
+    shutil.copy(bam + ".bai", b2 + ".bai")
+    out = str(tmp_path / "ms.vcf")
+    r = subprocess.run([sys.executable, "-m", "delly_tpu.cli", "sr",
+                        "-g", fa, "-o", out, bam, b2],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1200:]
+    hdr = [ln for ln in open(out) if ln.startswith("#CHROM")][0]
+    assert len(hdr.strip().split("\t")) == 11  # 2 sample columns
+    body = [ln.split("\t") for ln in open(out)
+            if ln.strip() and not ln.startswith("#")]
+    assert len(body) == len(truth)
+    for rec in body:
+        gts = [c.split(":")[0] for c in rec[9:]]
+        assert gts == ["0/1", "0/1"], (rec[0], rec[1], gts)
