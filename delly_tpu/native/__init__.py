@@ -187,6 +187,9 @@ def get_lib():
     lib.cnv_segment_core.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
         ctypes.c_int64, ctypes.c_void_p]
+    lib.hash_pair_h_many.restype = None
+    lib.hash_pair_h_many.argtypes = [ctypes.c_void_p] * 5 + [
+        ctypes.c_int64, ctypes.c_void_p]
     lib.pair_first_obs.restype = None
     lib.pair_first_obs.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -431,6 +434,27 @@ def cnv_segment_core(y: np.ndarray, beta: float, kmin: int):
                               len(y), float(beta), int(kmin),
                               out.ctypes.data_as(ctypes.c_void_p))
     return out[:nb].tolist()
+
+
+def hash_pair_h_many(qh, a, b, c, d):
+    """Batched pair-key hash, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    qh = np.ascontiguousarray(qh, dtype=np.uint64)
+    n = len(qh)
+    arrs = []
+    for v in (a, b, c, d):
+        v = np.asarray(v, dtype=np.int64)
+        if v.ndim == 0 or len(v) != n:
+            v = np.broadcast_to(v, (n,))
+        arrs.append(np.ascontiguousarray(v))
+    out = np.empty(n, dtype=np.uint64)
+    lib.hash_pair_h_many(qh.ctypes.data_as(ctypes.c_void_p),
+                         *[x.ctypes.data_as(ctypes.c_void_p)
+                           for x in arrs], n,
+                         out.ctypes.data_as(ctypes.c_void_p))
+    return out
 
 
 def pair_first_obs(pos, uncond, eqm, chk, add):

@@ -1754,6 +1754,23 @@ int64_t cnv_segment_core(const double* y, int64_t n, double beta,
   return nb;
 }
 
+// Batched pair-key hash (util.h:502-517 hash_combine chain over
+// (tid,pos,mtid,mpos) from a precomputed name hash) — one pass, no
+// numpy temporaries. Matches utils/hashing.hash_pair_h bit-for-bit.
+void hash_pair_h_many(const uint64_t* qh, const int64_t* a,
+                      const int64_t* b, const int64_t* c,
+                      const int64_t* d, int64_t n, uint64_t* out) {
+  const uint64_t gold = 0x9E3779B97F4A7C15ULL;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t seed = qh[i];
+    const uint64_t vs[4] = {(uint64_t)a[i], (uint64_t)b[i],
+                            (uint64_t)c[i], (uint64_t)d[i]};
+    for (int k = 0; k < 4; ++k)
+      seed ^= vs[k] + gold + (seed << 6) + (seed >> 2);
+    out[i] = seed;
+  }
+}
+
 // Mate-pair automaton, single sequential pass (the reference's
 // qualities/clip dict walks, shortpe.h:411-445 / coverage.h:550-600 /
 // tags.h:269-274 _firstPairObs). Semantically identical to the

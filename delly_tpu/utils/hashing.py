@@ -96,6 +96,13 @@ def hash_pair_h_batch(qhash, a, b, c, d):
     arithmetic matches the scalar path bit-for-bit)."""
     import numpy as np
 
+    try:
+        from delly_tpu import native
+        got = native.hash_pair_h_many(qhash, a, b, c, d)
+        if got is not None:
+            return got
+    except Exception:
+        pass
     gold = np.uint64(0x9E3779B97F4A7C15)
     six = np.uint64(6)
     two = np.uint64(2)
