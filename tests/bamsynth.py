@@ -71,12 +71,12 @@ def random_contig(rng_or_seed, length: int, gc_blocks: int = 0) -> str:
     return out.tobytes().decode()
 
 
-def write_bam(path, contigs, records, index=True):
+def write_bam(path, contigs, records, index=True, sample="synth"):
     """contigs: list of (name, seq). records: encoded record blobs in
     coordinate order. Writes a .bai alongside (like samtools index) so
     the streaming reader can region-query the file."""
     text = "".join(f"@SQ\tSN:{n}\tLN:{len(s)}\n" for n, s in contigs)
-    text += "@RG\tID:synth\tSM:synth\n"
+    text += f"@RG\tID:{sample}\tSM:{sample}\n"
     out = bytearray()
     out += b"BAM\x01" + struct.pack("<i", len(text))
     out += text.encode()
@@ -717,3 +717,79 @@ def make_lr_genome_dataset(tmpdir, n_contigs=4, contig_len=1_000_000,
     write_bam(bam, contigs, [r[2] for r in recs])
     write_fasta(fa, contigs)
     return bam, fa, truth
+
+
+def make_somatic_pair_dataset(tmpdir, n_contigs=2, contig_len=100_000,
+                              pairs_per_contig=1400, seed=97):
+    """Tumor/control pair over a shared genome: one GERMLINE ~6kb DEL
+    per contig (PE+SR evidence in BOTH files) and one SOMATIC ~5kb DEL
+    per contig (evidence in the tumor only). Returns
+    (tumor_bam, control_bam, fasta, germline_truth, somatic_truth)."""
+    rng = random.Random(seed)
+    contigs = [(f"chr{c + 1}",
+                random_contig(rng, contig_len,
+                              gc_blocks=max(1, contig_len // 10_000)))
+               for c in range(n_contigs)]
+    rl, isize = 100, 400
+    germ, soma = [], []
+    recs = {"tumor": [], "control": []}
+    qid = 0
+
+    def emit_del(who, tid, ref, bp1, bp2, sr_n=10, pe_n=14):
+        nonlocal qid
+        derived = ref[:bp1] + ref[bp2:]
+        for _ in range(pe_n):
+            off = rng.randint(30, 200)
+            p1 = bp1 - off - rl
+            p2 = bp2 + (isize - off - 2 * rl) + rng.randint(0, 40)
+            tl = p2 + rl - p1
+            recs[who].append((tid, p1, encode_record(
+                f"d{qid}", 0x61, tid, p1, 60, [("M", rl)], tid, p2, tl,
+                ref[p1:p1 + rl])))
+            recs[who].append((tid, p2, encode_record(
+                f"d{qid}", 0x91, tid, p2, 60, [("M", rl)], tid, p1,
+                -tl, ref[p2:p2 + rl])))
+            qid += 1
+        for _ in range(sr_n):
+            off = rng.randint(30, 70)
+            dpos = bp1 - off
+            seq = derived[dpos:dpos + rl]
+            recs[who].append((tid, dpos, encode_record(
+                f"s{qid}", 0x0, tid, dpos, 60,
+                [("M", off), ("S", rl - off)], -1, -1, 0, seq)))
+            recs[who].append((tid, bp2, encode_record(
+                f"s{qid}", 0x800, tid, bp2, 60,
+                [("S", off), ("M", rl - off)], -1, -1, 0, seq)))
+            qid += 1
+
+    for tid, (cname, ref) in enumerate(contigs):
+        bp1g = contig_len * 3 // 10
+        bp2g = bp1g + 6000
+        bp1s = contig_len * 6 // 10
+        bp2s = bp1s + 5000
+        germ.append((cname, bp1g, bp2g))
+        soma.append((cname, bp1s, bp2s))
+        for who in ("tumor", "control"):
+            for _ in range(pairs_per_contig):
+                isz = isize + rng.randint(-60, 60)
+                p1 = rng.randint(0, contig_len - isz - 1)
+                p2 = p1 + isz - rl
+                recs[who].append((tid, p1, encode_record(
+                    f"p{qid}", 0x63, tid, p1, 60, [("M", rl)], tid, p2,
+                    isz, ref[p1:p1 + rl])))
+                recs[who].append((tid, p2, encode_record(
+                    f"p{qid}", 0x93, tid, p2, 60, [("M", rl)], tid, p1,
+                    -isz, ref[p2:p2 + rl])))
+                qid += 1
+            emit_del(who, tid, ref, bp1g, bp2g)
+        emit_del("tumor", tid, ref, bp1s, bp2s)
+
+    fa = f"{tmpdir}/som.fa"
+    write_fasta(fa, contigs)
+    paths = {}
+    for who in ("tumor", "control"):
+        recs[who].sort(key=lambda r: (r[0], r[1]))
+        p = f"{tmpdir}/{who}.bam"
+        write_bam(p, contigs, [r[2] for r in recs[who]], sample=who)
+        paths[who] = p
+    return paths["tumor"], paths["control"], fa, germ, soma

@@ -247,3 +247,42 @@ def test_sr_multi_sample_direct_call(tmp_path):
     for rec in body:
         gts = [c.split(":")[0] for c in rec[9:]]
         assert gts == ["0/1", "0/1"], (rec[0], rec[1], gts)
+
+
+def test_somatic_workflow_tumor_normal_genome(tmp_path):
+    """The flagship somatic workflow (reference README: joint
+    tumor+control call, then `filter -f somatic -s samples.tsv`):
+    somatic DELs survive, germline DELs are removed."""
+    from bamsynth import make_somatic_pair_dataset
+
+    tumor, control, fa, germ, soma = make_somatic_pair_dataset(
+        str(tmp_path))
+    joint = str(tmp_path / "joint.bcf")
+    r = subprocess.run([sys.executable, "-m", "delly_tpu.cli", "sr",
+                        "-g", fa, "-o", joint, tumor, control],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1200:]
+    body = [ln.split("\t") for ln in
+            bcf_to_vcf_text(open(joint, "rb").read()).splitlines()
+            if ln and not ln.startswith("#")]
+    # joint discovery sees germline + somatic DELs
+    assert len(body) == len(germ) + len(soma), [b[:2] for b in body]
+
+    tsv = tmp_path / "samples.tsv"
+    tsv.write_text("tumor\ttumor\ncontrol\tcontrol\n")
+    som = str(tmp_path / "somatic.bcf")
+    r = subprocess.run([sys.executable, "-m", "delly_tpu.cli", "filter",
+                        "-f", "somatic", "-s", str(tsv), "-o", som,
+                        joint],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1200:]
+    kept = [ln.split("\t") for ln in
+            bcf_to_vcf_text(open(som, "rb").read()).splitlines()
+            if ln and not ln.startswith("#")]
+    kept_loci = {(rec[0], int(rec[1])) for rec in kept}
+    for cname, bp1, _bp2 in soma:
+        assert any(c == cname and abs(p - bp1) < 60
+                   for c, p in kept_loci), (cname, bp1, kept_loci)
+    for cname, bp1, _bp2 in germ:
+        assert not any(c == cname and abs(p - bp1) < 60
+                       for c, p in kept_loci), (cname, bp1, kept_loci)
