@@ -241,3 +241,29 @@ def test_filter_somatic_cli(tmp_path):
     records = [l for l in open(out) if not l.startswith("#")]
     assert len(records) == 1
     assert "SOMATIC" in records[0]
+
+
+def test_filter_somatic_cnv_gaussian_overlap():
+    """Tumor-vs-control Gaussian overlap test (filter.h:163-225):
+    a clear tumor CN shift is SOMATIC; matching CNs are germline."""
+    from delly_tpu.models.filter import FilterConfig, filter_somatic_cnv
+
+    cfg = FilterConfig(filter="somatic",
+                       tumor_set={"t"}, control_set={"c"})
+
+    def rec(tcn, ccn):
+        return {"info": {}, "_sample_names": ["t", "c"],
+                "samples": [{"RDCN": f"{tcn}", "RDSD": "0.05"},
+                            {"RDCN": f"{ccn}", "RDSD": "0.05"}]}
+
+    r = rec(1.0, 2.0)
+    assert filter_somatic_cnv(cfg, r) is False      # kept
+    assert r["info"].get("SOMATIC") is True
+    assert "PGERM" in r["info"] and "CNDIFF" in r["info"]
+
+    r2 = rec(2.0, 2.02)
+    assert filter_somatic_cnv(cfg, r2) is True      # germline: dropped
+    assert "SOMATIC" not in r2["info"]
+
+    r3 = rec(-1, 2.0)                               # invalid CN fails
+    assert filter_somatic_cnv(cfg, r3) is True
