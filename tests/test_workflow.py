@@ -286,3 +286,53 @@ def test_somatic_workflow_tumor_normal_genome(tmp_path):
     for cname, bp1, _bp2 in germ:
         assert not any(c == cname and abs(p - bp1) < 60
                        for c, p in kept_loci), (cname, bp1, kept_loci)
+
+
+def test_cnv_cohort_workflow_merge_and_regenotype(tmp_path):
+    """Reference CNV cohort workflow: per-sample cnv discovery ->
+    `merge -e` (interval-based CNV merging) -> `cnv -v` re-genotyping
+    against the merged site list."""
+    import shutil
+
+    from bamsynth import make_multi_contig_del_dataset
+
+    bam1, fa, _truth = make_multi_contig_del_dataset(
+        str(tmp_path), n_contigs=2, contig_len=120_000,
+        pairs_per_contig=2500, name="cc1")
+    bam2 = str(tmp_path / "cc2.bam")
+    shutil.copy(bam1, bam2)
+    shutil.copy(bam1 + ".bai", bam2 + ".bai")
+
+    bcfs = []
+    for i, bam in enumerate((bam1, bam2)):
+        out = str(tmp_path / f"cnv{i}.bcf")
+        r = subprocess.run([sys.executable, "-m", "delly_tpu.cli",
+                            "cnv", "-g", fa, "-o", out, bam],
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-1000:]
+        bcfs.append(out)
+
+    sites = str(tmp_path / "cnv_sites.bcf")
+    # -y 0: these shallow synthetic CNVs carry low GQ-based QUAL; the
+    # reference applies the same rec->qual < qualthres gate (merge.h:412)
+    r = subprocess.run([sys.executable, "-m", "delly_tpu.cli", "merge",
+                        "-e", "-y", "0", "-o", sites] + bcfs,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1000:]
+    merged = [ln.split("\t") for ln in
+              bcf_to_vcf_text(open(sites, "rb").read()).splitlines()
+              if ln and not ln.startswith("#")]
+    assert merged, "merge -e produced no CNV sites"
+
+    geno = str(tmp_path / "cnv_geno.bcf")
+    r = subprocess.run([sys.executable, "-m", "delly_tpu.cli", "cnv",
+                        "-g", fa, "-v", sites, "-o", geno, bam1],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1000:]
+    got = [ln.split("\t") for ln in
+           bcf_to_vcf_text(open(geno, "rb").read()).splitlines()
+           if ln and not ln.startswith("#")]
+    assert len(got) == len(merged)
+    for rec in got:
+        fmt = dict(zip(rec[8].split(":"), rec[9].split(":")))
+        assert fmt.get("RDCN") not in (None, ""), rec[:3]
