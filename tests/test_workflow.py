@@ -2,6 +2,7 @@
 reference: per-sample discovery -> merge -> joint re-genotyping ->
 filter)."""
 
+import os
 import subprocess
 import sys
 
@@ -336,3 +337,40 @@ def test_cnv_cohort_workflow_merge_and_regenotype(tmp_path):
     for rec in got:
         fmt = dict(zip(rec[8].split(":"), rec[9].split(":")))
         assert fmt.get("RDCN") not in (None, ""), rec[:3]
+
+
+def test_mergegeno_script_sample_column_merge(tmp_path):
+    """scripts/mergegeno.py (role of `bcftools merge -m id`,
+    README.md:95): per-sample re-genotyped BCFs paste into one
+    multi-sample file consumable by `filter`."""
+    import shutil
+
+    s2bam = str(tmp_path / "s2.bam")
+    shutil.copy(f"{EXAMPLE}/sr.bam", s2bam)
+    _run(["sr", "-g", f"{EXAMPLE}/ref.fa",
+          "-o", str(tmp_path / "s1.bcf"), f"{EXAMPLE}/sr.bam"])
+    _run(["sr", "-g", f"{EXAMPLE}/ref.fa",
+          "-o", str(tmp_path / "s2.bcf"), s2bam])
+    _run(["merge", "-o", str(tmp_path / "sites.bcf"),
+          str(tmp_path / "s1.bcf"), str(tmp_path / "s2.bcf")])
+    for i, bam in enumerate((f"{EXAMPLE}/sr.bam", s2bam)):
+        _run(["sr", "-g", f"{EXAMPLE}/ref.fa",
+              "-v", str(tmp_path / "sites.bcf"),
+              "-o", str(tmp_path / f"g{i}.bcf"), bam])
+    multi = str(tmp_path / "multi.bcf")
+    r = subprocess.run([sys.executable, "scripts/mergegeno.py",
+                        "-o", multi,
+                        str(tmp_path / "g0.bcf"),
+                        str(tmp_path / "g1.bcf")],
+                       capture_output=True, text=True, timeout=300,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-800:]
+    recs = _records(multi)
+    assert len(recs) == 1
+    f = recs[0].split("\t")
+    assert len(f) == 11
+    assert f[9].split(":")[0] == f[10].split(":")[0] == "0/1"
+    # and the merged file feeds filter
+    _run(["filter", "-f", "germline", "-o",
+          str(tmp_path / "germ.bcf"), multi])
