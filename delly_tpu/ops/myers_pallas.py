@@ -111,7 +111,15 @@ def batched_edit_distance_pallas(queries, qlens, targets, tlens,
     ql = np.asarray(qlens, dtype=np.int32)
     tl = np.asarray(tlens, dtype=np.int32)
     g = -(-b // TILE)
-    pad = g * TILE - b
+    # Bucket the tile count to a power of two: the pipeline is jitted,
+    # so every distinct padded batch shape is a fresh XLA compile.
+    # Power-of-two grids bound the traced shapes per pipeline to
+    # log2(max_g) at a worst-case 2x row padding (cheap next to a
+    # compile on slow links).
+    g2 = 1
+    while g2 < g:
+        g2 *= 2
+    pad = g2 * TILE - b
     if pad:
         q = np.pad(q, ((0, pad), (0, 0)))
         t = np.pad(t, ((0, pad), (0, 0)))

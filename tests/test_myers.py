@@ -62,3 +62,58 @@ def test_large_alphabet_falls_back():
     want = np.array([
         edit_distance(q[i], t[i], MODE_NW)[0] for i in range(4)])
     assert (got == want).all()
+
+
+def test_pallas_pipeline_cache_bounded(monkeypatch):
+    """Compile-churn guard (coverage.h batch genotyping jobs arrive in
+    arbitrary sizes per chromosome): the padded dims AND the batch tile
+    count must be bucketed so the Pallas pipeline cache and each
+    pipeline's traced-shape set stay O(log) in the input variety."""
+    from delly_tpu.ops import edist
+    from delly_tpu.ops import myers_pallas as mp
+
+    made = []          # pipeline compile keys
+    shapes = set()     # padded (gp, m, n) batch shapes entering jit
+
+    def fake_make_pipeline(nalpha, w, m, n, mode, interpret):
+        made.append((nalpha, w, m, n, mode))
+
+        def run(q, t, ql, tl, letters):
+            shapes.add((q.shape[0], q.shape[1], t.shape[1]))
+            return np.zeros(q.shape[0], dtype=np.int32)
+
+        return run
+
+    monkeypatch.setattr(mp, "_make_pipeline", fake_make_pipeline)
+    monkeypatch.setattr(mp, "_cache", {})
+    # route batched_pairs_distance through the pallas path regardless of
+    # backend
+    monkeypatch.setattr(edist, "_use_pallas", True)
+
+    rng = np.random.default_rng(7)
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for _ in range(40):
+        nb = int(rng.integers(1, 9000))
+        m = int(rng.integers(8, 500))
+        n = int(rng.integers(8, 900))
+        qs = letters[rng.integers(0, 4, size=(2, m))]
+        ts = letters[rng.integers(0, 4, size=(2, n))]
+        pairs = [(qs[i % 2, :rng.integers(1, m + 1)].tobytes().decode(),
+                  ts[i % 2, :rng.integers(1, n + 1)].tobytes().decode())
+                 for i in range(nb)]
+        edist.batched_pairs_distance(pairs, MODE_HW)
+
+    monkeypatch.setattr(edist, "_use_pallas", None)
+    # m buckets: 16 word-multiples <= 512; n buckets: powers of two
+    # >= 128; one alphabet class, one mode -> cross-product <= 64 keys
+    # no matter how many distinct raw shapes arrive.
+    keys = set(made)
+    assert len(keys) <= 64, keys
+    for nalpha, w, m, n, mode in keys:
+        assert m == 32 * w  # word-exact query dim (minimal w)
+        assert n >= 128 and (n & (n - 1)) == 0  # pow2 target dim
+    # batch tiles bucketed to powers of two: gp in {1,2,4,8} * TILE here
+    gps = {s[0] for s in shapes}
+    assert all(gp % mp.TILE == 0 and ((gp // mp.TILE) &
+               (gp // mp.TILE - 1)) == 0 for gp in gps), gps
+    assert len(gps) <= 5, gps
