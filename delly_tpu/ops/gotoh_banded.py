@@ -454,6 +454,12 @@ def gotoh_banded_batch(jobs, ac=(False, False),
 
     for (M, eac), idxs in sorted(by_bucket.items()):
         g = -(-len(idxs) // TILE_B)
+        # power-of-two tile grids (see gotoh_pallas.gotoh_batch): the
+        # jitted pipeline retraces per batch shape
+        g2 = 1
+        while g2 < g:
+            g2 *= 2
+        g = g2
         B = band
         # equality windows bit-packed 8 DP rows per byte (8x less
         # HBM/interconnect traffic than one byte per cell)

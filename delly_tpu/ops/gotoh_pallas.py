@@ -315,6 +315,13 @@ def gotoh_batch(jobs, ac=(False, False), sc: DnaScore | None = None,
 
     for K, idxs in sorted(by_bucket.items()):
         g = -(-len(idxs) // TILE_B)
+        # power-of-two tile grids: the pipeline jit retraces per batch
+        # shape, so unbucketed job counts would compile the (expensive)
+        # scan kernel once per distinct MSA batch size
+        g2 = 1
+        while g2 < g:
+            g2 *= 2
+        g = g2
         c1 = np.zeros((g, 5, TILE_B, K), dtype=np.float32)
         d1 = np.zeros((g, TILE_B, K), dtype=np.float32)
         c2 = np.zeros((g, 5, TILE_B, K), dtype=np.float32)
