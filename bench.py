@@ -91,8 +91,13 @@ def main() -> None:
     run(qd, td, qlens, tlens, letters_d).block_until_ready()
     for q, t in zip(qds, tds):
         run(q, t, qlens, tlens, letters_d).block_until_ready()
+    # Best-of-N spread over wall time: the tunnel's load varies minute
+    # to minute, and a congested window can depress every back-to-back
+    # trial by ~8x. Pause between trials and stop once the best has
+    # stopped improving, so one bad minute cannot define the number.
     best = 0.0
-    for _trial in range(5):   # best-of-5: tunnel load varies minute to minute
+    since_improved = 0
+    for trial in range(12):
         t0 = time.perf_counter()
         outs = []
         for it in range(DEVICE_ITERS):
@@ -101,7 +106,16 @@ def main() -> None:
         for o in outs:
             o.block_until_ready()
         t1 = time.perf_counter()
-        best = max(best, B * DEVICE_ITERS / (t1 - t0))
+        rate = B * DEVICE_ITERS / (t1 - t0)
+        if rate > best * 1.02:
+            best = rate
+            since_improved = 0
+        else:
+            since_improved += 1
+        if trial >= 4 and since_improved >= 3:
+            break
+        if trial >= 2:
+            time.sleep(2.0)
     dev_pairs_per_s = best
     out = np.asarray(run(qd, td, qlens, tlens, letters_d))
 
