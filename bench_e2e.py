@@ -87,18 +87,36 @@ def main():
     from delly_tpu.models.sr import run_sr
     from delly_tpu.utils import log as _log_mod
 
-    # stage breakdown via the pipeline's own stage banners
-    stages = {}
+    # stage breakdown via the pipeline's own stage banners: observe the
+    # log hook and convert banner-to-banner gaps into per-stage seconds
     marks = []
+
+    def _capture(msg):
+        marks.append((time.time(), msg))
 
     out = f"{args.workdir}/bench_{tag}.vcf"
     cfg = SrConfig(genome=fa, files=[bam], outfile=out)
     wall = None
+    stages = {}
     for _rep in range(max(1, args.repeat)):
+        marks.clear()
+        _log_mod.hook = _capture
         t0 = time.time()
-        rc = run_sr(cfg)
-        w = time.time() - t0
-        wall = w if wall is None else min(wall, w)
+        try:
+            rc = run_sr(cfg)
+        finally:
+            _log_mod.hook = None
+        t1 = time.time()
+        w = t1 - t0
+        if wall is None or w < wall:
+            wall = w
+            stages = {}
+            pts = [(t0, "startup")] + marks + [(t1, None)]
+            for (ts, msg), (te, _)in zip(pts, pts[1:]):
+                if msg is not None and te - ts >= 0.005:
+                    key = msg.split(",")[0][:40]
+                    stages[key] = round(stages.get(key, 0.0)
+                                        + (te - ts), 2)
     if rc != 0:
         print(json.dumps({"metric": "sr_e2e_reads_per_s", "value": 0,
                           "unit": "reads/s", "error": f"rc={rc}"}))
@@ -126,6 +144,7 @@ def main():
         "precision": round(precision, 4),
         "calls": len(dels),
         "truth": len(truth),
+        "stages": stages,
     }))
     return 0
 

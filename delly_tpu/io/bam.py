@@ -309,7 +309,14 @@ def read_bam_header(path: str, genome: str | None = None) -> "BamHeader":
     with open(path, "rb") as fh:
         magic = fh.read(4)
     if magic == b"CRAM":
-        return BamFile(path, genome=genome).header
+        # header-only container walk — no record decode, no transcode
+        from delly_tpu.io.cram import CramStream
+        cs = CramStream(path, genome)
+        try:
+            return BamHeader(text=cs.sam_text, names=cs.names,
+                             lengths=cs.lengths)
+        finally:
+            cs.close()
     from delly_tpu.io.bgzf import BgzfReader
     reader = BgzfReader(path)
     try:
@@ -514,14 +521,49 @@ class BamFile:
             self._start_prefetch(tid + 1)
         return view
 
-    @staticmethod
-    def _view_nbytes(view) -> int:
-        n = len(view.data)
+    def _view_nbytes(self, view) -> int:
+        # whole-file mode: every view shares self._data — charging the
+        # shared buffer per view would "fill" the budget after a couple
+        # of chromosomes; only the per-view SoA arrays are marginal cost
+        n = 0 if view.data is self._data else len(view.data)
         try:
             n += sum(a.nbytes for a in view.soa.values())
         except Exception:
             pass
         return n
+
+    def close(self) -> None:
+        """Release file handles, the prefetch worker and cached views.
+        Safe to call more than once."""
+        ptid, fut = self._prefetch
+        self._prefetch = (None, None)
+        if fut is not None:
+            fut.cancel()
+        if self._prefetch_pool is not None:
+            self._prefetch_pool.shutdown(wait=True)
+            self._prefetch_pool = None
+        for attr in ("_reader", "_preader"):
+            r = getattr(self, attr)
+            if r is not None:
+                try:
+                    r.close()
+                except Exception:
+                    pass
+                setattr(self, attr, None)
+        if self._cram is not None:
+            try:
+                self._cram.close()
+            except Exception:
+                pass
+            self._cram = None
+        self._chrom_cache.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def _cache_put(self, tid: int, view) -> None:
         nb = self._view_nbytes(view)

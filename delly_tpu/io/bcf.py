@@ -95,6 +95,7 @@ class _HeaderDicts:
         self.cidx = {}
         self.info_type = {}    # ID -> (Type, Number)
         self.format_type = {}
+        self.filter_decl = {"PASS"}   # PASS is implicit (IDX 0)
         rx = re.compile(r"##(FILTER|INFO|FORMAT)=<ID=([^,>]+)")
         rx_type = re.compile(r"Type=([A-Za-z]+)")
         rx_num = re.compile(r"Number=([^,>]+)")
@@ -114,6 +115,8 @@ class _HeaderDicts:
                     self.info_type[name] = (typ, num)
                 elif kind == "FORMAT":
                     self.format_type[name] = (typ, num)
+                else:
+                    self.filter_decl.add(name)
                 continue
             m = rx_contig.match(line)
             if m:
@@ -195,13 +198,19 @@ def vcf_text_to_bcf(text: str, with_index: bool = False):
     # encode time with no matching header line — unresolvable by any
     # conformant reader (htslib rebuilds the dictionary purely from
     # header lines). Pre-pass the body and synthesize declarations.
-    def _declare(name: str, hline: str, kind_map=None, kind_val=None):
-        if name in d.sidx:
+    def _declare(name: str, hline: str, kind_map, kind_val=None):
+        # the string dictionary is shared across contexts, but a reader
+        # resolves an ID per context — an ID declared only as INFO still
+        # needs a ##FORMAT line when the body uses it in FORMAT
+        if name not in d.sidx:
+            d.sidx[name] = len(d.strings)
+            d.strings.append(name)
+        if name in kind_map:
             return
-        d.sidx[name] = len(d.strings)
-        d.strings.append(name)
         header_lines.append(hline)
-        if kind_map is not None:
+        if isinstance(kind_map, set):
+            kind_map.add(name)
+        else:
             kind_map[name] = kind_val
     for line in body:
         cols = line.split("\t")
@@ -210,7 +219,8 @@ def vcf_text_to_bcf(text: str, with_index: bool = False):
         filt, info = cols[6], cols[7]
         if filt not in (".", ""):
             for f in filt.split(";"):
-                _declare(f, f'##FILTER=<ID={f},Description="{f}">')
+                _declare(f, f'##FILTER=<ID={f},Description="{f}">',
+                         d.filter_decl)
         for item in info.split(";"):
             if not item or item == ".":
                 continue

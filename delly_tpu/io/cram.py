@@ -1790,6 +1790,11 @@ class CramStream:
                  ch_hdr["span"], ch_hdr["nrec"], ch_hdr["nblocks"]))
             off += total
 
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
     def _read_at(self, off: int, n: int) -> bytes:
         self._fh.seek(off)
         return self._fh.read(n)

@@ -28,7 +28,14 @@ class FastaFile:
         fai = self.path + ".fai"
         if not os.path.exists(fai) \
                 or os.path.getmtime(fai) < os.path.getmtime(self.path):
-            self._build_fai(fai)
+            # (re)index: the freshly-built table is authoritative even
+            # when the .fai cannot be (re)written (read-only mount with
+            # a stale index would otherwise serve wrong byte offsets)
+            for name, ln, off, lb, lw in self._build_fai(fai):
+                self.names.append(name)
+                self.lengths[name] = ln
+                self._fai[name] = (ln, off, lb, lw)
+            return
         with open(fai) as fh:
             for line in fh:
                 parts = line.rstrip("\n").split("\t")
@@ -39,7 +46,7 @@ class FastaFile:
                     self._fai[name] = (int(parts[1]), int(parts[2]),
                                       int(parts[3]), int(parts[4]))
 
-    def _build_fai(self, fai_path: str) -> None:
+    def _build_fai(self, fai_path: str) -> list[tuple]:
         """fai_build equivalent: one sequential pass recording offsets."""
         rows = []
         with open(self.path, "rb") as fh:
@@ -75,11 +82,8 @@ class FastaFile:
                 for r in rows:
                     fh.write("\t".join(str(x) for x in r) + "\n")
         except OSError:
-            # read-only location: keep the table in memory only
-            for name, ln, off, lb, lw in rows:
-                self.names.append(name)
-                self.lengths[name] = ln
-                self._fai[name] = (ln, off, lb, lw)
+            pass  # read-only location: caller keeps the table in memory
+        return rows
 
     def has_seq(self, name: str) -> bool:
         return name in self._fai

@@ -107,9 +107,10 @@ def _mapped_stats(bam) -> tuple:
     if getattr(bam, "streaming", False):
         total = 0
         genome_len = 0
-        counted = True
-        for tid in range(bam.header.n_targets):
-            n = bam._bai.mapped_stat(tid)
+        bai = getattr(bam, "_bai", None)  # streaming CRAM has no .bai
+        counted = bai is not None
+        for tid in range(bam.header.n_targets if counted else 0):
+            n = bai.mapped_stat(tid)
             if n is None:
                 counted = False
                 break

@@ -38,7 +38,8 @@ from delly_tpu.utils.tags import (
 
 
 def _log(msg: str) -> None:
-    print(f"[{time.strftime('%Y-%b-%d %H:%M:%S')}] {msg}", file=sys.stderr)
+    from delly_tpu.utils.log import stage
+    stage(msg)
 
 
 def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
@@ -411,7 +412,14 @@ def merge_sort(pe: list, sr: list) -> None:
             sv_exists = False
             key = (sr[i].chr, max(0, sr[i].svStart - search_window))
             it = bisect.bisect_left(keys, key)
-            while it < len(pe) and abs(pe[it].svStart - sr[i].svStart) < search_window:
+            # loop bound on the FROZEN keys: an earlier augmentation can
+            # move a record's live svStart out of the window, and a
+            # live-value break would end the scan before genuine
+            # matches further in (the reference's post-append re-sorts
+            # repair its ordering; the frozen index is the equivalent).
+            # A record mutated *into* the window is precise and could
+            # never match anyway.
+            while it < len(pe) and abs(keys[it][1] - sr[i].svStart) < search_window:
                 other = pe[it]
                 it += 1
                 if other.svt != svt or other.precise:

@@ -412,7 +412,9 @@ def _build_tb(M: int, B: int):
     return run
 
 
-_ALLOWED = frozenset(b"ACGTN-acgtn")
+_ALLOWED = frozenset(b"ACGTN-")  # uppercase only: the host pure-pair path
+# scores raw bytes, so case-folded device profiles would diverge on
+# soft-masked (lowercase) input; those fall back to the host oracle
 
 
 def gotoh_banded_batch(jobs, ac=(False, False),

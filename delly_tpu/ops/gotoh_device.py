@@ -148,7 +148,9 @@ def _bucket(x: int) -> int:
     return b
 
 
-_ALLOWED = frozenset(b"ACGTN-acgtn")
+_ALLOWED = frozenset(b"ACGTN-")  # uppercase only: the host pure-pair path
+# scores raw bytes, so case-folded device profiles would diverge on
+# soft-masked (lowercase) input; those fall back to the host oracle
 
 
 def gotoh_device(a1, a2, ac=(False, False), sc: DnaScore | None = None):

@@ -283,7 +283,9 @@ def _build_tb(K: int):
     return run
 
 
-_ALLOWED = frozenset(b"ACGTN-acgtn")
+_ALLOWED = frozenset(b"ACGTN-")  # uppercase only: the host pure-pair path
+# scores raw bytes, so case-folded device profiles would diverge on
+# soft-masked (lowercase) input; those fall back to the host oracle
 
 
 def _eligible(a1: np.ndarray, a2: np.ndarray) -> bool:

@@ -103,3 +103,26 @@ def test_undeclared_keys_get_synthesized_headers():
     assert "NOVEL" in row[7] and "XDEPTH=3.5" in row[7]
     assert row[8] == "GT:XQ"
     assert row[9] == "0/1:17"
+
+
+def test_cross_context_key_gets_own_declaration():
+    """An ID declared as INFO but used in FORMAT (or vice versa) shares
+    one string-dictionary slot but still needs a header line per
+    context a conformant reader resolves it in."""
+    text = "\n".join([
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=1>",
+        '##INFO=<ID=DV,Number=1,Type=Integer,Description="x">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+        "1\t10\tX\tA\t<DEL>\t5\tDV\tDV=3\tGT:DV\t0/1:7",
+        "",
+    ])
+    bcf = vcf_text_to_bcf(text)
+    back = bcf_to_vcf_text(bcf)
+    assert "##FORMAT=<ID=DV" in back
+    assert "##FILTER=<ID=DV" in back
+    row = [l for l in back.split("\n")
+           if l and not l.startswith("#")][0].split("\t")
+    assert row[6] == "DV" and row[7] == "DV=3"
+    assert row[8] == "GT:DV" and row[9] == "0/1:7"

@@ -96,3 +96,35 @@ def test_long_needle_no_split_for_perfect_match():
     rng = np.random.default_rng(8)
     s = "".join(rng.choice(list("ACGT"), 400))
     assert long_needle(s, s) is None  # no split beats the full alignment
+
+
+def test_merge_sort_augment_does_not_break_window_scan():
+    """shortpe.h:536-621: an earlier augmentation moves a PE record's
+    live svStart out of a later SR record's +-500 window; the scan
+    bound must follow the sorted-order (frozen) keys, or the moved
+    record terminates the walk before a genuine later match."""
+    from delly_tpu.models.sr import merge_sort
+    from delly_tpu.utils.tags import StructuralVariantRecord as SV
+
+    pe = [
+        SV(chr=0, svStart=1000, chr2=0, svEnd=5000, ciposlow=-900,
+           ciposhigh=900, ciendlow=-900, ciendhigh=900, svt=2,
+           peSupport=4, precise=False),
+        SV(chr=0, svStart=1400, chr2=0, svEnd=5400, ciposlow=-300,
+           ciposhigh=300, ciendlow=-300, ciendhigh=300, svt=2,
+           peSupport=3, precise=False),
+    ]
+    sr = [
+        # processed first (sorted): augments pe[0], moving it to 600 —
+        # 740bp away from the next SR record's svStart
+        SV(chr=0, svStart=600, chr2=0, svEnd=4800, svt=2, srSupport=5,
+           srAlignQuality=0.9, precise=True, consensus="ACGT"),
+        SV(chr=0, svStart=1340, chr2=0, svEnd=5380, svt=2, srSupport=6,
+           srAlignQuality=0.9, precise=True, consensus="TTTT"),
+    ]
+    merge_sort(pe, sr)
+    # both PE records augmented in place; no SR-only duplicate appended
+    assert len(pe) == 2, [(s.svStart, s.precise) for s in pe]
+    assert all(s.precise for s in pe)
+    starts = sorted(s.svStart for s in pe)
+    assert starts == [600, 1340]

@@ -126,3 +126,17 @@ def test_lcs_device_kernel_parity():
                         jnp.asarray(tb), jnp.asarray(bl)))
     for i, (a, b) in enumerate(pairs):
         assert int(out[i]) == lcs(a, b), (i, a, b)
+
+
+def test_softmasked_input_matches_host():
+    """Lowercase (soft-masked) bytes must not be case-folded by the
+    device profile path: host gotoh scores raw bytes, so mixed-case
+    pairs fall back to the host oracle."""
+    from delly_tpu.ops.gotoh import gotoh
+    from delly_tpu.ops.gotoh_device import gotoh_device
+    for s1, s2 in [("acgt", "ACGT"), ("ACgtAC", "ACGTAC"),
+                   ("acgt", "acgt")]:
+        h_best, h_m = gotoh(s1, s2)
+        d_best, d_m = gotoh_device(s1, s2)
+        assert h_best == d_best, (s1, s2)
+        assert np.array_equal(h_m, d_m)

