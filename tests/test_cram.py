@@ -108,3 +108,18 @@ def test_native_and_python_slice_decoders_agree(tmp_path):
     finally:
         C._decode_slice_native = orig
     assert fast == slow
+
+
+def test_mapped_stats_on_streaming_cram(tmp_path):
+    """A streaming CRAM has no .bai — the cnv mapped-read estimate must
+    take the chunked-scan fallback, not crash on the missing index."""
+    from delly_tpu.models.coral import _mapped_stats
+    cram = str(tmp_path / "sr.cram")
+    write_cram(BamFile(f"{EXAMPLE}/sr.bam"), f"{EXAMPLE}/ref.fa", cram)
+    stream = BamFile(cram, genome=f"{EXAMPLE}/ref.fa", streaming=True)
+    assert stream.streaming and getattr(stream, "_bai", None) is None
+    total, genome_len = _mapped_stats(stream)
+    whole = BamFile(f"{EXAMPLE}/sr.bam")
+    w_total, w_len = _mapped_stats(whole)
+    assert (total, genome_len) == (w_total, w_len)
+    stream.close()
