@@ -24,7 +24,8 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--engine", choices=["sr", "lr", "cnv", "merge"],
+    ap.add_argument("--engine",
+                    choices=["sr", "lr", "cnv", "merge", "svmix"],
                     default="sr")
     ap.add_argument("--samples", type=int, default=50,
                     help="cohort size (merge engine)")
@@ -48,6 +49,8 @@ def main():
         return run_cnv_bench(args)
     if args.engine == "merge":
         return run_merge_bench(args)
+    if args.engine == "svmix":
+        return run_svmix_bench(args)
 
     # tests/ holds the synthetic writer
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -370,6 +373,114 @@ def run_merge_bench(args):
         "rc": rc,
     }))
     return rc
+
+
+def run_svmix_bench(args):
+    """Mixed-SV truth set at genome scale: per-type recall/precision
+    (DEL/DUP/INV/INS/BND) through the full sr pipeline."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.bamsynth import make_multi_sv_dataset
+
+    from delly_tpu.utils.jaxenv import setup as _jax_setup
+    _jax_setup()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    tag = f"svmix_c{args.contigs}_p{args.pairs}_l{args.clen}"
+    if args.error_rate > 0:
+        tag += f"_e{args.error_rate:g}"
+    bam = f"{args.workdir}/{tag}.bam"
+    fa = f"{args.workdir}/{tag}.fa"
+    truth_path = f"{args.workdir}/{tag}.truth"
+    if args.fresh or not (os.path.exists(bam) and os.path.exists(fa)
+                          and os.path.exists(truth_path)):
+        t0 = time.time()
+        bam, fa, truth = make_multi_sv_dataset(
+            args.workdir, n_contigs=args.contigs, contig_len=args.clen,
+            pairs_per_contig=args.pairs, name=tag,
+            error_rate=args.error_rate)
+        with open(truth_path, "w") as fh:
+            for t in truth:
+                fh.write("\t".join(str(x) for x in t) + "\n")
+        print(f"[bench_e2e] generated {bam} "
+              f"({os.path.getsize(bam) / 1e6:.1f} MB compressed) "
+              f"in {time.time() - t0:.1f}s", file=sys.stderr)
+    truth = [ln.split("\t")
+             for ln in open(truth_path).read().splitlines()]
+
+    from delly_tpu.models.config import SrConfig
+    from delly_tpu.models.sr import run_sr
+
+    out = f"{args.workdir}/{tag}.vcf"
+    cfg = SrConfig(genome=fa, files=[bam], outfile=out)
+    wall = None
+    for _rep in range(max(1, args.repeat)):
+        t0 = time.time()
+        rc = run_sr(cfg)
+        w = time.time() - t0
+        wall = w if wall is None else min(wall, w)
+    if rc != 0:
+        print(json.dumps({"metric": "svmix_e2e_recall", "value": 0,
+                          "error": f"rc={rc}"}))
+        return 1
+
+    calls = []
+    for ln in open(out):
+        if ln.startswith("#"):
+            continue
+        c = ln.split("\t")
+        svt = [f for f in c[7].split(";")
+               if f.startswith("SVTYPE=")][0][7:]
+        calls.append((svt, c[0], int(c[1])))
+
+    # imprecise PE-only types get a wider match window
+    win = {"DEL": 100, "DUP": 150, "INS": 100, "INV": 400, "BND": 150}
+    per_type = {}
+    matched_truth = 0
+    for t in truth:
+        typ = t[0]
+        st = per_type.setdefault(typ, {"truth": 0, "tp": 0})
+        st["truth"] += 1
+        if typ == "BND":
+            _typ, ca, pa, cb, pb = t[0], t[1], int(t[2]), t[3], int(t[4])
+            hit = any(svt == "BND"
+                      and ((cc == ca and abs(cp - pa) < win["BND"])
+                           or (cc == cb and abs(cp - pb) < win["BND"]))
+                      for svt, cc, cp in calls)
+        else:
+            c, p = t[1], int(t[2])
+            hit = any(svt == typ and cc == c and abs(cp - p) < win[typ]
+                      for svt, cc, cp in calls)
+        if hit:
+            st["tp"] += 1
+            matched_truth += 1
+    # precision: every call must correspond to some truth entry
+    matched_calls = 0
+    for svt, cc, cp in calls:
+        ok = False
+        for t in truth:
+            if t[0] == "BND" and svt == "BND":
+                ok = ((cc == t[1] and abs(cp - int(t[2])) < win["BND"])
+                      or (cc == t[3] and abs(cp - int(t[4])) < win["BND"]))
+            elif t[0] == svt:
+                ok = cc == t[1] and abs(cp - int(t[2])) < win[svt]
+            if ok:
+                break
+        matched_calls += ok
+    n_reads = 2 * args.pairs * args.contigs
+    print(json.dumps({
+        "metric": "svmix_e2e_recall",
+        "value": round(matched_truth / len(truth), 4) if truth else 0.0,
+        "unit": "recall",
+        "wall_s": round(wall, 2),
+        "n_reads_approx": n_reads,
+        "precision": round(matched_calls / len(calls), 4) if calls
+        else 0.0,
+        "calls": len(calls),
+        "truth": len(truth),
+        "per_type": {k: f"{v['tp']}/{v['truth']}"
+                     for k, v in sorted(per_type.items())},
+    }))
+    return 0
 
 
 if __name__ == "__main__":

@@ -793,3 +793,159 @@ def make_somatic_pair_dataset(tmpdir, n_contigs=2, contig_len=100_000,
         write_bam(p, contigs, [r[2] for r in recs[who]], sample=who)
         paths[who] = p
     return paths["tumor"], paths["control"], fa, germ, soma
+
+
+def make_multi_sv_dataset(tmpdir, n_contigs=4, contig_len=400_000,
+                          pairs_per_contig=6000, sr_per_sv=10,
+                          pe_per_sv=14, seed=97, name="svmix",
+                          error_rate=0.0):
+    """Genome-scale mixed-SV truth set: every contig carries a het
+    ~8kb DEL (PE+SR), a ~3kb tandem DUP (PE+SR), a ~4kb INV (PE, 3to3
+    -> IMPRECISE like the reference's PE-only inversions), and a 40bp
+    novel INS (SR); every even/odd contig pair carries one 3to5 BND
+    junction (PE+SR). Returns (bam, fasta, truth) with truth a list of
+    (type, chrom, pos[, chrom2/pos2/end]) tuples."""
+    rng = random.Random(seed)
+    contigs = [(f"chr{c + 1}",
+                random_contig(rng, contig_len,
+                              gc_blocks=max(1, contig_len // 10_000)))
+               for c in range(n_contigs)]
+    rl, isize = 100, 400
+    recs = []
+    truth = []
+    qid = 0
+
+    def err(seq):
+        return add_read_errors(rng, seq, error_rate)
+
+    def rec(tid, pos, *args):
+        recs.append((tid, pos, encode_record(*args)))
+
+    for tid, (cname, ref) in enumerate(contigs):
+        del_bp1 = contig_len * 15 // 100
+        del_bp2 = del_bp1 + 8000
+        dup_bp1 = contig_len * 35 // 100
+        dup_bp2 = dup_bp1 + 3000
+        inv_bp1 = contig_len * 55 // 100
+        inv_bp2 = inv_bp1 + 4000
+        ins_bp = contig_len * 75 // 100
+        ins_seq = "".join(rng.choice("ACGT") for _ in range(40))
+        truth += [("DEL", cname, del_bp1, del_bp2),
+                  ("DUP", cname, dup_bp1, dup_bp2),
+                  ("INV", cname, inv_bp1, inv_bp2),
+                  ("INS", cname, ins_bp, ins_bp)]
+
+        # background pairs for library statistics
+        for _ in range(pairs_per_contig):
+            isz = isize + rng.randint(-60, 60)
+            p1 = rng.randint(0, contig_len - isz - 1)
+            p2 = p1 + isz - rl
+            rec(tid, p1, f"p{qid}", 0x63, tid, p1, 60, [("M", rl)],
+                tid, p2, isz, err(ref[p1:p1 + rl]))
+            rec(tid, p2, f"p{qid}", 0x93, tid, p2, 60, [("M", rl)],
+                tid, p1, -isz, err(ref[p2:p2 + rl]))
+            qid += 1
+
+        # DEL: discordant spanning pairs + split reads
+        del_hap = ref[:del_bp1] + ref[del_bp2:]
+        for _ in range(pe_per_sv):
+            off = rng.randint(30, 200)
+            p1 = del_bp1 - off - rl
+            p2 = del_bp2 + (isize - off - 2 * rl) + rng.randint(0, 40)
+            tl = p2 + rl - p1
+            rec(tid, p1, f"d{qid}", 0x61, tid, p1, 60, [("M", rl)],
+                tid, p2, tl, err(ref[p1:p1 + rl]))
+            rec(tid, p2, f"d{qid}", 0x91, tid, p2, 60, [("M", rl)],
+                tid, p1, -tl, err(ref[p2:p2 + rl]))
+            qid += 1
+        for _ in range(sr_per_sv):
+            off = rng.randint(30, 70)
+            dpos = del_bp1 - off
+            seq = err(del_hap[dpos:dpos + rl])
+            rec(tid, dpos, f"s{qid}", 0x0, tid, dpos, 60,
+                [("M", off), ("S", rl - off)], -1, -1, 0, seq)
+            rec(tid, del_bp2, f"s{qid}", 0x800, tid, del_bp2, 60,
+                [("S", off), ("M", rl - off)], -1, -1, 0, seq)
+            qid += 1
+
+        # DUP: RF discordant pairs over the copy junction + split reads
+        # (junction maps the unit end back to the unit start)
+        for _ in range(pe_per_sv):
+            o1 = rng.randint(20, 120)
+            o2 = rng.randint(20, 120)
+            pf = dup_bp2 - o1 - rl
+            pr = dup_bp1 + o2
+            rec(tid, pf, f"u{qid}", 0x61, tid, pf, 60, [("M", rl)],
+                tid, pr, 0, err(ref[pf:pf + rl]))
+            rec(tid, pr, f"u{qid}", 0x91, tid, pr, 60, [("M", rl)],
+                tid, pf, 0, err(ref[pr:pr + rl]))
+            qid += 1
+        for _ in range(sr_per_sv):
+            off = rng.randint(30, 70)
+            dpos = dup_bp2 - off
+            seq = err(ref[dpos:dup_bp2] + ref[dup_bp1:dup_bp1 + rl - off])
+            rec(tid, dpos, f"w{qid}", 0x0, tid, dpos, 60,
+                [("M", off), ("S", rl - off)], -1, -1, 0, seq)
+            rec(tid, dup_bp1, f"w{qid}", 0x800, tid, dup_bp1, 60,
+                [("S", off), ("M", rl - off)], -1, -1, 0, seq)
+            qid += 1
+
+        # INV: 3to3 FF pairs (PE-only, IMPRECISE)
+        for _ in range(2 * pe_per_sv):
+            o1 = rng.randint(20, 120)
+            o2 = rng.randint(20, 120)
+            p1 = inv_bp1 - o1 - rl
+            p2 = inv_bp2 - o2 - rl
+            rec(tid, p1, f"v{qid}", 0x41, tid, p1, 60, [("M", rl)],
+                tid, p2, 0, err(ref[p1:p1 + rl]))
+            rec(tid, p2, f"v{qid}", 0x81, tid, p2, 60, [("M", rl)],
+                tid, p1, 0, err(ref[p2:p2 + rl]))
+            qid += 1
+
+        # INS: split reads spanning the novel 40bp insertion
+        ins_hap = ref[:ins_bp] + ins_seq + ref[ins_bp:]
+        for _ in range(sr_per_sv):
+            off = rng.randint(26, 34)
+            dpos = ins_bp - off
+            seq = err(ins_hap[dpos:dpos + rl])
+            m2 = rl - off - len(ins_seq)
+            rec(tid, dpos, f"i{qid}", 0x0, tid, dpos, 60,
+                [("M", off), ("S", rl - off)], -1, -1, 0, seq)
+            rec(tid, ins_bp, f"i{qid}", 0x800, tid, ins_bp, 60,
+                [("S", rl - m2), ("M", m2)], -1, -1, 0, seq)
+            qid += 1
+
+    # BND: one 3to5 junction per even/odd contig pair
+    for ta in range(0, n_contigs - 1, 2):
+        tb = ta + 1
+        refa, refb = contigs[ta][1], contigs[tb][1]
+        bp_a = contig_len * 9 // 10
+        bp_b = contig_len // 10
+        truth.append(("BND", contigs[ta][0], bp_a,
+                      contigs[tb][0], bp_b))
+        bnd_hap = refa[:bp_a] + refb[bp_b:]
+        for _ in range(pe_per_sv):
+            off = rng.randint(60, 250)
+            p1 = bp_a - off - rl
+            p2 = bp_b + (isize - off - 2 * rl) + rng.randint(0, 30)
+            rec(ta, p1, f"t{qid}", 0x61, ta, p1, 60, [("M", rl)],
+                tb, p2, 0, err(refa[p1:p1 + rl]))
+            rec(tb, p2, f"t{qid}", 0x91, tb, p2, 60, [("M", rl)],
+                ta, p1, 0, err(refb[p2:p2 + rl]))
+            qid += 1
+        for _ in range(sr_per_sv):
+            off = rng.randint(25, 70)
+            dpos = bp_a - off
+            seq = err(bnd_hap[dpos:dpos + rl])
+            rec(ta, dpos, f"x{qid}", 0x0, ta, dpos, 60,
+                [("M", off), ("S", rl - off)], -1, -1, 0, seq)
+            rec(tb, bp_b, f"x{qid}", 0x800, tb, bp_b, 60,
+                [("S", off), ("M", rl - off)], -1, -1, 0, seq)
+            qid += 1
+
+    recs.sort(key=lambda r: (r[0], r[1]))
+    bam = f"{tmpdir}/{name}.bam"
+    fa = f"{tmpdir}/{name}.fa"
+    write_bam(bam, contigs, [r[2] for r in recs])
+    write_fasta(fa, contigs)
+    return bam, fa, truth

@@ -374,3 +374,45 @@ def test_mergegeno_script_sample_column_merge(tmp_path):
     # and the merged file feeds filter
     _run(["filter", "-f", "germline", "-o",
           str(tmp_path / "germ.bcf"), multi])
+
+
+def test_mixed_sv_types_single_file(tmp_path):
+    """All five SV families implanted in ONE input: each must come out
+    with the right type, position and precision (the genome-scale
+    variant of this runs as `bench_e2e.py --engine svmix`)."""
+    from bamsynth import make_multi_sv_dataset
+    from delly_tpu.models.config import SrConfig
+    from delly_tpu.models.sr import run_sr
+
+    bam, fa, truth = make_multi_sv_dataset(
+        str(tmp_path), n_contigs=2, contig_len=100_000,
+        pairs_per_contig=1500)
+    out = str(tmp_path / "out.vcf")
+    assert run_sr(SrConfig(genome=fa, files=[bam], outfile=out)) == 0
+    calls = []
+    for ln in open(out):
+        if ln.startswith("#"):
+            continue
+        c = ln.split("\t")
+        svt = [f for f in c[7].split(";")
+               if f.startswith("SVTYPE=")][0][7:]
+        calls.append((svt, c[0], int(c[1]),
+                      "PRECISE" in c[7].split(";")))
+    win = {"DEL": 100, "DUP": 150, "INS": 100, "INV": 400, "BND": 150}
+    for t in truth:
+        if t[0] == "BND":
+            assert any(s == "BND" and ((cc == t[1] and
+                       abs(cp - int(t[2])) < 150) or (cc == t[3] and
+                       abs(cp - int(t[4])) < 150))
+                       for s, cc, cp, _ in calls), t
+        else:
+            assert any(s == t[0] and cc == t[1]
+                       and abs(cp - int(t[2])) < win[t[0]]
+                       for s, cc, cp, _ in calls), t
+    # SR-backed types refine to PRECISE; PE-only inversions stay not
+    for s, _c, _p, precise in calls:
+        if s in ("DEL", "DUP", "INS", "BND"):
+            assert precise, s
+        if s == "INV":
+            assert not precise
+    assert len(calls) == len(truth)
