@@ -17,6 +17,8 @@ import numpy as np
 BAI_MIN_SHIFT = 14
 BAI_DEPTH = 5
 _METADATA_BIN = 37450  # bin 37450: htslib per-ref metadata pseudo-bin
+_VEC_THRESHOLD = 50_000  # records; above this the vectorized assembly
+                         # runs (byte-identical, parity-tested)
 
 
 def reg2bins(beg: int, end: int, min_shift: int, depth: int):
@@ -267,6 +269,10 @@ def build_bai(bgzf_bytes: bytes) -> bytes:
              | (upos - u_starts[bidx]).astype(np.uint64))
     n_no_coor = 0
 
+    if nrec >= _VEC_THRESHOLD:
+        return _assemble_bai_vec(n_ref, offsets, tids, poss, flags,
+                                 spans, voffs)
+
     refs_bins = [dict() for _ in range(n_ref)]
     refs_lidx = [dict() for _ in range(n_ref)]
     # metadata pseudo-bin accumulators (hts_idx_get_stat source):
@@ -337,6 +343,149 @@ def build_bai(bgzf_bytes: bytes) -> bytes:
                 v = prev
             out += struct.pack("<Q", v)
             prev = v
+    out += struct.pack("<Q", n_no_coor)
+    return bytes(out)
+
+
+def reg2bin_vec(beg: np.ndarray, end: np.ndarray,
+                min_shift: int = BAI_MIN_SHIFT,
+                depth: int = BAI_DEPTH) -> np.ndarray:
+    """Vectorized reg2bin — deepest level whose window contains
+    [beg, end-1], same result as reg2bin per element."""
+    e = end - 1
+    out = np.zeros(len(beg), dtype=np.int64)
+    done = np.zeros(len(beg), dtype=bool)
+    s = min_shift
+    t = ((1 << depth * 3) - 1) // 7
+    for level in range(depth, 0, -1):
+        hit = ~done & ((beg >> s) == (e >> s))
+        out[hit] = t + (beg[hit] >> s)
+        done |= hit
+        s += 3
+        t -= 1 << (level - 1) * 3
+    return out
+
+
+def _assemble_bai_vec(n_ref, offsets, tids, poss, flags, spans, voffs):
+    """Vectorized .bai assembly (identical bytes to the scalar loop in
+    build_bai; a parity test asserts this). O(passes) numpy instead of
+    O(records) Python — genome-scale BAMs index in seconds."""
+    tids = np.asarray(tids, dtype=np.int64)
+    poss = np.asarray(poss, dtype=np.int64)
+    flags = np.asarray(flags, dtype=np.int64)
+    spans = np.asarray(spans, dtype=np.int64)
+    nrec = len(tids)
+    vb = voffs[:-1].astype(np.uint64)
+    ve = voffs[1:].astype(np.uint64)
+
+    unmapped = (flags & 4) != 0
+    placed = tids >= 0
+    counted = placed                     # enters the pseudo-bin
+    binned = placed & ~unmapped          # enters bins + linear index
+    n_no_coor = int(np.count_nonzero(~placed))
+
+    # per-ref metadata: first/last counted voffset, mapped/unmapped
+    meta = {}
+    cidx = np.nonzero(counted)[0]
+    if len(cidx):
+        ct = tids[cidx]
+        # records are tid-grouped (coordinate-sorted BAM): first/last
+        # occurrence per tid via searchsorted on the grouped tids
+        ut, first = np.unique(ct, return_index=True)
+        last = np.searchsorted(ct, ut, side="right") - 1
+        n_map = np.bincount(ct[~unmapped[cidx]]
+                            if (~unmapped[cidx]).any()
+                            else np.zeros(0, np.int64),
+                            minlength=int(ut.max()) + 1)
+        n_unm = np.bincount(ct[unmapped[cidx]]
+                            if unmapped[cidx].any()
+                            else np.zeros(0, np.int64),
+                            minlength=int(ut.max()) + 1)
+        for k, t in enumerate(ut):
+            meta[int(t)] = (int(vb[cidx[first[k]]]),
+                            int(ve[cidx[last[k]]]),
+                            int(n_map[t]), int(n_unm[t]))
+
+    out = bytearray(b"BAI\x01")
+    out += struct.pack("<i", n_ref)
+
+    bidx = np.nonzero(binned)[0]
+    bt = tids[bidx]
+    beg = poss[bidx]
+    end = beg + np.maximum(spans[bidx], 1)
+    bins_all = reg2bin_vec(beg, end)
+    bvb, bve = vb[bidx], ve[bidx]
+    w0 = beg >> BAI_MIN_SHIFT
+    w1 = (end - 1) >> BAI_MIN_SHIFT
+
+    for tid in range(n_ref):
+        lo = int(np.searchsorted(bt, tid, side="left"))
+        hi = int(np.searchsorted(bt, tid, side="right"))
+        tb = bins_all[lo:hi]
+        tvb = bvb[lo:hi]
+        tve = bve[lo:hi]
+        # group by bin, file order preserved (stable sort); within a
+        # group voffsets are increasing, so chunk merging is a
+        # previous-ve comparison
+        order = np.argsort(tb, kind="stable")
+        gb = tb[order]
+        gvb = tvb[order]
+        gve = tve[order]
+        n = len(gb)
+        chunks_per_bin = {}
+        if n:
+            newg = np.ones(n, dtype=bool)
+            newg[1:] = gb[1:] != gb[:-1]
+            newc = newg.copy()
+            newc[1:] |= gvb[1:] > gve[:-1]
+            cid = np.cumsum(newc) - 1
+            c_start = gvb[newc]
+            # last ve per chunk (ve increasing within a chunk)
+            c_end = np.zeros(int(cid[-1]) + 1, dtype=np.uint64)
+            np.maximum.at(c_end, cid, gve)
+            c_bin = gb[newc]
+            ub, bfirst = np.unique(c_bin, return_index=True)
+            blast = np.searchsorted(c_bin, ub, side="right")
+            for k, b in enumerate(ub):
+                chunks_per_bin[int(b)] = list(
+                    zip(c_start[bfirst[k]:blast[k]].tolist(),
+                        c_end[bfirst[k]:blast[k]].tolist()))
+        have_meta = tid in meta
+        out += struct.pack("<i", len(chunks_per_bin)
+                           + (1 if have_meta else 0))
+        for b in sorted(chunks_per_bin):
+            ch = chunks_per_bin[b]
+            out += struct.pack("<Ii", b, len(ch))
+            for cb, ce in ch:
+                out += struct.pack("<QQ", cb, ce)
+        if have_meta:
+            m = meta[tid]
+            out += struct.pack("<Ii", _METADATA_BIN, 2)
+            out += struct.pack("<QQ", m[0], m[1])
+            out += struct.pack("<QQ", m[2], m[3])
+        # linear index: min voffset per 16kb window; records are
+        # pos-sorted so the first record covering a window has the
+        # smallest voffset. Expand multi-window spans then keep first.
+        tw0 = w0[lo:hi]
+        tw1 = w1[lo:hi]
+        if hi > lo:
+            reps = (tw1 - tw0 + 1)
+            wexp = np.repeat(tw0, reps)
+            bump = np.arange(len(wexp)) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            wexp = wexp + bump
+            vexp = np.repeat(tvb, reps)
+            n_intv = int(wexp.max()) + 1
+            lval = np.full(n_intv, np.uint64(np.iinfo(np.uint64).max))
+            np.minimum.at(lval, wexp, vexp)
+            # back-fill empty windows with the previous entry (0 lead)
+            empty = lval == np.iinfo(np.uint64).max
+            lval[empty] = 0
+            lval = np.maximum.accumulate(lval)
+            out += struct.pack("<i", n_intv)
+            out += lval.astype("<u8").tobytes()
+        else:
+            out += struct.pack("<i", 0)
     out += struct.pack("<Q", n_no_coor)
     return bytes(out)
 

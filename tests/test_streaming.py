@@ -124,3 +124,50 @@ def test_cram_streaming_matches_transcode(tmp_path):
     body = [ln for ln in outs[0].splitlines()
             if ln and not ln.startswith("#")]
     assert len(body) == 1 and "SVTYPE=DEL" in body[0]
+
+
+def test_build_bai_vectorized_parity(tmp_path, monkeypatch):
+    """The vectorized .bai assembly must emit byte-identical indexes to
+    the scalar reference loop, including metadata pseudo-bins, chunk
+    merging and linear-index back-fill (placed-unmapped + multi-window
+    spans included)."""
+    import random
+    import struct as _struct
+
+    from delly_tpu.io import bai as bai_mod
+    from tests.bamsynth import encode_record, random_contig, write_bam
+
+    rng = random.Random(5)
+    contigs = [(f"c{i}", random_contig(rng, 120_000)) for i in range(3)]
+    recs = []
+    qid = 0
+    for tid, (_n, ref) in enumerate(contigs):
+        for _ in range(900):
+            p = rng.randint(0, len(ref) - 400)
+            if rng.random() < 0.03:
+                # placed-unmapped (pseudo-bin only)
+                recs.append((tid, p, encode_record(
+                    f"u{qid}", 0x4, tid, p, 0, [], -1, -1, 0, "A" * 50)))
+            elif rng.random() < 0.05:
+                # long span crossing 16kb windows
+                recs.append((tid, p, encode_record(
+                    f"l{qid}", 0x0, tid, p, 60,
+                    [("M", 100), ("N", 20000), ("M", 100)],
+                    -1, -1, 0, "A" * 200)))
+            else:
+                recs.append((tid, p, encode_record(
+                    f"r{qid}", 0x0, tid, p, 60, [("M", 100)],
+                    -1, -1, 0, "A" * 100)))
+            qid += 1
+    recs.sort(key=lambda r: (r[0], r[1]))
+    bam = str(tmp_path / "p.bam")
+    write_bam(bam, contigs, [r[2] for r in recs], index=False)
+    raw = open(bam, "rb").read()
+    monkeypatch.setattr(bai_mod, "_VEC_THRESHOLD", 1 << 60)
+    scalar = bai_mod.build_bai(raw)
+    monkeypatch.setattr(bai_mod, "_VEC_THRESHOLD", 0)
+    vec = bai_mod.build_bai(raw)
+    assert scalar == vec
+    # sanity: parses and serves region queries
+    idx = bai_mod.parse_bai(vec)
+    assert idx.n_ref == 3 and idx.mapped_stat(0) > 0
