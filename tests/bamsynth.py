@@ -949,3 +949,118 @@ def make_multi_sv_dataset(tmpdir, n_contigs=4, contig_len=400_000,
     write_bam(bam, contigs, [r[2] for r in recs])
     write_fasta(fa, contigs)
     return bam, fa, truth
+
+
+def make_lr_sv_dataset(tmpdir, seed=103, name="lrsv", contig_len=140_000,
+                       read_len=4000, var_reads=12, bg_reads=120):
+    """Long-read mixed-SV dataset: split-alignment evidence for a
+    tandem DUP, an INV (reverse-strand supplementary) and a
+    cross-contig BND, plus CIGAR-op DEL and INS — the five families
+    through the lr junction walk (junction.h:319-460 select* paths).
+    Returns (bam, fasta, truth)."""
+    from delly_tpu.utils.tags import revcomp
+
+    rng = random.Random(seed)
+    ref1 = random_contig(rng, contig_len)
+    ref2 = random_contig(rng, contig_len)
+    contigs = [("ctgA", ref1), ("ctgB", ref2)]
+    h = read_len // 2
+    recs = []
+    qid = 0
+
+    def bg(tid, ref):
+        nonlocal qid
+        for _ in range(bg_reads):
+            p = rng.randint(0, len(ref) - read_len)
+            recs.append((tid, p, encode_record(
+                f"b{qid}", 0x0, tid, p, 60, [("M", read_len)], -1, -1,
+                0, ref[p:p + read_len])))
+            qid += 1
+
+    bg(0, ref1)
+    bg(1, ref2)
+
+    # DEL (D op) at ctgA 20000, 1200bp
+    del_bp, del_len = 20_000, 1200
+    for _ in range(var_reads):
+        lo = rng.randint(1200, 2400)
+        hi = read_len - lo
+        p = del_bp - lo
+        seq = ref1[p:del_bp] + ref1[del_bp + del_len:del_bp + del_len + hi]
+        recs.append((0, p, encode_record(
+            f"d{qid}", 0x0, 0, p, 60,
+            [("M", lo), ("D", del_len), ("M", hi)], -1, -1, 0, seq)))
+        qid += 1
+
+    # INS (I op) at ctgA 45000, 500bp novel
+    ins_bp = 45_000
+    ins_seq = "".join(rng.choice("ACGT") for _ in range(500))
+    for _ in range(var_reads):
+        lo = rng.randint(1200, 2000)
+        hi = read_len - lo - len(ins_seq)
+        p = ins_bp - lo
+        seq = ref1[p:ins_bp] + ins_seq + ref1[ins_bp:ins_bp + hi]
+        recs.append((0, p, encode_record(
+            f"i{qid}", 0x0, 0, p, 60,
+            [("M", lo), ("I", len(ins_seq)), ("M", hi)], -1, -1, 0,
+            seq)))
+        qid += 1
+
+    # DUP at ctgA [70000, 74000): split reads over the copy junction
+    dup1, dup2 = 70_000, 74_000
+    for _ in range(var_reads):
+        seq = ref1[dup2 - h:dup2] + ref1[dup1:dup1 + h]
+        p = dup2 - h
+        recs.append((0, p, encode_record(
+            f"u{qid}", 0x0, 0, p, 60, [("M", h), ("S", h)], -1, -1, 0,
+            seq)))
+        recs.append((0, dup1, encode_record(
+            f"u{qid}", 0x800, 0, dup1, 60, [("S", h), ("M", h)],
+            -1, -1, 0, seq)))
+        qid += 1
+
+    # INV at ctgA [100000, 106000): read crosses the left boundary into
+    # the inverted segment; the supplementary is reverse-strand
+    inv1, inv2 = 100_000, 106_000
+    for _ in range(var_reads):
+        seq = ref1[inv1 - h:inv1] + revcomp(ref1[inv2 - h:inv2])
+        p = inv1 - h
+        recs.append((0, p, encode_record(
+            f"v{qid}", 0x0, 0, p, 60, [("M", h), ("S", h)], -1, -1, 0,
+            seq)))
+        # reverse-strand supplementary: stored SEQ is revcomp(read),
+        # CIGAR in reference orientation
+        recs.append((0, inv2 - h, encode_record(
+            f"v{qid}", 0x810, 0, inv2 - h, 60, [("M", h), ("S", h)],
+            -1, -1, 0, revcomp(seq))))
+        qid += 1
+
+    # BND ctgA:125000 (3') -> ctgB:30000 (5'). Half the reads carry the
+    # primary on each side: the assembly's translocation MSA runs at
+    # refIndex == sv.chr and needs srStore entries there (primaries all
+    # on one side leave the other chromosome's store empty and the SV
+    # unassembled — reference assemble.h:768-770 behaves identically).
+    bnd_a, bnd_b = 125_000, 30_000
+    for k in range(var_reads):
+        seq = ref1[bnd_a - h:bnd_a] + ref2[bnd_b:bnd_b + h]
+        p = bnd_a - h
+        fl_a, fl_b = (0x0, 0x800) if k % 2 == 0 else (0x800, 0x0)
+        recs.append((0, p, encode_record(
+            f"x{qid}", fl_a, 0, p, 60, [("M", h), ("S", h)], -1, -1, 0,
+            seq)))
+        recs.append((1, bnd_b, encode_record(
+            f"x{qid}", fl_b, 1, bnd_b, 60, [("S", h), ("M", h)],
+            -1, -1, 0, seq)))
+        qid += 1
+
+    truth = [("DEL", "ctgA", del_bp, del_bp + del_len),
+             ("INS", "ctgA", ins_bp, ins_bp),
+             ("DUP", "ctgA", dup1, dup2),
+             ("INV", "ctgA", inv1, inv2),
+             ("BND", "ctgA", bnd_a, "ctgB", bnd_b)]
+    recs.sort(key=lambda r: (r[0], r[1]))
+    bam = f"{tmpdir}/{name}.bam"
+    fa = f"{tmpdir}/{name}.fa"
+    write_bam(bam, contigs, [r[2] for r in recs])
+    write_fasta(fa, contigs)
+    return bam, fa, truth

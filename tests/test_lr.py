@@ -260,3 +260,34 @@ def test_lr_calls_survive_ont_error_rates(tmp_path):
     for c, kind, pos, _l in truth:
         assert any(cc == c and kk == kind and abs(pp - pos) < 60
                    for cc, kk, pp in calls), (c, kind, pos, calls)
+
+
+def test_lr_all_five_sv_families(tmp_path):
+    """One long-read input carrying split-alignment evidence for DUP,
+    INV (reverse-strand supplementary) and cross-contig BND plus
+    CIGAR-op DEL/INS: the lr engine must type and place all five
+    (junction.h select* paths through tegua)."""
+    from bamsynth import make_lr_sv_dataset
+    from delly_tpu.models.config import LrConfig
+    from delly_tpu.models.lr import run_lr
+
+    bam, fa, truth = make_lr_sv_dataset(str(tmp_path))
+    out = str(tmp_path / "out.vcf")
+    assert run_lr(LrConfig(genome=fa, files=[bam], outfile=out)) == 0
+    calls = []
+    for ln in open(out):
+        if ln.startswith("#"):
+            continue
+        c = ln.split("\t")
+        svt = [f for f in c[7].split(";")
+               if f.startswith("SVTYPE=")][0][7:]
+        calls.append((svt, c[0], int(c[1]), c[4]))
+    got = {s for s, *_ in calls}
+    assert got == {"DEL", "INS", "DUP", "INV", "BND"}, calls
+    for typ, chrom, pos in [("DEL", "ctgA", 20000), ("INS", "ctgA", 45000),
+                            ("DUP", "ctgA", 70000), ("INV", "ctgA", 100000)]:
+        assert any(s == typ and cc == chrom and abs(cp - pos) <= 5
+                   for s, cc, cp, _ in calls), (typ, calls)
+    bnd = [c for c in calls if c[0] == "BND"][0]
+    assert bnd[1] == "ctgB" and abs(bnd[2] - 30000) <= 5
+    assert "ctgA:125000" in bnd[3]
