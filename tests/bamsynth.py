@@ -332,7 +332,7 @@ def make_multi_contig_del_dataset(tmpdir, n_contigs=4, contig_len=60_000,
     isize = 400
     del_len = 8000
     truth = []
-    recs = []
+    blobs = []
     qid = 0
     for tid, (cname, ref) in enumerate(contigs):
         bp1 = contig_len * 2 // 5
@@ -343,21 +343,21 @@ def make_multi_contig_del_dataset(tmpdir, n_contigs=4, contig_len=60_000,
         # carries no PE/SR signal so the sr truth set is unaffected)
         hole_lo = contig_len * 4 // 5
         hole_hi = hole_lo + min(60_000, contig_len // 10)
-        # normal pairs (insert-size spread so MAD > 0: the scan's
-        # strict normal-insert bounds need real variance, scan.h:151)
-        for _ in range(pairs_per_contig):
-            isz = isize + rng.randint(-60, 60)
-            p1 = rng.randint(0, contig_len - isz - 1)
-            if hole_lo - isz < p1 < hole_hi:
-                continue
-            p2 = p1 + isz - rl
-            recs.append((tid, p1, encode_record(
-                f"p{qid}", 0x63, tid, p1, 60, [("M", rl)], tid, p2,
-                isz, add_read_errors(rng, ref[p1:p1 + rl], error_rate))))
-            recs.append((tid, p2, encode_record(
-                f"p{qid}", 0x93, tid, p2, 60, [("M", rl)], tid, p1,
-                -isz, add_read_errors(rng, ref[p2:p2 + rl], error_rate))))
-            qid += 1
+        # normal pairs, bulk-vectorized (insert-size spread so MAD > 0:
+        # the scan's strict normal-insert bounds need real variance,
+        # scan.h:151)
+        g = np.random.default_rng(rng.randint(0, 2**31))
+        isz = isize + g.integers(-60, 61, size=pairs_per_contig)
+        p1 = g.integers(0, contig_len - isz.max() - 1,
+                        size=pairs_per_contig)
+        keep = ~((hole_lo - isz < p1) & (p1 < hole_hi))
+        isz, p1 = isz[keep], p1[keep]
+        ref_u8 = np.frombuffer(ref.encode(), dtype=np.uint8)
+        bpos, bbuf, rec_w = _bulk_pair_records(
+            tid, ref_u8, p1, isz, qid, rl=rl, error_rate=error_rate,
+            seed=rng.randint(0, 2**31))
+        qid += len(p1)
+        recs = []
         # discordant pairs spanning the deletion (3to5, large insert)
         for _ in range(pe_per_del):
             off = rng.randint(30, 200)
@@ -384,10 +384,11 @@ def make_multi_contig_del_dataset(tmpdir, n_contigs=4, contig_len=60_000,
                 f"s{qid}", 0x800, tid, bp2, 60,
                 [("S", off), ("M", rl - off)], -1, -1, 0, seq)))
             qid += 1
-    recs.sort(key=lambda r: (r[0], r[1]))
+        blobs += _merge_sorted_blobs(bpos, bbuf, rec_w,
+                                     [(p, b) for _t, p, b in recs])
     bam = f"{tmpdir}/{name}.bam"
     fa = f"{tmpdir}/{name}.fa"
-    write_bam(bam, contigs, [r[2] for r in recs])
+    write_bam(bam, contigs, blobs)
     write_fasta(fa, contigs)
     return bam, fa, truth
 
@@ -811,7 +812,8 @@ def make_multi_sv_dataset(tmpdir, n_contigs=4, contig_len=400_000,
                               gc_blocks=max(1, contig_len // 10_000)))
                for c in range(n_contigs)]
     rl, isize = 100, 400
-    recs = []
+    recs = []          # evidence records (tid, pos, blob)
+    bulk = []          # per-contig (pos, buf, rec_w) bulk pair buffers
     truth = []
     qid = 0
 
@@ -835,16 +837,16 @@ def make_multi_sv_dataset(tmpdir, n_contigs=4, contig_len=400_000,
                   ("INV", cname, inv_bp1, inv_bp2),
                   ("INS", cname, ins_bp, ins_bp)]
 
-        # background pairs for library statistics
-        for _ in range(pairs_per_contig):
-            isz = isize + rng.randint(-60, 60)
-            p1 = rng.randint(0, contig_len - isz - 1)
-            p2 = p1 + isz - rl
-            rec(tid, p1, f"p{qid}", 0x63, tid, p1, 60, [("M", rl)],
-                tid, p2, isz, err(ref[p1:p1 + rl]))
-            rec(tid, p2, f"p{qid}", 0x93, tid, p2, 60, [("M", rl)],
-                tid, p1, -isz, err(ref[p2:p2 + rl]))
-            qid += 1
+        # background pairs for library statistics (bulk-vectorized)
+        g = np.random.default_rng(rng.randint(0, 2**31))
+        isz = isize + g.integers(-60, 61, size=pairs_per_contig)
+        bp1s = g.integers(0, contig_len - isz.max() - 1,
+                          size=pairs_per_contig)
+        ref_u8 = np.frombuffer(ref.encode(), dtype=np.uint8)
+        bulk.append(_bulk_pair_records(
+            tid, ref_u8, bp1s, isz, qid, rl=rl, error_rate=error_rate,
+            seed=rng.randint(0, 2**31)))
+        qid += pairs_per_contig
 
         # DEL: discordant spanning pairs + split reads
         del_hap = ref[:del_bp1] + ref[del_bp2:]
@@ -944,9 +946,13 @@ def make_multi_sv_dataset(tmpdir, n_contigs=4, contig_len=400_000,
             qid += 1
 
     recs.sort(key=lambda r: (r[0], r[1]))
+    blobs = []
+    for tid, (bpos, bbuf, rec_w) in enumerate(bulk):
+        ev = [(p, b) for t, p, b in recs if t == tid]
+        blobs += _merge_sorted_blobs(bpos, bbuf, rec_w, ev)
     bam = f"{tmpdir}/{name}.bam"
     fa = f"{tmpdir}/{name}.fa"
-    write_bam(bam, contigs, [r[2] for r in recs])
+    write_bam(bam, contigs, blobs)
     write_fasta(fa, contigs)
     return bam, fa, truth
 
@@ -1064,3 +1070,104 @@ def make_lr_sv_dataset(tmpdir, seed=103, name="lrsv", contig_len=140_000,
     write_bam(bam, contigs, [r[2] for r in recs])
     write_fasta(fa, contigs)
     return bam, fa, truth
+
+
+# ---------------------------------------------------------------------------
+# Vectorized bulk generation (genome-scale benchmark datasets): builds
+# the fixed-size background-pair records as one numpy buffer instead of
+# millions of encode_record calls — 20M-read datasets generate in ~1
+# minute instead of ~15.
+# ---------------------------------------------------------------------------
+
+_HDR_DT = np.dtype([("bs", "<i4"), ("tid", "<i4"), ("pos", "<i4"),
+                    ("lrn", "u1"), ("mapq", "u1"), ("bin", "<u2"),
+                    ("ncig", "<u2"), ("flag", "<u2"), ("lseq", "<i4"),
+                    ("mtid", "<i4"), ("mpos", "<i4"), ("tlen", "<i4")])
+
+
+def _bulk_pair_records(tid, ref_u8, p1, isz, qid0, rl=100,
+                       error_rate=0.0, seed=0):
+    """Fixed-shape normal read pairs ((M, rl) CIGAR, flags 0x63/0x93)
+    as one structured-array buffer. Returns (pos, buf, rec_w) with
+    `pos` the per-record positions in buffer order (unsorted)."""
+    n = len(p1)
+    g = np.random.default_rng(seed)
+    p2 = p1 + isz - rl
+    name_w = 12              # b"p%010d\0"
+    rec_dt = np.dtype([("hdr", _HDR_DT), ("name", f"S{name_w}"),
+                       ("cig", "<u4"), ("seq", "u1", (rl // 2,)),
+                       ("qual", "u1", (rl,))])
+    assert rec_dt.itemsize == 4 + 32 + name_w + 4 + rl // 2 + rl
+    out = np.zeros(2 * n, dtype=rec_dt)
+    hdr = out["hdr"]
+    hdr["bs"] = rec_dt.itemsize - 4
+    hdr["tid"] = tid
+    hdr["mtid"] = tid
+    hdr["lrn"] = name_w
+    hdr["mapq"] = 60
+    hdr["ncig"] = 1
+    hdr["lseq"] = rl
+    hdr["pos"][0::2] = p1
+    hdr["pos"][1::2] = p2
+    hdr["mpos"][0::2] = p2
+    hdr["mpos"][1::2] = p1
+    hdr["flag"][0::2] = 0x63
+    hdr["flag"][1::2] = 0x93
+    hdr["tlen"][0::2] = isz
+    hdr["tlen"][1::2] = -isz
+    # names: p + zero-padded qid, identical for both mates
+    qids = qid0 + np.arange(n, dtype=np.int64)
+    digits = np.empty((n, 10), dtype=np.uint8)
+    v = qids.copy()
+    for k in range(9, -1, -1):
+        digits[:, k] = (v % 10) + ord("0")
+        v //= 10
+    names = np.zeros((n, name_w), dtype=np.uint8)
+    names[:, 0] = ord("p")
+    names[:, 1:11] = digits
+    nview = names.view(f"S{name_w}").reshape(n)
+    out["name"][0::2] = nview
+    out["name"][1::2] = nview
+    out["cig"] = (rl << 4) | 0       # M
+    # sequences gathered from the reference
+    win = np.arange(rl, dtype=np.int64)
+    s1 = ref_u8[p1[:, None] + win]
+    s2 = ref_u8[p2[:, None] + win]
+    if error_rate > 0:
+        letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+        for s in (s1, s2):
+            hit = g.random(s.shape) < error_rate
+            codes = np.searchsorted(letters, s[hit]) % 4
+            s[hit] = letters[(codes + g.integers(1, 4, hit.sum())) % 4]
+    for row, s in ((0, s1), (1, s2)):
+        codes = _NT16_LUT[s]
+        out["seq"][row::2] = (codes[:, 0::2] << 4) | codes[:, 1::2]
+    out["qual"] = 30
+    pos = np.empty(2 * n, dtype=np.int64)
+    pos[0::2] = p1
+    pos[1::2] = p2
+    return pos, out, rec_dt.itemsize
+
+
+def _merge_sorted_blobs(pos, buf, rec_w, evidence):
+    """Merge a bulk record buffer with a small list of (pos, blob)
+    evidence records into position order. Returns a list of byte
+    blobs whose concatenation is the sorted record stream."""
+    order = np.argsort(pos, kind="stable")
+    raw = np.ascontiguousarray(buf[order]).tobytes()
+    spos = pos[order]
+    if not evidence:
+        return [raw]
+    evidence = sorted(evidence, key=lambda e: e[0])
+    epos = np.asarray([e[0] for e in evidence], dtype=np.int64)
+    cut = np.searchsorted(spos, epos, side="right") * rec_w
+    blobs = []
+    prev = 0
+    for k, (_p, blob) in enumerate(evidence):
+        if cut[k] > prev:
+            blobs.append(raw[prev:cut[k]])
+            prev = cut[k]
+        blobs.append(blob)
+    if prev < len(raw):
+        blobs.append(raw[prev:])
+    return blobs
