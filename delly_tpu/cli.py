@@ -311,6 +311,18 @@ def _add_filter(sub):
 
 
 def main(argv=None) -> int:
+    # Optional run profile (role of the reference's -DPROFILE
+    # gperftools hook): DELLY_TPU_PROFILE=<path> writes a JSON stage
+    # profile; DELLY_TPU_PROFILE_TRACE=<dir> adds a JAX device trace.
+    prof = os.environ.get("DELLY_TPU_PROFILE")
+    if prof:
+        from delly_tpu.utils.profiling import profile_run
+        with profile_run(prof):
+            return _dispatch(argv)
+    return _dispatch(argv)
+
+
+def _dispatch(argv=None) -> int:
     _pin_platform()
     argv = sys.argv[1:] if argv is None else argv
     from delly_tpu.version import VERSION

@@ -154,3 +154,24 @@ def test_fuzzed_record_bytes_never_crash(tmp_path):
                  "-o", str(tmp_path / "o.vcf"), pc)
         assert r.returncode in (0, 1)
         assert "Traceback" not in r.stderr, r.stderr[-600:]
+
+
+def test_profile_env_writes_stage_json(tmp_path):
+    """DELLY_TPU_PROFILE=<path> (role of the reference's -DPROFILE
+    hook) must emit a JSON stage profile for a normal run."""
+    import json
+    import os
+    import subprocess
+    import sys
+    prof = str(tmp_path / "prof.json")
+    env = dict(os.environ, DELLY_TPU_PROFILE=prof, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "sr",
+         "-g", f"{EX}/ref.fa", "-o", str(tmp_path / "o.vcf"),
+         f"{EX}/sr.bam"],
+        capture_output=True, text=True, env=env, timeout=590)
+    assert r.returncode == 0, r.stderr[-800:]
+    data = json.load(open(prof))
+    assert data["wall_s"] > 0
+    assert any("assembly" in k.lower() or "scanning" in k.lower()
+               for k in data["stages"]), data
