@@ -129,3 +129,91 @@ def test_asm_diploid_genome_scale(tmp_path):
     # GT stays unphased 1/1; het sets ps=1 -> phased 1|0 / 0|1.
     assert abs(dpos - posd) < 50 and dgt == "1/1"
     assert abs(ipos - posi) < 50 and igt in ("1|0", "0|1")
+
+
+def test_asm_split_alignment_sv_families(tmp_path):
+    """Assembly alignments carrying split-contig evidence must type
+    DUP, INV (reverse-strand supplementary) and cross-contig BND like
+    the reference's asm junction pairing (asmode.h:89-236) — not just
+    CIGAR indels."""
+    import os
+    import random
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import encode_record, random_contig, write_bam, write_fasta
+    from delly_tpu.utils.tags import revcomp
+    rng = random.Random(7)
+    L = 200_000
+    ref1 = random_contig(rng, L)
+    ref2 = random_contig(rng, L)
+    h = 30_000
+    recs1 = []
+    recs2 = []
+
+    # DUP at ctgA [40000,52000): contig crossing the copy junction
+    d1, d2 = 40_000, 52_000
+    seq = ref1[d2 - h:d2] + ref1[d1:d1 + h]
+    recs1.append((d2 - h, encode_record(
+        "dup.hap1", 0x0, 0, d2 - h, 60, [("M", h), ("S", h)],
+        -1, -1, 0, seq)))
+    recs1.append((d1, encode_record(
+        "dup.hap1", 0x800, 0, d1, 60, [("S", h), ("M", h)],
+        -1, -1, 0, seq)))
+
+    # INV at ctgA [100000,140000): reverse-strand supplementary
+    v1, v2 = 100_000, 140_000
+    seq = ref1[v1 - h:v1] + revcomp(ref1[v2 - h:v2])
+    recs1.append((v1 - h, encode_record(
+        "inv.hap1", 0x0, 0, v1 - h, 60, [("M", h), ("S", h)],
+        -1, -1, 0, seq)))
+    recs1.append((v2 - h, encode_record(
+        "inv.hap1", 0x810, 0, v2 - h, 60, [("M", h), ("S", h)],
+        -1, -1, 0, revcomp(seq))))
+
+    # BND ctgA:170000 -> ctgB:60000. Translocations survive the merge's
+    # retain gate only with supp >= 2 (merge.h:632-645 _retainAllele,
+    # identical here), so a second assembly sample carries the same
+    # junction.
+    ba, bb = 170_000, 60_000
+    seq = ref1[ba - h:ba] + ref2[bb:bb + h]
+    recs1.append((ba - h, encode_record(
+        "bnd.hap1", 0x0, 0, ba - h, 60, [("M", h), ("S", h)],
+        -1, -1, 0, seq)))
+    recs2.append((bb, encode_record(
+        "bnd.hap1", 0x800, 1, bb, 60, [("S", h), ("M", h)],
+        -1, -1, 0, seq)))
+
+    bam = str(tmp_path / "asm.bam")
+    bam2 = str(tmp_path / "asm2.bam")
+    fa = str(tmp_path / "ref.fa")
+    allrecs = ([(0, p, b) for p, b in recs1]
+               + [(1, p, b) for p, b in recs2])
+    allrecs.sort(key=lambda r: (r[0], r[1]))
+    write_bam(bam, [("ctgA", ref1), ("ctgB", ref2)],
+              [r[2] for r in allrecs], sample="s1")
+    bnd2 = [(0, ba - h, encode_record(
+                "bnd.hap1", 0x0, 0, ba - h, 60, [("M", h), ("S", h)],
+                -1, -1, 0, seq)),
+            (1, bb, encode_record(
+                "bnd.hap1", 0x800, 1, bb, 60, [("S", h), ("M", h)],
+                -1, -1, 0, seq))]
+    write_bam(bam2, [("ctgA", ref1), ("ctgB", ref2)],
+              [r[2] for r in bnd2], sample="s2")
+    write_fasta(fa, [("ctgA", ref1), ("ctgB", ref2)])
+    out = str(tmp_path / "out.vcf")
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "asm", "-g", fa,
+         "-o", out, bam, bam2],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    calls = []
+    for ln in open(out):
+        if ln.startswith("#"):
+            continue
+        c = ln.split("\t")
+        svt = [f for f in c[7].split(";")
+               if f.startswith("SVTYPE=")][0][7:]
+        calls.append((svt, c[0], int(c[1])))
+    got = {s for s, *_ in calls}
+    assert {"DUP", "INV", "BND"}.issubset(got), calls
+    assert any(s == "DUP" and abs(p - d1) < 100 for s, _c, p in calls)
+    assert any(s == "INV" and abs(p - v1) < 100 for s, _c, p in calls)
