@@ -340,11 +340,12 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
     count_map = [[JunctionCount() for _ in svs] for _ in range(nfiles)]
     span_map = [[SpanningCount() for _ in svs] for _ in range(nfiles)]
 
-    print("Generate REF and ALT probes", file=sys.stderr)
+    from delly_tpu.utils.log import stage
+    stage("Generate REF and ALT probes")
     ref_probe_arr, cons_probe_arr, bp_region, sv_on_chr = generate_probes(
         cfg, header, fasta, svs)
 
-    print("SV annotation", file=sys.stderr)
+    stage("SV annotation")
     ref_aligned_read_count = [[0] * len(svs) for _ in range(nfiles)]
     ref_aligned_span_count = [[0] * len(svs) for _ in range(nfiles)]
 
