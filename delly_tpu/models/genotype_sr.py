@@ -244,7 +244,7 @@ def _process_jobs_device(jobs, count_map, ref_aligned_count, cfg,
             else:
                 cm.alt.append(min(255, min(int(score_alt * 35), qual)))
                 if dump_entries is not None:
-                    dump_entries.append((sv_id, dumpinfo))
+                    dump_entries.append((file_c, sv_id, dumpinfo))
 
 
 def _cigar_stats(view, offsets):
@@ -369,6 +369,27 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                        f"{header.names[tid]}\t{pos}\t{mname}\t{mpos}\t"
                        f"{mapq}\t{kind}\n")
 
+    # Junction-alignment jobs accumulate across chromosomes and files
+    # (each job carries its file index) and flush in large batches: the
+    # reference dispatches per batch = 131072*threads (coverage.h:271);
+    # per-chromosome batches are tiny on multi-contig inputs and each
+    # device dispatch pays a round trip.
+    jobs: list = []
+    _JOB_FLUSH = 65536
+
+    def _flush_jobs(force: bool = False) -> None:
+        if not jobs or (not force and len(jobs) < _JOB_FLUSH):
+            return
+        dump_entries = [] if dump_out is not None else None
+        _process_jobs_device(jobs, count_map, ref_aligned_read_count,
+                             cfg, dump_entries)
+        if dump_entries:
+            for f_c, sv_id, (qname, tid, pos, mtid, mpos, mapq) \
+                    in dump_entries:
+                _dump_row(f_c, sv_id, qname, tid, pos, mtid, mpos,
+                          mapq, "SR")
+        jobs.clear()
+
     for file_c, bam in enumerate(bams):
         cliptra = {}
         for ref_index in range(header.n_targets):
@@ -414,7 +435,6 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
             span_pos_arr = np.asarray(span_bppos, dtype=np.int64)
             bp_pos_sorted = [b.bppos for b in bp_region[ref_index]]
 
-            jobs = []
             import bisect as _bisect
 
             # SoA-driven record walk (coverage.h:456-681): core fields,
@@ -725,14 +745,7 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                                               "PE")
                                 span_map[file_c][sp.id].alt.append(
                                     pair_quality)
-            dump_entries = [] if dump_out is not None else None
-            _process_jobs_device(jobs, count_map, ref_aligned_read_count,
-                                 cfg, dump_entries)
-            if dump_entries:
-                for sv_id, (qname, tid, pos, mtid, mpos, mapq) \
-                        in dump_entries:
-                    _dump_row(file_c, sv_id, qname, tid, pos, mtid, mpos,
-                              mapq, "SR")
+            _flush_jobs()
 
             # Assign fragment/base counts to SVs (coverage.h:684-733).
             # Few SVs per chromosome: direct slice sums beat a dense
@@ -782,6 +795,7 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                     rend = min(sv.svStart + half, target_len)
                 cov_count[file_c][sv.id].rightRC = _range_sum(
                     cum, rstart, rend)
+    _flush_jobs(force=True)
     if dump_out is not None:
         dump_out.close()
     return count_map, cov_count, span_map
