@@ -248,14 +248,17 @@ def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
     _log("Split-read assembly")
     sc = DnaScore(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_ext)
     tra_store = [dict() for _ in svs]  # seq -> qual (insertion ordered)
+    # Phase 1 — read-window collection for every chromosome (an SV's
+    # reads live on its own chromosome, so one global store is safe).
+    seq_store = [dict() for _ in svs]
+    visited = set()
     for ref_index in range(header.n_targets):
         if not valid_regions[ref_index]:
             continue
         if not sr_store[ref_index]:
             continue
-        seq = fasta.fetch(header.names[ref_index])
+        visited.add(ref_index)
         hits = set(pos for pos, _h in sr_store[ref_index])
-        seq_store = [dict() for _ in svs]
         for bam in bams:
             # SoA prefilter (shortpe.h:88-101): only reads whose start
             # position matches an SR-store entry are parsed.
@@ -291,41 +294,43 @@ def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
                         if sequence not in seq_store[svid]:
                             seq_store[svid][sequence] = rec.mapq
 
-        # cross-SV batched LCS: one device call covers every SV's MSA
-        # similarity matrix for this chromosome
-        from delly_tpu.ops.msa import distance_matrix_from_lcs, lcs_pairs
-        sv_seqs = {}
-        pair_slices = {}
-        all_pairs = []
-        for svid in range(len(svs)):
-            if is_translocation(svs[svid].svt) \
-                    or svs[svid].chr != ref_index \
-                    or len(seq_store[svid]) <= 1:
-                continue
-            seqs = list(seq_store[svid].keys())
-            sv_seqs[svid] = seqs
-            start = len(all_pairs)
-            all_pairs.extend((seqs[i], seqs[j])
-                             for i in range(len(seqs))
-                             for j in range(i + 1, len(seqs)))
-            pair_slices[svid] = (start, len(all_pairs))
-        ls_all = lcs_pairs(all_pairs)
+    # Phase 2 — one GLOBAL cross-SV batched LCS + lockstep MSA over
+    # every chromosome's SVs: a single device dispatch per guide-tree
+    # depth instead of one per chromosome (dispatch round trips
+    # dominate on remote/tunneled devices).
+    from delly_tpu.ops.msa import (
+        distance_matrix_from_lcs, lcs_pairs, msa_batch,
+    )
+    sv_seqs = {}
+    pair_slices = {}
+    all_pairs = []
+    for svid in range(len(svs)):
+        if is_translocation(svs[svid].svt) or len(seq_store[svid]) <= 1:
+            continue
+        seqs = list(seq_store[svid].keys())
+        sv_seqs[svid] = seqs
+        start = len(all_pairs)
+        all_pairs.extend((seqs[i], seqs[j])
+                         for i in range(len(seqs))
+                         for j in range(i + 1, len(seqs)))
+        pair_slices[svid] = (start, len(all_pairs))
+    ls_all = lcs_pairs(all_pairs)
+    batch_ids = [svid for svid in sv_seqs]
+    batch_items = []
+    for svid in batch_ids:
+        lo, hi = pair_slices[svid]
+        batch_items.append((sv_seqs[svid],
+                            distance_matrix_from_lcs(
+                                sv_seqs[svid], ls_all[lo:hi])))
+    consensi = dict(zip(batch_ids,
+                        msa_batch(batch_items, cfg.min_clique_size, sc)))
 
-        # lockstep MSA: all of this chromosome's SVs progress through
-        # their guide trees together; merges at the same depth run as
-        # one batched device Gotoh call (ops.msa.msa_batch)
-        from delly_tpu.ops.msa import msa_batch
-        batch_ids = [svid for svid in sv_seqs]
-        batch_items = []
-        for svid in batch_ids:
-            lo, hi = pair_slices[svid]
-            batch_items.append((sv_seqs[svid],
-                                distance_matrix_from_lcs(
-                                    sv_seqs[svid], ls_all[lo:hi])))
-        consensi = dict(zip(batch_ids,
-                            msa_batch(batch_items, cfg.min_clique_size,
-                                      sc)))
-
+    # Phase 3 — per-chromosome breakpoint refinement against the
+    # reference slice (host/native DP; shortpe.h:174-205).
+    for ref_index in range(header.n_targets):
+        if ref_index not in visited:
+            continue
+        seq = None
         for svid in range(len(svs)):
             if is_translocation(svs[svid].svt):
                 continue
@@ -336,6 +341,8 @@ def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
                 svs[svid].srSupport = 0
                 svs[svid].srAlignQuality = 0
                 continue
+            if seq is None:
+                seq = fasta.fetch(header.names[ref_index])
             _, svs[svid].consensus = consensi[svid]
             if not align_consensus(cfg, header.lengths, seq, None, svs[svid]):
                 svs[svid].consensus = ""
