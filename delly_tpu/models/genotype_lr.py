@@ -103,6 +103,8 @@ class _Job:
     rec_idx: int
     pairs: list  # [(ref_probe, alt_probe, probe, probe_for_alt), ...]
     candidates: list  # breakpoint positions the read overlaps
+    ref_index: int = -1   # chromosome of the read (methylation window)
+    chrom_len: int = 0
 
 
 def _probe_rc_needed(svt: int, pos: int, sv) -> bool:
@@ -169,6 +171,100 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
     stage("SV annotation")
     w = math.log10(cfg.flank_quality / (1.0 - cfg.flank_quality))
 
+    # Probe-alignment jobs accumulate across chromosomes (each job
+    # carries its chromosome/file) and flush as large device batches:
+    # per-chromosome dispatches pay one round trip each on remote
+    # devices. The tally runs in global job order, so the per-SV
+    # read-cap semantics are unchanged.
+    jobs: list = []
+    job_recs: list = []
+    npairs = 0
+
+    def _flush_lr_jobs(force: bool = False) -> None:
+        nonlocal npairs
+        if not jobs or (not force and npairs < 16384
+                        and len(job_recs) < 4096):
+            return
+        results = _score_jobs(jobs, cfg.flank_quality)
+        meth_cache = {}
+        for ji, job in enumerate(jobs):
+            sv = svs[job.svid]
+            rec, sequence = job_recs[job.rec_idx]
+            jct = jct_map[job.file_c][job.svid]
+            if (len(jct.ref) + len(jct.alt)) >= cfg.max_geno_read_count:
+                continue
+            refedsum = 0
+            altedsum = 0
+            n_inform = 0
+            for pi, (ref_p, alt_p, _probe, _probe_rc) in enumerate(
+                    job.pairs):
+                ref_score, _rl = results[(ji, pi, 0)]
+                alt_score, _al = results[(ji, pi, 1)]
+                score_a = ((1.0 - cfg.flank_quality) * len(alt_p)
+                           / (alt_score + 1))
+                score_r = ((1.0 - cfg.flank_quality) * len(ref_p)
+                           / (ref_score + 1))
+                if score_r > 0.6 or score_a > 0.6:
+                    refedsum += ref_score
+                    altedsum += alt_score
+                    n_inform += 1
+            if n_inform == 0:
+                continue
+            delta = refedsum - altedsum
+            ex = min(abs(delta) * w, 4.0)
+            mq = int(10.0 * math.log10(1.0 + math.pow(10.0, ex)))
+            qual = min(mq, cfg.geno_cap)
+
+            hp = 0
+            ps = -1
+            hp_tag = rec.aux("HP")
+            if hp_tag is not None:
+                hp = int(hp_tag)
+            ps_tag = rec.aux("PS")
+            if ps_tag is not None:
+                ps = int(ps_tag)
+
+            key = id(rec)
+            if key not in meth_cache:
+                meth_cache[key] = build_methyl_calls(rec, cfg.methyl_prob)
+            has_methyl, calls = meth_cache[key]
+            cands = job.candidates
+
+            if delta <= 0:
+                if has_methyl:
+                    accumulate_methyl(
+                        cfg, rec, calls, sv, job.ref_index,
+                        job.chrom_len, False, cands,
+                        methyl_accum[job.file_c][job.svid],
+                        sequence or "")
+                jct.ref.append(qual)
+                if hp == 1:
+                    jct.hp1ref.append(qual)
+                elif hp == 2:
+                    jct.hp2ref.append(qual)
+            else:
+                if has_methyl:
+                    accumulate_methyl(
+                        cfg, rec, calls, sv, job.ref_index,
+                        job.chrom_len, True, cands,
+                        methyl_accum[job.file_c][job.svid],
+                        sequence or "")
+                if cfg.dumpfile:
+                    dump_rows.append((job.svid, sv.svt,
+                                      cfg.files[job.file_c], rec.qname,
+                                      header.names[rec.tid], rec.pos,
+                                      rec.mapq))
+                jct.alt.append(qual)
+                if hp == 1:
+                    jct.hp1alt.append(qual)
+                elif hp == 2:
+                    jct.hp2alt.append(qual)
+                if hp > 0 and ps >= 0 and jct.ps < 0:
+                    jct.ps = ps
+        jobs.clear()
+        job_recs.clear()
+        npairs = 0
+
     for ref_index in range(header.n_targets):
         bp_map = []  # (pos, svid)
         for sv in svs:
@@ -194,8 +290,6 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
                 annotate_sv(cfg, header.lengths, seq, sv)
 
         for file_c in range(n_files):
-            jobs = []
-            job_recs = []  # BamRecord per job (for methyl/HP pass)
             # SoA-driven pass (genotype.h:196-214): coverage from the
             # native diff-array walk; records parsed only when the
             # clipped read window overlaps an SV breakpoint.
@@ -285,87 +379,14 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
                         pairs.append((ref_p, alt_p, probe, probe_alt))
                     if pairs:
                         jobs.append(_Job(file_c, svid, len(job_recs),
-                                         pairs, candidates))
+                                         pairs, candidates, ref_index,
+                                         chrom_len))
                         job_recs.append((rec, sequence))
+                        npairs += len(pairs)
 
-            # Device-batched NW scoring, then sequential tally
-            results = _score_jobs(jobs, cfg.flank_quality)
-            meth_cache = {}
-            for ji, job in enumerate(jobs):
-                sv = svs[job.svid]
-                rec, sequence = job_recs[job.rec_idx]
-                jct = jct_map[file_c][job.svid]
-                if (len(jct.ref) + len(jct.alt)) >= cfg.max_geno_read_count:
-                    continue
-                refedsum = 0
-                altedsum = 0
-                n_inform = 0
-                for pi, (ref_p, alt_p, _probe, _probe_rc) in enumerate(
-                        job.pairs):
-                    ref_score, ref_len = results[(ji, pi, 0)]
-                    alt_score, alt_len = results[(ji, pi, 1)]
-                    score_a = ((1.0 - cfg.flank_quality) * len(alt_p)
-                               / (alt_score + 1))
-                    score_r = ((1.0 - cfg.flank_quality) * len(ref_p)
-                               / (ref_score + 1))
-                    if score_r > 0.6 or score_a > 0.6:
-                        refedsum += ref_score
-                        altedsum += alt_score
-                        n_inform += 1
-                if n_inform == 0:
-                    continue
-                delta = refedsum - altedsum
-                ex = min(abs(delta) * w, 4.0)
-                mq = int(10.0 * math.log10(1.0 + math.pow(10.0, ex)))
-                qual = min(mq, cfg.geno_cap)
-
-                hp = 0
-                ps = -1
-                hp_tag = rec.aux("HP")
-                if hp_tag is not None:
-                    hp = int(hp_tag)
-                ps_tag = rec.aux("PS")
-                if ps_tag is not None:
-                    ps = int(ps_tag)
-
-                key = id(rec)
-                if key not in meth_cache:
-                    meth_cache[key] = build_methyl_calls(
-                        rec, cfg.methyl_prob)
-                has_methyl, calls = meth_cache[key]
-                cands = job.candidates
-
-                if delta <= 0:
-                    if has_methyl:
-                        accumulate_methyl(
-                            cfg, rec, calls, sv, ref_index, chrom_len,
-                            False, cands,
-                            methyl_accum[file_c][job.svid],
-                            sequence or "")
-                    jct.ref.append(qual)
-                    if hp == 1:
-                        jct.hp1ref.append(qual)
-                    elif hp == 2:
-                        jct.hp2ref.append(qual)
-                else:
-                    if has_methyl:
-                        accumulate_methyl(
-                            cfg, rec, calls, sv, ref_index, chrom_len,
-                            True, cands,
-                            methyl_accum[file_c][job.svid],
-                            sequence or "")
-                    if cfg.dumpfile:
-                        dump_rows.append((job.svid, sv.svt,
-                                          cfg.files[file_c], rec.qname,
-                                          header.names[rec.tid], rec.pos,
-                                          rec.mapq))
-                    jct.alt.append(qual)
-                    if hp == 1:
-                        jct.hp1alt.append(qual)
-                    elif hp == 2:
-                        jct.hp2alt.append(qual)
-                    if hp > 0 and ps >= 0 and jct.ps < 0:
-                        jct.ps = ps
+            # Device-batched NW scoring + sequential tally, deferred
+            # until the accumulated batch is large enough
+            _flush_lr_jobs()
 
             # Coverage annotation (genotype.h:344-378)
             for sv in svs:
@@ -387,6 +408,8 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
                     rstart = sv.svStart
                     rend = min(sv.svStart + half, chrom_len)
                 rc.rightRC = int(cov_bases[rstart:rend].sum())
+
+    _flush_lr_jobs(force=True)
 
     # Finalize methylation summaries
     for file_c in range(n_files):
