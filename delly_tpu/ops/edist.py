@@ -316,6 +316,19 @@ def _device_fns():
 
 _batched = None
 _use_pallas = None
+_dev_min_pairs = None
+
+
+def _device_min_pairs() -> int:
+    """Batch size below which a device dispatch loses to the host core
+    (DELLY_TPU_DEVICE_MIN_PAIRS; default tuned for a tunneled chip —
+    co-located deployments can lower it)."""
+    global _dev_min_pairs
+    if _dev_min_pairs is None:
+        import os
+        _dev_min_pairs = int(os.environ.get(
+            "DELLY_TPU_DEVICE_MIN_PAIRS", "512"))
+    return _dev_min_pairs
 
 
 def _pallas_available() -> bool:
@@ -341,6 +354,21 @@ def batched_edit_distance(queries, qlens, targets, tlens, mode=MODE_NW):
     if mesh is not None and mesh.devices.size > 1:
         return dispatch.sharded_batched_edit_distance(
             mesh, queries, qlens, targets, tlens, mode)
+    # Tiny batches (per-SV strand checks, small MSA matrices) cost more
+    # in dispatch round trips than the native host Myers core spends
+    # computing them — route them to the host BEFORE querying the
+    # backend (merely asking jax.default_backend() initializes the
+    # device client, minutes on a contended tunnel). Results are
+    # identical (the host core is the CPU-backend production path).
+    if np.shape(queries)[0] < _device_min_pairs():
+        try:
+            from delly_tpu import native
+            out = native.edist_many(np.asarray(queries), qlens,
+                                    np.asarray(targets), tlens, mode)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     if _pallas_available():
         from delly_tpu.ops.myers_pallas import batched_edit_distance_pallas
         return batched_edit_distance_pallas(

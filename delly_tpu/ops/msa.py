@@ -74,13 +74,19 @@ def lcs_pairs(pairs: list) -> np.ndarray:
     global _lcs_use_device
     if not pairs:
         return np.zeros(0, dtype=np.int64)
+    # size check FIRST: querying the backend initializes the device
+    # client, which small runs should never pay for (ops/edist.py has
+    # the same ordering)
+    from delly_tpu.ops.edist import _device_min_pairs
+    if len(pairs) < max(8, _device_min_pairs()):
+        return np.asarray([lcs(a, b) for a, b in pairs], dtype=np.int64)
     if _lcs_use_device is None:
         try:
             import jax
             _lcs_use_device = jax.default_backend() == "tpu"
         except Exception:
             _lcs_use_device = False
-    if not _lcs_use_device or len(pairs) < 8:
+    if not _lcs_use_device:
         return np.asarray([lcs(a, b) for a, b in pairs], dtype=np.int64)
 
     def bucket(x):
@@ -366,10 +372,17 @@ def _gotoh_dispatch_batch(pairs: list, ac, sc):
     """Batched merge dispatch: one lockstep Pallas call when the round
     is big enough to amortize a device dispatch, else the per-pair
     host/XLA path. Results are bit-identical either way."""
-    mode = _pallas_batch_mode()
-    if mode is not None and len(pairs) > 1:
-        cells = sum(a1.shape[1] * a2.shape[1] for a1, a2 in pairs)
-        if cells >= _BATCH_MIN_CELLS or mode == "interpret":
+    # size check before _pallas_batch_mode(): the backend query
+    # initializes the device client (see ops/edist.py)
+    import os
+    cells = sum(a1.shape[1] * a2.shape[1] for a1, a2 in pairs)
+    big = (len(pairs) > 1
+           and (cells >= _BATCH_MIN_CELLS
+                or os.environ.get("DELLY_TPU_GOTOH_PALLAS",
+                                  "auto") == "always"))
+    if big:
+        mode = _pallas_batch_mode()
+        if mode is not None:
             from delly_tpu.ops.gotoh_pallas import gotoh_batch
             return gotoh_batch(pairs, ac=ac, sc=sc,
                                interpret=(mode == "interpret"))
