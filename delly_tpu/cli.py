@@ -316,6 +316,10 @@ def main(argv=None) -> int:
     # profile; DELLY_TPU_PROFILE_TRACE=<dir> adds a JAX device trace.
     prof = os.environ.get("DELLY_TPU_PROFILE")
     if prof:
+        # pin the platform BEFORE the profiler may initialize a
+        # backend (jax.profiler.start_trace force-inits backends; the
+        # axon TPU plugin registers regardless of the env filter)
+        _pin_platform()
         from delly_tpu.utils.profiling import profile_run
         with profile_run(prof):
             return _dispatch(argv)

@@ -270,8 +270,21 @@ def build_bai(bgzf_bytes: bytes) -> bytes:
     n_no_coor = 0
 
     if nrec >= _VEC_THRESHOLD:
-        return _assemble_bai_vec(n_ref, offsets, tids, poss, flags,
-                                 spans, voffs)
+        # the vectorized assembly assumes coordinate order over the
+        # PLACED records (tid-grouped, pos non-decreasing within tid —
+        # what samtools sort emits and indexing requires); anything
+        # else takes the order-robust scalar path
+        t64 = np.asarray(tids, dtype=np.int64)
+        p64 = np.asarray(poss, dtype=np.int64)
+        pl = t64 >= 0
+        tp, pp = t64[pl], p64[pl]
+        same = tp[1:] == tp[:-1]
+        sorted_ok = (len(tp) < 2
+                     or (bool(np.all(tp[1:] >= tp[:-1]))
+                         and bool(np.all(pp[1:][same] >= pp[:-1][same]))))
+        if sorted_ok:
+            return _assemble_bai_vec(n_ref, offsets, tids, poss, flags,
+                                     spans, voffs)
 
     refs_bins = [dict() for _ in range(n_ref)]
     refs_lidx = [dict() for _ in range(n_ref)]

@@ -375,6 +375,10 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
     # per-chromosome batches are tiny on multi-contig inputs and each
     # device dispatch pays a round trip.
     jobs: list = []
+    # enqueued-but-unflushed job counts per (file, sv): a single SV
+    # accumulating far past the read cap triggers an early flush so
+    # the creation gate sees fresh tallies
+    pending_jobs = [dict() for _ in bams]
     _JOB_FLUSH = 65536
 
     def _flush_jobs(force: bool = False) -> None:
@@ -389,6 +393,8 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                 _dump_row(f_c, sv_id, qname, tid, pos, mtid, mpos,
                           mapq, "SR")
         jobs.clear()
+        for pj in pending_jobs:
+            pj.clear()
 
     for file_c, bam in enumerate(bams):
         cliptra = {}
@@ -523,6 +529,15 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                             sequence, file_c, itbp.id, j_mapq[k],
                             (rec.qname, ref_index, rpos, j_mtid[k],
                              j_mpos[k], j_mapq[k])))
+                        pj = pending_jobs[file_c]
+                        pj[itbp.id] = pj.get(itbp.id, 0) + 1
+                        # ultra-deep pileup on one SV: flush early so
+                        # the (tally-updated) read-cap gate re-engages
+                        # — the tally drops past-cap jobs anyway, so a
+                        # flush here cannot change outputs, it only
+                        # stops enqueuing work the tally would discard
+                        if pj[itbp.id] >= 2 * cfg.max_geno_read_count:
+                            _flush_jobs(force=True)
 
             # --- Read-count and spanning annotation -------------------
             # The reference's mate-map pairing (coverage.h:550-600) is a

@@ -346,13 +346,14 @@ _pallas_pref = None
 
 def _pallas_batch_mode():
     """'tpu' = compiled kernel, 'interpret' = interpreter (tests),
-    None = host. Env DELLY_TPU_GOTOH_PALLAS: auto|always|never."""
+    None = host. Env DELLY_TPU_GOTOH_PALLAS: auto|always|never.
+    Queries the backend — callers must size-gate first (ops/edist.py)."""
     global _pallas_pref
     if _pallas_pref is None:
         import os
         pref = os.environ.get("DELLY_TPU_GOTOH_PALLAS", "auto")
         if pref == "never":
-            _pallas_pref = (None,)
+            _pallas_pref = (None, False)
         else:
             try:
                 import jax
@@ -360,12 +361,22 @@ def _pallas_batch_mode():
             except Exception:
                 on_tpu = False
             if on_tpu:
-                _pallas_pref = ("tpu",)
+                _pallas_pref = ("tpu", pref == "always")
             elif pref == "always":
-                _pallas_pref = ("interpret",)
+                _pallas_pref = ("interpret", True)
             else:
-                _pallas_pref = (None,)
+                _pallas_pref = (None, False)
     return _pallas_pref[0]
+
+
+def _pallas_forced() -> bool:
+    """True when DELLY_TPU_GOTOH_PALLAS=always (tests): size gates are
+    bypassed so the kernel paths get exercised. Cached with the mode —
+    but read WITHOUT initializing a backend."""
+    if _pallas_pref is not None:
+        return _pallas_pref[1]
+    import os
+    return os.environ.get("DELLY_TPU_GOTOH_PALLAS", "auto") == "always"
 
 
 def _gotoh_dispatch_batch(pairs: list, ac, sc):
@@ -374,12 +385,9 @@ def _gotoh_dispatch_batch(pairs: list, ac, sc):
     host/XLA path. Results are bit-identical either way."""
     # size check before _pallas_batch_mode(): the backend query
     # initializes the device client (see ops/edist.py)
-    import os
     cells = sum(a1.shape[1] * a2.shape[1] for a1, a2 in pairs)
     big = (len(pairs) > 1
-           and (cells >= _BATCH_MIN_CELLS
-                or os.environ.get("DELLY_TPU_GOTOH_PALLAS",
-                                  "auto") == "always"))
+           and (cells >= _BATCH_MIN_CELLS or _pallas_forced()))
     if big:
         mode = _pallas_batch_mode()
         if mode is not None:
