@@ -25,6 +25,12 @@ from delly_tpu.ops.popgen import (
 )
 from delly_tpu.utils.log import stage
 
+
+def _iround(x: float) -> float:
+    """boost::math::round — halfway cases away from zero (Python's
+    built-in round() is half-to-even, which flips e.g. CN 2.5)."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
 MAX_CN = 10
 
 
@@ -225,7 +231,7 @@ def _population_annotations(cfg, rec, gl_vector):
     pval = est_biallelic_hwe_lrt(gl_vector, hwe_af, mle)
     info = rec["info"]
     info["AFmle"] = f"{hwe_af[1]:g}"
-    info["ACmle"] = int(round(hwe_af[1] * 2.0 * len(gl_vector)))
+    info["ACmle"] = int(_iround(hwe_af[1] * 2.0 * len(gl_vector)))
     info["GFmle"] = ",".join(f"{x:g}" for x in mle)
     info["FIC"] = f"{fic:g}"
     info["RSQ"] = f"{rsq:g}"
@@ -243,7 +249,10 @@ def filter_germline_cnv(cfg, rec):
     cnvac = 0
     cnvncalled = 0
     rdcn = [_fmt_float(sm, "RDCN") for sm in samples]
-    ok = all(v is not None for v in rdcn) and nsmpl > 0
+    # ok = the RDCN FORMAT exists for the record (filter.h:252); a
+    # single sample's missing value ('.') only invalidates that sample
+    # (validSmpl[i]=false, filter.h:276) — it must not drop the site
+    ok = nsmpl > 0 and any("RDCN" in sm for sm in samples)
 
     refined = False
     keep = False
@@ -257,7 +266,7 @@ def filter_germline_cnv(cfg, rec):
                  for v in rdcn]
         confident = [valid[i] and samples[i].get("FT") == "PASS"
                      for i in range(nsmpl)]
-        shift_vals = [round(rdcn[i]) - rdcn[i]
+        shift_vals = [_iround(rdcn[i]) - rdcn[i]
                       for i in range(nsmpl) if confident[i]]
         nconf = len(shift_vals)
         cnshift = sum(shift_vals) / nconf if nconf else 0.0
@@ -269,7 +278,7 @@ def filter_germline_cnv(cfg, rec):
             rdcn[i] += cnshift
             if not confident[i]:
                 continue
-            r = int(round(rdcn[i]))
+            r = int(_iround(rdcn[i]))
             if 0 <= r < MAX_CN:
                 cncount[r] += 1
             if r in (0, 1):
@@ -300,7 +309,7 @@ def filter_germline_cnv(cfg, rec):
                 s_ra, s_aa = 3, 4
 
             main_vals = [rdcn[i] for i in range(nsmpl)
-                         if confident[i] and int(round(rdcn[i])) == cnmain]
+                         if confident[i] and int(_iround(rdcn[i])) == cnmain]
             if main_vals:
                 s_mean = sum(main_vals) / len(main_vals)
                 sd = math.sqrt(sum((v - s_mean) ** 2 for v in main_vals)
@@ -320,7 +329,7 @@ def filter_germline_cnv(cfg, rec):
                     sm["GQ"] = 0
                     continue
                 gl, gq, _vq, _best = compute_cnls(rdcn[i], sd, cfg.ploidy)
-                sm["CN"] = int(round(rdcn[i]))
+                sm["CN"] = int(_iround(rdcn[i]))
                 sm["CNL"] = ",".join(f"{g:g}" for g in gl)
                 sm["GQ"] = gq
                 sm["RDCN"] = f"{rdcn[i]:g}"
@@ -337,7 +346,7 @@ def filter_germline_cnv(cfg, rec):
                     best_gt, gl_best = 1, gl_ra
                 if gl_aa > gl_best:
                     best_gt, gl_best = 2, gl_aa
-                pls = [max(0, int(round(-10.0 * (g - gl_best))))
+                pls = [max(0, int(_iround(-10.0 * (g - gl_best))))
                        for g in (gl_rr, gl_ra, gl_aa)]
                 sm["PL"] = ",".join(str(p) for p in pls)
                 sm["GT"] = ("0/0", "0/1", "1/1")[best_gt]
@@ -388,10 +397,15 @@ def filter_somatic_cnv(cfg, rec) -> bool:
         sd = _fmt_float(sm, "RDSD")
         if cn is None or not math.isfinite(cn) or cn == -1:
             return True
+        # the reference requires the RDSD FORMAT (filter.h:174) —
+        # substituting a tiny SD would make the Gaussian overlap test
+        # maximally confident on data it cannot assess
+        if sd is None:
+            return True
         if name in cfg.control_set:
-            control.append((cn, sd or 0.025))
+            control.append((cn, sd))
         elif name in cfg.tumor_set:
-            tumor.append((cn, sd or 0.025))
+            tumor.append((cn, sd))
     if not tumor or not control:
         return True
 
@@ -465,6 +479,19 @@ def filter_run(cfg: FilterConfig) -> int:
             '##INFO=<ID=CNSHIFT,Number=1,Type=Float,Description="Estimated CN shift.">',
             '##INFO=<ID=CNSD,Number=1,Type=Float,Description="CN standard deviation.">',
         ]
+        # reclassified CNVs emit SUBTYPE/PL/<DEL>/<DUP> (filter.h:536-540)
+        hdr_text = "\n".join(header)
+        if "##INFO=<ID=SUBTYPE" not in hdr_text:
+            extra.append('##INFO=<ID=SUBTYPE,Number=1,Type=String,'
+                         'Description="Structural variant subtype.">')
+        if "##FORMAT=<ID=PL" not in hdr_text:
+            extra.append('##FORMAT=<ID=PL,Number=G,Type=Integer,'
+                         'Description="Phred-scaled genotype likelihoods'
+                         ' for RR,RA,AA genotypes.">')
+        if "##ALT=<ID=DEL" not in hdr_text:
+            extra.append('##ALT=<ID=DEL,Description="Deletion">')
+        if "##ALT=<ID=DUP" not in hdr_text:
+            extra.append('##ALT=<ID=DUP,Description="Duplication">')
         if cfg.soft_filter:
             extra += [
                 '##FILTER=<ID=RedundantSV,Description="Redundant SV site.">',
@@ -646,11 +673,15 @@ def filter_run(cfg: FilterConfig) -> int:
                 rvv = _fmt_int(sm, "RV") or 0
 
                 def rvar():
+                    # zero coverage is 0/0 = NaN in the reference
+                    # (filter.h:837-840): every comparison against it
+                    # is false, so an unassessable control can never
+                    # count toward controlpass
                     if not precise:
                         tot = dr + dv
-                        return dv / tot if tot else 0.0
+                        return dv / tot if tot else float("nan")
                     tot = rrv + rvv
-                    return rvv / tot if tot else 0.0
+                    return rvv / tot if tot else float("nan")
 
                 def rc_norm():
                     if rcl is not None and rcr is not None \

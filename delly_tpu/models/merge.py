@@ -67,6 +67,17 @@ class MergeConfig:
     allele_counter: int = 1
     total_samples: int = 0
 
+    def __post_init__(self):
+        # the reference stores these thresholds as float32
+        # (merge.h:44-78) and compares them promoted to double —
+        # exact-boundary values like vaf == 0.15 must round-trip the
+        # same way here (0.15f > 0.15 as double)
+        import numpy as np
+        for f in ("vaf", "recoverlap", "rep_min_af", "mei_size_ratio",
+                  "mei_seq_id", "tr_frac", "tr_seq_id", "norm_frac",
+                  "junc_seq_id", "cnv_min_uniq", "cnv_gain_uniq"):
+            setattr(self, f, float(np.float32(getattr(self, f))))
+
 
 @dataclass
 class MergeSV:
@@ -446,16 +457,22 @@ def collect_svtype(cfg: MergeConfig, svtin: int, contig_map: dict,
                 carriers = 0
                 alleles = 0
                 max_var = 0
-                for sm in rec.get("samples", []):
+                # GT presence is a RECORD-level property (FORMAT has
+                # GT); with it present, a sample whose alleles are
+                # missing ('.', './.') is SKIPPED — not routed to the
+                # no-genotype VAF branch (merge.h:484-487)
+                smps = rec.get("samples", [])
+                has_gt = any(sm.get("GT", ".") not in (".", "")
+                             for sm in smps)
+                for sm in smps:
                     gt = sm.get("GT", ".")
-                    has_gt = gt not in (".", "")
                     a0 = a1 = 0
                     if has_gt:
                         parts = gt.replace("|", "/").split("/")
-                        if len(parts) == 2 and "." not in parts:
-                            a0, a1 = int(parts[0]), int(parts[1])
-                        elif "." in parts:
+                        if (gt in (".", "") or "." in parts
+                                or len(parts) != 2):
                             continue
+                        a0, a1 = int(parts[0]), int(parts[1])
                     altcn = (1 if a0 > 0 else 0) + (1 if a1 > 0 else 0)
                     support_sum = 0
                     var_reads = 0
@@ -503,9 +520,14 @@ def collect_svtype(cfg: MergeConfig, svtin: int, contig_map: dict,
             ins_s = str(info.get("INSSTRAND", ""))
             if ins_s:
                 ins_strand = 1 if ins_s[0] == "-" else 0
-            homlen = _info_int(info, "HOMLEN")
-            if homlen == 0 and "STDEV_POS" in info:
+            # STDEV_POS substitutes only when HOMLEN is ABSENT — a
+            # declared HOMLEN=0 stays 0 (merge.h:532-534 else-if)
+            if "HOMLEN" in info:
+                homlen = _info_int(info, "HOMLEN")
+            elif "STDEV_POS" in info:
                 homlen = int(_info_float(info, "STDEV_POS") + 0.5)
+            else:
+                homlen = 0
             tr_period = _info_int(info, "TRPERIOD")
             sr_val = _info_int(info, "SR")
             srmapq = _info_int(info, "SRMAPQ")
@@ -1243,6 +1265,7 @@ def output_selected_cnv_intervals(cfg: MergeConfig, iselected: list,
     writer = VcfWriter(outfile, names, [0] * len(names), [],
                        header_lines=CNV_SITE_HEADER, format_keys=[])
     gis = [set() for _ in range(len(contig_map))]
+    _iv_starts: dict = {}
     for fi, rec in _sorted_stream(readers, contig_map):
         info_in = rec["info"]
         if str(info_in.get("SVTYPE")) != "CNV":
@@ -1261,7 +1284,16 @@ def output_selected_cnv_intervals(cfg: MergeConfig, iselected: list,
         q = _rec_qual(rec)
         score = int(q) if q == q else 0
         found = None
-        for iv in iselected[tid]:
+        # lower_bound on the sorted interval starts (merge.h:1342) —
+        # a from-zero scan is O(records x intervals) per chromosome
+        ivs = iselected[tid]
+        starts = _iv_starts.get(tid)
+        if starts is None or len(starts) != len(ivs):
+            starts = [iv.start for iv in ivs]
+            _iv_starts[tid] = starts
+        import bisect as _bisect
+        for k in range(_bisect.bisect_left(starts, sv_start), len(ivs)):
+            iv = ivs[k]
             if iv.start > sv_start:
                 break
             if (iv.start == sv_start and iv.end == sv_end
@@ -1303,8 +1335,12 @@ def regroup_loci(cfg: MergeConfig, site_files: list):
     new_aid = []
     new_nal = []
     readers = [VcfReader(f) for f in site_files]
-    # contig order union over files
+    # contig order from the headers (rid order, like merge_bcfs)
     contig_map = {}
+    for rdr in readers:
+        for name in rdr.contig_names():
+            if name not in contig_map:
+                contig_map[name] = len(contig_map)
     for rdr in readers:
         for rec in rdr.records:
             if rec["chrom"] not in contig_map:
@@ -1395,7 +1431,14 @@ def merge_bcfs(cfg: MergeConfig, site_files: list, outfile: str) -> None:
     stage("Merging SV types")
     new_aid, new_nal = regroup_loci(cfg, site_files)
     readers = [VcfReader(f) for f in site_files]
+    # header contig order (the reference merges by rid,
+    # merge.h:1776-1780) — record-appearance order could interleave
+    # contigs when per-type files cover different chromosome sets
     contig_map = {}
+    for rdr in readers:
+        for name in rdr.contig_names():
+            if name not in contig_map:
+                contig_map[name] = len(contig_map)
     for rdr in readers:
         for rec in rdr.records:
             if rec["chrom"] not in contig_map:
