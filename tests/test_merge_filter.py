@@ -267,3 +267,131 @@ def test_filter_somatic_cnv_gaussian_overlap():
 
     r3 = rec(-1, 2.0)                               # invalid CN fails
     assert filter_somatic_cnv(cfg, r3) is True
+
+
+def test_somatic_zero_coverage_control_fails(tmp_path):
+    """A control with GT=0/0 but zero coverage is 0/0 = NaN rVar in the
+    reference (filter.h:837-840): it can never satisfy the
+    contamination gate, so the record must NOT pass the somatic
+    filter."""
+    hdr = "\n".join([
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=18,length=200001>",
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="E">',
+        '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="T">',
+        '##INFO=<ID=PRECISE,Number=0,Type=Flag,Description="P">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">',
+        '##FORMAT=<ID=RC,Number=1,Type=Integer,Description="G">',
+        '##FORMAT=<ID=RR,Number=1,Type=Integer,Description="G">',
+        '##FORMAT=<ID=RV,Number=1,Type=Integer,Description="G">',
+        '##FORMAT=<ID=DR,Number=1,Type=Integer,Description="G">',
+        '##FORMAT=<ID=DV,Number=1,Type=Integer,Description="G">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ttum\tctl",
+    ])
+    rec = ("18\t100000\tDEL1\tG\t<DEL>\t900\tPASS\t"
+           "PRECISE;SVTYPE=DEL;END=108002\tGT:RC:RR:RV:DR:DV\t"
+           "0/1:500:10:10:10:10\t0/0:1000:0:0:0:0")
+    f1 = tmp_path / "pair.vcf"
+    f1.write_text(hdr + "\n" + rec + "\n")
+    sfile = tmp_path / "samples.tsv"
+    sfile.write_text("tum\ttumor\nctl\tcontrol\n")
+    out = tmp_path / "somatic.vcf"
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "filter", "-f", "somatic",
+         "-s", str(sfile), "-o", str(out), str(f1)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert [l for l in open(out) if not l.startswith("#")] == []
+
+
+def test_iround_half_away_from_zero():
+    """boost::math::round semantics at CN halfway points (a 2.5-shifted
+    RDCN classifies as CN3, not banker's CN2)."""
+    from delly_tpu.models.filter import _iround
+    assert _iround(2.5) == 3
+    assert _iround(3.5) == 4
+    assert _iround(-2.5) == -3
+    assert _iround(0.5) == 1
+    assert _iround(2.4999) == 2
+
+
+def test_homlen_zero_not_overridden_by_stdev_pos():
+    """HOMLEN present-with-zero keeps 0; STDEV_POS substitutes only
+    when HOMLEN is absent (merge.h:532-534 else-if)."""
+    from delly_tpu.models.merge import MergeConfig, collect_svtype
+
+    def reader_for(info):
+        class R:
+            header_lines = ["##fileformat=VCFv4.2", "##contig=<ID=c1>"]
+            column_header = "#CHROM\tPOS\t..."
+            samples = ["s1"]
+            records = [{
+                "chrom": "c1", "pos": 100, "id": "DEL1", "ref": "A",
+                "alt": "<DEL>", "qual": 300.0, "filter": "PASS",
+                "info": dict({"SVTYPE": "DEL", "END": 500, "PE": 5,
+                              "MAPQ": 40, "CT": "3to5",
+                              "PRECISE": True, "SR": 5, "SRMAPQ": 60,
+                              "SRQ": 1.0, "CE": 1.9}, **info),
+                "samples": [{"GT": "0/1", "DR": 10, "DV": 10,
+                             "RR": 10, "RV": 10}],
+            }]
+
+            def contig_names(self):
+                return ["c1"]
+        return R()
+
+    cfg = MergeConfig(total_samples=1)
+    n1 = collect_svtype(cfg, 2, {"c1": 0},
+                        [reader_for({"HOMLEN": 0, "STDEV_POS": 40.0})])
+    assert n1 and n1[0].homlen == 0
+    n2 = collect_svtype(cfg, 2, {"c1": 0},
+                        [reader_for({"STDEV_POS": 40.0})])
+    assert n2 and n2[0].homlen == 40
+
+
+def test_merge_missing_gt_sample_skipped():
+    """With GT present for the record, a sample whose GT is '.' is
+    skipped, not VAF-routed (merge.h:484-487)."""
+    from delly_tpu.models.merge import MergeConfig, collect_svtype
+
+    class R:
+        header_lines = ["##fileformat=VCFv4.2", "##contig=<ID=c1>"]
+        column_header = "#CHROM\tPOS\t..."
+        samples = ["s1", "s2"]
+        records = [{
+            "chrom": "c1", "pos": 100, "id": "DEL1", "ref": "A",
+            "alt": "<DEL>", "qual": 300.0, "filter": "PASS",
+            "info": {"SVTYPE": "DEL", "END": 500, "PE": 5, "MAPQ": 40,
+                     "CT": "3to5", "PRECISE": True, "SR": 5,
+                     "SRMAPQ": 60, "SRQ": 1.0, "CE": 1.9},
+            # sample 1 het; sample 2 missing GT but strong DR/DV —
+            # the reference does NOT count it as a carrier
+            "samples": [{"GT": "0/1", "RR": 10, "RV": 10},
+                        {"GT": ".", "RR": 5, "RV": 15}],
+        }]
+
+        def contig_names(self):
+            return ["c1"]
+
+    cfg = MergeConfig(total_samples=2)
+    nodes = collect_svtype(cfg, 2, {"c1": 0}, [R()])
+    assert nodes and nodes[0].supp == 1 and nodes[0].ac == 1
+
+
+def test_germline_cnv_single_missing_rdcn_sample():
+    """One sample's RDCN='.' invalidates only that sample
+    (filter.h:276), not the whole record."""
+    from delly_tpu.models.filter import FilterConfig, filter_germline_cnv
+
+    cfg = FilterConfig(filter="germline")
+    nsm = 60
+    samples = [{"RDCN": "1.0" if i < 20 else "2.0", "FT": "PASS",
+                "RC": 100} for i in range(nsm)]
+    samples[3] = {"RDCN": ".", "FT": "PASS", "RC": 100}
+    rec = {"info": {}, "samples": samples, "id": "CNV1",
+           "chrom": "c1", "pos": 100, "ref": "N", "alt": "<CNV>",
+           "qual": 500.0, "filter": "PASS"}
+    failgerm, dos, ac, ncalled, svtype = filter_germline_cnv(cfg, rec)
+    assert not failgerm
+    assert svtype == "DEL"
+    assert samples[3]["GT"] == "./."     # only that sample blanked
