@@ -24,6 +24,7 @@ from delly_tpu.io.vcf import VcfReader, VcfWriter, fmt_float
 from delly_tpu.ops.likelihood import compute_cnls
 from delly_tpu.version import SVMETHOD
 from delly_tpu.utils.log import stage
+from delly_tpu.utils.stats import iround
 
 
 @dataclass
@@ -166,7 +167,6 @@ def cnv_segment(y: np.ndarray, beta: float, kmin: int) -> list:
         pass
     s1 = np.concatenate(([0.0], np.cumsum(y)))
     s2 = np.concatenate(([0.0], np.cumsum(y * y)))
-    big = np.finfo(np.float64).max
     f = np.zeros(n + 1)
     prev = np.zeros(n + 1, dtype=np.int64)
     f[0] = -beta
@@ -361,11 +361,10 @@ def genotype_cnvs(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
         if cnv.chr != ref_index:
             continue
         lo = cnv.start
-        hi = min(cnv.end, reflen)
-        if hi <= lo:
-            cnv.cn = -1
-            cnv.sd = 0.025
-            continue
+        hi = max(lo, min(cnv.end, reflen))
+        # an empty range still overwrites cn/mappable/uniqfrac like the
+        # reference's zero-iteration loops (cnv.h:137-169) — stale
+        # parsed MP/UNIQ must not survive into the output FILTER
         m = valid[lo:hi]
         idx = np.nonzero(m)[0] + lo
         winlen = len(idx)
@@ -375,7 +374,8 @@ def genotype_cnvs(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
             evals = evals * tile_fac[idx // reg_win]
         expcov = float(np.sum(evals)) if winlen else 0.0
         cnv.cn = cfg.ploidy * covsum / expcov if expcov > 0 else cfg.ploidy
-        cnv.mappable = winlen / (cnv.end - cnv.start)
+        span = cnv.end - cnv.start
+        cnv.mappable = winlen / span if span > 0 else 0.0
 
         ucov = float(cov_uniq[lo:hi].sum())
         tcov = float(cov_map[lo:hi].sum())
@@ -431,10 +431,15 @@ def parse_vcf_cnv(path: str, header) -> list:
     """Delly CNV BCF/VCF re-genotyping input (cnv.h:463-555)."""
     rdr = VcfReader(path)
     cnvs = []
+    # "delly file?" is decided ONCE from the first record's SVMETHOD
+    # (cnv.h:491-497 wimethod); later records are not re-checked
+    wimethod = 0
     for rec in rdr.records:
         info = rec["info"]
-        method = info.get("SVMETHOD", "")
-        if not str(method).startswith("EMBL.DELLY"):
+        if not wimethod:
+            method = info.get("SVMETHOD", "")
+            wimethod = 1 if str(method).startswith("EMBL.DELLY") else 2
+        if wimethod != 1:
             continue
         if info.get("SVTYPE") != "CNV":
             continue
@@ -507,9 +512,15 @@ def cnv_vcf(cfg, header, cnvs: list) -> None:
     stage("Genotyping")
     cnvid = 0
     for i, cnv in enumerate(cnvs):
+        if cnv.chr < 0:
+            # contig absent from this BAM (re-genotyping a BCF from a
+            # different assembly): negative indexing would silently
+            # write the record onto the LAST contig; the reference
+            # never emits these (cn stays -1 / UB) — skip
+            continue
         if not cfg.genofile and cnv.cn == -1:
             continue
-        abs_cn = int(round(cnv.cn))
+        abs_cn = iround(cnv.cn)  # half away from zero (cnv.h:640)
         if seg_out and cnv.mappable >= cfg.cn_min_callable:
             seg_out.write(f"{header.names[cnv.chr]}\t{cnv.start}\t{cnv.end}"
                           f"\tSEG{i + 1}\t{fmt_float(cnv.cn)}\n")

@@ -496,7 +496,13 @@ def run_cnv(cfg) -> int:
     scan_counts = [[] for _ in range(cfg.nchr)]
     scan(cfg, bam, fasta, li, scan_counts)
 
-    sample_scan = [w.cov for chrom in scan_counts for w in chrom]
+    # sampled median: stop after the chromosome that crosses 1M windows
+    # (coral.h:727-733 break)
+    sample_scan = []
+    for chrom in scan_counts:
+        sample_scan.extend(w.cov for w in chrom)
+        if len(sample_scan) > 1_000_000:
+            break
     if not sample_scan:
         stage("Not enough windows!")
         return 1

@@ -26,10 +26,7 @@ from delly_tpu.ops.popgen import (
 from delly_tpu.utils.log import stage
 
 
-def _iround(x: float) -> float:
-    """boost::math::round — halfway cases away from zero (Python's
-    built-in round() is half-to-even, which flips e.g. CN 2.5)."""
-    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+from delly_tpu.utils.stats import iround as _iround
 
 MAX_CN = 10
 

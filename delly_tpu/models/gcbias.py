@@ -131,7 +131,8 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
         bin_of = None
         if cfg.scan_file:
             bin_of = np.full(reflen, -1, dtype=np.int32)
-            for b, w in enumerate(scan_counts[ref_index]):
+            # LAST_BIN cap, like scan.h:131-137 / gcbias.h:215-219
+            for b, w in enumerate(scan_counts[ref_index][:65535]):
                 bin_of[w.start:w.end] = b
 
         gc_content = gc_content_track(seq, cfg.meanisize, key=(cfg.genome, name))
@@ -296,7 +297,9 @@ def estimate_regional_gc(cfg, bam, fasta, gcbound, gcbias: list,
             m = in_range[rstart:rend]
             winlen = int(np.count_nonzero(m))
             total_bases = rend - rstart
-            if winlen < total_bases / 2 or winlen == 0:
+            # integer division like the reference (gcbias.h:155-156
+            # uses uint32 totalBases / 2)
+            if winlen < total_bases // 2 or winlen == 0:
                 continue
             gvals = gc_content[rstart:rend][m]
             fine_exp = float(cov_curve[gvals].sum())

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import sys
+
 import numpy as np
 
 from delly_tpu.io.bam import (
@@ -80,7 +82,12 @@ def scan(cfg, bam, fasta, li, scan_counts: list) -> None:
             bin_of = None
         else:
             bin_of = np.full(reflen, -1, dtype=np.int32)
-            for b, w in enumerate(scan_counts[ref_index]):
+            # LAST_BIN cap (scan.h:131-137): windows beyond 65534 stay
+            # unmapped and collect no fragments
+            if len(scan_counts[ref_index]) >= 65535:
+                print(f"Warning: Too many scan windows on "
+                      f"{header.names[ref_index]}", file=sys.stderr)
+            for b, w in enumerate(scan_counts[ref_index][:65535]):
                 bin_of[w.start:w.end] = b
 
         def find_bin(midpoint):

@@ -23,6 +23,13 @@ class LibraryInfo:
     abnormal_pairs: int = 0
 
 
+def iround(x: float) -> int:
+    """boost::math::round/iround — halfway cases away from zero
+    (Python's round() is half-to-even, which flips e.g. CN 2.5)."""
+    import math
+    return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+
+
 def _nth_element(arr) -> int:
     """nth_element-style median (util.h): np.partition selects the same
     element a sorted copy would hold at index n//2."""
