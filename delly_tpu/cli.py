@@ -417,7 +417,8 @@ def _dispatch(argv=None) -> int:
             graph_pruning=args.pruning, geno_cap=args.read_cap,
             max_threads=args.threads)
         if args.extension is not None:
-            cfg.indel_extension = args.extension
+            import numpy as _np
+            cfg.indel_extension = float(_np.float32(args.extension))
         return run_lr(cfg)
     if args.command == "cnv":
         rc = (_startup_checks(args.genome, [args.input_file],

@@ -70,6 +70,8 @@ class AsmConfig:
 
     def __post_init__(self):
         self.diploid = self.mode == "diploid"
+        from delly_tpu.models.config import _f32
+        _f32("flank_quality", "mei_min_frac", "tr_min_frac")(self)
 
 
 HAP_SUFFIXES = [".hap1", ".hap2", ".hapA", ".hapB", ".h1", ".h2", ".mat",

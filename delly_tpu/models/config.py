@@ -5,6 +5,24 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
+
+def _f32(*names):
+    """Round the named float fields through float32: the reference
+    stores them as C floats (tegua.h:61-64, delly.h:67-69), so
+    exact-boundary comparisons like ratio > indelExtension must see
+    0.7f, not the double 0.7."""
+    import numpy as np
+
+    def apply(cfg):
+        for n in names:
+            setattr(cfg, n, float(np.float32(getattr(cfg, n))))
+    return apply
+
+
+_SR_F32 = _f32("flank_quality", "mei_min_frac", "tr_min_frac")
+_LR_F32 = _f32("indel_extension", "flank_quality", "mei_min_frac",
+               "tr_min_frac")
+
 @dataclass
 class SrConfig:
     """delly sr options (delly.h:49-82, defaults delly.h:199-398)."""
@@ -49,6 +67,7 @@ class SrConfig:
             self.min_clique_size = 2
         if self.min_map_qual > self.min_tra_qual:
             self.min_tra_qual = self.min_map_qual
+        _SR_F32(self)
 
 
 @dataclass
@@ -96,3 +115,4 @@ class LrConfig:
             self.indel_extension = 0.7
         if self.min_geno_qual < 5:
             self.min_geno_qual = 5
+        _LR_F32(self)

@@ -293,7 +293,8 @@ def select_insertions(read_bp: dict, br: list, max_read_sep: int,
             continue
         rst = _select_read_start(jv)
         for i in range(len(jv)):
-            done = False
+            # one insertion per junction i (the reference breaks only
+            # the inner j loop, junction.h:214)
             for j in range(i + 1, len(jv)):
                 if (jv[j].refidx == jv[i].refidx
                         and jv[j].forward == jv[i].forward
@@ -327,10 +328,7 @@ def select_insertions(read_bp: dict, br: list, max_read_sep: int,
                                     jv[i].refpos, rst,
                                     min(jv[j].seqpos, jv[i].seqpos), qval,
                                     isizelen, seed))
-                            done = True
                             break
-                if done:
-                    break
 
 
 def select_translocations(read_bp: dict, br: list, max_read_sep: int) -> None:

@@ -210,7 +210,9 @@ def percent_identity(align: np.ndarray, gs: int, ge_: int) -> float:
                     ma += 1
                 else:
                     mm += 1
-    return ma / (ma + mm) if (ma + mm) else 0.0
+    # 0/0 = NaN in the reference (split.h:315); the percId <
+    # flankQuality gate is then false and the split proceeds
+    return ma / (ma + mm) if (ma + mm) else float("nan")
 
 
 def find_split(consensus: str, sv_ref: str, align: np.ndarray,

@@ -178,6 +178,30 @@ def _align_banded(q: np.ndarray, t: np.ndarray, mode: int,
     return r
 
 
+def _last_dp_row(q: np.ndarray, t: np.ndarray, mode: int,
+                 eq: np.ndarray | None) -> np.ndarray:
+    """Final DP row only (two-row recurrence, O(n) memory)."""
+    n = len(t)
+    if mode == MODE_HW:
+        prev = np.zeros(n + 1, dtype=np.int32)
+    else:
+        prev = np.arange(n + 1, dtype=np.int32)
+    j_idx = np.arange(1, n + 1, dtype=np.int32)
+    for i in range(1, len(q) + 1):
+        if eq is None:
+            sub = (q[i - 1] != t).astype(np.int32)
+        else:
+            sub = (~eq[q[i - 1], t]).astype(np.int32)
+        cand = np.minimum(prev[:-1] + sub, prev[1:] + 1)
+        run = np.minimum.accumulate(
+            np.concatenate(([np.int32(i)], cand - j_idx)))
+        cur = np.empty(n + 1, dtype=np.int32)
+        cur[0] = i
+        cur[1:] = np.minimum(cand, run[1:] + j_idx)
+        prev = cur
+    return prev
+
+
 def align(query, target, mode: int = MODE_NW, k: int = -1,
           eq: np.ndarray | None = None):
     """Distance, end location, and alignment path (edlib TASK_PATH role).
@@ -190,6 +214,25 @@ def align(query, target, mode: int = MODE_NW, k: int = -1,
     q = np.frombuffer(query.encode(), dtype=np.uint8) if isinstance(query, str) else query
     t = np.frombuffer(target.encode(), dtype=np.uint8) if isinstance(target, str) else target
     m, n = len(q), len(t)
+    if mode == MODE_HW and m and n:
+        # edlib HW path semantics (edlib.cpp:244-255): leftmost optimal
+        # END from the forward scan, then the START from a REVERSED SHW
+        # scan taking the LAST optimal position — "alignment will not
+        # start with insertions if it can start with mismatches" — and
+        # an NW path over the [start, end] infix. A greedy traceback
+        # over the free-prefix HW matrix picks a different start on
+        # ties, drifting every HW-path consumer from the reference.
+        dist, end_loc = edit_distance(q, t, MODE_HW, eq=eq)
+        if k >= 0 and dist > k:
+            return -1, -1, np.zeros(0, dtype=np.uint8)
+        rq = q[::-1].copy()
+        rt = t[:end_loc + 1][::-1].copy()
+        row = _last_dp_row(rq, rt, MODE_SHW, eq)
+        opt = np.nonzero(row == dist)[0]
+        pos = int(opt[-1]) - 1
+        start = end_loc - pos
+        _d, _e, ops = align(q, t[start:end_loc + 1], MODE_NW, eq=eq)
+        return dist, end_loc, ops
     if m and n:
         banded = _align_banded(q, t, mode, eq)
         if banded is not None:

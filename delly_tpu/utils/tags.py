@@ -277,11 +277,27 @@ def init_breakpoint(bp: Breakpoint, target_lens: list, boundary: int, svt: int) 
 
 
 _RC = str.maketrans("ACGTNacgtn", "TGCANTGCAN")
+_RC_LUT = None
 
 
 def revcomp(seq: str) -> str:
-    """Uppercasing reverse complement (util.h:549-563)."""
-    return seq.upper().translate(_RC)[::-1]
+    """Reverse complement with the reference's exact quirk
+    (util.h:549-563): position i receives the complement of
+    upper(seq[n-1-i]) when that is ACGTN; for any OTHER character
+    (IUPAC codes, '-') the ORIGINAL character stays un-reversed at
+    position i. Identical to a plain uppercased revcomp for pure
+    ACGTN/acgtn input."""
+    global _RC_LUT
+    import numpy as np
+    if _RC_LUT is None:
+        lut = np.zeros(256, dtype=np.uint8)
+        for src, dst in zip(b"ACGTNacgtn", b"TGCANTGCAN"):
+            lut[src] = dst
+        _RC_LUT = lut
+    b = np.frombuffer(seq.encode(), dtype=np.uint8)
+    mapped = _RC_LUT[b[::-1]]
+    out = np.where(mapped != 0, mapped, b)
+    return out.tobytes().decode()
 
 
 def entropy(seq: str) -> float:

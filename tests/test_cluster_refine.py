@@ -128,3 +128,16 @@ def test_merge_sort_augment_does_not_break_window_scan():
     assert all(s.precise for s in pe)
     starts = sorted(s.svStart for s in pe)
     assert starts == [600, 1340]
+
+
+def test_revcomp_reference_quirk():
+    """util.h:549-563 mutates in place: non-ACGTN characters keep the
+    ORIGINAL character at the ORIGINAL position (un-reversed, original
+    case); everything else is the uppercased reverse complement."""
+    from delly_tpu.utils.tags import revcomp
+    assert revcomp("ACGT") == "ACGT"
+    assert revcomp("AACG") == "CGTT"
+    assert revcomp("acgt") == "ACGT"
+    # "ARCT" reversed is "TCRA"; out[i] = comp(rev[i]) for ACGTN,
+    # else the ORIGINAL char at i: A G <orig C> T
+    assert revcomp("ARCT") == "AGCT"

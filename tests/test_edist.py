@@ -94,3 +94,16 @@ def test_batched_device_matches_host():
         for i in range(B):
             d, _ = edit_distance(queries[i], targets[i], mode)
             assert dev[i] == d, (i, mode, queries[i], targets[i])
+
+
+def test_hw_path_leftmost_start_edlib_rule():
+    """edlib.cpp:244-255: the HW alignment start comes from a reversed
+    SHW scan taking the LAST optimal position, so tied-start alignments
+    never begin with an insertion when a mismatch start exists."""
+    from delly_tpu.ops.edist import (
+        EDOP_MATCH, EDOP_MISMATCH, MODE_HW, align, infix_start,
+    )
+    d, e, ops = align("CA", "TA", MODE_HW)
+    assert (d, e) == (1, 1)
+    assert ops.tolist() == [EDOP_MISMATCH, EDOP_MATCH]
+    assert infix_start(ops, e) == 0
