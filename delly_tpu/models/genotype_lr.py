@@ -36,29 +36,6 @@ from delly_tpu.utils.tags import is_translocation, revcomp
 from delly_tpu.utils.log import stage
 
 
-def read_start_clip(rec) -> int:
-    """Read start including a leading clip (genotype.h:31-42)."""
-    rp = rec.pos
-    if rec.n_cigar:
-        op = rec.cigar_ops[0]
-        if op in (CSOFT_CLIP, CHARD_CLIP):
-            ol = int(rec.cigar_lens[0])
-            rp = rp - ol if rp > ol else 0
-    return rp
-
-
-def read_end_clip(rec) -> int:
-    """Read end including a trailing clip (genotype.h:44-57)."""
-    rp = rec.pos
-    if rec.n_cigar:
-        for op, ol in zip(rec.cigar_ops, rec.cigar_lens):
-            if op in (CMATCH, CEQUAL, CDIFF, CDEL, CREF_SKIP):
-                rp += int(ol)
-        if rec.cigar_ops[-1] in (CSOFT_CLIP, CHARD_CLIP):
-            rp += int(rec.cigar_lens[-1])
-    return rp
-
-
 def find_seq_bp(rec, pos: int) -> int:
     """Sequence offset of reference position `pos` (genotype.h:59-91)."""
     rp = rec.pos
@@ -219,7 +196,7 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
             ps = -1
             hp_tag = rec.aux("HP")
             if hp_tag is not None:
-                hp = int(hp_tag)
+                hp = int(hp_tag) & 0xFF   # (uint8_t) cast, genotype.h:220
             ps_tag = rec.aux("PS")
             if ps_tag is not None:
                 ps = int(ps_tag)
@@ -301,9 +278,12 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
                     & (view["mapq"] >= cfg.min_map_qual))
             sel = np.nonzero(keep)[0]
             offs = view["offsets"][sel]
-            from delly_tpu.models.depth import base_coverage_bulk
-            cov_bases = base_coverage_bulk(
-                view, offs, 255, chrom_len)[0].astype(np.int32)
+            from delly_tpu.models.genotype_sr import _match_coverage
+            cov_bases = _match_coverage(view, offs, chrom_len)
+            # per-base uint16 saturation (genotype.h:188
+            # covBases[rp] < maxCoverage - 1)
+            np.minimum(cov_bases, 65534, out=cov_bases)
+            cov_bases = cov_bases.astype(np.int32)
             from delly_tpu.models.genotype_sr import _cigar_stats
             stats = _cigar_stats(view, offs)
             flag_a = view["flag"][sel]

@@ -523,12 +523,28 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                             rec = view.parse_at(j_offs[k])
                         sequence = adjust_orientation(
                             rec.seq, bool(itbp.bpPoint), itbp.svt)
-                        jobs.append((
+                        job = (
                             cons_probe_arr[itbp.bpPoint][itbp.id],
                             ref_probe_arr[itbp.bpPoint][itbp.id],
                             sequence, file_c, itbp.id, j_mapq[k],
                             (rec.qname, ref_index, rpos, j_mtid[k],
-                             j_mpos[k], j_mapq[k])))
+                             j_mpos[k], j_mapq[k]))
+                        if dump_out is not None:
+                            # dump mode runs INLINE per read like the
+                            # reference ("No multi-threading",
+                            # coverage.h:518-537): rows interleave in
+                            # strict read order and the cap gate sees
+                            # fresh tallies
+                            de: list = []
+                            _process_jobs_device(
+                                [job], count_map,
+                                ref_aligned_read_count, cfg, de)
+                            for f_c, sv_id, (qname, tid, pos, mtid,
+                                             mpos, mapq) in de:
+                                _dump_row(f_c, sv_id, qname, tid, pos,
+                                          mtid, mpos, mapq, "SR")
+                            continue
+                        jobs.append(job)
                         pj = pending_jobs[file_c]
                         pj[itbp.id] = pj.get(itbp.id, 0) + 1
                         # ultra-deep pileup on one SV: flush early so

@@ -98,9 +98,9 @@ def build_methyl_calls(rec, prob_th: int):
     """
     length = rec.l_qseq
     calls = np.full(length, -1, dtype=np.int8)
+    # the reference reads ONLY the canonical uppercase MM tag
+    # (methyl.h:126); legacy Mm/Ml-tagged inputs yield missing fields
     mm = rec.aux("MM")
-    if mm is None:
-        mm = rec.aux("Mm")
     if not isinstance(mm, str):
         return False, calls
     read_rev = bool(rec.flag & FREVERSE)
@@ -144,7 +144,16 @@ def build_methyl_calls(rec, prob_th: int):
             for pt in tok[idx + 1:].split(","):
                 if not pt:
                     continue
-                current += int(pt) + 1
+                # std::stoi prefix parse (methyl.h:174): numeric
+                # prefix of a malformed token still counts
+                kk = 0
+                if pt[0] in "+-":
+                    kk = 1
+                while kk < len(pt) and pt[kk].isdigit():
+                    kk += 1
+                if kk == 0 or (kk == 1 and pt[0] in "+-"):
+                    continue
+                current += int(pt[:kk]) + 1
                 for mc in mod_codes:
                     modhits.append([current, mc, 255, rev_mod, base])
 
@@ -154,9 +163,7 @@ def build_methyl_calls(rec, prob_th: int):
                 calls[i] = 0
 
     # ML probabilities (byte array parallel to the MM hits)
-    ml = rec.aux("ML")
-    if ml is None:
-        ml = rec.aux("Ml")
+    ml = rec.aux("ML")  # canonical tag only (methyl.h:189)
     if isinstance(ml, np.ndarray):
         for i in range(min(len(ml), len(modhits))):
             modhits[i][2] = int(ml[i])
@@ -389,13 +396,16 @@ def cluster_and_filter_cpg(cpg_map: dict, min_depth: int) -> int:
 
 def finalize_methyl_info(accum: MethylAccum, min_cpg_depth: int) -> MethylInfo:
     """Percentages, CpG cluster counts and mean depths (methyl.h:444-469)."""
+    from delly_tpu.utils.stats import iround
+
     def pct(m, t):
-        return int(round(100.0 * m / t)) if t > 0 else -1
+        # std::round (half away from zero), not banker's rounding
+        return iround(100.0 * m / t) if t > 0 else -1
 
     def mdp(ta, tr, cpg_n):
         if cpg_n <= 0:
             return -1
-        return int(round((ta + tr) / cpg_n))
+        return iround((ta + tr) / cpg_n)
 
     mi = MethylInfo()
     (mi.altSvStartL, mi.altSvStartR, mi.altSvRightL, mi.altSvRightR) = [
