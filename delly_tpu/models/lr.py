@@ -57,13 +57,19 @@ def find_junctions(cfg, bams, valid_regions, valid_sr=None) -> dict:
             keep = (((view["flag"] & (FQCFAIL | FDUP | FUNMAP)) == 0)
                     & (view["mapq"] >= cfg.min_map_qual))
             sel = np.nonzero(keep)[0]
-            pos_a = view["pos"][sel]
-            vmask = np.zeros(len(pos_a), dtype=bool)
-            for lo, hi in valid_regions[ref_index]:
-                vmask |= (pos_a >= lo) & (pos_a < hi)
-            sel = sel[vmask]
             offs = view["offsets"][sel]
             stats = _cigar_stats(view, offs)
+            # sam_itr_queryi semantics (junction.h:347-352): reads
+            # OVERLAPPING a valid interval are scanned, including long
+            # reads starting before it
+            pos_a = view["pos"][sel]
+            end_a = pos_a + np.maximum(stats["ref_span"], 1)
+            vmask = np.zeros(len(pos_a), dtype=bool)
+            for lo, hi in valid_regions[ref_index]:
+                vmask |= (pos_a < hi) & (end_a > lo)
+            sel = sel[vmask]
+            offs = offs[vmask]
+            stats = {k: v[vmask] for k, v in stats.items()}
             seeds = hash_lr_batch(stats["name_hash"],
                                   stats["fnv_hash"]).tolist()
             jfire = ((stats["max_clip"] > cfg.min_clip)
@@ -112,7 +118,10 @@ def _alt_alignment_filter(cfg, sr_br: list) -> None:
         alt_cfg.genome = alt_genome
         alt_cfg.altfile = ""
         if is_bam_cram(alt_path):
-            alt_bam = BamFile(alt_path, genome=cfg.genome)
+            # decode against the ALTERNATE genome (junction.h:524-537
+            # hts_set_fai_filename with genome[i]) — CRAMs referenced
+            # to the alt assembly decode wrongly against the primary
+            alt_bam = BamFile(alt_path, genome=alt_genome)
             alt_regions = parse_exclude_intervals(None, alt_bam.header)
             _find_sr_breakpoints(alt_cfg, [alt_bam], alt_regions, alt_sr,
                                  valid_sr)

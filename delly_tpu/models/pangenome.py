@@ -83,10 +83,16 @@ def parse_gfa(path: str) -> Graph:
             elif toks[0] == "L":
                 if len(toks) < 6:
                     continue
+                # the reference logs and returns the partial graph
+                # (gfa.h:125-152 return false; caller ignores it,
+                # junction.h:552)
                 if toks[1] not in g.smap or toks[3] not in g.smap:
-                    raise ValueError("Link with unknown segment!")
+                    print("Link with unknown segment!", file=sys.stderr)
+                    return g
                 if toks[5] != "0M":
-                    raise ValueError("Currently only 0M links are supported!")
+                    print("Currently only 0M links are supported!",
+                          file=sys.stderr)
+                    return g
                 g.links.append(Link(toks[2] != "-", toks[4] != "-",
                                     g.smap[toks[1]], g.smap[toks[3]]))
     print(f"GFA loaded: {len(g.offset)} segments, {len(g.links)} links, "
@@ -294,6 +300,15 @@ def find_graph_junctions(cfg, g: Graph, gaf_files: list, read_bp: dict,
                                     _insert_graph_junction(
                                         read_bp, ar.seed, ar, pi, locbeg,
                                         sp, forward)
+                        else:
+                            # unknown op: warn and stop the scan like
+                            # the reference (pangenome.h:187-190
+                            # return false)
+                            print(f"Warning: Unknown Cigar option {op}",
+                                  file=sys.stderr)
+                            for jv in read_bp.values():
+                                jv.sort(key=lambda j: j.sort_key())
+                            return
                     # Trailing junction
                     if (pi + 1 == len(ar.path)
                             and sp + cfg.min_ref_sep < ar.qlen):
@@ -341,4 +356,22 @@ def parse_alternate_alignments(altfile: str):
 
 
 def is_bam_cram(path: str) -> bool:
-    return path.endswith(".bam") or path.endswith(".cram")
+    """Content sniff like htslib hts_detect_format (util.h:602-609
+    role), not a filename-extension guess."""
+    try:
+        with open(path, "rb") as fh:
+            magic = fh.read(4)
+    except OSError:
+        return False
+    if magic == b"CRAM":
+        return True
+    if magic[:2] == b"\x1f\x8b":
+        from delly_tpu.io.bgzf import BgzfReader
+        rd = BgzfReader(path)
+        try:
+            return rd.read_prefix_blocks(4)[:4] == b"BAM\x01"
+        except Exception:
+            return False
+        finally:
+            rd.close()
+    return False

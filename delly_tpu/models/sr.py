@@ -67,6 +67,20 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
             sel = np.nonzero(keep)[0]
             offs = view["offsets"][sel]
             stats = _cigar_stats(view, offs)
+            # exclude regions: the reference iterates sam_itr_queryi
+            # over each VALID interval (shortpe.h:349-350) — only reads
+            # whose alignment overlaps a valid interval are scanned
+            ivs = valid_regions[ref_index]
+            if not (len(ivs) == 1 and ivs[0][0] <= 0
+                    and ivs[0][1] >= header.lengths[ref_index]):
+                p_al = view["pos"][sel]
+                e_al = p_al + np.maximum(stats["ref_span"], 1)
+                vm = np.zeros(len(sel), dtype=bool)
+                for lo, hi in ivs:
+                    vm |= (p_al < hi) & (e_al > lo)
+                sel = sel[vm]
+                offs = offs[vm]
+                stats = {k: v[vm] for k, v in stats.items()}
             seeds_a = hash_sr_batch(stats["name_hash"],
                                     stats["fnv_hash"], view["flag"][sel])
             lib = libs[file_c]
@@ -213,14 +227,16 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
         cluster_pe(bam_records[svt], svs, varisize, svt, cfg.graph_pruning,
                    cfg.min_clique_size)
 
-    # Track split-reads (shortpe.h:514-525)
+    # Track split-reads (shortpe.h:514-525). unordered_map::insert
+    # keeps the FIRST svid for a duplicate (rstart, id) key —
+    # setdefault, not assignment.
     for svt in range(nsvt):
         for r in sr_br[svt]:
             if r.svid != -1 and r.rstart != -1:
                 if r.rstart < header.lengths[r.chr]:
-                    sr_store[r.chr][(r.rstart, r.id)] = r.svid
+                    sr_store[r.chr].setdefault((r.rstart, r.id), r.svid)
                 if r.chr != r.chr2 and r.rstart < header.lengths[r.chr2]:
-                    sr_store[r.chr2][(r.rstart, r.id)] = r.svid
+                    sr_store[r.chr2].setdefault((r.rstart, r.id), r.svid)
 
 
 def fetch_sr_only(cfg, read_bp, br):
@@ -404,11 +420,18 @@ def merge_sort(pe: list, sr: list) -> None:
     sr.sort(key=lambda s: s.sort_key())
     import bisect
     import copy
-    # window index frozen at entry: augmentation mutates svStart in
-    # place but (like the reference between its re-sorts) records keep
-    # their slot; augmented records turn precise and stop matching.
-    keys = [(s.chr, s.svStart) for s in pe]
-    appends = []
+
+    def _live_key(s):
+        # tags.h:104-108 operator< tuple, read from the LIVE record
+        return (s.chr, s.svStart, s.chr2, s.svEnd, -s.peSupport,
+                -s.srSupport)
+
+    # `keys` mirrors the reference's pe vector exactly: live values,
+    # position-synced, possibly locally unsorted after an in-place
+    # augmentation until the next push_back re-sort — lower_bound and
+    # the window-scan break then see the same (stale-ordered) data the
+    # reference sees (shortpe.h:553-579).
+    keys = [_live_key(s) for s in pe]
     for svt in range(10):
         for i in range(len(sr)):
             if sr[i].svt != svt:
@@ -417,16 +440,10 @@ def merge_sort(pe: list, sr: list) -> None:
                 continue
             search_window = 500
             sv_exists = False
-            key = (sr[i].chr, max(0, sr[i].svStart - search_window))
-            it = bisect.bisect_left(keys, key)
-            # loop bound on the FROZEN keys: an earlier augmentation can
-            # move a record's live svStart out of the window, and a
-            # live-value break would end the scan before genuine
-            # matches further in (the reference's post-append re-sorts
-            # repair its ordering; the frozen index is the equivalent).
-            # A record mutated *into* the window is precise and could
-            # never match anyway.
-            while it < len(pe) and abs(keys[it][1] - sr[i].svStart) < search_window:
+            target = (sr[i].chr, max(0, sr[i].svStart - search_window),
+                      sr[i].chr, sr[i].svEnd, 0, 0)
+            it = bisect.bisect_left(keys, target)
+            while it < len(pe) and abs(pe[it].svStart - sr[i].svStart) < search_window:
                 other = pe[it]
                 it += 1
                 if other.svt != svt or other.precise:
@@ -453,6 +470,7 @@ def merge_sort(pe: list, sr: list) -> None:
                     other.consensus = sr[i].consensus
                     other.consBp = sr[i].consBp
                     other.mapq += sr[i].mapq
+                    keys[it - 1] = _live_key(other)
             if sv_exists:
                 continue
             # SR-only: suppress precise duplicates (shortpe.h:584-613)
@@ -487,9 +505,13 @@ def merge_sort(pe: list, sr: list) -> None:
                             or (i < j and sr[i].srSupport == sr[j].srSupport)):
                         precise_duplicate = True
             if not precise_duplicate:
-                appends.append(copy.deepcopy(sr[i]))
-    pe.extend(appends)
-    pe.sort(key=lambda s: s.sort_key())
+                # push_back + immediate re-sort (shortpe.h:615-616):
+                # the re-sort also repairs augmentation-perturbed
+                # ordering. Timsort on the nearly-sorted list is
+                # O(P) per append — the reference pays O(P log P).
+                pe.append(copy.deepcopy(sr[i]))
+                pe.sort(key=lambda s: s.sort_key())
+                keys = [_live_key(s) for s in pe]
 
 
 def run_sr(cfg) -> int:

@@ -18,10 +18,17 @@ def vcf_parse(path: str, header) -> list:
     rdr = VcfReader(path)
     has_consbp = any("ID=CONSBP" in h for h in rdr.header_lines)
     svs = []
+    # dellyVCF latches on the first record with a matching SVMETHOD
+    # (modvcf.h:206-216); later records are parsed without re-checking
+    delly_vcf = False
     for rec in rdr.records:
         info = rec["info"]
-        method = info.get("SVMETHOD", "")
-        if not (method.startswith("EMBL.DELLY") and has_consbp):
+        if not delly_vcf:
+            method = str(info.get("SVMETHOD", ""))
+            if method.startswith("EMBL.DELLY") and has_consbp:
+                delly_vcf = True
+        if not delly_vcf:
+            # first record failed to latch: error + stop (modvcf.h:310-313)
             print("Error: Delly genotyping requires local SV assembly "
                   "(INFO/CONSENSUS) and breakpoint (INFO/CONSBP)!",
                   file=sys.stderr)
@@ -91,8 +98,9 @@ def vcf_parse(path: str, header) -> list:
             sv.ciendlow, sv.ciendhigh = int(lo), int(hi)
         else:
             sv.ciendlow, sv.ciendhigh = -50, 50
-        sv.peMapQuality = int(info.get("MAPQ", 0))
-        sv.srMapQuality = int(info.get("SRMAPQ", 0))
+        # (uint8_t) casts, modvcf.h:299-302
+        sv.peMapQuality = int(info.get("MAPQ", 0)) & 0xFF
+        sv.srMapQuality = int(info.get("SRMAPQ", 0)) & 0xFF
         sv.srAlignQuality = float(info.get("SRQ", 0.0))
         if "ALLELEID" in info:
             sv.alleleid = int(info["ALLELEID"])

@@ -99,10 +99,10 @@ def test_long_needle_no_split_for_perfect_match():
 
 
 def test_merge_sort_augment_does_not_break_window_scan():
-    """shortpe.h:536-621: an earlier augmentation moves a PE record's
-    live svStart out of a later SR record's +-500 window; the scan
-    bound must follow the sorted-order (frozen) keys, or the moved
-    record terminates the walk before a genuine later match."""
+    """shortpe.h:536-621 exact semantics: the lower_bound runs on LIVE
+    record keys, so an earlier augmentation that moved a PE record's
+    svStart below the window makes later searches land PAST it — the
+    genuine later match is still augmented, no duplicate appended."""
     from delly_tpu.models.sr import merge_sort
     from delly_tpu.utils.tags import StructuralVariantRecord as SV
 
