@@ -416,3 +416,26 @@ def test_mixed_sv_types_single_file(tmp_path):
         if s == "INV":
             assert not precise
     assert len(calls) == len(truth)
+
+
+def test_sr_exclude_regions_mask_scan(tmp_path):
+    """-x exclude: reads inside excluded intervals are never scanned
+    (reference iterates sam_itr_queryi over VALID intervals,
+    shortpe.h:349-350), so an SV inside an excluded region must not be
+    called while one outside still is."""
+    from bamsynth import make_multi_sv_dataset
+    bam, fa, truth = make_multi_sv_dataset(
+        str(tmp_path), n_contigs=1, contig_len=100_000,
+        pairs_per_contig=1500)
+    # exclude the DEL locus (15% of 100kb = 15000..23000) generously
+    excl = tmp_path / "excl.bed"
+    excl.write_text("chr1\t10000\t30000\n")
+    out = str(tmp_path / "out.vcf")
+    _run(["sr", "-g", fa, "-x", str(excl), "-o", out, bam])
+    calls = [(l.split("\t")[7].split("SVTYPE=")[1].split(";")[0],
+              int(l.split("\t")[1]))
+             for l in open(out) if not l.startswith("#")]
+    assert not any(t == "DEL" and abs(p - 15000) < 1000
+                   for t, p in calls), calls
+    # the DUP at 35000 lies outside the exclusion and survives
+    assert any(t == "DUP" and abs(p - 35000) < 200 for t, p in calls), calls
