@@ -170,32 +170,41 @@ def _parse_aux(buf: bytes) -> dict:
     out = {}
     pos = 0
     n = len(buf)
-    while pos + 3 <= n:
-        tag = buf[pos : pos + 2].decode()
-        typ = buf[pos + 2]
-        pos += 3
-        if typ in _AUX_FMT:
-            fmt, sz = _AUX_FMT[typ]
-            (val,) = struct.unpack_from(fmt, buf, pos)
-            if typ == ord("A"):
-                val = val.decode()
-            pos += sz
-        elif typ in (ord("Z"), ord("H")):
-            end = buf.index(b"\x00", pos)
-            val = buf[pos:end].decode()
-            pos = end + 1
-        elif typ == ord("B"):
-            sub = buf[pos]
-            (count,) = struct.unpack_from("<I", buf, pos + 1)
-            fmt, sz = _AUX_FMT[sub]
-            dtype = {"<b": np.int8, "<B": np.uint8, "<h": np.int16,
-                     "<H": np.uint16, "<i": np.int32, "<I": np.uint32,
-                     "<f": np.float32}[fmt]
-            val = np.frombuffer(buf, dtype=dtype, count=count, offset=pos + 5).copy()
-            pos += 5 + sz * count
-        else:
-            break
-        out[tag] = val
+    try:
+        while pos + 3 <= n:
+            tag = buf[pos : pos + 2].decode("latin-1")
+            typ = buf[pos + 2]
+            pos += 3
+            if typ in _AUX_FMT:
+                fmt, sz = _AUX_FMT[typ]
+                (val,) = struct.unpack_from(fmt, buf, pos)
+                if typ == ord("A"):
+                    val = val.decode("latin-1")
+                pos += sz
+            elif typ == ord("d"):
+                # legacy SAM double (pre-spec tools emit it)
+                (val,) = struct.unpack_from("<d", buf, pos)
+                pos += 8
+            elif typ in (ord("Z"), ord("H")):
+                end = buf.index(b"\x00", pos)
+                val = buf[pos:end].decode("latin-1")
+                pos = end + 1
+            elif typ == ord("B"):
+                sub = buf[pos]
+                (count,) = struct.unpack_from("<I", buf, pos + 1)
+                fmt, sz = _AUX_FMT[sub]
+                dtype = {"<b": np.int8, "<B": np.uint8, "<h": np.int16,
+                         "<H": np.uint16, "<i": np.int32, "<I": np.uint32,
+                         "<f": np.float32}[fmt]
+                val = np.frombuffer(buf, dtype=dtype, count=count,
+                                    offset=pos + 5).copy()
+                pos += 5 + sz * count
+            else:
+                break  # unknown type byte: cannot know its size
+            out[tag] = val
+    except (struct.error, ValueError, KeyError):
+        # truncated/corrupt aux block: keep the tags parsed so far
+        pass
     return out
 
 
@@ -252,6 +261,19 @@ def parse_record_at(data: bytes, pos: int) -> BamRecord:
     p += l_seq
     rec._aux = data[p:end]
     rec._auxcache = None
+    # >65535-op alignments are stored with a 2-op '<l_seq>S<ref_len>N'
+    # placeholder CIGAR plus the real one in a CG:B,I tag; htslib's
+    # sam_read1 restores it transparently, so the pipelines must see
+    # the real CIGAR here too (SAM spec 4.2.2)
+    if (n_cigar == 2 and l_seq
+            and rec.cigar_ops[0] == CSOFT_CLIP
+            and rec.cigar_lens[0] == l_seq
+            and rec.cigar_ops[1] == CREF_SKIP):
+        cg = rec.aux("CG")
+        if isinstance(cg, np.ndarray) and len(cg):
+            real = cg.astype(np.uint32)
+            rec.cigar_ops = (real & 0xF).astype(np.int32)
+            rec.cigar_lens = (real >> 4).astype(np.int64)
     return rec
 
 
@@ -711,6 +733,18 @@ class BamFile:
                 break
             buf = leftover + data
             start = self._rec_start if first else 0
+            if first:
+                # headers larger than one chunk (draft-assembly BAMs
+                # with ~1M contigs): keep reading whole blocks until
+                # the record area begins, or the leftover slice below
+                # would drop the header tail and desynchronize
+                while len(buf) < start:
+                    data, ncoff2 = self._reader.read_blocks(ncoff,
+                                                            chunk_bytes)
+                    if not data:
+                        break
+                    buf += data
+                    ncoff = ncoff2
             first = False
             soa = _scan_soa(buf, start)
             offs = soa["offsets"]
@@ -749,8 +783,12 @@ class BamFile:
         data = self._data
         pos = self._rec_start
         n = len(data)
-        while pos + 4 <= n:
+        while pos + 8 <= n:
             (block_size,) = struct.unpack_from("<i", data, pos)
+            # same truncation/corruption guard as _scan_soa: a bogus
+            # block_size must not loop forever or crash mid-record
+            if block_size < 32 or pos + 4 + block_size > n:
+                break
             (refid,) = struct.unpack_from("<i", data, pos + 4)
             if tid is None or refid == tid:
                 yield self._parse_at(pos)

@@ -389,8 +389,10 @@ def vcf_text_to_bcf(text: str, with_index: bool = False):
                 for b in bl:
                     indiv += b.ljust(width, b"\x00")
 
+        # index interval = the record's rlen span (htslib
+        # bcf_index_build bins by rlen), not just INFO/END
         rec_meta.append((d.cidx[chrom], int(pos) - 1,
-                         max(end_pos, int(pos)), len(out)))
+                         int(pos) - 1 + rlen, len(out)))
         out += struct.pack("<II", len(shared), len(indiv))
         out += shared
         out += indiv
@@ -479,7 +481,9 @@ def _fmt_scalar(atom, v):
 
 
 def is_bcf(data: bytes) -> bool:
-    return data[:5] == MAGIC
+    # any 2.x minor (htslib accepts major == 2; 2.1 records use the
+    # same layout for everything this reader consumes)
+    return data[:4] == MAGIC[:4]
 
 
 def bcf_to_vcf_text(data: bytes) -> str:

@@ -106,6 +106,13 @@ def build_csi(bcf_bytes: bytes, n_ref: int, records) -> bytes:
     # loff (hts_itr_query min_off).
     lidx = [dict() for _ in range(n_ref)]
     rec_list = list(records)
+    # htslib bcf_index_build grows the depth until the longest interval
+    # fits (hts_idx_init n_lvls from the max contig length); a fixed
+    # depth 5 tops out at 2^29 and misbins >536 Mb contigs
+    depth = DEPTH
+    max_end = max((r[2] for r in rec_list), default=0)
+    while max_end > (1 << (MIN_SHIFT + 3 * depth)):
+        depth += 1
     # virtual end of each record = virtual start of the next (or EOF)
     voffs = [_voffset(table, r[3]) for r in rec_list]
     eof_voff = None
@@ -118,7 +125,7 @@ def build_csi(bcf_bytes: bytes, n_ref: int, records) -> bytes:
                 eof_voff = _voffset(table, uoff) | 0xFFFF
             v_end = eof_voff
         end1 = max(end, beg + 1)
-        b = reg2bin(beg, end1)
+        b = reg2bin(beg, end1, MIN_SHIFT, depth)
         if 0 <= tid < n_ref:
             bins[tid].setdefault(b, []).append((v_beg, v_end))
             for w in range(beg >> MIN_SHIFT, ((end1 - 1) >> MIN_SHIFT) + 1):
@@ -129,7 +136,7 @@ def build_csi(bcf_bytes: bytes, n_ref: int, records) -> bytes:
     out = bytearray()
     out += b"CSI\x01"
     out += struct.pack("<i", MIN_SHIFT)
-    out += struct.pack("<i", DEPTH)
+    out += struct.pack("<i", depth)
     out += struct.pack("<i", 0)  # l_aux
     out += struct.pack("<i", n_ref)
     for tid in range(n_ref):
@@ -141,7 +148,7 @@ def build_csi(bcf_bytes: bytes, n_ref: int, records) -> bytes:
             # loff = linear-index entry for the window holding the bin's
             # start; any record overlapping a query that starts in this
             # bin spans down to that window, so its chunk end is > loff.
-            w = _bin_first_pos(b) >> MIN_SHIFT
+            w = _bin_first_pos(b, MIN_SHIFT, depth) >> MIN_SHIFT
             k = bisect.bisect_right(lwins, w) - 1
             if k >= 0:
                 loffset = lvals[k]

@@ -184,15 +184,27 @@ class VcfReader:
         with open(path, "rb") as fh:
             head = fh.read(2)
         if head == b"\x1f\x8b":
+            # sniff the first block only (the full stream inflates once
+            # inside the branch taken)
+            from delly_tpu.io.bgzf import BgzfReader
+            rd = BgzfReader(path)
+            try:
+                sniff = rd.read_prefix_blocks(5)[:5]
+            finally:
+                rd.close()
             with open(path, "rb") as fh:
                 raw = fh.read()
-            from delly_tpu.io.bgzf import bgzf_decompress
-            inflated = bgzf_decompress(raw)
-            if inflated[:5] == b"BCF\x02\x02":
+            if sniff[:4] == b"BCF\x02":
+                # any 2.x minor (htslib accepts major == 2)
                 from delly_tpu.io.bcf import bcf_to_vcf_text
                 text = bcf_to_vcf_text(raw)
+            elif sniff[:3] == b"BCF":
+                raise ValueError(
+                    f"{path}: unsupported BCF version "
+                    f"{sniff[3]}.{sniff[4]} (need 2.x)")
             else:
-                text = inflated.decode()
+                from delly_tpu.io.bgzf import bgzf_decompress
+                text = bgzf_decompress(raw).decode()
         else:
             with open(path) as fh:
                 text = fh.read()
