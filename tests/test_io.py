@@ -114,3 +114,32 @@ def test_fasta_readonly_dir_no_fai(tmp_path):
         # stale-index test above)
     finally:
         os.chmod(sub, 0o755)
+
+
+def test_cg_tag_cigar_restore():
+    """>65535-op alignments carry a placeholder '<l_seq>S<ref_len>N'
+    CIGAR with the real one in CG:B,I; sam_read1 restores it and so
+    must we (SAM spec 4.2.2)."""
+    import struct
+
+    import numpy as np
+
+    from delly_tpu.io.bam import CMATCH, CREF_SKIP, CSOFT_CLIP, parse_record_at
+    from tests.bamsynth import encode_record
+
+    # real cigar: 4M2I4M (query 10bp, ref 8bp)
+    real = [(4 << 4) | CMATCH, (2 << 4) | 1, (4 << 4) | CMATCH]
+    cg = b"CGBI" + struct.pack("<i", len(real)) + b"".join(
+        struct.pack("<I", c) for c in real)
+    rec_bytes = encode_record("q1", 0, 0, 100, 60,
+                              [("S", 10), ("N", 8)], -1, -1, 0,
+                              "ACGTACGTAC", aux=cg)
+    rec = parse_record_at(rec_bytes, 0)
+    assert rec.cigar_ops.tolist() == [CMATCH, 1, CMATCH]
+    assert rec.cigar_lens.tolist() == [4, 2, 4]
+    assert rec.alignment_length() == 8
+    # without CG the placeholder stays as-is
+    rec2 = parse_record_at(encode_record(
+        "q2", 0, 0, 100, 60, [("S", 10), ("N", 8)], -1, -1, 0,
+        "ACGTACGTAC"), 0)
+    assert rec2.cigar_ops.tolist() == [CSOFT_CLIP, CREF_SKIP]
