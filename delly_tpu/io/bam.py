@@ -248,7 +248,9 @@ def parse_record_at(data: bytes, pos: int) -> BamRecord:
     rec.mpos = next_pos
     rec.tlen = tlen
     p = pos + 32
-    rec.qname = data[p : p + l_read_name - 1].decode()
+    # stop at the first NUL: BAM writers pad qname with extranul bytes
+    # (bam_get_qname semantics); padding must not reach name hashes
+    rec.qname = data[p : p + l_read_name - 1].split(b"\x00")[0].decode()
     p += l_read_name
     cig = np.frombuffer(data, dtype=np.uint32, count=n_cigar, offset=p)
     rec.cigar_ops = (cig & 0xF).astype(np.int32)

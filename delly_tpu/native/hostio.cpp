@@ -46,6 +46,9 @@ static int scan_blocks(const uint8_t* data, size_t n,
     if (!(flg & 4)) return -1;  // BGZF requires FEXTRA
     uint16_t xlen = (uint16_t)(data[pos + 10] | (data[pos + 11] << 8));
     size_t xstart = pos + 12;
+    // the FEXTRA area must lie inside the buffer (crafted/truncated
+    // headers can claim xlen up to 65535 beyond the end)
+    if (xstart + xlen > n) return -2;
     size_t bsize = 0;
     size_t xoff = 0;
     while (xoff + 4 <= xlen) {
@@ -53,17 +56,20 @@ static int scan_blocks(const uint8_t* data, size_t n,
       uint8_t si2 = data[xstart + xoff + 1];
       uint16_t slen = (uint16_t)(data[xstart + xoff + 2]
                                  | (data[xstart + xoff + 3] << 8));
+      if (4 + (size_t)slen > xlen - xoff) break;
       if (si1 == 66 && si2 == 67 && slen == 2) {
         bsize = (size_t)(data[xstart + xoff + 4]
                          | (data[xstart + xoff + 5] << 8)) + 1;
       }
       xoff += 4 + slen;
     }
-    if (bsize == 0 || pos + bsize > n) return -2;
+    // bsize must cover header + FEXTRA + CRC32 + ISIZE
+    if (bsize < 12 + (size_t)xlen + 8 || pos + bsize > n) return -2;
     size_t payload_off = xstart + xlen;
     size_t payload_len = bsize - (payload_off - pos) - 8;
     uint32_t isize;
     std::memcpy(&isize, data + pos + bsize - 4, 4);
+    if (isize > (1u << 20)) return -2;  // BGZF payloads are <= 64 KiB
     BgzfBlock b;
     b.in_off = payload_off;
     b.in_len = payload_len;
@@ -97,8 +103,21 @@ static int inflate_blocks(const uint8_t* data,
       zs.next_out = buf + b.out_off;
       zs.avail_out = (uInt)b.out_len;
       int zrc = inflate(&zs, Z_FINISH);
+      size_t got = zs.total_out;
       inflateEnd(&zs);
-      if (zrc != Z_STREAM_END) { err.store(-5); return; }
+      // htslib errors when the inflated size disagrees with the ISIZE
+      // trailer — otherwise uninitialized output bytes would flow to
+      // callers as 'decoded' data
+      if (zrc != Z_STREAM_END || got != (size_t)b.out_len) {
+        err.store(-5);
+        return;
+      }
+      // CRC32 trailer check (bgzf.c bgzf_uncompress parity)
+      uint32_t want_crc;
+      std::memcpy(&want_crc, data + b.in_off + b.in_len, 4);
+      uint32_t have_crc = (uint32_t)crc32(
+          crc32(0L, Z_NULL, 0), buf + b.out_off, (uInt)b.out_len);
+      if (want_crc != have_crc) { err.store(-6); return; }
     }
   };
   int nthreads = std::max(1, threads);
@@ -303,13 +322,29 @@ void bam_cigar_stats(const uint8_t* data, size_t n, const int64_t* offsets,
       if (i >= nrec) return;
       int64_t hi = std::min(nrec, i + 256);
       for (; i < hi; ++i) {
+        // validate the in-record field lengths against block_size:
+        // a corrupt record must not read past its own bytes
+        int32_t block_size;
+        std::memcpy(&block_size, data + offsets[i], 4);
         const uint8_t* r = data + offsets[i] + 4;
         uint8_t l_read_name = r[8];
         uint16_t n_cigar = (uint16_t)(r[12] | (r[13] << 8));
+        if (block_size < 32
+            || (size_t)offsets[i] + 4 + (size_t)block_size > n
+            || 32 + (size_t)l_read_name + 4ull * n_cigar
+               > (size_t)block_size) {
+          name_hash[i] = 0; fnv_hash[i] = 0; ref_span[i] = 0;
+          leading_sc[i] = 0; clip_flags[i] = 0; max_clip[i] = 0;
+          max_indel[i] = 0; lead_clip[i] = 0; trail_clip[i] = 0;
+          continue;
+        }
         const uint8_t* qname = r + 32;
         uint32_t h = 37;
         uint64_t fh = 0xCBF29CE484222325ull;
-        for (int j = 0; j + 1 < (int)l_read_name; ++j) {
+        // hash to the first NUL (tags.h:260-267 hash_string): the BAM
+        // extranul padding must not enter the seed, or BAM and CRAM
+        // containers would hash the same read differently
+        for (int j = 0; j + 1 < (int)l_read_name && qname[j]; ++j) {
           h = (h * 54059u) ^ ((uint32_t)qname[j] * 76963u);
           fh = (fh ^ (uint64_t)qname[j]) * 0x100000001B3ull;
         }
@@ -368,11 +403,17 @@ void bam_match_coverage(const uint8_t* data, size_t n,
                         const int64_t* offsets, int64_t nrec,
                         int32_t target_len, int32_t* diff) {
   for (int64_t i = 0; i < nrec; ++i) {
+    int32_t block_size;
+    std::memcpy(&block_size, data + offsets[i], 4);
     const uint8_t* r = data + offsets[i] + 4;
     int32_t pos;
     std::memcpy(&pos, r + 4, 4);
     uint8_t l_read_name = r[8];
     uint16_t n_cigar = (uint16_t)(r[12] | (r[13] << 8));
+    if (block_size < 32
+        || (size_t)offsets[i] + 4 + (size_t)block_size > n
+        || 32 + (size_t)l_read_name + 4ull * n_cigar
+           > (size_t)block_size) continue;
     const uint8_t* cig = r + 32 + l_read_name;
     int32_t rp = 0;
     for (int j = 0; j < (int)n_cigar; ++j) {
@@ -406,12 +447,18 @@ void bam_base_coverage(const uint8_t* data, size_t n,
                        int32_t mapq_uniq, int32_t reflen,
                        int32_t* diff_all, int32_t* diff_uniq) {
   for (int64_t i = 0; i < nrec; ++i) {
+    int32_t block_size;
+    std::memcpy(&block_size, data + offsets[i], 4);
     const uint8_t* r = data + offsets[i] + 4;
     int32_t pos;
     std::memcpy(&pos, r + 4, 4);
     uint8_t mapq = r[9];
     uint8_t l_read_name = r[8];
     uint16_t n_cigar = (uint16_t)(r[12] | (r[13] << 8));
+    if (block_size < 32
+        || (size_t)offsets[i] + 4 + (size_t)block_size > n
+        || 32 + (size_t)l_read_name + 4ull * n_cigar
+           > (size_t)block_size) continue;
     const uint8_t* cig = r + 32 + l_read_name;
     int uniq = mapq >= mapq_uniq;
     int32_t rp = pos;
@@ -513,7 +560,10 @@ static int read_freq_table0(const uint8_t* b, size_t n, size_t& pos,
     tab.fstart[s2] = c;
     tab.ffreq[s2] = freqs[s2];
     if (freqs[s2]) {
-      if (c + freqs[s2] > 4096) return -2;
+      // guard each term: c + freqs[s2] can wrap uint32 with a crafted
+      // ITF8 frequency (e.g. 0xFFFFFFFF), passing the sum check and
+      // memset-ing gigabytes over the 4096-byte table
+      if (freqs[s2] > 4096 || c > 4096 - freqs[s2]) return -2;
       std::memset(tab.lookup + c, s2, freqs[s2]);
       c += freqs[s2];
     }
@@ -1236,7 +1286,7 @@ void edist_matrix(const uint8_t* q, int32_t m, const uint8_t* t,
 // row-major, t: (B, N). out: (B,) int32. The CPU-side equivalent of
 // the device Myers kernel for toolchains without a TPU. Per pair this
 // runs Myers' bit-parallel column update on 64-bit words (the same
-// recurrence as ops/myers.py::_column_update, widened to uint64): the
+// recurrence as ops/myers.py::_delta_at_qlen, widened to uint64): the
 // word-wise add's carry chain performs the column min-plus, so a
 // column costs ~15 ops per 64 query rows instead of a dense row sweep.
 // Modes: 0=NW (D[m][n]), 1=SHW / 2=HW (min over the last row); NW/SHW

@@ -73,33 +73,6 @@ def encode_batch(queries: np.ndarray, qlens, targets: np.ndarray, tlens):
     return peq, tcodes, qlens, tlens
 
 
-def _column_update(peq_c, pv, mv, hin, w):
-    """One Myers column over W words (edlib.cpp calculateBlock).
-    All arrays (..., B) uint32; hin int32 (..., B)."""
-    import jax.numpy as jnp
-
-    pv_out = []
-    mv_out = []
-    one = jnp.uint32(1)
-    for wi in range(w):
-        eq = peq_c[wi]
-        hin_neg = (hin < 0).astype(jnp.uint32)
-        hin_pos = (hin > 0).astype(jnp.uint32)
-        xv = eq | mv[wi]
-        eq2 = eq | hin_neg
-        xh = (((eq2 & pv[wi]) + pv[wi]) ^ pv[wi]) | eq2
-        ph = mv[wi] | ~(xh | pv[wi])
-        mh = pv[wi] & xh
-        hout = ((ph >> 31) & one).astype(jnp.int32) \
-            - ((mh >> 31) & one).astype(jnp.int32)
-        ph = (ph << 1) | hin_pos
-        mh = (mh << 1) | hin_neg
-        pv_out.append(mh | ~(xv | ph))
-        mv_out.append(ph & xv)
-        hin = hout
-    return pv_out, mv_out
-
-
 def _delta_at_qlen(peq_c, pv, mv, hin, w, hi_word, hi_bit):
     """Horizontal delta of D[qlen][.] for this column: the pre-shift
     Ph/Mh bit (qlen-1), evaluated per word with a predicate on the
@@ -207,5 +180,14 @@ def batched_edit_distance_myers(queries, qlens, targets, tlens,
                                                    targets, tlens, mode)
     peq, tcodes, ql, tl = enc
     w = peq.shape[1]
-    return _run(jnp.asarray(peq), jnp.asarray(tcodes), jnp.asarray(ql),
-                jnp.asarray(tl), w, mode)
+    out = _run(jnp.asarray(peq), jnp.asarray(tcodes), jnp.asarray(ql),
+               jnp.asarray(tl), w, mode)
+    # empty queries analytically: hi_word = -1 never fires in the
+    # kernel, so NW would return 0 instead of tlen (the native host
+    # core returns tlen; backends must agree)
+    qla = np.asarray(qlens)
+    if (qla == 0).any():
+        out = np.asarray(out).copy()
+        empty = qla == 0
+        out[empty] = np.asarray(tlens)[empty] if mode == 0 else 0
+    return out

@@ -131,7 +131,16 @@ def batched_edit_distance_pallas(queries, qlens, targets, tlens,
         _cache[key] = _make_pipeline(nalpha, w, m, n, mode, interpret)
     out = _cache[key](jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
                       jnp.asarray(tl), jnp.asarray(letters))
-    return out[:b]
+    out = out[:b]
+    # empty queries analytically (the kernel's qlen-1 readout assumes
+    # qlen >= 1); NW = tlen, SHW/HW = 0 — matches the host core
+    qla = np.asarray(qlens)[:b]
+    if (qla == 0).any():
+        out = np.asarray(out).copy()
+        empty = qla == 0
+        out[empty] = np.where(mode == 0,
+                              np.asarray(tlens)[:b][empty], 0)
+    return out
 
 
 def make_runner(m: int, n: int, nalpha: int, mode: int,
