@@ -122,3 +122,69 @@ def test_core_index_python_fallback_matches_native(bam):
     for key in ("offsets", "tid", "pos", "flag", "mapq", "mtid", "mpos",
                 "tlen", "lqseq"):
         assert np.array_equal(nat[key], py[key]), key
+
+
+def test_crafted_inputs_fail_cleanly():
+    """Memory-safety regressions (guard-page-verified fixes): crafted
+    BGZF headers, BAM records and rANS frequency tables must return
+    clean errors, not read/write out of bounds."""
+    import struct
+
+    from delly_tpu import native
+
+    # truncated BGZF header claiming a 64KB FEXTRA area
+    crafted = (b"\x1f\x8b\x08\x04" + b"\x00" * 6
+               + struct.pack("<H", 0xFFFF) + b"\x00" * 6)
+    assert native.bgzf_inflate(crafted) is None
+
+    # BSIZE smaller than header+trailer (size_t underflow path)
+    tiny = (b"\x1f\x8b\x08\x04" + b"\x00" * 6 + struct.pack("<H", 6)
+            + b"BC" + struct.pack("<H", 2) + struct.pack("<H", 19)
+            + b"\x00" * 30)
+    assert native.bgzf_inflate(tiny) is None
+
+    # BAM record whose l_read_name/n_cigar exceed its block_size
+    rec = (struct.pack("<i", 36)
+           + struct.pack("<iiBBHHHiiii", 0, 100, 255, 60, 0, 0xFFFF,
+                         0, 4, -1, -1, 0) + b"\x00" * 4)
+    offs = np.zeros(1, dtype=np.int64)
+    st = native.bam_cigar_stats(rec, offs)
+    assert st is None or int(st["ref_span"][0]) == 0
+    assert native.bam_match_coverage(rec, offs, 1000) is not None
+    assert native.bam_base_coverage(rec, offs, 20, 1000) is not None
+
+
+def test_qname_hash_stops_at_nul():
+    """BAM extranul qname padding must not enter the read-name hashes
+    (tags.h:260-267 hash_string stops at NUL) — otherwise the same
+    read seeds differently in BAM vs CRAM containers."""
+    import sys
+    sys.path.insert(0, "tests")
+    from bamsynth import encode_record
+
+    from delly_tpu import native
+    from delly_tpu.io.bam import parse_record_at
+
+    recs = b"".join(encode_record(q, 0, 0, 100, 60, [("M", 8)],
+                                  -1, -1, 0, "ACGTACGT")
+                    for q in ("ab", "abc", "abcd", "abcde"))
+    offs = []
+    pos = 0
+    import struct as _s
+    while pos < len(recs):
+        offs.append(pos)
+        (bs,) = _s.unpack_from("<i", recs, pos)
+        pos += 4 + bs
+    offs = np.asarray(offs, dtype=np.int64)
+    st = native.bam_cigar_stats(recs, offs)
+    for k, q in enumerate(("ab", "abc", "abcd", "abcde")):
+        rec = parse_record_at(recs, int(offs[k]))
+        assert rec.qname == q   # no padding NULs in the string
+    # native hashes equal a direct NUL-free hash of the name
+    def py_hash(s):
+        h = 37
+        for ch in s.encode():
+            h = ((h * 54059) ^ (ch * 76963)) & 0xFFFFFFFF
+        return h
+    for k, q in enumerate(("ab", "abc", "abcd", "abcde")):
+        assert int(st["name_hash"][k]) == py_hash(q), q
