@@ -183,6 +183,8 @@ def get_lib():
     lib.edist_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_char_p, ctypes.c_void_p]
+    lib.edist_scan_last.restype = None
+    lib.edist_scan_last.argtypes = lib.edist_scan.argtypes
     lib.cnv_segment_core.restype = ctypes.c_int64
     lib.cnv_segment_core.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
@@ -402,6 +404,19 @@ def edist_scan(q: bytes, t: bytes, mode: int, eq: bytes | None = None):
     out = np.empty(2, dtype=np.int32)
     lib.edist_scan(q, len(q), t, len(t), mode, eq,
                    out.ctypes.data_as(ctypes.c_void_p))
+    return int(out[0]), int(out[1])
+
+
+def edist_scan_last(q: bytes, t: bytes, mode: int,
+                    eq: bytes | None = None):
+    """Distance + RIGHTMOST optimal end column (edlib start-location
+    rule on reversed inputs), or None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(2, dtype=np.int32)
+    lib.edist_scan_last(q, len(q), t, len(t), mode, eq,
+                        out.ctypes.data_as(ctypes.c_void_p))
     return int(out[0]), int(out[1])
 
 

@@ -1565,8 +1565,10 @@ void edist_matrix_mt(const uint8_t* q, int32_t m, const uint8_t* t,
 // empty-target alignment). Same recurrence as edist_many; eq adds
 // IUPAC-style custom equality (Peq bit r of letter c set when
 // eq[q[r]][c]). out2 = {dist, end_col}.
-void edist_scan(const uint8_t* q, int32_t m, const uint8_t* t, int32_t n,
-                int32_t mode, const uint8_t* eq, int32_t* out2) {
+static void edist_scan_impl(const uint8_t* q, int32_t m,
+                            const uint8_t* t, int32_t n, int32_t mode,
+                            const uint8_t* eq, int32_t take_last,
+                            int32_t* out2) {
   if (m == 0) {
     out2[0] = (mode == 0) ? n : 0;
     out2[1] = (mode == 0) ? n : 0;
@@ -1616,13 +1618,27 @@ void edist_scan(const uint8_t* q, int32_t m, const uint8_t* t, int32_t n,
     }
     if (mode == 0) {
       if (j + 1 == n) res = score;
-    } else if (score < res) {
+    } else if (score < res || (take_last && score == res)) {
       res = score;
       end_col = j + 1;
     }
   }
   out2[0] = res;
   out2[1] = end_col;
+}
+
+void edist_scan(const uint8_t* q, int32_t m, const uint8_t* t, int32_t n,
+                int32_t mode, const uint8_t* eq, int32_t* out2) {
+  edist_scan_impl(q, m, t, n, mode, eq, 0, out2);
+}
+
+// Rightmost-optimal end (edlib startLocations: the LAST optimal SHW
+// position of the reversed problem = the leftmost alignment start,
+// edlib.cpp:252-254).
+void edist_scan_last(const uint8_t* q, int32_t m, const uint8_t* t,
+                     int32_t n, int32_t mode, const uint8_t* eq,
+                     int32_t* out2) {
+  edist_scan_impl(q, m, t, n, mode, eq, 1, out2);
 }
 
 // Banded unit-cost edit-distance DP with in-C traceback (Ukkonen

@@ -227,9 +227,21 @@ def align(query, target, mode: int = MODE_NW, k: int = -1,
             return -1, -1, np.zeros(0, dtype=np.uint8)
         rq = q[::-1].copy()
         rt = t[:end_loc + 1][::-1].copy()
-        row = _last_dp_row(rq, rt, MODE_SHW, eq)
-        opt = np.nonzero(row == dist)[0]
-        pos = int(opt[-1]) - 1
+        pos = None
+        try:
+            from delly_tpu import native
+            eqb = None if eq is None else \
+                np.ascontiguousarray(eq, dtype=np.uint8).tobytes()
+            sc = native.edist_scan_last(rq.tobytes(), rt.tobytes(),
+                                        MODE_SHW, eqb)
+            if sc is not None and sc[0] == dist:
+                pos = sc[1] - 1
+        except Exception:
+            pass
+        if pos is None:
+            row = _last_dp_row(rq, rt, MODE_SHW, eq)
+            opt = np.nonzero(row == dist)[0]
+            pos = int(opt[-1]) - 1
         start = end_loc - pos
         _d, _e, ops = align(q, t[start:end_loc + 1], MODE_NW, eq=eq)
         return dist, end_loc, ops
