@@ -496,14 +496,15 @@ def run_asm(cfg: AsmConfig) -> int:
             cfg.file_sample.append(file_c)
             cfg.file_hap.append(0)
     cfg.sample_names = []
+    cfg._ucount = 0
     for s in range(cfg.nsamples):
         f0 = 2 * s if cfg.diploid else s
         name = (common_sample_name(file_sm[f0], file_sm[f0 + 1])
                 if cfg.diploid else file_sm[f0])
-        ucount = 0
         while name in cfg.sample_names:
-            name = f"{name}_{ucount}"
-            ucount += 1
+            # global counter across ALL samples (asmode.h:863-872)
+            name = f"{name}_{cfg._ucount}"
+            cfg._ucount += 1
         cfg.sample_names.append(name)
 
     svs = []

@@ -37,7 +37,9 @@ def parse_bed_intervals(path: str, header) -> list:
     regions = [[] for _ in range(header.n_targets)]
     with _open_maybe_gzip(path) as fh:
         for line in fh:
-            toks = line.split()
+            # reference tokenizer accepts space/tab/comma/semicolon
+            # (bed.h:47 char_separator " \t,;")
+            toks = line.replace(",", " ").replace(";", " ").split()
             if len(toks) < 3:
                 continue
             tid = header.name2id(toks[0])

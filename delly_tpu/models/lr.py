@@ -9,6 +9,8 @@ refinement (assemble.h) -> positional dedup -> LR genotyping
 
 from __future__ import annotations
 
+import sys
+
 
 from delly_tpu.io.bam import FDUP, FQCFAIL, FUNMAP, BamFile
 from delly_tpu.io.fasta import FastaFile
@@ -184,7 +186,12 @@ def run_lr(cfg) -> int:
             b.header.sample_name(default=f.rsplit("/", 1)[-1].split(".")[0])
             for b, f in zip(bams, cfg.files)]
     fasta = FastaFile(cfg.genome)
-    valid_regions = parse_exclude_intervals(cfg.exclude or None, header)
+    try:
+        valid_regions = parse_exclude_intervals(cfg.exclude or None,
+                                                header)
+    except ValueError as exc:
+        print(exc, file=sys.stderr)
+        return 1
 
     svs = []
     if not cfg.vcffile:

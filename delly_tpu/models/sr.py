@@ -528,7 +528,12 @@ def run_sr(cfg) -> int:
             b.header.sample_name(os.path.splitext(os.path.basename(f))[0])
             for b, f in zip(bams, cfg.files)]
     fasta = FastaFile(cfg.genome)
-    valid_regions = parse_exclude_intervals(cfg.exclude or None, header)
+    try:
+        valid_regions = parse_exclude_intervals(cfg.exclude or None,
+                                                header)
+    except ValueError as exc:
+        print(exc, file=sys.stderr)
+        return 1
     libs = [get_library_params(b, valid_regions, cfg.mad_cutoff,
                                cfg.mad_normal_cutoff) for b in bams]
     for i, lib in enumerate(libs):

@@ -57,6 +57,15 @@ def get_library_params(bam, valid_regions, mad_cutoff: int = 9,
 
     nchr = bam.header.n_targets
     valid_arr = np.asarray([bool(v) for v in valid_regions], dtype=bool)
+    lens = bam.header.lengths
+    # sub-chromosome valid intervals (exclude/scan BEDs): the reference
+    # samples inserts via sam_itr_queryi over each interval
+    # (util.h:808-811) — reads outside must not enter the statistics
+    partial = {t for t in range(nchr)
+               if valid_regions[t]
+               and not (len(valid_regions[t]) == 1
+                        and valid_regions[t][0][0] <= 0
+                        and valid_regions[t][0][1] >= lens[t])}
     acc = {k: [] for k in ("flag", "lqseq", "tid", "mtid", "pos",
                            "mpos", "tlen")}
     tot = 0
@@ -69,6 +78,17 @@ def get_library_params(bam, valid_regions, mad_cutoff: int = 9,
                 & ((vflag & FREAD2) == 0) & (s["lqseq"] < 65000)
                 & ((vflag & (FSECONDARY | FQCFAIL | FDUP
                              | FSUPPLEMENTARY | FUNMAP)) == 0))
+        if partial:
+            pos_c = s["pos"]
+            end_c = pos_c + np.maximum(s["lqseq"], 1)
+            for t in np.unique(vtid[keep]).tolist():
+                if t not in partial:
+                    continue
+                m = vtid == t
+                sub = np.zeros(len(vtid), dtype=bool)
+                for lo, hi in valid_regions[t]:
+                    sub |= (pos_c < hi) & (end_c > lo)
+                keep &= ~m | sub
         for k in acc:
             acc[k].append(s[k][keep])
         kf = vflag[keep]
@@ -76,7 +96,8 @@ def get_library_params(bam, valid_regions, mad_cutoff: int = 9,
         tot_pairs += int(np.count_nonzero(
             ((kf & FPAIRED) != 0) & ((kf & FMUNMAP) == 0)
             & (vtid[keep] == s["mtid"][keep])))
-        if tot > max_screened or tot_pairs >= max_num:
+        if tot > max_screened or tot_pairs >= max_num \
+                or (tot >= max_num and tot_pairs == 0):
             break
     flag = np.concatenate(acc["flag"]) if acc["flag"] else \
         np.zeros(0, dtype=np.int32)
@@ -166,6 +187,14 @@ def parse_exclude_intervals(exclude_path, header):
                         excl[tid].append((start, end))
                     else:
                         raise ValueError(f"bad exclude line: {line!r}")
+                elif len(toks) == 2:
+                    # chr + start with the end column missing is a
+                    # format error in the reference (util.h:716-720),
+                    # NOT a whole-chromosome exclusion
+                    raise ValueError(
+                        "Exclude file needs to be in tab-delimited "
+                        f"format: chr, start, end. Offending line: "
+                        f"{line!r}")
                 else:
                     valid_chr[tid] = False
     valid = [[] for _ in range(n)]
