@@ -40,10 +40,15 @@ def detect_tandem_repeat(seq: str, max_period: int = 100,
         return 0, 0.0
     b = np.frombuffer(seq.encode(), dtype=np.uint8)
     pmax = min(max_period, n // 2)
+    # The reference does the ratio test and the copy count in float32
+    # ((float)matches/(float)(n-p) >= minFraction, svanno.h:50-51); at
+    # exact-threshold cases (e.g. 17/20 vs f32(0.85)) float64 decides
+    # differently, so mirror the precision.
+    frac32 = np.float32(min_fraction)
     for p in range(1, pmax + 1):
         matches = int(np.count_nonzero(b[p:] == b[:-p]))
-        if matches / (n - p) >= min_fraction:
-            return p, n / p
+        if np.float32(matches) / np.float32(n - p) >= frac32:
+            return p, float(np.float32(n) / np.float32(p))
     return 0, 0.0
 
 
