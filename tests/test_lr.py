@@ -125,6 +125,19 @@ def test_detect_tandem_repeat():
     assert period == 0
 
 
+def test_detect_tandem_repeat_float32_threshold():
+    """The reference compares (float)matches/(float)(n-p) against the
+    float32 config threshold (svanno.h:50); at the exact 17/20 boundary
+    with the f32-rounded 0.85 config value, float64 arithmetic rejects
+    while the reference accepts."""
+    import numpy as np
+    seq = "A" * 10 + "B" + "A" * 9 + "C"  # p=1: 17 matches over 20
+    frac = float(np.float32(0.85))  # config threshold after f32 round-trip
+    period, copies = detect_tandem_repeat(seq, 100, frac)
+    assert period == 1
+    assert copies == pytest.approx(21.0)
+
+
 def test_cpg_clustering():
     # positions 10,11 cluster (depth 5+4=9); position 50 isolated depth 2
     assert cluster_and_filter_cpg({10: 5, 11: 4, 50: 2}, 5) == 1
