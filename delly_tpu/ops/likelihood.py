@@ -11,6 +11,8 @@ import math
 
 import numpy as np
 
+from delly_tpu.utils.stats import iround
+
 SMALLEST_GL = -1000
 
 # phred -> prob lookup, phred2prob[i] = 10^(-i/10) (bolog.h:11-20)
@@ -46,14 +48,14 @@ def compute_gls(mapq_ref, mapq_alt):
     for geno in range(3):
         gl[geno] -= gl_best_val
         gl[geno] = max(gl[geno], SMALLEST_GL)
-    pl = [int(round(-10 * gl[0])), int(round(-10 * gl[1])),
-          int(round(-10 * gl[2]))]
+    # boost::math::round is half-away-from-zero, not banker's rounding
+    pl = [iround(-10 * gl[0]), iround(-10 * gl[1]), iround(-10 * gl[2])]
     if pe_depth and (pl[0] + pl[1] + pl[2]) > 0:
         total = (PHRED2PROB[pl[0]] + PHRED2PROB[pl[1]] + PHRED2PROB[pl[2]])
         arg = 1 - 1 / total
         likelihood = math.log10(arg) if arg > 0 else SMALLEST_GL
         likelihood = max(likelihood, SMALLEST_GL)
-        gq = int(round(-10 * likelihood))
+        gq = iround(-10 * likelihood)
         if gl_best == 0:
             gt = (1, 1)
         elif gl_best == 1:
@@ -62,7 +64,7 @@ def compute_gls(mapq_ref, mapq_alt):
             gt = (0, 0)
         # GL array layout as written: gls[2]=gl[0], gls[1]=gl[1], gls[0]=gl[2]
         gls = (float(gl[2]), float(gl[1]), float(gl[0]))
-        pls = [max(0, int(round(-10.0 * g))) for g in gls]
+        pls = [max(0, iround(-10.0 * g)) for g in gls]
         return gls, gq, gt, pls
     return None, 0, None, None
 
@@ -92,11 +94,11 @@ def compute_cnls(mean: float, sd: float, ploidy: float, max_cn: int = 10):
             else:
                 best2 = geno
     gl_obs = max(math.log10(norm_pdf(mean)), SMALLEST_GL)
-    pl_variant = int(round(-10 * gl_obs))
-    pl_ploidy = int(round(-10 * gl[int(round(ploidy))]))
+    pl_variant = iround(-10 * gl_obs)
+    pl_ploidy = iround(-10 * gl[iround(ploidy)])
     varqual = pl_ploidy - pl_variant
-    pl_best = int(round(-10 * gl[best]))
-    pl_best2 = int(round(-10 * gl[best2]))
+    pl_best = iround(-10 * gl[best])
+    pl_best2 = iround(-10 * gl[best2])
     gq = pl_best2 - pl_best
     best_val = gl[best]
     gl = [g - best_val for g in gl]

@@ -97,6 +97,16 @@ def test_compute_cnls_centers_on_cn():
     assert varqual2 <= 0
 
 
+def test_compute_cnls_half_ploidy_rounds_away_from_zero():
+    """boost::math::iround(c.ploidy) rounds 2.5 to 3 (half away from
+    zero, bolog.h:119); Python's banker's round() would pick CN2."""
+    _, _, vq_half, _ = compute_cnls(2.0, 0.5, 2.5)
+    _, _, vq_cn3, _ = compute_cnls(2.0, 0.5, 3.0)
+    _, _, vq_cn2, _ = compute_cnls(2.0, 0.5, 2.0)
+    assert vq_half == vq_cn3
+    assert vq_half != vq_cn2
+
+
 def test_cnv_end_to_end_example():
     """The bundled short-read example has a het DEL -> CN~1 segment."""
     out = "/tmp/test_cnv_e2e.vcf"
