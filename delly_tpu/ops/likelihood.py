@@ -64,7 +64,10 @@ def compute_gls(mapq_ref, mapq_alt):
             gt = (0, 0)
         # GL array layout as written: gls[2]=gl[0], gls[1]=gl[1], gls[0]=gl[2]
         gls = (float(gl[2]), float(gl[1]), float(gl[0]))
-        pls = [max(0, iround(-10.0 * g)) for g in gls]
+        # modvcf.h:681 derives PL from the float32-STORED GL values
+        # (std::round(-10.0f * gl_val)), so mirror the f32 multiply
+        pls = [max(0, iround(float(np.float32(-10.0) * np.float32(g))))
+               for g in gls]
         return gls, gq, gt, pls
     return None, 0, None, None
 
