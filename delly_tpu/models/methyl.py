@@ -399,13 +399,17 @@ def finalize_methyl_info(accum: MethylAccum, min_cpg_depth: int) -> MethylInfo:
     from delly_tpu.utils.stats import iround
 
     def pct(m, t):
-        # std::round (half away from zero), not banker's rounding
-        return iround(100.0 * m / t) if t > 0 else -1
+        # std::round (half away from zero, not banker's) of the
+        # float32 expression 100.0f*(float)m/(float)t (methyl.h:447)
+        if t <= 0:
+            return -1
+        return iround(float(np.float32(100.0) * np.float32(m)
+                            / np.float32(t)))
 
     def mdp(ta, tr, cpg_n):
         if cpg_n <= 0:
             return -1
-        return iround((ta + tr) / cpg_n)
+        return iround(float(np.float32(ta + tr) / np.float32(cpg_n)))
 
     mi = MethylInfo()
     (mi.altSvStartL, mi.altSvStartR, mi.altSvRightL, mi.altSvRightR) = [
