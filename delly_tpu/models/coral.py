@@ -89,9 +89,21 @@ class CnvConfig:
     ref_idx: set = field(default_factory=set)
 
     def __post_init__(self):
-        self.purity = min(max(self.purity, 0.1), 1.0)
-        self.expected_cn = (self.purity * self.ploidy
-                            + (1.0 - self.purity) * self.ctrl_ploidy)
+        # These are C floats in the reference (coral.h:39-60); boundary
+        # comparisons must see the f32-rounded values (see config._f32).
+        from delly_tpu.models.config import _f32
+        _f32("penalty", "cn_merge_tol", "cn_min_callable", "ploidy",
+             "purity", "ctrl_ploidy", "unique_to_total_cov_ratio",
+             "fragment_unique", "frac_window", "exclgc")(self)
+        import numpy as np
+        self.purity = float(min(max(np.float32(self.purity),
+                                    np.float32(0.1)), np.float32(1.0)))
+        # coral.h:553 mixes f32 products with a double 1.0 term, then
+        # stores the sum back into the float expectedCN
+        p32 = np.float32(self.purity)
+        self.expected_cn = float(np.float32(
+            float(p32 * np.float32(self.ploidy))
+            + (1.0 - float(p32)) * float(np.float32(self.ctrl_ploidy))))
         if self.target_reads == 0:
             self.target_reads = 150
         self.adaptive = self.window_size == 0
