@@ -68,6 +68,12 @@ class FilterConfig:
     control_set: set = field(default_factory=set)
 
     def __post_init__(self):
+        # C floats in the reference (filter.h:65-77); boundary
+        # comparisons must see the f32-rounded values
+        from delly_tpu.models.config import _f32
+        _f32("ratiogeno", "altaf", "controlcont", "genogq", "hwe",
+             "rsize", "rcorr", "rddel", "rddup", "maxsd", "rec_cnv",
+             "pgerm", "cn_offset")(self)
         if self.filter == "germline":
             self.controlcont = 1.0
 
