@@ -98,7 +98,12 @@ def _check_bam_headers(files, genome: str) -> int:
 
 
 def _add_sr(sub):
-    p = sub.add_parser("sr", help="SV discovery in short-read data")
+    # add_help=False frees -h for threads (delly.h:212 "threads,h";
+    # the reference's help short is -?)
+    p = sub.add_parser("sr", help="SV discovery in short-read data",
+                       add_help=False)
+    p.add_argument("--help", action="help",
+                   help="show this help message and exit")
     p.add_argument("-t", "--svtype", default="ALL")
     p.add_argument("-g", "--genome", required=True)
     p.add_argument("-x", "--exclude", default="")
@@ -119,7 +124,7 @@ def _add_sr(sub):
                    help="PE graph pruning cutoff")
     p.add_argument("-w", "--cons-window", type=int, default=100,
                    help="consensus window")
-    p.add_argument("--threads", type=int, default=4)
+    p.add_argument("-h", "--threads", type=int, default=4)
     p.add_argument("input_files", nargs="+")
     return p
 
@@ -142,7 +147,7 @@ def _add_lr(sub):
     p.add_argument("-p", "--max-reads", type=int, default=15)
     p.add_argument("-w", "--cons-window", type=int, default=1000)
     p.add_argument("-f", "--flank-size", type=int, default=100)
-    p.add_argument("--flank-quality", type=float, default=0.9)
+    p.add_argument("-a", "--flank-quality", type=float, default=0.9)
     p.add_argument("-i", "--indel-size", type=int, default=10000)
     p.add_argument("-k", "--mei-minfrac", type=float, default=0.8)
     p.add_argument("-r", "--tr-minfrac", type=float, default=0.85)
@@ -152,7 +157,7 @@ def _add_lr(sub):
     p.add_argument("-v", "--vcffile", default="")
     p.add_argument("-u", "--geno-qual", type=int, default=5)
     p.add_argument("-d", "--dump", default="")
-    p.add_argument("-a", "--max-geno-count", type=int, default=250)
+    p.add_argument("-b", "--max-geno-count", type=int, default=250)
     p.add_argument("--pruning", type=int, default=1000,
                    help="graph pruning cutoff")
     p.add_argument("--extension", type=float, default=None,
