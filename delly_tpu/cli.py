@@ -7,6 +7,7 @@ Subcommands: sr, lr, asm, cnv, merge, filter.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 import sys
 
@@ -368,7 +369,63 @@ def _dispatch(argv=None) -> int:
     _add_merge(sub)
     _add_filter(sub)
     args, extra = parser.parse_known_args(argv)
+    if args.command is None:
+        parser.print_help()
+        return 0
+    with _mesh_scope(args.command):
+        return _run_command(args)
 
+
+@contextlib.contextmanager
+def _mesh_scope(command: str):
+    """Production multi-chip activation (the reference analogue is
+    threadpool.h:15-77 — use the hardware you were given):
+
+    - ``DELLY_TPU_MESH=N`` runs the device kernels of any subcommand
+      over an N-device mesh (``0``/``off`` disables; N=1 is a real
+      1-device mesh, so mesh runs of any size execute the same sharded
+      program and stay byte-identical by construction);
+    - unset, the discovery engines (sr/lr/asm/cnv) automatically mesh
+      over all visible accelerator chips when more than one is
+      attached. Virtual CPU device splitting
+      (xla_force_host_platform_device_count) is a test fixture, not
+      extra hardware, so CPU meshes stay opt-in via the env var.
+    """
+    spec = os.environ.get("DELLY_TPU_MESH", "").strip().lower()
+    if spec in ("0", "off", "none", "no"):
+        yield None
+        return
+    if not spec and command not in ("sr", "lr", "asm", "cnv"):
+        yield None
+        return
+    import jax
+    devices = jax.devices()
+    if spec:
+        try:
+            n = int(spec)
+        except ValueError:
+            print(f"Invalid DELLY_TPU_MESH value: {spec}", file=sys.stderr)
+            raise SystemExit(1)
+        if n > len(devices):
+            print(f"Warning: DELLY_TPU_MESH={n} exceeds the "
+                  f"{len(devices)} visible devices; using "
+                  f"{len(devices)}.", file=sys.stderr)
+            n = len(devices)
+        if n < 1:
+            yield None
+            return
+    else:
+        n = len(devices)
+        if n < 2 or devices[0].platform == "cpu":
+            yield None
+            return
+    from delly_tpu.parallel import dispatch
+    from delly_tpu.parallel.mesh import make_mesh
+    with dispatch.use_mesh(make_mesh(n)) as mesh:
+        yield mesh
+
+
+def _run_command(args) -> int:
     if args.command == "sr":
         rc = (_startup_checks(args.genome, args.input_files, args.exclude,
                               args.vcffile)
@@ -546,8 +603,7 @@ def _dispatch(argv=None) -> int:
             flank_quality=args.flank_quality,
             indelsize=args.indel_size)
         return run_asm(cfg)
-    parser.print_help()
-    return 0
+    raise SystemExit(f"Unknown subcommand: {args.command}")
 
 
 def entry() -> None:

@@ -395,62 +395,89 @@ def _write_windows(cfg, data_out, chrn, reflen, gcbound, gc_content,
             (winlen >= cfg.frac_window * cfg.window_size).tolist()))
 
     nw = len(wins)
-    na_flag = [False] * nw
-    suspect = [False] * nw
-    strong = [False] * nw
+    if not nw:
+        return
+    cols = np.asarray(wins, dtype=np.float64)
+    start_i = cols[:, 0].astype(np.int64)
+    end_i = cols[:, 1].astype(np.int64)
+    winlen = cols[:, 2]
+    covsum = cols[:, 3]
+    expcov = cols[:, 4]
+    ucov = cols[:, 5]
+    tcov = cols[:, 6]
+    validw = cols[:, 7] != 0
+
+    # hom-del vs unmappable separation (coral.h:352-384), vectorized:
+    # maximal runs of suspect windows are disjoint and separated by at
+    # least one non-suspect window, so per-run neighbor checks read
+    # state no other run can have modified — identical to the
+    # reference's sequential sweep.
     low_frac = 0.1
     flank_frac = 0.5
     max_hom_del_win = 1000000
-    for i, w in enumerate(wins):
-        if not w[7] or w[4] <= 0:
-            na_flag[i] = True
-            continue
-        r = w[3] / w[4]
-        suspect[i] = r < low_frac
-        strong[i] = r >= flank_frac
-    i = 0
-    while i < nw:
-        if na_flag[i] or not suspect[i]:
-            i += 1
-            continue
-        a = i
-        b = i
-        while b + 1 < nw and not na_flag[b + 1] and suspect[b + 1]:
-            b += 1
-        run_bp = wins[b][1] - wins[a][0]
+    na_flag = ~validw | (expcov <= 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.where(expcov > 0, covsum / np.where(expcov > 0, expcov, 1.0),
+                     0.0)
+    suspect = ~na_flag & (r < low_frac)
+    strong = ~na_flag & (r >= flank_frac)
+    run_edge = np.flatnonzero(np.diff(np.r_[False, suspect, False]))
+    for a, b1 in zip(run_edge[0::2], run_edge[1::2]):
+        b = b1 - 1
+        run_bp = end_i[b] - start_i[a]
         left_strong = a > 0 and not na_flag[a - 1] and strong[a - 1]
         right_strong = b + 1 < nw and not na_flag[b + 1] and strong[b + 1]
         if not (left_strong and right_strong and run_bp <= max_hom_del_win):
-            for k in range(a, b + 1):
-                na_flag[k] = True
-        i = b + 1
+            na_flag[a:b + 1] = True
 
     uniq_gate = cfg.basecov
     if uniq_gate:
-        for i, w in enumerate(wins):
-            if na_flag[i]:
-                continue
-            if w[6] > 0 and w[5] <= cfg.unique_to_total_cov_ratio * w[6]:
-                na_flag[i] = True
+        na_flag |= ((tcov > 0)
+                    & (ucov <= cfg.unique_to_total_cov_ratio * tcov))
 
-    for i, w in enumerate(wins):
-        start, end, winlen, covsum, expcov, ucov, tcov, _v = w
-        if uniq_gate:
-            uniq_frac = ucov / tcov if tcov > 0 else -1.0
-        else:
-            uniq_frac = winlen / (end - start) if end > start else -1.0
+    if uniq_gate:
+        uniq_frac = np.where(tcov > 0, ucov / np.where(tcov > 0, tcov, 1.0),
+                             -1.0)
+    else:
+        span = (end_i - start_i).astype(np.float64)
+        uniq_frac = np.where(span > 0, winlen / np.where(span > 0, span, 1.0),
+                             -1.0)
+
+    ok = ~na_flag
+    from delly_tpu.parallel import dispatch
+    mesh = dispatch.get_mesh()
+    if mesh is not None:
+        # production multi-chip: the per-window depth math runs
+        # elementwise (float64) over the window axis sharded across the
+        # mesh — bit-identical for any device count by construction —
+        # with psum'd integer-exact callable/coverage tallies.
+        from delly_tpu.parallel.depth_step import depth_windows_on_mesh
+        cn_arr, logr_arr, (n_call, cov_tot) = depth_windows_on_mesh(
+            mesh, covsum, expcov, ok, cfg.expected_cn, cfg.purity,
+            chr_ctrl_ploidy, chr_ploidy)
+        from delly_tpu.utils import log
+        log.stage(f"Mesh read-depth windows, chr={chrn}, "
+                  f"devices={int(mesh.devices.size)}, windows={nw}, "
+                  f"callable={n_call}, coverage={cov_tot:g}")
+    else:
+        # shared depth math (ops/depth_math.py) — the same function the
+        # sharded multi-chip step executes, so the mesh path cannot
+        # drift from production semantics (coral.h:296-414 doubles).
+        from delly_tpu.ops.depth_math import window_depth
+        cn_arr, logr_arr = window_depth(
+            np, covsum, np.where(ok, expcov, 0.0), cfg.expected_cn,
+            cfg.purity, chr_ctrl_ploidy, chr_ploidy)
+
+    rows = []
+    for i in range(nw):
         if na_flag[i]:
-            data_out.write(f"{chrn}\t{start}\t{end}\t{uniq_frac:g}\tNA\tNA\n")
+            rows.append(f"{chrn}\t{start_i[i]}\t{end_i[i]}\t"
+                        f"{uniq_frac[i]:g}\tNA\tNA\n")
         else:
-            # shared depth math (ops/depth_math.py) — the same function
-            # the sharded multi-chip step executes, so the mesh path
-            # cannot drift from production semantics.
-            from delly_tpu.ops.depth_math import window_depth
-            cn, log_r = window_depth(np, covsum, expcov, cfg.expected_cn,
-                                     cfg.purity, chr_ctrl_ploidy,
-                                     chr_ploidy)
-            data_out.write(f"{chrn}\t{start}\t{end}\t{uniq_frac:g}\t"
-                           f"{float(log_r):g}\t{float(cn):g}\n")
+            rows.append(f"{chrn}\t{start_i[i]}\t{end_i[i]}\t"
+                        f"{uniq_frac[i]:g}\t{logr_arr[i]:g}\t"
+                        f"{cn_arr[i]:g}\n")
+    data_out.write("".join(rows))
 
 
 def run_cnv(cfg) -> int:

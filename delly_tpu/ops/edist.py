@@ -406,7 +406,11 @@ def batched_edit_distance(queries, qlens, targets, tlens, mode=MODE_NW):
     """
     from delly_tpu.parallel import dispatch
     mesh = dispatch.get_mesh()
-    if mesh is not None and mesh.devices.size > 1:
+    if mesh is not None:
+        # any active mesh — including a 1-device mesh — takes the
+        # shard_map path, so runs with different device counts execute
+        # the same program modulo the data split (byte-identity across
+        # mesh sizes is structural, tests/test_multichip.py)
         return dispatch.sharded_batched_edit_distance(
             mesh, queries, qlens, targets, tlens, mode)
     # Tiny batches (per-SV strand checks, small MSA matrices) cost more

@@ -454,6 +454,10 @@ def gotoh_banded_batch(jobs, ac=(False, False),
 
     import jax.numpy as jnp
 
+    from delly_tpu.parallel import dispatch
+    mesh = dispatch.get_mesh()
+    ndev = dispatch.active_devices()
+
     for (M, eac), idxs in sorted(by_bucket.items()):
         g = -(-len(idxs) // TILE_B)
         # power-of-two tile grids (see gotoh_pallas.gotoh_batch): the
@@ -462,6 +466,10 @@ def gotoh_banded_batch(jobs, ac=(False, False),
         while g2 < g:
             g2 *= 2
         g = g2
+        if mesh is not None:
+            # multi-chip: tile grid sharded across the mesh (pad tiles
+            # are ml=nl=1 no-ops), see gotoh_pallas.gotoh_batch
+            g = dispatch.round_up(g, ndev)
         B = band
         # equality windows bit-packed 8 DP rows per byte (8x less
         # HBM/interconnect traffic than one byte per cell)
@@ -502,8 +510,13 @@ def gotoh_banded_batch(jobs, ac=(False, False),
             fn = _cache[key] = _build(M, B, bool(eac[0]), bool(eac[1]),
                                       sc, interpret)
         # eq windows regrouped to (g, nblk*RB, TILE_B, B) row blocks
-        best, bits = fn(jnp.asarray(eqw), jnp.asarray(ml),
-                        jnp.asarray(nl))
+        kargs = (jnp.asarray(eqw), jnp.asarray(ml), jnp.asarray(nl))
+        if mesh is not None:
+            best, bits = dispatch.sharded_grid_call(
+                mesh, fn, ("gotoh_banded", key), kargs, n_out=2)
+            dispatch.count_hit("gotoh_banded")
+        else:
+            best, bits = fn(*kargs)
         mf = np.zeros((g * TILE_B,), dtype=np.int32)
         nf = np.zeros((g * TILE_B,), dtype=np.int32)
         for slot_i, idx in enumerate(idxs):
@@ -514,7 +527,12 @@ def gotoh_banded_batch(jobs, ac=(False, False),
         tb = _tb_cache.get(tbk)
         if tb is None:
             tb = _tb_cache[tbk] = _build_tb(M, B)
-        codes, lens = tb(bits, jnp.asarray(mf), jnp.asarray(nf))
+        if mesh is not None:
+            codes, lens = dispatch.sharded_grid_call(
+                mesh, tb, ("gotoh_banded_tb", tbk),
+                (bits, jnp.asarray(mf), jnp.asarray(nf)), n_out=2)
+        else:
+            codes, lens = tb(bits, jnp.asarray(mf), jnp.asarray(nf))
         best = np.asarray(best)
         codes = np.asarray(codes)
         lens = np.asarray(lens)

@@ -315,6 +315,10 @@ def gotoh_batch(jobs, ac=(False, False), sc: DnaScore | None = None,
 
     import jax.numpy as jnp
 
+    from delly_tpu.parallel import dispatch
+    mesh = dispatch.get_mesh()
+    ndev = dispatch.active_devices()
+
     for K, idxs in sorted(by_bucket.items()):
         g = -(-len(idxs) // TILE_B)
         # power-of-two tile grids: the pipeline jit retraces per batch
@@ -324,6 +328,10 @@ def gotoh_batch(jobs, ac=(False, False), sc: DnaScore | None = None,
         while g2 < g:
             g2 *= 2
         g = g2
+        if mesh is not None:
+            # multi-chip: the tile grid is the sharded axis, so it must
+            # split evenly across the mesh (pad tiles are ml=nl=1 no-ops)
+            g = dispatch.round_up(g, ndev)
         c1 = np.zeros((g, 5, TILE_B, K), dtype=np.float32)
         d1 = np.zeros((g, TILE_B, K), dtype=np.float32)
         c2 = np.zeros((g, 5, TILE_B, K), dtype=np.float32)
@@ -348,9 +356,17 @@ def gotoh_batch(jobs, ac=(False, False), sc: DnaScore | None = None,
         if fn is None:
             fn = _cache[key] = _build(K, bool(ac[0]), bool(ac[1]), sc,
                                       interpret)
-        best, bits = fn(jnp.asarray(c1), jnp.asarray(d1),
-                        jnp.asarray(c2), jnp.asarray(d2),
-                        jnp.asarray(ml), jnp.asarray(nl))
+        kargs = (jnp.asarray(c1), jnp.asarray(d1), jnp.asarray(c2),
+                 jnp.asarray(d2), jnp.asarray(ml), jnp.asarray(nl))
+        if mesh is not None:
+            # production multi-chip: the same kernel, tile grid sharded
+            # across the mesh (each tile is independent — bit-identical
+            # to the single-device call by construction)
+            best, bits = dispatch.sharded_grid_call(
+                mesh, fn, ("gotoh_msa", key), kargs, n_out=2)
+            dispatch.count_hit("gotoh_msa")
+        else:
+            best, bits = fn(*kargs)
         # on-device traceback: only O(m+n) codes per pair come back to
         # the host (pad slots get m=n=0 so their walk is empty)
         mf = np.zeros((g * TILE_B,), dtype=np.int32)
@@ -362,7 +378,14 @@ def gotoh_batch(jobs, ac=(False, False), sc: DnaScore | None = None,
         tb = _tb_cache.get(K)
         if tb is None:
             tb = _tb_cache[K] = _build_tb(K)
-        codes, lens = tb(bits, jnp.asarray(mf), jnp.asarray(nf))
+        if mesh is not None:
+            # traceback sharded over the same grid axis (mf/nf carry
+            # g*TILE_B rows; g is a multiple of the device count)
+            codes, lens = dispatch.sharded_grid_call(
+                mesh, tb, ("gotoh_msa_tb", K),
+                (bits, jnp.asarray(mf), jnp.asarray(nf)), n_out=2)
+        else:
+            codes, lens = tb(bits, jnp.asarray(mf), jnp.asarray(nf))
         best = np.asarray(best)
         codes = np.asarray(codes)
         lens = np.asarray(lens)

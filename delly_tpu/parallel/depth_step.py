@@ -1,20 +1,28 @@
-"""Sharded read-depth step: the multi-chip CNV compute core.
+"""Sharded read-depth windows: the multi-chip CNV compute plane.
 
-One step runs the PRODUCTION per-window read-depth math
-(ops/depth_math.py — the same functions models/coral.py uses for its
-window logR/CN output and bolog.h CN likelihoods) over a window axis
-sharded across the device mesh:
+The production CNV driver (models/coral.py::_write_windows) feeds its
+REAL per-window accumulations through ``depth_windows_on_mesh`` when a
+device mesh is active: the purity/ploidy-adjusted copy number and the
+log2 ratio of every genome window (reference coral.h:296-414) are
+computed elementwise over a window axis sharded across the full mesh,
+and integer-exact callable/coverage tallies are combined with psum for
+the run telemetry.
 
-  1. (W,) per-window fragment-count sums + mean-GC + uniq fractions,
-     sharded over the full mesh,
-  2. expected coverage via GC-bias curve gather (101-bin curve is
-     replicated; the gather stays on-device),
-  3. purity/ploidy-adjusted CN + log2 ratio per window
-     (coral.h:296-414),
-  4. CN0..CN9 Gaussian log10-likelihoods per window (bolog.h:88-133),
-  5. the global MAD-of-diffs noise proxy combined across the mesh with
-     psum (replaces the host-side estimate feeding the PELT penalty,
-     cnv.h:357-368).
+Design notes (byte-identity across device counts):
+
+- every per-window output is ELEMENTWISE in the window axis, so
+  sharding the axis over 1 vs N devices is bit-identical by
+  construction (asserted via CLI-level covfile comparison in
+  tests/test_multichip.py);
+- the math runs in float64 on-device (the reference computes these in
+  double); float64 is native on CPU meshes and supported on TPU;
+- the psum'd tallies are integer-valued float64 (window counts and
+  integer fragment-count sums), so the cross-device reduction is exact
+  and order-independent — float psums of non-integer values would not
+  be reproducible across device counts and are deliberately avoided;
+- the PELT noise proxy (cnv.h:357-365) is a MEDIAN of window diffs —
+  an order statistic, not a reduction — so it stays in the host
+  segmentation plane (models/cnv.py:263-268) where it is exact.
 """
 
 from __future__ import annotations
@@ -23,78 +31,93 @@ from functools import partial
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
-
-from delly_tpu.ops.depth_math import cn_log10_likelihoods, window_depth
-
-MAX_CN = 10
+from delly_tpu.ops.depth_math import window_depth
+from delly_tpu.parallel import dispatch
 
 
-def depth_shard_fn(covsum, gcfrac, uniqfrac, valid, gc_curve,
-                   expected_cn=2.0, purity=1.0, ctrl_ploidy=2.0,
-                   chr_ploidy=2.0, sd_frac=0.15):
-    """Per-shard window math + cross-mesh psum of the noise stats.
+def depth_windows_shard_fn(covsum, expcov, ok, expected_cn=2.0,
+                           purity=1.0, ctrl_ploidy=2.0, chr_ploidy=2.0):
+    """Per-shard window math + exact cross-mesh tallies.
 
-    covsum:  (W,) float32 fragment-count sum per window
-    gcfrac:  (W,) float32 mean GC fraction per window (0..1)
-    uniqfrac:(W,) float32 unique-coverage fraction per window
-    valid:   (W,) bool callable-window mask
-    gc_curve:(101,) float32 expected coverage per GC percent (replicated)
+    covsum: (W,) float64 fragment-count sum per window (integer-valued)
+    expcov: (W,) float64 GC-expected coverage per window
+    ok:     (W,) bool window passes the callable gates (coral.h naFlag)
+
+    Returns (cn, logr) per window — chr_ploidy / logR 0 for windows
+    that are not callable, exactly like the reference's NA fallthrough
+    values — plus the psum'd (callable windows, total coverage).
     """
-    gc_bin = jnp.clip((gcfrac * 100.0).astype(jnp.int32), 0, 100)
-    expcov = gc_curve[gc_bin]
-    ok = valid & (expcov > 0) & (uniqfrac > 0.8)
+    import jax
+    import jax.numpy as jnp
+
     cn, logr = window_depth(jnp, covsum, jnp.where(ok, expcov, 0.0),
                             expected_cn, purity, ctrl_ploidy, chr_ploidy)
-    sd = jnp.maximum(sd_frac * jnp.where(ok, cn, chr_ploidy), 0.025)
-    cnl = cn_log10_likelihoods(
-        jnp, jnp.where(ok, cn, chr_ploidy).astype(jnp.float32),
-        sd.astype(jnp.float32), MAX_CN)
-    best_cn = jnp.argmax(cnl, axis=1).astype(jnp.int32)
-
-    # Mesh-wide noise proxy: sum |logr[i+1] - logr[i]| within the shard,
-    # psum across devices (cnv.h:357-365 MAD-of-diffs estimate).
-    d = jnp.abs(jnp.diff(jnp.where(ok, logr, 0.0)))
-    pair_ok = ok[1:] & ok[:-1]
-    local = jnp.stack([jnp.sum(jnp.where(pair_ok, d, 0.0)),
-                       jnp.sum(pair_ok.astype(jnp.float32))])
+    local = jnp.stack([jnp.sum(ok.astype(jnp.float64)),
+                       jnp.sum(jnp.where(ok, covsum, 0.0))])
     tot = jax.lax.psum(local, axis_name="batch")
     tot = jax.lax.psum(tot, axis_name="interval")
-    noise = tot[0] / jnp.maximum(tot[1], 1.0)
-    return logr, cn, cnl, best_cn, noise
+    return cn, logr, tot
 
 
-def make_sharded_depth_step(mesh, expected_cn: float = 2.0,
+def make_depth_windows_step(mesh, expected_cn: float = 2.0,
                             purity: float = 1.0,
                             ctrl_ploidy: float = 2.0,
                             chr_ploidy: float = 2.0):
-    """Builds the jitted multi-chip read-depth step over ``mesh``."""
+    """Builds the jitted multi-chip read-depth window step over `mesh`."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
     win = P(("interval", "batch"))
     fn = jax.shard_map(
-        partial(depth_shard_fn, expected_cn=expected_cn, purity=purity,
-                ctrl_ploidy=ctrl_ploidy, chr_ploidy=chr_ploidy),
+        partial(depth_windows_shard_fn, expected_cn=expected_cn,
+                purity=purity, ctrl_ploidy=ctrl_ploidy,
+                chr_ploidy=chr_ploidy),
         mesh=mesh,
-        in_specs=(win, win, win, win, P()),
-        out_specs=(win, win, win, win, P()),
+        in_specs=(win, win, win),
+        out_specs=(win, win, P()),
+        check_vma=False,
     )
     return jax.jit(fn)
 
 
-def sharded_depth_inputs(rng, mesh, per_device: int):
-    """Synth window inputs with the right shapes/shardings."""
-    n_dev = mesh.devices.size
-    W = per_device * n_dev
-    covsum = rng.gamma(20.0, 8.0, size=W).astype(np.float32)
-    gcfrac = rng.uniform(0.3, 0.6, size=W).astype(np.float32)
-    uniqfrac = rng.uniform(0.85, 1.0, size=W).astype(np.float32)
-    valid = np.ones(W, dtype=bool)
-    gc_curve = np.full(101, 160.0, dtype=np.float32)
+def depth_windows_on_mesh(mesh, covsum, expcov, ok, expected_cn: float,
+                          purity: float, ctrl_ploidy: float,
+                          chr_ploidy: float):
+    """Run the production per-window depth math across `mesh`.
+
+    Pads the window axis to a device multiple (pad windows are not-ok
+    no-ops), executes the sharded step in float64, and returns host
+    (cn, logr) float64 arrays in window order plus the psum'd
+    (callable_windows, coverage_total) tallies.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    covsum = np.asarray(covsum, dtype=np.float64)
+    expcov = np.asarray(expcov, dtype=np.float64)
+    ok = np.asarray(ok, dtype=bool)
+    w = len(covsum)
+    ndev = int(mesh.devices.size)
+    wp = dispatch.round_up(max(w, 1), ndev)
+    if wp != w:
+        covsum = np.pad(covsum, (0, wp - w))
+        expcov = np.pad(expcov, (0, wp - w))
+        ok = np.pad(ok, (0, wp - w))
+
+    fn = dispatch._get_cached(
+        mesh,
+        ("cnv_depth", float(expected_cn), float(purity),
+         float(ctrl_ploidy), float(chr_ploidy)),
+        lambda: make_depth_windows_step(mesh, expected_cn, purity,
+                                        ctrl_ploidy, chr_ploidy))
     sharding = NamedSharding(mesh, P(("interval", "batch")))
-    rep = NamedSharding(mesh, P())
-    return (jax.device_put(covsum, sharding),
-            jax.device_put(gcfrac, sharding),
-            jax.device_put(uniqfrac, sharding),
-            jax.device_put(valid, sharding),
-            jax.device_put(gc_curve, rep))
+    with jax.enable_x64():
+        cn, logr, tot = fn(jax.device_put(jnp.asarray(covsum), sharding),
+                           jax.device_put(jnp.asarray(expcov), sharding),
+                           jax.device_put(jnp.asarray(ok), sharding))
+        cn = np.asarray(cn)[:w]
+        logr = np.asarray(logr)[:w]
+        tot = np.asarray(tot)
+    dispatch.count_hit("cnv_depth")
+    return cn, logr, (int(tot[0]), float(tot[1]))
