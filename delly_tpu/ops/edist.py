@@ -99,12 +99,13 @@ def edit_distance(query, target, mode: int = MODE_NW, k: int = -1,
     """
     q = np.frombuffer(query.encode(), dtype=np.uint8) if isinstance(query, str) else query
     t = np.frombuffer(target.encode(), dtype=np.uint8) if isinstance(target, str) else target
-    if len(q) == 0:
+    if len(q) == 0 or len(t) == 0:
+        # edlib's empty-sequence special case (edlib.cpp:158-176)
+        # returns the distance WITHOUT consulting k (oracle-pinned by
+        # tests/test_edlib_oracle.py)
         if mode == MODE_NW:
-            d, e = len(t), len(t) - 1
-        else:
-            d, e = 0, -1
-        return (d, e) if (k < 0 or d <= k) else (-1, -1)
+            return max(len(q), len(t)), len(t) - 1
+        return len(q), -1
     if len(t):
         try:
             from delly_tpu import native
@@ -214,6 +215,15 @@ def align(query, target, mode: int = MODE_NW, k: int = -1,
     q = np.frombuffer(query.encode(), dtype=np.uint8) if isinstance(query, str) else query
     t = np.frombuffer(target.encode(), dtype=np.uint8) if isinstance(target, str) else target
     m, n = len(q), len(t)
+    if m == 0 or n == 0:
+        # edlib empty-sequence semantics (edlib.cpp:158-176): distance
+        # regardless of k, end -1 outside NW, and no PATH stage — the
+        # trivial op string is still emitted for repo callers.
+        if mode == MODE_NW:
+            if m == 0:
+                return n, n - 1, np.full(n, EDOP_DELETE, dtype=np.uint8)
+            return m, n - 1, np.full(m, EDOP_INSERT, dtype=np.uint8)
+        return m, -1, np.full(m, EDOP_INSERT, dtype=np.uint8)
     if mode == MODE_HW and m and n:
         # edlib HW path semantics (edlib.cpp:244-255): leftmost optimal
         # END from the forward scan, then the START from a REVERSED SHW
