@@ -36,6 +36,8 @@ def main():
                     help="normal pairs per contig (sr) / background "
                          "reads per contig (lr)")
     ap.add_argument("--len", dest="clen", type=int, default=1_500_000)
+    ap.add_argument("--threads", type=int, default=4,
+                    help="scan-plane worker count (sr engine)")
     ap.add_argument("--workdir", default="/tmp/delly_tpu_bench_e2e")
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--error-rate", type=float, default=0.0,
@@ -98,7 +100,8 @@ def main():
         marks.append((time.time(), msg))
 
     out = f"{args.workdir}/bench_{tag}.vcf"
-    cfg = SrConfig(genome=fa, files=[bam], outfile=out)
+    cfg = SrConfig(genome=fa, files=[bam], outfile=out,
+                   max_threads=args.threads)
     wall = None
     stages = {}
     for _rep in range(max(1, args.repeat)):

@@ -429,9 +429,12 @@ class BamFile:
         self._cache_budget = int(os.environ.get(
             "DELLY_TPU_VIEW_CACHE_MB", "8192")) << 20
         self._cache_dropped = 0
-        self._prefetch = (None, None)     # (tid, Future[BamView])
+        self._prefetch = {}               # tid -> Future[BamView]
         self._prefetch_pool = None
-        self._preader = None              # dedicated prefetch handle
+        self._decode_workers = 1          # background decode pipeline depth
+        self._scan_plan = None            # upcoming-tid order (drivers set)
+        self._preaders = []               # per-worker BGZF handles
+        self._tlocal = None               # thread-local reader slot
         with open(path, "rb") as fh:
             magic = fh.read(4)
         if magic == b"CRAM":
@@ -514,36 +517,61 @@ class BamFile:
 
     # --- region views -----------------------------------------------------
 
+    def set_decode_workers(self, n: int, plan=None) -> None:
+        """Deepen the background view-decode pipeline (streaming mode):
+        chrom() keeps up to `n` upcoming chromosomes decoding on a
+        worker pool with per-thread BGZF handles (the native inflate
+        and SoA scan release the GIL). `plan` optionally fixes the
+        upcoming-tid order (the scan drivers pass their valid-region
+        chromosome list); default is tid+1, tid+2, ..."""
+        self._decode_workers = max(1, int(n))
+        if plan is not None:
+            self._scan_plan = list(plan)
+
     def chrom(self, tid: int) -> BamView:
         """View of all records on reference `tid` (the per-chromosome
         iteration every driver uses; reference sam_itr_queryi(tid, 0,
         len)). Sequential scans overlap I/O with compute: serving tid
-        kicks off a background decode of tid+1 on a second file handle
-        (the native BGZF inflate and SoA scan release the GIL)."""
+        keeps the next `_decode_workers` planned chromosomes decoding
+        in the background."""
         view = self._chrom_cache.get(tid)
         if view is not None:
             self._chrom_cache.move_to_end(tid)
             self._cache_dropped = 0
+            self._schedule_prefetch_after(tid)
             return view
-        ptid, fut = self._prefetch
-        self._prefetch = (None, None)
-        if ptid == tid:
+        fut = self._prefetch.pop(tid, None)
+        if fut is not None:
             try:
                 view = fut.result()
             except Exception:
                 view = None
-        else:
-            view = None
-            if fut is not None:
-                fut.cancel()
         if view is None:
             view = self.region(tid, 0, self.header.lengths[tid]
                                if 0 <= tid < self.header.n_targets
                                else 1 << 29)
         self._cache_put(tid, view)
-        if tid + 1 not in self._chrom_cache:
-            self._start_prefetch(tid + 1)
+        self._schedule_prefetch_after(tid)
         return view
+
+    def _schedule_prefetch_after(self, tid: int) -> None:
+        if (not self.streaming or self._cram is not None
+                or self._bai is None or not _PREFETCH
+                or self.header is None):
+            return
+        plan = self._scan_plan
+        if plan is not None:
+            try:
+                i = plan.index(tid)
+                upcoming = plan[i + 1:i + 1 + self._decode_workers]
+            except ValueError:
+                upcoming = []
+        else:
+            upcoming = range(tid + 1,
+                             min(tid + 1 + self._decode_workers,
+                                 self.header.n_targets))
+        for t in upcoming:
+            self._start_prefetch(t)
 
     def _view_nbytes(self, view) -> int:
         # whole-file mode: every view shares self._data — charging the
@@ -557,23 +585,27 @@ class BamFile:
         return n
 
     def close(self) -> None:
-        """Release file handles, the prefetch worker and cached views.
+        """Release file handles, the prefetch workers and cached views.
         Safe to call more than once."""
-        ptid, fut = self._prefetch
-        self._prefetch = (None, None)
-        if fut is not None:
+        for fut in self._prefetch.values():
             fut.cancel()
+        self._prefetch.clear()
         if self._prefetch_pool is not None:
             self._prefetch_pool.shutdown(wait=True)
             self._prefetch_pool = None
-        for attr in ("_reader", "_preader"):
-            r = getattr(self, attr)
-            if r is not None:
-                try:
-                    r.close()
-                except Exception:
-                    pass
-                setattr(self, attr, None)
+        for r in self._preaders:
+            try:
+                r.close()
+            except Exception:
+                pass
+        self._preaders = []
+        self._tlocal = None
+        if self._reader is not None:
+            try:
+                self._reader.close()
+            except Exception:
+                pass
+            self._reader = None
         if self._cram is not None:
             try:
                 self._cram.close()
@@ -619,27 +651,40 @@ class BamFile:
     def _start_prefetch(self, tid: int) -> None:
         if (not self.streaming or self._cram is not None
                 or self._bai is None or not _PREFETCH
-                or not (0 <= tid < self.header.n_targets)):
-            return
-        if self._prefetch[0] == tid:
+                or not (0 <= tid < self.header.n_targets)
+                or tid in self._prefetch
+                or tid in self._chrom_cache):
             return
         import concurrent.futures
         if self._prefetch_pool is None:
             self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1)
-        self._prefetch = (tid, self._prefetch_pool.submit(
-            self._decode_chrom_bg, tid))
+                max_workers=max(1, self._decode_workers))
+        self._prefetch[tid] = self._prefetch_pool.submit(
+            self._decode_chrom_bg, tid)
 
     def _decode_chrom_bg(self, tid: int):
-        """region(tid, 0, len) on the dedicated prefetch reader."""
+        """region(tid, 0, len) on a per-worker-thread prefetch reader
+        (BgzfReader seek state is per-handle, so concurrent decodes
+        need one handle per pool thread)."""
+        import threading
+
         from delly_tpu.io.bgzf import BgzfReader
-        if self._preader is None:
-            self._preader = BgzfReader(self.path)
+        if self._tlocal is None:
+            self._tlocal = threading.local()
+        reader = getattr(self._tlocal, "reader", None)
+        if reader is None:
+            # the pipeline already parallelizes across chromosomes, so
+            # each worker's codec runs single-threaded (oversubscribing
+            # the native inflate pool costs more than it buys)
+            reader = self._tlocal.reader = BgzfReader(
+                self.path, threads=1 if self._decode_workers > 1
+                else None)
+            self._preaders.append(reader)
         end = self.header.lengths[tid]
         chunks = self._bai.chunks(tid, 0, end)
         if not chunks:
             return BamView(b"", _empty_soa())
-        parts = [self._preader.read_voffset_range(cb, ce)
+        parts = [reader.read_voffset_range(cb, ce)
                  for cb, ce in chunks]
         buf = b"".join(parts)
         soa = _scan_soa(buf, 0)

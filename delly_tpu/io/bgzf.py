@@ -26,15 +26,18 @@ def is_gzip(path: str) -> bool:
     return magic == b"\x1f\x8b"
 
 
-def bgzf_decompress(data: bytes) -> bytes:
+def bgzf_decompress(data: bytes, threads: int | None = None) -> bytes:
     """Decompress a multi-member gzip/BGZF byte string.
 
     Prefers the native multithreaded codec (delly_tpu/native/hostio.cpp,
     the HTSlib-equivalent host plane); falls back to pure Python.
+    `threads` caps the codec's internal pool — callers that already
+    parallelize across buffers (the view-decode pipeline) pass 1 to
+    avoid oversubscription.
     """
     try:
         from delly_tpu import native
-        res = native.bgzf_inflate(data)
+        res = native.bgzf_inflate(data, threads)
         if res is not None:
             return res
     except Exception:
@@ -87,8 +90,9 @@ class BgzfReader:
     indexed region queries (role of HTSlib's bgzf_seek + bam_read1 under
     sam_itr_next)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, threads: int | None = None):
         self.path = path
+        self._threads = threads
         self._fh = open(path, "rb")
 
     def close(self):
@@ -106,12 +110,12 @@ class BgzfReader:
             # range ends exactly at a block boundary
             fh.seek(cbeg)
             comp = fh.read(cend - cbeg)
-            data = bgzf_decompress(comp)
+            data = bgzf_decompress(comp, self._threads)
             return data[ubeg:] if ubeg else data
         last_size = _block_size_at(fh, cend)
         fh.seek(cbeg)
         comp = fh.read(cend + last_size - cbeg)
-        data = bgzf_decompress(comp)
+        data = bgzf_decompress(comp, self._threads)
         if not data:
             return b""
         # size of the final block's payload = ISIZE trailer
@@ -144,7 +148,7 @@ class BgzfReader:
         if coff == start:
             return b"", start
         fh.seek(start)
-        return bgzf_decompress(fh.read(coff - start)), coff
+        return bgzf_decompress(fh.read(coff - start), self._threads), coff
 
     def read_prefix_blocks(self, max_bytes: int) -> bytes:
         """Decompress blocks from the file start until at least

@@ -42,169 +42,298 @@ def _log(msg: str) -> None:
     stage(msg)
 
 
+_CAND_FIELDS = ("pos", "mapq", "mtid", "mpos", "flag", "svt", "rspan",
+                "nh", "seed")
+
+
+def _shard_bounds(n_rows: int, n_shards: int) -> list:
+    """Contiguous row ranges covering [0, n_rows) — the chromosome-
+    interval shards of the scan plane (SURVEY §7.7). Concatenating
+    shard outputs in order reconstructs the serial row order exactly,
+    so sharding is byte-neutral by construction."""
+    n_shards = max(1, min(n_shards, n_rows)) if n_rows else 1
+    step = -(-n_rows // n_shards) if n_rows else 1
+    return [(lo, min(lo + step, n_rows))
+            for lo in range(0, max(n_rows, 1), step)]
+
+
+def _scan_phase_a(cfg, view, lib, ref_index, ivs, full_chrom, valid_mask,
+                  lo, hi):
+    """Row-local scan work for view rows [lo, hi): read gates, CIGAR
+    aggregates, exclusion-interval filter, junction extraction and the
+    PE candidate gates (shortpe.h:354-445) — everything EXCEPT the
+    order-sensitive mate pairing, which _scan_phase_b replays over the
+    concatenated per-shard candidates. Results are plain arrays/dicts
+    (host-axis ready: shards can run on different hosts and merge)."""
+    read_bp = {}
+    keep = (((view["flag"][lo:hi] & (FQCFAIL | FDUP | FUNMAP)) == 0)
+            & (view["mapq"][lo:hi] >= cfg.min_map_qual))
+    sel = np.nonzero(keep)[0] + lo
+    offs = view["offsets"][sel]
+    stats = _cigar_stats(view, offs)
+    # exclude regions: the reference iterates sam_itr_queryi over each
+    # VALID interval (shortpe.h:349-350) — only reads whose alignment
+    # overlaps a valid interval are scanned
+    if not full_chrom:
+        p_al = view["pos"][sel]
+        e_al = p_al + np.maximum(stats["ref_span"], 1)
+        vm = np.zeros(len(sel), dtype=bool)
+        for ilo, ihi in ivs:
+            vm |= (p_al < ihi) & (e_al > ilo)
+        sel = sel[vm]
+        offs = offs[vm]
+        stats = {k: v[vm] for k, v in stats.items()}
+    seeds_a = hash_sr_batch(stats["name_hash"],
+                            stats["fnv_hash"], view["flag"][sel])
+    # Junction rows: parse only records whose CIGAR aggregates fired
+    # the clip/indel prefilter.
+    jfire = np.nonzero((stats["max_clip"] > cfg.min_clip)
+                       | (stats["max_indel"] > cfg.min_ref_sep))[0]
+    offs_l = offs.tolist()
+    seeds_l = seeds_a.tolist()
+    for i in jfire.tolist():
+        rec = view.parse_at(offs_l[i])
+        extract_junctions_sr(read_bp, seeds_l[i], rec,
+                             cfg.min_ref_sep, cfg.min_clip)
+
+    # Paired-end candidates: every per-read gate of the scalar walk
+    # (shortpe.h:391-445) evaluated as one numpy pass.
+    flag_a = view["flag"][sel]
+    pos_a = view["pos"][sel]
+    mapq_a = view["mapq"][sel]
+    mtid_a = view["mtid"][sel]
+    mpos_a = view["mpos"][sel]
+    tlen_a = view["tlen"][sel]
+    pe = (flag_a & FPAIRED) != 0
+    if lib.median == 0:
+        pe &= False
+    pe &= (flag_a & (FSECONDARY | FSUPPLEMENTARY | FMUNMAP)) == 0
+    pe &= mtid_a >= 0
+    pe &= valid_mask[np.clip(mtid_a, 0, cfg.nchr - 1)]
+    pe &= (mtid_a == ref_index) | (mapq_a >= cfg.min_tra_qual)
+    svt_a = isize_mapping_pos_batch(
+        flag_a, np.int64(ref_index), pos_a, mtid_a, mpos_a,
+        tlen_a, lib.maxISizeCutoff)
+    pe &= svt_a != -1
+    if cfg.svtset:
+        pe &= np.isin(svt_a, list(cfg.svtset))
+    pe &= ~((svt_a == 2)
+            & (lib.maxISizeCutoff > np.abs(tlen_a)))
+    cand = np.nonzero(pe)[0]
+    ca = {"pos": pos_a[cand], "mapq": mapq_a[cand],
+          "mtid": mtid_a[cand], "mpos": mpos_a[cand],
+          "flag": flag_a[cand], "svt": svt_a[cand],
+          "rspan": stats["ref_span"][cand],
+          "nh": stats["name_hash"][cand], "seed": seeds_a[cand]}
+    return read_bp, ca
+
+
+def _scan_phase_b(cfg, lib, ref_index, ca, bam_records, matetra):
+    """Order-sensitive mate pairing over the chromosome's concatenated
+    candidates (shortpe.h:411-445): first-mate observation, the
+    intra-chromosome store/pop automaton and the cross-chromosome
+    mate map. Runs serially per (file, chromosome) in deterministic
+    order, so the sharded scan is byte-identical to the serial one."""
+    c_pos = ca["pos"]
+    c_mapq = ca["mapq"]
+    c_mtid = ca["mtid"]
+    c_mpos = ca["mpos"]
+    c_flag = ca["flag"]
+    c_svt = ca["svt"]
+    c_rspan = ca["rspan"]
+    c_nh = ca["nh"]
+    c_seed = ca["seed"]
+    intra = c_mtid == ref_index
+    # first_pair_obs (tags.h:269-274): the reference probes the seed
+    # set with hash_string(qname) but inserts hash_sr
+    first = first_obs_mask(
+        c_pos,
+        (intra & (c_pos < c_mpos))
+        | (~intra & (ref_index < c_mtid)),
+        intra & (c_pos == c_mpos), c_nh, c_seed)
+    refs = np.full(len(c_pos), ref_index, dtype=np.int64)
+    hv1 = hash_pair_h_batch(c_nh, refs, c_pos, c_mtid, c_mpos)
+    hv2 = hash_pair_h_batch(c_nh, c_mtid, c_mpos, refs, c_pos)
+
+    # intra pairs (never translocations) through the vectorized
+    # store/pop automaton; zero-mapq firsts are filtered after
+    # matching, which yields the same skip outcomes as the
+    # reference's non-consuming probe
+    ii = np.nonzero(intra)[0]
+    if len(ii):
+        keys = np.where(first[ii], hv1[ii], hv2[ii])
+        si, fi_ = match_store_pop(keys, first[ii])
+        S = ii[si]
+        F = ii[fi_]
+        ok = c_mapq[F] != 0
+        S, F = S[ok], F[ok]
+        pq = np.minimum(c_mapq[F], c_mapq[S]).tolist()
+        malen = c_rspan[F].tolist()
+        s_pos = c_pos[S].tolist()
+        s_mtid = c_mtid[S].tolist()
+        s_mpos = c_mpos[S].tolist()
+        s_flag = c_flag[S].tolist()
+        s_svt = c_svt[S].tolist()
+        s_rspan = c_rspan[S].tolist()
+        for k in range(len(s_pos)):
+            bam_records[s_svt[k]].append(BamAlignRecord(
+                tid=ref_index, pos=s_pos[k], mtid=s_mtid[k],
+                mpos=s_mpos[k], alen=s_rspan[k],
+                malen=malen[k], median=lib.median, mad=lib.mad,
+                maxNormalISize=lib.maxNormalISize,
+                flag=s_flag[k], mapQuality=pq[k]))
+        lib.abnormal_pairs += len(s_pos)
+
+    # inter-chromosome pairs: scalar dict (matetra spans chroms)
+    xi = np.nonzero(~intra)[0]
+    if len(xi):
+        x_first = first[xi].tolist()
+        x_hv1 = hv1[xi].tolist()
+        x_hv2 = hv2[xi].tolist()
+        x_mapq = c_mapq[xi].tolist()
+        x_rspan = c_rspan[xi].tolist()
+        x_pos = c_pos[xi].tolist()
+        x_mtid = c_mtid[xi].tolist()
+        x_mpos = c_mpos[xi].tolist()
+        x_flag = c_flag[xi].tolist()
+        x_svt = c_svt[xi].tolist()
+        for k in range(len(x_first)):
+            if x_first[k]:
+                matetra[x_hv1[k]] = (x_mapq[k], x_rspan[k])
+                continue
+            ent = matetra.get(x_hv2[k])
+            if ent is None or not ent[0]:
+                continue
+            del matetra[x_hv2[k]]
+            bam_records[x_svt[k]].append(BamAlignRecord(
+                tid=ref_index, pos=x_pos[k], mtid=x_mtid[k],
+                mpos=x_mpos[k], alen=x_rspan[k], malen=ent[1],
+                median=lib.median, mad=lib.mad,
+                maxNormalISize=lib.maxNormalISize,
+                flag=x_flag[k],
+                mapQuality=min(ent[0], x_mapq[k])))
+            lib.abnormal_pairs += 1
+
+
+def _merge_cands(parts: list) -> dict:
+    if len(parts) == 1:
+        return parts[0]
+    return {f: np.concatenate([p[f] for p in parts])
+            for f in _CAND_FIELDS}
+
+
+def _merge_read_bp(dst: dict, parts: list) -> None:
+    # shard order == row order, so per-seed junction lists extend in
+    # exactly the serial append order
+    for part in parts:
+        for seed, jl in part.items():
+            dst.setdefault(seed, []).extend(jl)
+
+
 def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
-    """shortpe.h:285-533."""
+    """shortpe.h:285-533, parallel over the scan plane.
+
+    Two levels of concurrency around one serial merge:
+
+    - per-sample drivers (one per BAM, reference shortpe.h:314-319
+      spawns one ThreadPool task per file) walk their chromosomes and
+      fan out phase-A shard tasks;
+    - chromosome-interval row shards (SURVEY §7.7): the expensive
+      row-local work (view decode, CIGAR aggregates, gates, junction
+      parsing) runs per contiguous row range on a shared worker pool;
+    - phase B (the order-sensitive mate pairing) then replays the
+      concatenated candidates per (file, chromosome) in deterministic
+      order, so outputs are byte-identical for ANY worker count
+      (asserted by tests/test_scan_shard.py).
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     header = bams[0].header
     nsvt = 2 * SVT_TRANS
     sr_br = [[] for _ in range(nsvt)]
     bam_records = [[] for _ in range(nsvt)]
     valid_mask = np.asarray([bool(v) for v in valid_regions], dtype=bool)
     _log("Paired-end and split-read scanning")
+
+    nworkers = max(1, int(getattr(cfg, "max_threads", 1) or 1))
+    import os as _os
+    shard_rows = int(_os.environ.get("DELLY_TPU_SCAN_SHARD_ROWS",
+                                     str(1 << 18)))
+    pool = ThreadPoolExecutor(nworkers) if nworkers > 1 else None
+    # bound not-yet-executed shard closures (each pins its view)
+    gate = threading.Semaphore(nworkers * 4)
+
+    def full_chrom(ref_index, ivs):
+        return (len(ivs) == 1 and ivs[0][0] <= 0
+                and ivs[0][1] >= header.lengths[ref_index])
+
+    def drive_file(file_c, bam):
+        """Phase-A producer for one sample: sequential chromosome
+        views (the reader prefetches tid+1 in background), sharded
+        row-range tasks on the shared pool."""
+        lib = libs[file_c]
+        out = []
+        plan = [ri for ri in range(header.n_targets)
+                if valid_regions[ri]]
+        # deepen the reader's background decode pipeline so view
+        # inflate/SoA scans for upcoming chromosomes overlap phase A
+        bam.set_decode_workers(nworkers, plan)
+        for ref_index in plan:
+            view = bam.chrom(ref_index)
+            ivs = valid_regions[ref_index]
+            fc = full_chrom(ref_index, ivs)
+            n = len(view)
+            want = max(1, min(-(-n // shard_rows), nworkers * 2))
+            futs = []
+            for lo, hi in _shard_bounds(n, want):
+                if pool is None:
+                    futs.append(_scan_phase_a(
+                        cfg, view, lib, ref_index, ivs, fc, valid_mask,
+                        lo, hi))
+                else:
+                    gate.acquire()
+
+                    def job(v=view, ri=ref_index, iv=ivs, f=fc,
+                            a=lo, b=hi):
+                        try:
+                            return _scan_phase_a(cfg, v, lib, ri, iv,
+                                                 f, valid_mask, a, b)
+                        finally:
+                            gate.release()
+
+                    futs.append(pool.submit(job))
+            out.append((ref_index, futs))
+        return out
+
+    if pool is not None and len(bams) > 1:
+        with ThreadPoolExecutor(len(bams)) as drivers:
+            plans = list(drivers.map(
+                lambda fb: drive_file(*fb), enumerate(bams)))
+    else:
+        plans = [drive_file(fc, bam) for fc, bam in enumerate(bams)]
+
+    # Deterministic merge: files in order, chromosomes in order, shards
+    # in row order — identical record/junction sequences to the serial
+    # scan for any worker count.
     for file_c, bam in enumerate(bams):
+        lib = libs[file_c]
         matetra = {}
         read_bp = {}
         per_file_sr = [[] for _ in range(nsvt)]
-        for ref_index in range(header.n_targets):
-            if not valid_regions[ref_index]:
-                continue
-            # SoA-driven walk (shortpe.h:285-533) over the per-chrom
-            # view (indexed streaming on large inputs): hashes and CIGAR
-            # aggregates come from the bulk native pass; full records are
-            # parsed only when the junction prefilter fires.
-            view = bam.chrom(ref_index)
-            keep = (((view["flag"] & (FQCFAIL | FDUP | FUNMAP)) == 0)
-                    & (view["mapq"] >= cfg.min_map_qual))
-            sel = np.nonzero(keep)[0]
-            offs = view["offsets"][sel]
-            stats = _cigar_stats(view, offs)
-            # exclude regions: the reference iterates sam_itr_queryi
-            # over each VALID interval (shortpe.h:349-350) — only reads
-            # whose alignment overlaps a valid interval are scanned
-            ivs = valid_regions[ref_index]
-            if not (len(ivs) == 1 and ivs[0][0] <= 0
-                    and ivs[0][1] >= header.lengths[ref_index]):
-                p_al = view["pos"][sel]
-                e_al = p_al + np.maximum(stats["ref_span"], 1)
-                vm = np.zeros(len(sel), dtype=bool)
-                for lo, hi in ivs:
-                    vm |= (p_al < hi) & (e_al > lo)
-                sel = sel[vm]
-                offs = offs[vm]
-                stats = {k: v[vm] for k, v in stats.items()}
-            seeds_a = hash_sr_batch(stats["name_hash"],
-                                    stats["fnv_hash"], view["flag"][sel])
-            lib = libs[file_c]
-            # Junction rows: parse only records whose CIGAR aggregates
-            # fired the clip/indel prefilter.
-            jfire = np.nonzero((stats["max_clip"] > cfg.min_clip)
-                               | (stats["max_indel"] > cfg.min_ref_sep))[0]
-            offs_l = offs.tolist()
-            seeds_l = seeds_a.tolist()
-            for i in jfire.tolist():
-                rec = view.parse_at(offs_l[i])
-                extract_junctions_sr(read_bp, seeds_l[i], rec,
-                                     cfg.min_ref_sep, cfg.min_clip)
-
-            # Paired-end candidates: every per-read gate of the scalar
-            # walk (shortpe.h:391-445) evaluated as one numpy pass; the
-            # order-sensitive mate-map pairing below then touches only
-            # the surviving abnormal pairs.
-            flag_a = view["flag"][sel]
-            pos_a = view["pos"][sel]
-            mapq_a = view["mapq"][sel]
-            mtid_a = view["mtid"][sel]
-            mpos_a = view["mpos"][sel]
-            tlen_a = view["tlen"][sel]
-            pe = (flag_a & FPAIRED) != 0
-            if lib.median == 0:
-                pe &= False
-            pe &= (flag_a & (FSECONDARY | FSUPPLEMENTARY | FMUNMAP)) == 0
-            pe &= mtid_a >= 0
-            pe &= valid_mask[np.clip(mtid_a, 0, cfg.nchr - 1)]
-            pe &= (mtid_a == ref_index) | (mapq_a >= cfg.min_tra_qual)
-            svt_a = isize_mapping_pos_batch(
-                flag_a, np.int64(ref_index), pos_a, mtid_a, mpos_a,
-                tlen_a, lib.maxISizeCutoff)
-            pe &= svt_a != -1
-            if cfg.svtset:
-                pe &= np.isin(svt_a, list(cfg.svtset))
-            pe &= ~((svt_a == 2)
-                    & (lib.maxISizeCutoff > np.abs(tlen_a)))
-            cand = np.nonzero(pe)[0]
-            c_pos = pos_a[cand]
-            c_mapq = mapq_a[cand]
-            c_mtid = mtid_a[cand]
-            c_mpos = mpos_a[cand]
-            c_flag = flag_a[cand]
-            c_svt = svt_a[cand]
-            c_rspan = stats["ref_span"][cand]
-            c_nh = stats["name_hash"][cand]
-            c_seed = seeds_a[cand]
-            intra = c_mtid == ref_index
-            # first_pair_obs (tags.h:269-274): the reference probes the
-            # seed set with hash_string(qname) but inserts hash_sr
-            first = first_obs_mask(
-                c_pos,
-                (intra & (c_pos < c_mpos))
-                | (~intra & (ref_index < c_mtid)),
-                intra & (c_pos == c_mpos), c_nh, c_seed)
-            refs = np.full(len(cand), ref_index, dtype=np.int64)
-            hv1 = hash_pair_h_batch(c_nh, refs, c_pos, c_mtid, c_mpos)
-            hv2 = hash_pair_h_batch(c_nh, c_mtid, c_mpos, refs, c_pos)
-
-            # intra pairs (never translocations) through the vectorized
-            # store/pop automaton; zero-mapq firsts are filtered after
-            # matching, which yields the same skip outcomes as the
-            # reference's non-consuming probe
-            ii = np.nonzero(intra)[0]
-            if len(ii):
-                keys = np.where(first[ii], hv1[ii], hv2[ii])
-                si, fi_ = match_store_pop(keys, first[ii])
-                S = ii[si]
-                F = ii[fi_]
-                ok = c_mapq[F] != 0
-                S, F = S[ok], F[ok]
-                pq = np.minimum(c_mapq[F], c_mapq[S]).tolist()
-                malen = c_rspan[F].tolist()
-                s_pos = c_pos[S].tolist()
-                s_mtid = c_mtid[S].tolist()
-                s_mpos = c_mpos[S].tolist()
-                s_flag = c_flag[S].tolist()
-                s_svt = c_svt[S].tolist()
-                s_rspan = c_rspan[S].tolist()
-                for k in range(len(s_pos)):
-                    bam_records[s_svt[k]].append(BamAlignRecord(
-                        tid=ref_index, pos=s_pos[k], mtid=s_mtid[k],
-                        mpos=s_mpos[k], alen=s_rspan[k],
-                        malen=malen[k], median=lib.median, mad=lib.mad,
-                        maxNormalISize=lib.maxNormalISize,
-                        flag=s_flag[k], mapQuality=pq[k]))
-                lib.abnormal_pairs += len(s_pos)
-
-            # inter-chromosome pairs: scalar dict (matetra spans chroms)
-            xi = np.nonzero(~intra)[0]
-            if len(xi):
-                x_first = first[xi].tolist()
-                x_hv1 = hv1[xi].tolist()
-                x_hv2 = hv2[xi].tolist()
-                x_mapq = c_mapq[xi].tolist()
-                x_rspan = c_rspan[xi].tolist()
-                x_pos = c_pos[xi].tolist()
-                x_mtid = c_mtid[xi].tolist()
-                x_mpos = c_mpos[xi].tolist()
-                x_flag = c_flag[xi].tolist()
-                x_svt = c_svt[xi].tolist()
-                for k in range(len(x_first)):
-                    if x_first[k]:
-                        matetra[x_hv1[k]] = (x_mapq[k], x_rspan[k])
-                        continue
-                    ent = matetra.get(x_hv2[k])
-                    if ent is None or not ent[0]:
-                        continue
-                    del matetra[x_hv2[k]]
-                    bam_records[x_svt[k]].append(BamAlignRecord(
-                        tid=ref_index, pos=x_pos[k], mtid=x_mtid[k],
-                        mpos=x_mpos[k], alen=x_rspan[k], malen=ent[1],
-                        median=lib.median, mad=lib.mad,
-                        maxNormalISize=lib.maxNormalISize,
-                        flag=x_flag[k],
-                        mapQuality=min(ent[0], x_mapq[k])))
-                    lib.abnormal_pairs += 1
+        for ref_index, futs in plans[file_c]:
+            parts = [f if isinstance(f, tuple) else f.result()
+                     for f in futs]
+            _merge_read_bp(read_bp, [p[0] for p in parts])
+            ca = _merge_cands([p[1] for p in parts])
+            _scan_phase_b(cfg, lib, ref_index, ca, bam_records, matetra)
         for jv in read_bp.values():
             jv.sort(key=lambda j: j.sort_key())
         fetch_sr_only(cfg, read_bp, per_file_sr)
         for svt in range(nsvt):
             sr_br[svt].extend(per_file_sr[svt])
+    if pool is not None:
+        pool.shutdown(wait=True)
 
     _log("Split-read clustering")
     for svt in range(nsvt):
