@@ -413,14 +413,33 @@ def run_svmix_bench(args):
     from delly_tpu.models.config import SrConfig
     from delly_tpu.models.sr import run_sr
 
+    from delly_tpu.utils import log as _log_mod
+
     out = f"{args.workdir}/{tag}.vcf"
-    cfg = SrConfig(genome=fa, files=[bam], outfile=out)
+    cfg = SrConfig(genome=fa, files=[bam], outfile=out,
+                   max_threads=args.threads)
     wall = None
+    stages = {}
+    marks = []
     for _rep in range(max(1, args.repeat)):
+        marks.clear()
+        _log_mod.hook = lambda msg: marks.append((time.time(), msg))
         t0 = time.time()
-        rc = run_sr(cfg)
-        w = time.time() - t0
-        wall = w if wall is None else min(wall, w)
+        try:
+            rc = run_sr(cfg)
+        finally:
+            _log_mod.hook = None
+        t1 = time.time()
+        w = t1 - t0
+        if wall is None or w < wall:
+            wall = w
+            stages = {}
+            pts = [(t0, "startup")] + marks + [(t1, None)]
+            for (ts, msg), (te, _) in zip(pts, pts[1:]):
+                if msg is not None and te - ts >= 0.005:
+                    key = msg.split(",")[0][:40]
+                    stages[key] = round(stages.get(key, 0.0)
+                                        + (te - ts), 2)
     if rc != 0:
         print(json.dumps({"metric": "svmix_e2e_recall", "value": 0,
                           "error": f"rc={rc}"}))
@@ -476,12 +495,14 @@ def run_svmix_bench(args):
         "unit": "recall",
         "wall_s": round(wall, 2),
         "n_reads_approx": n_reads,
+        "reads_per_s": round(n_reads / wall, 1) if wall else 0.0,
         "precision": round(matched_calls / len(calls), 4) if calls
         else 0.0,
         "calls": len(calls),
         "truth": len(truth),
         "per_type": {k: f"{v['tp']}/{v['truth']}"
                      for k, v in sorted(per_type.items())},
+        "stages": stages,
     }))
     return 0
 
