@@ -187,6 +187,94 @@ def test_cnv_mesh_covfile_matches_host_text(mesh, tmp_path):
     assert texts["host"] == texts["mesh"]
 
 
+def test_asm_cli_byte_identical_1_vs_8_devices(mesh, example_dir,
+                                               tmp_path, monkeypatch):
+    """asm engine under the mesh: byte-identical across mesh sizes.
+    The asm compute plane is per-assembly scalar split alignment
+    (models/refine.py ed_align host calls) — it has no batched device
+    kernel by design (a handful of contigs, not read batches), so no
+    dispatch-hit assertion applies; the byte-identity check guards the
+    engine against any future mesh-dependent drift."""
+    outs = {}
+    for n in (1, 8):
+        out = str(tmp_path / f"asm_{n}.vcf")
+        _cli(monkeypatch, n,
+             ["asm", "-g", f"{example_dir}/ref.fa", "-o", out,
+              f"{example_dir}/lr.bam"])
+        outs[n] = open(out).read()
+    assert outs[1] == outs[8]
+    body = [ln for ln in outs[8].splitlines()
+            if ln and not ln.startswith("#")]
+    assert any(abs(int(ln.split("\t")[1]) - 100000) < 50 for ln in body)
+
+
+def test_sr_regenotype_cli_byte_identical_on_mesh(mesh, example_dir,
+                                                  tmp_path, monkeypatch):
+    """-v re-genotyping (sr): genotype a known site list under the
+    mesh — the genotyping edist batch is the hot loop, so the hit
+    counter must fire — byte-identical across mesh sizes."""
+    sites = str(tmp_path / "sites.vcf")
+    _cli(monkeypatch, 0,
+         ["sr", "-g", f"{example_dir}/ref.fa", "-o", sites,
+          f"{example_dir}/sr.bam"])
+    outs = {}
+    for n in (1, 8):
+        out = str(tmp_path / f"regeno_{n}.vcf")
+        hits = _cli(monkeypatch, n,
+                    ["sr", "-g", f"{example_dir}/ref.fa", "-v", sites,
+                     "-o", out, f"{example_dir}/sr.bam"])
+        assert hits.get("edist", 0) > 0, hits
+        outs[n] = open(out).read()
+    assert outs[1] == outs[8]
+    body = [ln for ln in outs[8].splitlines()
+            if ln and not ln.startswith("#")]
+    assert len(body) == 1 and "0/1" in body[0]
+
+
+def test_lr_regenotype_cli_byte_identical_on_mesh(mesh, example_dir,
+                                                  tmp_path, monkeypatch):
+    """-v re-genotyping (lr): the NW probe-scoring batch under the
+    mesh, byte-identical across mesh sizes."""
+    sites = str(tmp_path / "lr_sites.vcf")
+    _cli(monkeypatch, 0,
+         ["lr", "-g", f"{example_dir}/ref.fa", "-o", sites,
+          f"{example_dir}/lr.bam"])
+    outs = {}
+    for n in (1, 8):
+        out = str(tmp_path / f"lr_regeno_{n}.vcf")
+        hits = _cli(monkeypatch, n,
+                    ["lr", "-g", f"{example_dir}/ref.fa", "-v", sites,
+                     "-o", out, f"{example_dir}/lr.bam"])
+        assert hits.get("edist", 0) > 0, hits
+        outs[n] = open(out).read()
+    assert outs[1] == outs[8]
+    body = [ln for ln in outs[8].splitlines()
+            if ln and not ln.startswith("#")]
+    assert len(body) == 1
+
+
+def test_sr_cram_input_byte_identical_on_mesh(mesh, example_dir,
+                                              tmp_path, monkeypatch):
+    """CRAM input through the meshed sr path: byte-identical across
+    mesh sizes AND to the meshed BAM run."""
+    from delly_tpu.io.bam import BamFile
+    from delly_tpu.io.cram import write_cram
+
+    cram = str(tmp_path / "sr.cram")
+    write_cram(BamFile(f"{example_dir}/sr.bam"),
+               f"{example_dir}/ref.fa", cram)
+    outs = {}
+    for label, n, inp in (("c1", 1, cram), ("c8", 8, cram),
+                          ("b8", 8, f"{example_dir}/sr.bam")):
+        out = str(tmp_path / f"cram_{label}.vcf")
+        hits = _cli(monkeypatch, n,
+                    ["sr", "-g", f"{example_dir}/ref.fa", "-o", out,
+                     inp])
+        assert hits.get("edist", 0) > 0, hits
+        outs[label] = open(out).read()
+    assert outs["c1"] == outs["c8"] == outs["b8"]
+
+
 def test_gotoh_msa_batch_sharded_matches_host(mesh):
     """The lockstep MSA Gotoh kernel (ops/gotoh_pallas.py) sharded over
     the mesh returns the host oracle's exact (score, merged) per job —
