@@ -57,12 +57,11 @@ def _build(K: int, hfree: bool, vfree: bool, sc: DnaScore,
     from jax.experimental.pallas import tpu as pltpu
 
     GO, GE = int(sc.go), int(sc.ge)
-    MATCH, MISMATCH = int(sc.match), int(sc.mismatch)
     ROWS_BLK = ROWS_BLK_INTERP if interpret else globals()["ROWS_BLK"]
     nblk = K // ROWS_BLK
     NINF = -INF
 
-    def kernel(c1_ref, d1_ref, wc2_ref, d2_ref, mlen_ref, nlen_ref,
+    def kernel(prof_ref, wc2_ref, d2_ref, mlen_ref, nlen_ref,
                best_ref, bits_ref, sS_ref, sV_ref):
         r_blk = pl.program_id(1)
         col = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, K), 1) + 1
@@ -91,25 +90,20 @@ def _build(K: int, hfree: bool, vfree: bool, sc: DnaScore,
 
         packed = jnp.zeros((TILE_B, K), jnp.int32)
         base = r_blk * ROWS_BLK
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, K), 1)
-
-        def lane_col(arr, idx):
-            # Mosaic cannot load one unaligned lane dynamically; a
-            # masked cross-lane reduction extracts column `idx` of the
-            # (TILE_B, K) array as (TILE_B, 1). Exact for our integer
-            # valued f32 counts (sum of one value and zeros).
-            return jnp.sum(jnp.where(lane == idx, arr, 0.0), axis=1,
-                           keepdims=True)
 
         for rr in range(ROWS_BLK):
             r = base + rr + 1                   # DP row 1..K
-            # exact integer-rational profile score for this row
-            num = jnp.zeros((TILE_B, K), jnp.float32)
-            for k in range(5):
-                num = num + lane_col(c1_ref[0, k], base + rr) \
-                    * wc2_ref[0, k]
-            den = jnp.maximum(
-                lane_col(d1_ref[0], base + rr) * d2_ref[0], 1.0)
+            # exact integer-rational profile score for this row: the
+            # query profile rides the row axis pre-transposed (lanes
+            # 0..4 = base counts, lane 5 = depth), so per-row scalars
+            # are static single-lane slices — the old masked cross-lane
+            # extraction (6 full-width reductions per DP row) cost
+            # ~1000x the recurrence itself
+            prow = prof_ref[0, rr]              # (TILE_B, 128)
+            num = prow[:, 0:1] * wc2_ref[0, 0]
+            for k in range(1, 5):
+                num = num + prow[:, k:k + 1] * wc2_ref[0, k]
+            den = jnp.maximum(prow[:, 5:6] * d2_ref[0], 1.0)
             q = jnp.floor(jnp.abs(num) / den)
             score = jnp.where(num < 0, -q, q).astype(jnp.int32)
 
@@ -165,8 +159,8 @@ def _build(K: int, hfree: bool, vfree: bool, sc: DnaScore,
             sS_ref[:] = S_body
             sV_ref[:] = V_body
 
-    def call(c1, d1, wc2, d2, mlen, nlen):
-        g = c1.shape[0]
+    def call(prof, wc2, d2, mlen, nlen):
+        g = prof.shape[0]
         return pl.pallas_call(
             kernel,
             out_shape=(
@@ -175,8 +169,8 @@ def _build(K: int, hfree: bool, vfree: bool, sc: DnaScore,
             ),
             grid=(g, nblk),
             in_specs=[
-                pl.BlockSpec((1, 5, TILE_B, K), lambda i, r: (i, 0, 0, 0)),
-                pl.BlockSpec((1, TILE_B, K), lambda i, r: (i, 0, 0)),
+                pl.BlockSpec((1, ROWS_BLK, TILE_B, 128),
+                             lambda i, r: (i, r, 0, 0)),
                 pl.BlockSpec((1, 5, TILE_B, K), lambda i, r: (i, 0, 0, 0)),
                 pl.BlockSpec((1, TILE_B, K), lambda i, r: (i, 0, 0)),
                 pl.BlockSpec((1, TILE_B, 128), lambda i, r: (i, 0, 0)),
@@ -192,19 +186,21 @@ def _build(K: int, hfree: bool, vfree: bool, sc: DnaScore,
                 pltpu.VMEM((TILE_B, K), jnp.int32),
             ],
             interpret=interpret,
-        )(c1, d1, wc2, d2, mlen, nlen)
+        )(prof, wc2, d2, mlen, nlen)
 
-    w = np.full((5, 5), MISMATCH, dtype=np.float32)
-    np.fill_diagonal(w, MATCH)
-    w = jnp.asarray(w)
-
-    @jax.jit
-    def run(c1, d1, c2, d2, mlen, nlen):
-        # c1/c2: (g, 5, TILE_B, K) f32 counts; d1/d2: (g, TILE_B, K)
-        wc2 = jnp.einsum("ab,gbtk->gatk", w, c2)
-        return call(c1, d1, wc2, d2, mlen, nlen)
-
-    return run
+    # run(prof, wc2, d2, mlen, nlen):
+    # prof: (g, K, TILE_B, 128) f32 — the query profile packed
+    # HOST-side onto the DP-row axis (lanes 0..4 = base counts, lane 5
+    # = depth), so the kernel computes each row's score with 5
+    # broadcast FMAs from static lane slices; wc2 is the score-weighted
+    # target profile, also HOST-computed. Both stay off-device on
+    # purpose: a device-side transpose of prof or the tiny (5,5) wc2
+    # contraction each cost ~25-30 ms on this backend (pathological
+    # small-matmul / lane-relayout paths) vs ~0 in the host packing
+    # loop that already walks the jobs. Exactness: the eligibility
+    # gate (gotoh_batch) bounds every count product below 2^24, where
+    # f32 arithmetic is exact, matching the host oracle bit-for-bit.
+    return jax.jit(call)
 
 
 _tb_cache = {}
@@ -332,8 +328,9 @@ def gotoh_batch(jobs, ac=(False, False), sc: DnaScore | None = None,
             # multi-chip: the tile grid is the sharded axis, so it must
             # split evenly across the mesh (pad tiles are ml=nl=1 no-ops)
             g = dispatch.round_up(g, ndev)
-        c1 = np.zeros((g, 5, TILE_B, K), dtype=np.float32)
-        d1 = np.zeros((g, TILE_B, K), dtype=np.float32)
+        # query profile packed onto the DP-row axis (lanes 0..4 counts,
+        # lane 5 depth) — the layout the kernel reads row-sliced
+        prof = np.zeros((g, K, TILE_B, 128), dtype=np.float32)
         c2 = np.zeros((g, 5, TILE_B, K), dtype=np.float32)
         d2 = np.zeros((g, TILE_B, K), dtype=np.float32)
         ml = np.ones((g, TILE_B, 128), dtype=np.int32)
@@ -344,8 +341,8 @@ def gotoh_batch(jobs, ac=(False, False), sc: DnaScore | None = None,
             cc1, dd1 = profile_counts(a1)
             cc2, dd2 = profile_counts(a2)
             m, n = a1.shape[1], a2.shape[1]
-            c1[gi, :, b, :m] = cc1[:5]
-            d1[gi, b, :m] = dd1
+            prof[gi, :m, b, 0:5] = cc1[:5].T
+            prof[gi, :m, b, 5] = dd1
             c2[gi, :, b, :n] = cc2[:5]
             d2[gi, b, :n] = dd2
             ml[gi, b, :] = m
@@ -356,7 +353,10 @@ def gotoh_batch(jobs, ac=(False, False), sc: DnaScore | None = None,
         if fn is None:
             fn = _cache[key] = _build(K, bool(ac[0]), bool(ac[1]), sc,
                                       interpret)
-        kargs = (jnp.asarray(c1), jnp.asarray(d1), jnp.asarray(c2),
+        w = np.full((5, 5), float(sc.mismatch), dtype=np.float32)
+        np.fill_diagonal(w, float(sc.match))
+        wc2 = np.einsum("ab,gbtk->gatk", w, c2).astype(np.float32)
+        kargs = (jnp.asarray(prof), jnp.asarray(wc2),
                  jnp.asarray(d2), jnp.asarray(ml), jnp.asarray(nl))
         if mesh is not None:
             # production multi-chip: the same kernel, tile grid sharded
