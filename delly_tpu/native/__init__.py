@@ -27,7 +27,16 @@ def _arch_flags() -> list:
     """Portable arch selection: AVX2 (x86-64-v3) only when the running
     CPU has it, else a plain -O3 baseline. The choice is part of the
     cache key, so a .so built elsewhere is never loaded on a CPU that
-    cannot execute it."""
+    cannot execute it.
+
+    DELLY_TPU_NATIVE_ARCH overrides the probe: `baseline` / `v3` let a
+    container build (Dockerfile.staticbuild) prebuild BOTH variants so
+    a compiler-less runtime image loads whichever matches its CPU."""
+    forced = os.environ.get("DELLY_TPU_NATIVE_ARCH", "").strip().lower()
+    if forced == "baseline":
+        return []
+    if forced == "v3":
+        return ["-march=x86-64-v3"]
     if platform.machine() not in ("x86_64", "AMD64"):
         return []
     try:
