@@ -396,6 +396,16 @@ STREAM_THRESHOLD = int(os.environ.get("DELLY_TPU_STREAM_THRESHOLD",
 _PREFETCH = os.environ.get("DELLY_TPU_PREFETCH", "1") != "0"
 
 
+def default_decode_workers() -> int:
+    """Depth of the background view-decode pipeline for drivers without
+    their own thread knob (the reference's cnv/gcbias/scan passes take
+    no -h threads option). DELLY_TPU_DECODE_WORKERS overrides."""
+    v = os.environ.get("DELLY_TPU_DECODE_WORKERS", "").strip()
+    if v:
+        return max(1, int(v))
+    return max(1, min(4, os.cpu_count() or 1))
+
+
 class BamFile:
     """BAM/CRAM reader.
 

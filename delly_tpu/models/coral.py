@@ -168,6 +168,8 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
     cov_curve = np.asarray([gb.coverage for gb in gcbias])
     regcorr_arr = regcorr or []
 
+    from delly_tpu.io.bam import default_decode_workers
+    bam.set_decode_workers(default_decode_workers())
     for ref_index in range(header.n_targets):
         if not cfg.genofile and not bam.mapped_count(ref_index):
             continue

@@ -119,6 +119,8 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
     Returns (gcbound lower, upper)."""
     header = bam.header
     stage("Estimate GC bias")
+    from delly_tpu.io.bam import default_decode_workers
+    bam.set_decode_workers(default_decode_workers())
     for ref_index in range(header.n_targets):
         if not scan_counts[ref_index]:
             continue

@@ -242,6 +242,10 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
         job_recs.clear()
         npairs = 0
 
+    sv_chrs = sorted({c for sv in svs for c in (sv.chr, sv.chr2)})
+    for bam in bams:
+        bam.set_decode_workers(getattr(cfg, "max_threads", 1) or 1,
+                               sv_chrs)
     for ref_index in range(header.n_targets):
         bp_map = []  # (pos, svid)
         for sv in svs:

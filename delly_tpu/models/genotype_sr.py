@@ -398,6 +398,9 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
 
     for file_c, bam in enumerate(bams):
         cliptra = {}
+        plan = [ri for ri in range(header.n_targets) if sv_on_chr[ri]]
+        bam.set_decode_workers(
+            getattr(cfg, "max_threads", 1) or 1, plan)
         for ref_index in range(header.n_targets):
             if not sv_on_chr[ref_index]:
                 continue

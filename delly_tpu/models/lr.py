@@ -48,9 +48,11 @@ def find_junctions(cfg, bams, valid_regions, valid_sr=None) -> dict:
     read_bp = {}
     _log("Split-read scanning")
     header = bams[0].header
-    for ref_index in range(header.n_targets):
-        if not valid_regions[ref_index]:
-            continue
+    plan = [ri for ri in range(header.n_targets) if valid_regions[ri]]
+    for bam in bams:
+        # pipeline upcoming chromosome view decodes behind the walk
+        bam.set_decode_workers(getattr(cfg, "max_threads", 1) or 1, plan)
+    for ref_index in plan:
         for bam in bams:
             # SoA prefilter (junction.h:319-460): junctions can only
             # start at a clip > min_clip or an indel op > min_ref_sep,

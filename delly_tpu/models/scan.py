@@ -63,6 +63,8 @@ def scan(cfg, bam, fasta, li, scan_counts: list) -> None:
             scan_counts[ref_index].sort(key=lambda w: (w.start, w.end))
 
     total_cov = 0
+    from delly_tpu.io.bam import default_decode_workers
+    bam.set_decode_workers(default_decode_workers())
     for ref_index in range(header.n_targets):
         reflen = header.lengths[ref_index]
         if not bam.mapped_count(ref_index):

@@ -397,6 +397,10 @@ def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
     # reads live on its own chromosome, so one global store is safe).
     seq_store = [dict() for _ in svs]
     visited = set()
+    plan = [ri for ri in range(header.n_targets)
+            if valid_regions[ri] and sr_store[ri]]
+    for bam in bams:
+        bam.set_decode_workers(getattr(cfg, "max_threads", 1) or 1, plan)
     for ref_index in range(header.n_targets):
         if not valid_regions[ref_index]:
             continue
