@@ -398,31 +398,42 @@ def _mesh_scope(command: str):
     if not spec and command not in ("sr", "lr", "asm", "cnv"):
         yield None
         return
-    import jax
-    devices = jax.devices()
+    want = None
     if spec:
         try:
-            n = int(spec)
+            want = int(spec)
         except ValueError:
             print(f"Invalid DELLY_TPU_MESH value: {spec}", file=sys.stderr)
             raise SystemExit(1)
-        if n > len(devices):
+        if want < 1:
+            yield None
+            return
+
+    def build_mesh():
+        # Deferred to the first kernel dispatch: jax.devices()
+        # force-initializes the backend (slow or failure-prone on a
+        # contended plugin), and it must never run before the
+        # startup checks' one-line errors.
+        import jax
+        devices = jax.devices()
+        n = want
+        if n is None:
+            n = len(devices)
+            if n < 2 or devices[0].platform == "cpu":
+                # virtual CPU device splitting is a test fixture, not
+                # extra hardware — CPU meshes stay opt-in via the env
+                return None
+        elif n > len(devices):
             print(f"Warning: DELLY_TPU_MESH={n} exceeds the "
                   f"{len(devices)} visible devices; using "
                   f"{len(devices)}.", file=sys.stderr)
             n = len(devices)
-        if n < 1:
-            yield None
-            return
-    else:
-        n = len(devices)
-        if n < 2 or devices[0].platform == "cpu":
-            yield None
-            return
+        from delly_tpu.parallel.mesh import make_mesh
+        return make_mesh(n)
+
     from delly_tpu.parallel import dispatch
-    from delly_tpu.parallel.mesh import make_mesh
-    with dispatch.use_mesh(make_mesh(n)) as mesh:
-        yield mesh
+    with dispatch.use_mesh_factory(build_mesh):
+        yield None
 
 
 def _run_command(args) -> int:

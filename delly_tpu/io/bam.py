@@ -441,6 +441,7 @@ class BamFile:
         self._cache_dropped = 0
         self._prefetch = {}               # tid -> Future[BamView]
         self._prefetch_pool = None
+        self._prefetch_pool_size = 0
         self._decode_workers = 1          # background decode pipeline depth
         self._scan_plan = None            # upcoming-tid order (drivers set)
         self._preaders = []               # per-worker BGZF handles
@@ -569,18 +570,36 @@ class BamFile:
                 or self._bai is None or not _PREFETCH
                 or self.header is None):
             return
+        # Prefetched-but-unconsumed views sit outside the LRU cache, so
+        # they must honor the memory budget too: once the resident
+        # bytes (cache + completed prefetch results) reach the budget,
+        # the pipeline falls back to 1-deep lookahead.
+        depth = self._decode_workers
+        if depth > 1:
+            resident = sum(self._view_nbytes(v)
+                           for v in self._chrom_cache.values())
+            for fut in self._prefetch.values():
+                if fut.done():
+                    try:
+                        resident += self._view_nbytes(fut.result())
+                    except Exception:
+                        pass
+            if resident >= self._cache_budget:
+                depth = 1
         plan = self._scan_plan
         if plan is not None:
             try:
                 i = plan.index(tid)
-                upcoming = plan[i + 1:i + 1 + self._decode_workers]
+                upcoming = plan[i + 1:i + 1 + depth]
             except ValueError:
                 upcoming = []
         else:
             upcoming = range(tid + 1,
-                             min(tid + 1 + self._decode_workers,
+                             min(tid + 1 + depth,
                                  self.header.n_targets))
         for t in upcoming:
+            if len(self._prefetch) >= depth:
+                break
             self._start_prefetch(t)
 
     def _view_nbytes(self, view) -> int:
@@ -666,9 +685,18 @@ class BamFile:
                 or tid in self._chrom_cache):
             return
         import concurrent.futures
+        want = max(1, self._decode_workers)
+        if (self._prefetch_pool is not None
+                and self._prefetch_pool_size != want
+                and not self._prefetch):
+            # set_decode_workers changed the depth after the pool was
+            # created: replace it once no futures are outstanding
+            self._prefetch_pool.shutdown(wait=False)
+            self._prefetch_pool = None
         if self._prefetch_pool is None:
             self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=max(1, self._decode_workers))
+                max_workers=want)
+            self._prefetch_pool_size = want
         self._prefetch[tid] = self._prefetch_pool.submit(
             self._decode_chrom_bg, tid)
 

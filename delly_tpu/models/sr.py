@@ -306,34 +306,44 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
             out.append((ref_index, futs))
         return out
 
-    if pool is not None and len(bams) > 1:
-        with ThreadPoolExecutor(len(bams)) as drivers:
-            plans = list(drivers.map(
-                lambda fb: drive_file(*fb), enumerate(bams)))
-    else:
-        plans = [drive_file(fc, bam) for fc, bam in enumerate(bams)]
+    drivers = None
+    try:
+        if pool is not None and len(bams) > 1:
+            drivers = ThreadPoolExecutor(len(bams))
+            plan_futs = [drivers.submit(drive_file, fc, bam)
+                         for fc, bam in enumerate(bams)]
+        else:
+            plan_futs = None
 
-    # Deterministic merge: files in order, chromosomes in order, shards
-    # in row order — identical record/junction sequences to the serial
-    # scan for any worker count.
-    for file_c, bam in enumerate(bams):
-        lib = libs[file_c]
-        matetra = {}
-        read_bp = {}
-        per_file_sr = [[] for _ in range(nsvt)]
-        for ref_index, futs in plans[file_c]:
-            parts = [f if isinstance(f, tuple) else f.result()
-                     for f in futs]
-            _merge_read_bp(read_bp, [p[0] for p in parts])
-            ca = _merge_cands([p[1] for p in parts])
-            _scan_phase_b(cfg, lib, ref_index, ca, bam_records, matetra)
-        for jv in read_bp.values():
-            jv.sort(key=lambda j: j.sort_key())
-        fetch_sr_only(cfg, read_bp, per_file_sr)
-        for svt in range(nsvt):
-            sr_br[svt].extend(per_file_sr[svt])
-    if pool is not None:
-        pool.shutdown(wait=True)
+        # Deterministic merge: files in order, chromosomes in order,
+        # shards in row order — identical record/junction sequences to
+        # the serial scan for any worker count. File 0's phase B starts
+        # as soon as its own shards land (no all-file barrier); later
+        # files keep scanning concurrently.
+        for file_c, bam in enumerate(bams):
+            plan = (plan_futs[file_c].result() if plan_futs is not None
+                    else drive_file(file_c, bam))
+            lib = libs[file_c]
+            matetra = {}
+            read_bp = {}
+            per_file_sr = [[] for _ in range(nsvt)]
+            for ref_index, futs in plan:
+                parts = [f if isinstance(f, tuple) else f.result()
+                         for f in futs]
+                _merge_read_bp(read_bp, [p[0] for p in parts])
+                ca = _merge_cands([p[1] for p in parts])
+                _scan_phase_b(cfg, lib, ref_index, ca, bam_records,
+                              matetra)
+            for jv in read_bp.values():
+                jv.sort(key=lambda j: j.sort_key())
+            fetch_sr_only(cfg, read_bp, per_file_sr)
+            for svt in range(nsvt):
+                sr_br[svt].extend(per_file_sr[svt])
+    finally:
+        if drivers is not None:
+            drivers.shutdown(wait=True)
+        if pool is not None:
+            pool.shutdown(wait=True)
 
     _log("Split-read clustering")
     for svt in range(nsvt):

@@ -43,6 +43,7 @@ from contextlib import contextmanager
 import numpy as np
 
 _ACTIVE = None
+_FACTORY = None
 _cache = {}
 
 engine_hits = Counter()
@@ -72,12 +73,35 @@ def set_mesh(mesh) -> None:
 
 
 def get_mesh():
+    """The active mesh, resolving a pending lazy factory first (the
+    CLI installs one so backend initialization — jax.devices() can be
+    slow or fail on a contended plugin — happens only when a kernel is
+    actually about to dispatch, never before the startup checks)."""
+    global _ACTIVE, _FACTORY
+    if _ACTIVE is None and _FACTORY is not None:
+        factory, _FACTORY = _FACTORY, None
+        _ACTIVE = factory()
     return _ACTIVE
+
+
+@contextmanager
+def use_mesh_factory(factory):
+    """Defer mesh construction until the first get_mesh() call."""
+    global _FACTORY
+    prev_active, prev_factory = _ACTIVE, _FACTORY
+    set_mesh(None)
+    _FACTORY = factory
+    try:
+        yield
+    finally:
+        set_mesh(prev_active)
+        _FACTORY = prev_factory
 
 
 def active_devices() -> int:
     """Device count of the active mesh (1 when no mesh is installed)."""
-    return int(_ACTIVE.devices.size) if _ACTIVE is not None else 1
+    mesh = get_mesh()
+    return int(mesh.devices.size) if mesh is not None else 1
 
 
 @contextmanager

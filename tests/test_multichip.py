@@ -164,11 +164,13 @@ def _gunzip(path):
         return fh.read()
 
 
-def test_cnv_mesh_covfile_matches_host_text(mesh, tmp_path):
-    """The meshed CNV window step computes the identical double
-    formula on-device; at the covfile's %g rendering the mesh and host
-    paths agree on this corpus (last-ulp libm differences are below
-    the printed precision)."""
+def test_cnv_mesh_covfile_matches_host(mesh, tmp_path):
+    """The meshed CNV window step computes the identical double formula
+    on-device. The VCF (host-side CNV genotyping in both runs) must be
+    byte-identical; covfile rows must agree exactly on the integer/NA
+    columns and to float64 precision on logR/CN (XLA's libm may differ
+    from numpy's in the last ulp, so exact text equality would be a
+    rounding-boundary flake, not a real-drift detector)."""
     from bamsynth import make_multi_contig_del_dataset
     from delly_tpu.models.coral import CnvConfig, run_cnv
 
@@ -183,8 +185,22 @@ def test_cnv_mesh_covfile_matches_host_text(mesh, tmp_path):
                         covfile=cov)
         with dispatch.use_mesh(m):
             assert run_cnv(cfg) == 0
-        texts[label] = (open(out).read(), _gunzip(cov))
-    assert texts["host"] == texts["mesh"]
+        texts[label] = (open(out).read(), _gunzip(cov).decode())
+    assert texts["host"][0] == texts["mesh"][0]
+    h_rows = texts["host"][1].splitlines()
+    m_rows = texts["mesh"][1].splitlines()
+    assert len(h_rows) == len(m_rows) and len(h_rows) > 1
+    n_value_rows = 0
+    for h, m in zip(h_rows[1:], m_rows[1:]):
+        hc, mc = h.split("\t"), m.split("\t")
+        assert hc[:4] == mc[:4]          # chr/start/end/uniqfrac
+        assert (hc[4] == "NA") == (mc[4] == "NA")
+        if hc[4] != "NA":
+            n_value_rows += 1
+            for a, b in zip(hc[4:], mc[4:]):
+                assert float(a) == pytest.approx(float(b), rel=1e-9,
+                                                 abs=1e-12)
+    assert n_value_rows > 0
 
 
 def test_asm_cli_byte_identical_1_vs_8_devices(mesh, example_dir,
