@@ -340,8 +340,26 @@ def distance_matrix_from_lcs(seqs: list, ls) -> np.ndarray:
     return d
 
 
-_BATCH_MIN_CELLS = 262144
+_BATCH_MIN_CELLS = None
 _pallas_pref = None
+
+
+def _batch_min_cells() -> int:
+    """DP-cell threshold for routing a lockstep MSA merge round to the
+    device kernel. The kernel itself is ~3 orders faster than one host
+    DP stream, but a dispatch pays fixed costs that depend on the
+    deployment: on a co-located chip they are microseconds; through a
+    remote tunnel they are ~50 ms per call plus ~10 s-class Pallas
+    compiles per fresh bucket shape. The default (4M cells ~ 0.3 s of
+    host DP) only dispatches rounds big enough to win even on a
+    tunnel; co-located deployments can lower DELLY_TPU_GOTOH_MIN_CELLS
+    to dispatch almost everything."""
+    global _BATCH_MIN_CELLS
+    if _BATCH_MIN_CELLS is None:
+        import os
+        _BATCH_MIN_CELLS = int(os.environ.get(
+            "DELLY_TPU_GOTOH_MIN_CELLS", str(1 << 22)))
+    return _BATCH_MIN_CELLS
 
 
 def _pallas_batch_mode():
@@ -387,7 +405,7 @@ def _gotoh_dispatch_batch(pairs: list, ac, sc):
     # initializes the device client (see ops/edist.py)
     cells = sum(a1.shape[1] * a2.shape[1] for a1, a2 in pairs)
     big = (len(pairs) > 1
-           and (cells >= _BATCH_MIN_CELLS or _pallas_forced()))
+           and (cells >= _batch_min_cells() or _pallas_forced()))
     if big:
         mode = _pallas_batch_mode()
         if mode is not None:
