@@ -65,6 +65,98 @@ def test_scan_sharded_byte_identical_multi_sample(tmp_path, monkeypatch):
     assert got == base
 
 
+def _phase_a_worker(args):
+    """Runs in a SEPARATE PROCESS (a stand-in host): opens its own
+    reader, computes one chromosome-interval shard of scan phase A and
+    returns the plain (junction-dict, candidate-arrays) value."""
+    bam_path, fa, cfg, ref_index, lo, hi, nchr = args
+    import numpy as np
+
+    from delly_tpu.io.bam import BamFile
+    from delly_tpu.models import sr as srm
+    from delly_tpu.utils.stats import get_library_params
+    bam = BamFile(bam_path, genome=fa)
+    valid_regions = [[(0, ln)] for ln in bam.header.lengths]
+    lib = get_library_params(bam, valid_regions, cfg.mad_cutoff, 9)
+    view = bam.chrom(ref_index)
+    out = srm._scan_phase_a(cfg, view, lib, ref_index,
+                            valid_regions[ref_index], True,
+                            np.ones(nchr, dtype=bool), lo, hi)
+    bam.close()
+    return out
+
+
+def test_scan_phase_a_cross_process_merge(tmp_path):
+    """Host-axis readiness (SURVEY §7.7): phase-A shard results are
+    plain values, so shards computed in SEPARATE PROCESSES (each with
+    its own reader — the multi-host data plane in miniature) merge to
+    records byte-identical to the in-process scan."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    import numpy as np
+
+    from bamsynth import make_multi_contig_del_dataset
+    from delly_tpu.io.bam import BamFile
+    from delly_tpu.models import sr as srm
+    from delly_tpu.models.config import SrConfig
+    from delly_tpu.utils.stats import get_library_params
+
+    bam_path, fa, _truth = make_multi_contig_del_dataset(
+        str(tmp_path), n_contigs=2, contig_len=60_000,
+        error_rate=0.005, name="xproc")
+    cfg = SrConfig(genome=fa, files=[bam_path])
+    bam = BamFile(bam_path, genome=fa)
+    header = bam.header
+    cfg.nchr = header.n_targets
+    valid_regions = [[(0, ln)] for ln in header.lengths]
+    lib = get_library_params(bam, valid_regions, cfg.mad_cutoff, 9)
+    valid_mask = np.ones(header.n_targets, dtype=bool)
+
+    # reference: fully in-process, one shard per chromosome
+    want_records = [[] for _ in range(10)]
+    want_bp = {}
+    matetra = {}
+    jobs = []
+    for ri in range(header.n_targets):
+        view = bam.chrom(ri)
+        n = len(view)
+        rb, ca = srm._scan_phase_a(cfg, view, lib, ri,
+                                   valid_regions[ri], True,
+                                   valid_mask, 0, n)
+        srm._merge_read_bp(want_bp, [rb])
+        srm._scan_phase_b(cfg, lib, ri, ca, want_records, matetra)
+        # shard plan for the cross-process run: 3 row ranges per chrom
+        jobs.append([(bam_path, fa, cfg, ri, lo, hi, header.n_targets)
+                     for lo, hi in srm._shard_bounds(n, 3)])
+    bam.close()
+
+    got_records = [[] for _ in range(10)]
+    got_bp = {}
+    matetra2 = {}
+    lib2 = get_library_params(BamFile(bam_path, genome=fa),
+                              valid_regions, cfg.mad_cutoff, 9)
+    with ProcessPoolExecutor(2) as ex:
+        for ri, chrom_jobs in enumerate(jobs):
+            parts = list(ex.map(_phase_a_worker, chrom_jobs))
+            srm._merge_read_bp(got_bp, [p[0] for p in parts])
+            ca = srm._merge_cands([p[1] for p in parts])
+            srm._scan_phase_b(cfg, lib2, ri, ca, got_records, matetra2)
+
+    for svt in range(10):
+        assert len(got_records[svt]) == len(want_records[svt])
+        for a, b in zip(got_records[svt], want_records[svt]):
+            assert a == b
+    assert set(got_bp) == set(want_bp)
+    any_junctions = False
+    for seed in want_bp:
+        assert len(got_bp[seed]) == len(want_bp[seed])
+        any_junctions = True
+        for a, b in zip(got_bp[seed], want_bp[seed]):
+            assert a == b
+    assert any_junctions
+    assert sum(len(r) for r in want_records) > 0
+
+
 def test_shard_bounds_cover_and_order():
     from delly_tpu.models.sr import _shard_bounds
     for n in (0, 1, 7, 100, 1000):
