@@ -65,6 +65,41 @@ def test_scan_sharded_byte_identical_multi_sample(tmp_path, monkeypatch):
     assert got == base
 
 
+def test_scan_sharded_byte_identical_with_exclude(tmp_path, monkeypatch):
+    """The sharded phase A's exclusion-interval branch (full_chrom ==
+    False, reference shortpe.h:349-350 valid-interval iteration) must
+    stay byte-identical across worker counts and shard sizes."""
+    from bamsynth import make_multi_sv_dataset
+    bam, fa, _truth = make_multi_sv_dataset(
+        str(tmp_path), n_contigs=2, contig_len=100_000,
+        pairs_per_contig=1500)
+    excl = tmp_path / "excl.bed"
+    excl.write_text("chr1\t10000\t30000\nchr2\t60000\t80000\n")
+
+    def run(out, threads):
+        from delly_tpu.models.config import SrConfig
+        from delly_tpu.models.sr import run_sr
+        cfg = SrConfig(genome=fa, files=[bam], outfile=out,
+                       exclude=str(excl), max_threads=threads)
+        assert run_sr(cfg) == 0
+        return open(out).read()
+
+    base = run(str(tmp_path / "x1.vcf"), 1)
+    got = run(str(tmp_path / "x4.vcf"), 4)
+    assert got == base
+    monkeypatch.setenv("DELLY_TPU_SCAN_SHARD_ROWS", "41")
+    got = run(str(tmp_path / "x4s.vcf"), 4)
+    assert got == base
+    # exclusion semantics hold under sharding: no calls inside the
+    # excluded windows
+    for ln in base.splitlines():
+        if ln.startswith("#"):
+            continue
+        c, p = ln.split("\t")[0], int(ln.split("\t")[1])
+        assert not (c == "chr1" and 11000 < p < 29000), ln
+        assert not (c == "chr2" and 61000 < p < 79000), ln
+
+
 def _phase_a_worker(args):
     """Runs in a SEPARATE PROCESS (a stand-in host): opens its own
     reader, computes one chromosome-interval shard of scan phase A and
