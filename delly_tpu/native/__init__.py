@@ -194,6 +194,10 @@ def get_lib():
         ctypes.c_int32, ctypes.c_char_p, ctypes.c_void_p]
     lib.edist_scan_last.restype = None
     lib.edist_scan_last.argtypes = lib.edist_scan.argtypes
+    lib.edist_scan_row.restype = None
+    lib.edist_scan_row.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_void_p]
     lib.cnv_segment_core.restype = ctypes.c_int64
     lib.cnv_segment_core.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
@@ -427,6 +431,18 @@ def edist_scan_last(q: bytes, t: bytes, mode: int,
     lib.edist_scan_last(q, len(q), t, len(t), mode, eq,
                         out.ctypes.data_as(ctypes.c_void_p))
     return int(out[0]), int(out[1])
+
+
+def edist_scan_row(q: bytes, t: bytes, eq: bytes | None = None):
+    """Full last DP row out[j] = d(q, t[:j]) via the Myers scan
+    (NW/SHW boundary), or None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(len(t) + 1, dtype=np.int32)
+    lib.edist_scan_row(q, len(q), t, len(t), eq,
+                       out.ctypes.data_as(ctypes.c_void_p))
+    return out
 
 
 def edist_path_banded(q: bytes, t: bytes, mode: int,

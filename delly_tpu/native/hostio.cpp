@@ -1641,6 +1641,60 @@ void edist_scan_last(const uint8_t* q, int32_t m, const uint8_t* t,
   edist_scan_impl(q, m, t, n, mode, eq, 1, out2);
 }
 
+// Full last DP row via the Myers scan: out_row[j] = d(query,
+// target[:j]) for j = 0..n (unit costs, NW/SHW boundary D[0][j] = j).
+// Feeds the Hirschberg column computations of the edlib-parity PATH
+// alignment (ops/edist.py _hirschberg_nw) at bit-parallel speed.
+void edist_scan_row(const uint8_t* q, int32_t m, const uint8_t* t,
+                    int32_t n, const uint8_t* eq, int32_t* out_row) {
+  out_row[0] = m;
+  if (m == 0) {
+    for (int32_t j = 1; j <= n; ++j) out_row[j] = j;
+    return;
+  }
+  const int32_t w = (m + 63) / 64;
+  std::vector<uint64_t> peq((size_t)256 * w, 0);
+  for (int32_t r = 0; r < m; ++r) {
+    if (eq) {
+      const uint8_t* eqrow = eq + (size_t)q[r] * 256;
+      for (int32_t c = 0; c < 256; ++c)
+        if (eqrow[c]) peq[(size_t)c * w + (r >> 6)] |= 1ULL << (r & 63);
+    } else {
+      peq[(size_t)q[r] * w + (r >> 6)] |= 1ULL << (r & 63);
+    }
+  }
+  std::vector<uint64_t> pv(w, ~0ULL), mv(w, 0ULL);
+  const int32_t hi_word = (m - 1) >> 6;
+  const int32_t hi_bit = (m - 1) & 63;
+  int32_t score = m;
+  for (int32_t j = 0; j < n; ++j) {
+    const uint64_t* eqrow = peq.data() + (size_t)t[j] * w;
+    int32_t hin = 1;
+    for (int32_t wi = 0; wi < w; ++wi) {
+      uint64_t eqw = eqrow[wi];
+      const uint64_t hin_neg = (uint64_t)(hin < 0);
+      const uint64_t hin_pos = (uint64_t)(hin > 0);
+      const uint64_t pvw = pv[wi], mvw = mv[wi];
+      const uint64_t xv = eqw | mvw;
+      const uint64_t eq2 = eqw | hin_neg;
+      const uint64_t xh = (((eq2 & pvw) + pvw) ^ pvw) | eq2;
+      uint64_t ph = mvw | ~(xh | pvw);
+      uint64_t mh = pvw & xh;
+      const int32_t hout =
+          (int32_t)((ph >> 63) & 1) - (int32_t)((mh >> 63) & 1);
+      if (wi == hi_word)
+        score += (int32_t)((ph >> hi_bit) & 1)
+               - (int32_t)((mh >> hi_bit) & 1);
+      ph = (ph << 1) | hin_pos;
+      mh = (mh << 1) | hin_neg;
+      pv[wi] = mh | ~(xv | ph);
+      mv[wi] = ph & xv;
+      hin = hout;
+    }
+    out_row[j + 1] = score;
+  }
+}
+
 // Banded unit-cost edit-distance DP with in-C traceback (Ukkonen
 // corridor; role of edlib's banded alignment, edlib.cpp TASK_PATH).
 // Corridor: cells (i, j) with j - i in [lo, hi]. Band storage is

@@ -181,8 +181,20 @@ def _align_banded(q: np.ndarray, t: np.ndarray, mode: int,
 
 def _last_dp_row(q: np.ndarray, t: np.ndarray, mode: int,
                  eq: np.ndarray | None) -> np.ndarray:
-    """Final DP row only (two-row recurrence, O(n) memory)."""
+    """Final DP row only (two-row recurrence, O(n) memory). NW/SHW
+    rows come from the native Myers bit-parallel scan when available
+    (the Hirschberg column computations are quadratic in total)."""
     n = len(t)
+    if mode != MODE_HW and len(q):
+        try:
+            from delly_tpu import native
+            eqb = None if eq is None else \
+                np.ascontiguousarray(eq, dtype=np.uint8).tobytes()
+            row = native.edist_scan_row(q.tobytes(), t.tobytes(), eqb)
+            if row is not None:
+                return row
+        except Exception:
+            pass
     if mode == MODE_HW:
         prev = np.zeros(n + 1, dtype=np.int32)
     else:
@@ -201,6 +213,104 @@ def _last_dp_row(q: np.ndarray, t: np.ndarray, mode: int,
         cur[1:] = np.minimum(cand, run[1:] + j_idx)
         prev = cur
     return prev
+
+
+def _edlib_traceback_mem(m: int, n: int) -> int:
+    """edlib's memory estimate for the plain-traceback NW alignment
+    (edlib.cpp:1189-1191, WORD_SIZE=64): below 1 MB it tracebacks the
+    full matrix; at or above it switches to Hirschberg's algorithm,
+    which picks DIFFERENT (co-optimal) paths. PATH parity therefore
+    requires reproducing both regimes."""
+    max_blocks = -(-m // 64)
+    return (2 * 8 + 4) * max_blocks * n + 2 * 4 * n
+
+
+_EDLIB_TB_LIMIT = 1 << 20
+
+
+def _nw_path_ops(q: np.ndarray, t: np.ndarray,
+                 eq: np.ndarray | None) -> np.ndarray:
+    """NW PATH ops in edlib's sub-1MB regime: the plain full-matrix
+    traceback preference (up > left > diagonal), served by the banded
+    native path when exact (both oracle-pinned against
+    obtainAlignmentTraceback by tests/test_edlib_oracle.py)."""
+    m, n = len(q), len(t)
+    if m == 0:
+        return np.full(n, EDOP_DELETE, dtype=np.uint8)
+    if n == 0:
+        return np.full(m, EDOP_INSERT, dtype=np.uint8)
+    banded = _align_banded(q, t, MODE_NW, eq)
+    if banded is not None:
+        return banded[2]
+    D = _dp_matrix(q, t, MODE_NW, eq)
+    ops = []
+    i, j = m, n
+    while i > 0:
+        cur = D[i, j]
+        if D[i - 1, j] + 1 == cur:
+            ops.append(EDOP_INSERT)
+            i -= 1
+        elif j > 0 and D[i, j - 1] + 1 == cur:
+            ops.append(EDOP_DELETE)
+            j -= 1
+        else:
+            if eq is None:
+                is_match = q[i - 1] == t[j - 1]
+            else:
+                is_match = bool(eq[q[i - 1], t[j - 1]])
+            ops.append(EDOP_MATCH if is_match else EDOP_MISMATCH)
+            i -= 1
+            j -= 1
+    while j > 0:
+        ops.append(EDOP_DELETE)
+        j -= 1
+    ops.reverse()
+    return np.asarray(ops, dtype=np.uint8)
+
+
+def _hirschberg_nw(q: np.ndarray, t: np.ndarray, best: int,
+                   eq: np.ndarray | None) -> np.ndarray:
+    """edlib's Hirschberg NW alignment, reproduced exactly
+    (edlib.cpp obtainAlignmentHirschberg): split the target at
+    n//2, take the FIRST query row whose left-prefix + right-suffix
+    distances sum to `best` (then the q=-1 and q=m-1 boundary moves,
+    in that order), and recurse — each sub-problem re-deciding
+    plain-traceback vs Hirschberg by the same 1 MB rule. Scanning full
+    DP columns from row 0 is equivalent to edlib's band-bounded scan:
+    any row below a band start exceeds `best` on that side, so its sum
+    can never match."""
+    m, n = len(q), len(t)
+    if m == 0 or n == 0:
+        return _nw_path_ops(q, t, eq)
+    if _edlib_traceback_mem(m, n) < _EDLIB_TB_LIMIT:
+        return _nw_path_ops(q, t, eq)
+    mid = n // 2
+    # leftCol[i] = d(q[:i], t[:mid]); edit distance is symmetric (and
+    # the custom-equality matrix is symmetric), so it is the last DP
+    # row with the roles swapped. rightCol[r] = d(q[r:], t[mid:]).
+    left_col = _last_dp_row(t[:mid], q, MODE_NW, eq)
+    rq = q[::-1].copy()
+    rt2 = t[mid:][::-1].copy()
+    rcr = _last_dp_row(rt2, rq, MODE_NW, eq)
+    right_col = rcr[::-1]                  # right_col[r] = rcr[m - r]
+
+    split = None                           # (ulHeight, leftScore, rightScore)
+    sums = left_col[1:m] + right_col[1:m]  # query rows 0..m-2
+    hits = np.nonzero(sums == best)[0]
+    if len(hits):
+        qi = int(hits[0])
+        split = (qi + 1, int(left_col[qi + 1]), int(right_col[qi + 1]))
+    elif mid + int(right_col[0]) == best:
+        split = (0, mid, int(right_col[0]))
+    elif int(left_col[m]) + (n - mid) == best:
+        split = (m, int(left_col[m]), n - mid)
+    if split is None:
+        # unreachable for a correct `best`; mirror edlib's error path
+        raise ValueError("hirschberg: no split consistent with best")
+    ul_h, left_score, right_score = split
+    ul = _hirschberg_nw(q[:ul_h], t[:mid], left_score, eq)
+    lr = _hirschberg_nw(q[ul_h:], t[mid:], right_score, eq)
+    return np.concatenate([ul, lr])
 
 
 def align(query, target, mode: int = MODE_NW, k: int = -1,
@@ -255,6 +365,27 @@ def align(query, target, mode: int = MODE_NW, k: int = -1,
         start = end_loc - pos
         _d, _e, ops = align(q, t[start:end_loc + 1], MODE_NW, eq=eq)
         return dist, end_loc, ops
+    if mode == MODE_SHW and m and n:
+        # edlib SHW PATH pipeline: leftmost optimal end from the
+        # semi-global scan, then an NW alignment over target[0:end+1]
+        # (edlibAlign: startLocations are 0 for SHW and obtainAlignment
+        # runs NW on the [start, end] slice) — the NW call below picks
+        # plain traceback or Hirschberg by edlib's own 1 MB rule.
+        dist, end_loc = edit_distance(q, t, MODE_SHW, eq=eq)
+        if k >= 0 and dist > k:
+            return -1, -1, np.zeros(0, dtype=np.uint8)
+        _d, _e, ops = align(q, t[:end_loc + 1], MODE_NW, eq=eq)
+        return dist, end_loc, ops
+    if mode == MODE_NW and m and n \
+            and _edlib_traceback_mem(m, n) >= _EDLIB_TB_LIMIT:
+        # edlib switches to Hirschberg above 1 MB of traceback memory,
+        # whose co-optimal path choices differ from the plain traceback
+        # — reproduce it exactly (found by the live-oracle fuzz on
+        # kb-scale inputs, tests/test_edlib_oracle.py).
+        dist, _e = edit_distance(q, t, MODE_NW, eq=eq)
+        if k >= 0 and dist > k:
+            return -1, -1, np.zeros(0, dtype=np.uint8)
+        return dist, n - 1, _hirschberg_nw(q, t, dist, eq)
     if m and n:
         banded = _align_banded(q, t, mode, eq)
         if banded is not None:

@@ -187,6 +187,62 @@ def test_path_start_and_ops_vs_edlib(oracle):
     assert n_path > 2000  # the PATH comparison must not be vacuous
 
 
+def _mutate(rng, seq: bytes, rate: float) -> bytes:
+    out = bytearray(seq)
+    i = 0
+    res = bytearray()
+    letters = b"ACGT"
+    while i < len(out):
+        r = rng.random()
+        if r < rate / 3:
+            res.append(letters[int(rng.integers(0, 4))])  # sub
+            i += 1
+        elif r < 2 * rate / 3:
+            i += 1                                        # del
+        elif r < rate:
+            res.append(letters[int(rng.integers(0, 4))])  # ins
+        else:
+            res.append(out[i])
+            i += 1
+    return bytes(res) if res else b"A"
+
+
+def test_long_read_regime_path_vs_edlib(oracle):
+    """The lr consensus/probe regime: kb-scale sequences at 1-5%
+    divergence, where align() routes through the native Ukkonen-banded
+    path DP (edist_path_banded) and the reversed-SHW start rule —
+    checked against real edlib PATH output."""
+    rng = np.random.default_rng(4242)
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    cases = []
+    for _ in range(60):
+        n = int(rng.integers(1500, 5000))
+        t = bytes(letters[rng.integers(0, 4, size=n)])
+        rate = float(rng.choice([0.01, 0.02, 0.05]))
+        mode = int(rng.integers(0, 3))
+        if mode == MODE_HW:
+            # infix query inside a longer target
+            lo = int(rng.integers(0, n // 3))
+            hi = int(rng.integers(2 * n // 3, n))
+            q = _mutate(rng, t[lo:hi], rate)
+        else:
+            q = _mutate(rng, t, rate)
+        cases.append((mode, -1, q, t, []))
+    want = oracle([(m, 2, k, q, t, eq) for m, k, q, t, eq in cases])
+    for (mode, k, q, t, eq), (st, dist, ends, starts, aln) in zip(
+            cases, want):
+        assert st == 0 and dist >= 0
+        qa = np.frombuffer(q, dtype=np.uint8)
+        ta = np.frombuffer(t, dtype=np.uint8)
+        got_d, got_e, got_ops = align(qa, ta, mode)
+        ctx = (mode, len(q), len(t), dist)
+        assert got_d == dist, ctx
+        assert got_e == ends[0], ctx
+        np.testing.assert_array_equal(got_ops, aln, err_msg=str(ctx))
+        if mode == MODE_HW:
+            assert infix_start(got_ops, got_e) == starts[0], ctx
+
+
 def test_batched_distance_kernels_vs_edlib(oracle):
     """The batched device/native DISTANCE kernel (the genotyping hot
     loop) against the oracle on exact-equality cases."""
