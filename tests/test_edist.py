@@ -107,3 +107,56 @@ def test_hw_path_leftmost_start_edlib_rule():
     assert (d, e) == (1, 1)
     assert ops.tolist() == [EDOP_MISMATCH, EDOP_MATCH]
     assert infix_start(ops, e) == 0
+
+
+def test_native_scan_row_matches_numpy_rows():
+    """The native Myers last-row scan (hostio.cpp edist_scan_row, the
+    Hirschberg column engine) equals the numpy two-row DP for random
+    and adversarial inputs, with and without custom equality."""
+    import numpy as np
+    import pytest
+
+    from delly_tpu import native
+    from delly_tpu.ops.edist import (
+        MODE_NW, _last_dp_row, equality_matrix,
+    )
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(31)
+    letters = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    eqm = equality_matrix([("N", c) for c in "ACGT"])
+    cases = []
+    for _ in range(40):
+        q = letters[rng.integers(0, 5, size=rng.integers(1, 200))]
+        t = letters[rng.integers(0, 5, size=rng.integers(0, 300))]
+        cases.append((q, t, None))
+        cases.append((q, t, eqm))
+    cases.append((letters[np.zeros(65, np.int64)],
+                  letters[np.zeros(130, np.int64)], None))  # word edge
+    cases.append((letters[np.zeros(64, np.int64)],
+                  letters[np.ones(64, np.int64)], None))
+    for q, t, eq in cases:
+        eqb = None if eq is None else \
+            np.ascontiguousarray(eq, dtype=np.uint8).tobytes()
+        got = native.edist_scan_row(q.tobytes(), t.tobytes(), eqb)
+        assert got is not None
+        # numpy fallback: bypass the native fast path by inlining the
+        # two-row recurrence (same code path _last_dp_row falls back to)
+        n = len(t)
+        prev = np.arange(n + 1, dtype=np.int32)
+        rows = [prev.copy()]
+        j_idx = np.arange(1, n + 1, dtype=np.int32)
+        for i in range(1, len(q) + 1):
+            if eq is None:
+                sub = (q[i - 1] != t).astype(np.int32)
+            else:
+                sub = (~eq[q[i - 1], t]).astype(np.int32)
+            cand = np.minimum(prev[:-1] + sub, prev[1:] + 1)
+            run = np.minimum.accumulate(
+                np.concatenate(([np.int32(i)], cand - j_idx)))
+            cur = np.empty(n + 1, dtype=np.int32)
+            cur[0] = i
+            cur[1:] = np.minimum(cand, run[1:] + j_idx)
+            prev = cur
+        np.testing.assert_array_equal(np.asarray(got), prev,
+                                      err_msg=f"{len(q)}x{n}")
