@@ -227,15 +227,24 @@ def test_long_read_regime_path_vs_edlib(oracle):
             q = _mutate(rng, t[lo:hi], rate)
         else:
             q = _mutate(rng, t, rate)
-        cases.append((mode, -1, q, t, []))
+        # some cases with IUPAC equality pairs and N-sprinkled queries
+        # (the Hirschberg columns must honor custom equality too)
+        eq = []
+        if rng.random() < 0.25:
+            eq = [(78, 65), (78, 67), (78, 71), (78, 84)]
+            qa = bytearray(q)
+            for _ in range(max(1, len(qa) // 200)):
+                qa[int(rng.integers(0, len(qa)))] = 78
+            q = bytes(qa)
+        cases.append((mode, -1, q, t, eq))
     want = oracle([(m, 2, k, q, t, eq) for m, k, q, t, eq in cases])
     for (mode, k, q, t, eq), (st, dist, ends, starts, aln) in zip(
             cases, want):
         assert st == 0 and dist >= 0
         qa = np.frombuffer(q, dtype=np.uint8)
         ta = np.frombuffer(t, dtype=np.uint8)
-        got_d, got_e, got_ops = align(qa, ta, mode)
-        ctx = (mode, len(q), len(t), dist)
+        got_d, got_e, got_ops = align(qa, ta, mode, eq=_eqm(eq))
+        ctx = (mode, len(q), len(t), dist, bool(eq))
         assert got_d == dist, ctx
         assert got_e == ends[0], ctx
         np.testing.assert_array_equal(got_ops, aln, err_msg=str(ctx))
