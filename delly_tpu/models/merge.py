@@ -457,13 +457,14 @@ def collect_svtype(cfg: MergeConfig, svtin: int, contig_map: dict,
                 carriers = 0
                 alleles = 0
                 max_var = 0
-                # GT presence is a RECORD-level property (FORMAT has
-                # GT); with it present, a sample whose alleles are
-                # missing ('.', './.') is SKIPPED — not routed to the
-                # no-genotype VAF branch (merge.h:484-487)
+                # GT presence is a RECORD-level property (the FORMAT
+                # column declares GT, merge.h ngt > 0); with it present,
+                # a sample whose alleles are missing ('.', './.') is
+                # SKIPPED — not routed to the no-genotype VAF branch
+                # (merge.h:484-487). Even an all-missing-GT record must
+                # therefore drop (carriers == 0), not re-qualify by VAF.
                 smps = rec.get("samples", [])
-                has_gt = any(sm.get("GT", ".") not in (".", "")
-                             for sm in smps)
+                has_gt = bool(smps) and "GT" in smps[0]
                 for sm in smps:
                     gt = sm.get("GT", ".")
                     a0 = a1 = 0
@@ -1062,7 +1063,10 @@ def emit_selected(cfg: MergeConfig, svtin: int, contig_map: dict,
             vid = f"{add_id(svtin)}{cfg.svcounter:08d}"
             cfg.svcounter += 1
         ref_allele = rec["ref"]
-        alt_allele = rec["alt"] if rec["alt"] else f"<{add_id(svtin)}>"
+        # htslib n_allele == 1 when ALT is missing ('.') — the
+        # reference then substitutes the symbolic allele (merge.h:1098)
+        alt_allele = (rec["alt"] if rec["alt"] and rec["alt"] != "."
+                      else f"<{add_id(svtin)}>")
 
         info = []
         info.append(("PRECISE" if precise else "IMPRECISE", None))
@@ -1103,7 +1107,12 @@ def emit_selected(cfg: MergeConfig, svtin: int, contig_map: dict,
             info.append(("TRPERIOD", trp))
         if trc is not None:
             info.append(("TRCOPIES", trc))
-        af = agg.ac / agg.an if agg.an > 0 else 0.0
+        # float32 division like the reference's (float)ac / (float)an
+        # (merge.h:1168) — the 6-digit rendering can differ from f64
+        # near rounding boundaries
+        import numpy as _np
+        af = (float(_np.float32(agg.ac) / _np.float32(agg.an))
+              if agg.an > 0 else 0.0)
         info.append(("AC", agg.ac))
         info.append(("AN", agg.an))
         info.append(("AF", fmt_float(float(f"{af:.6g}"))))

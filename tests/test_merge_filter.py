@@ -395,3 +395,32 @@ def test_germline_cnv_single_missing_rdcn_sample():
     assert not failgerm
     assert svtype == "DEL"
     assert samples[3]["GT"] == "./."     # only that sample blanked
+
+
+def test_merge_all_missing_gt_record_dropped():
+    """GT presence is record-level (merge.h ngt > 0 = the FORMAT
+    column declares GT): a record where EVERY sample's GT is missing
+    has zero carriers and is dropped — it must not re-qualify through
+    the no-genotype VAF branch."""
+    from delly_tpu.models.merge import MergeConfig, collect_svtype
+
+    class R:
+        header_lines = ["##fileformat=VCFv4.2", "##contig=<ID=c1>"]
+        column_header = "#CHROM\tPOS\t..."
+        samples = ["s1", "s2"]
+        records = [{
+            "chrom": "c1", "pos": 100, "id": "DEL1", "ref": "A",
+            "alt": "<DEL>", "qual": 300.0, "filter": "PASS",
+            "info": {"SVTYPE": "DEL", "END": 500, "CT": "3to5",
+                     "PRECISE": True},
+            # strong RR/RV support, but all genotypes missing
+            "samples": [{"GT": ".", "RR": 5, "RV": 15},
+                        {"GT": "./.", "RR": 4, "RV": 16}],
+        }]
+
+        def contig_names(self):
+            return ["c1"]
+
+    cfg = MergeConfig(total_samples=2)
+    nodes = collect_svtype(cfg, 2, {"c1": 0}, [R()])
+    assert nodes == []
