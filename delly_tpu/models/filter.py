@@ -608,7 +608,11 @@ def filter_run(cfg: FilterConfig) -> int:
             refined = False
             hwe_store = 1.0
             fic_store = 0.0
-            if (germline and not cfg.no_refine
+            # refinement requires a biallelic record (filter.h:718
+            # rec->n_allele == 2) with PL present
+            biallelic = (rec["alt"] not in ("", ".")
+                         and "," not in rec["alt"])
+            if (germline and not cfg.no_refine and biallelic
                     and any("PL" in sm for sm in samples)):
                 gl_vector = []
                 gl_sample_idx = []
@@ -676,20 +680,26 @@ def filter_run(cfg: FilterConfig) -> int:
                 rvv = _fmt_int(sm, "RV") or 0
 
                 def rvar():
-                    # zero coverage is 0/0 = NaN in the reference
-                    # (filter.h:837-840): every comparison against it
-                    # is false, so an unassessable control can never
-                    # count toward controlpass
+                    # float32 division like the reference's
+                    # (float)dv/(float)(dr+dv); zero coverage is
+                    # 0/0 = NaN (filter.h:837-840): every comparison
+                    # against it is false, so an unassessable control
+                    # can never count toward controlpass
+                    import numpy as _np
                     if not precise:
                         tot = dr + dv
-                        return dv / tot if tot else float("nan")
+                        return (float(_np.float32(dv) / _np.float32(tot))
+                                if tot else float("nan"))
                     tot = rrv + rvv
-                    return rvv / tot if tot else float("nan")
+                    return (float(_np.float32(rvv) / _np.float32(tot))
+                            if tot else float("nan"))
 
                 def rc_norm():
+                    import numpy as _np
                     if rcl is not None and rcr is not None \
                             and rcl + rcr != 0:
-                        return rc / (rcl + rcr)
+                        return float(_np.float32(rc)
+                                     / _np.float32(rcl + rcr))
                     return float(rc)
 
                 if germline or name in cfg.control_set:
@@ -706,35 +716,42 @@ def filter_run(cfg: FilterConfig) -> int:
                 elif not germline and name in cfg.tumor_set:
                     t_count += 1
                     rc_tumor.append(rc_norm())
+                    import numpy as _np
                     if not precise:
                         tot = dr + dv
-                        if tot and dv / tot >= cfg.altaf \
-                                and tot >= cfg.coverage:
+                        if (tot and float(_np.float32(dv)
+                                          / _np.float32(tot)) >= cfg.altaf
+                                and tot >= cfg.coverage):
                             tumorpass += 1
                     else:
                         tot = rrv + rvv
-                        if tot and rvv / tot >= cfg.altaf \
-                                and tot >= cfg.coverage:
+                        if (tot and float(_np.float32(rvv)
+                                          / _np.float32(tot)) >= cfg.altaf
+                                and tot >= cfg.coverage):
                             tumorpass += 1
 
+            import numpy as _np
             if cfg.filter == "somatic":
                 denom = len(cfg.control_set) + len(cfg.tumor_set)
-                genotype_ratio = ((n_count + t_count) / denom
+                genotype_ratio = (float(_np.float32(n_count + t_count)
+                                        / _np.float32(denom))
                                   if denom else 0.0)
                 if (controlpass and tumorpass and controlpass == n_count
                         and genotype_ratio >= cfg.ratiogeno):
                     rccontrolmed = get_median(rc_control)
                     rctumormed = get_median(rc_tumor)
-                    rd_ratio = (rctumormed / rccontrolmed
+                    rd_ratio = (float(_np.float32(rctumormed)
+                                      / _np.float32(rccontrolmed))
                                 if rccontrolmed else 1.0)
-                    info["RDRATIO"] = f"{rd_ratio:g}"
+                    info["RDRATIO"] = f"{_np.float32(rd_ratio):g}"
                     info["SOMATIC"] = True
                     _serialize(rec, out)
                 elif cfg.soft_filter:
                     rec["filter"] = "FailSomatic"
                     _serialize(rec, out)
             else:
-                genotype_ratio = ((n_count + t_count) / nsmpl
+                genotype_ratio = (float(_np.float32(n_count + t_count)
+                                        / _np.float32(nsmpl))
                                   if nsmpl else 0.0)
                 rrefvarperc = (get_percentile(r_ref_var, 0.9)
                                if r_ref_var else 0.0)
@@ -742,9 +759,12 @@ def filter_run(cfg: FilterConfig) -> int:
                 rccontrolmed = (get_median(rc_control)
                                 if rc_control else 0.0)
                 rcaltmed = get_median(rc_alt) if rc_alt else 0.0
-                rd_ratio = (rcaltmed / rccontrolmed
+                rd_ratio = (float(_np.float32(rcaltmed)
+                                  / _np.float32(rccontrolmed))
                             if rccontrolmed else 1.0)
-                af = ac[1] / (ac[0] + ac[1]) if (ac[0] + ac[1]) else 0.0
+                af = (float(_np.float32(ac[1])
+                            / _np.float32(ac[0] + ac[1]))
+                      if (ac[0] + ac[1]) else 0.0)
 
                 failgerm = not (af > 0 and raltvarmed >= cfg.altaf
                                 and genotype_ratio >= cfg.ratiogeno)
@@ -758,7 +778,7 @@ def filter_run(cfg: FilterConfig) -> int:
                         and hwe_store < cfg.hwe):
                     failgerm = True
                 if not failgerm:
-                    info["RDRATIO"] = f"{rd_ratio:g}"
+                    info["RDRATIO"] = f"{_np.float32(rd_ratio):g}"
                     if collapse:
                         rr = RedRec(rec, svt, rec["pos"] - 1,
                                     svend if svend is not None
