@@ -101,7 +101,10 @@ def vcf_parse(path: str, header) -> list:
         # (uint8_t) casts, modvcf.h:299-302
         sv.peMapQuality = int(info.get("MAPQ", 0)) & 0xFF
         sv.srMapQuality = int(info.get("SRMAPQ", 0)) & 0xFF
-        sv.srAlignQuality = float(info.get("SRQ", 0.0))
+        # htslib parses the text through float32 then widens
+        # (bcf_get_info_float; modvcf.h:303 (double)*srq)
+        import numpy as _np
+        sv.srAlignQuality = float(_np.float32(info.get("SRQ", 0.0)))
         if "ALLELEID" in info:
             sv.alleleid = int(info["ALLELEID"])
             sv.nallele = int(info.get("NALLELE", 1))
