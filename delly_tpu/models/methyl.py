@@ -162,9 +162,10 @@ def build_methyl_calls(rec, prob_th: int):
             if ch.upper() == "C":
                 calls[i] = 0
 
-    # ML probabilities (byte array parallel to the MM hits)
+    # ML probabilities (byte array parallel to the MM hits); the
+    # reference only accepts the B,C (uint8) subtype (methyl.h:192)
     ml = rec.aux("ML")  # canonical tag only (methyl.h:189)
-    if isinstance(ml, np.ndarray):
+    if isinstance(ml, np.ndarray) and ml.dtype == np.uint8:
         for i in range(min(len(ml), len(modhits))):
             modhits[i][2] = int(ml[i])
 
