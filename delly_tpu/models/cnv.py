@@ -250,8 +250,17 @@ def segment_rd(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
         if bounds[-1] < nv:
             bounds.append(nv)
     b = np.asarray(bounds, dtype=np.int64)
-    wcov = ccov[b[1:]] - ccov[b[:-1]]
-    wexp = ccor[b[1:]] - ccor[b[:-1]]
+    # Per-window sums via reduceat: each window accumulates
+    # sequentially from zero exactly like the reference's per-window
+    # running sums (cnv.h:313-339 resets covsum/expcor per window) —
+    # cumulative-sum differences would round differently for the
+    # non-integer expected coverage.
+    def _wsum(x):
+        if b[-1] >= len(x):
+            return np.add.reduceat(x, b[:-1])
+        return np.add.reduceat(x, b)[:-1]
+    wcov = _wsum(vcov)
+    wexp = _wsum(ecor)
     ws = vpos[b[:-1]]
     we = vpos[b[1:] - 1] + 1
     ratio = np.where(wexp > 0, wcov / np.maximum(wexp, 1e-300), 1.0)
@@ -296,8 +305,12 @@ def segment_rd(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
     bset = dedup
 
     ns = len(bset) - 1
+    # segcov is integer-valued (exact in any order); segexp sums
+    # doubles sequentially like the reference's window loop
+    # (cnv.h:409-414)
     segcov = [float(wcov[bset[s].w:bset[s + 1].w].sum()) for s in range(ns)]
-    segexp = [float(wexp[bset[s].w:bset[s + 1].w].sum()) for s in range(ns)]
+    segexp = [float(sum(wexp[bset[s].w:bset[s + 1].w].tolist(), 0.0))
+              for s in range(ns)]
     segnw = [bset[s + 1].w - bset[s].w for s in range(ns)]
 
     # Iterative neighbor merging (cnv.h:417-441)
