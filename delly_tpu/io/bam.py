@@ -571,21 +571,31 @@ class BamFile:
                 or self.header is None):
             return
         # Prefetched-but-unconsumed views sit outside the LRU cache, so
-        # they must honor the memory budget too: once the resident
-        # bytes (cache + completed prefetch results) reach the budget,
-        # the pipeline falls back to 1-deep lookahead.
+        # they must honor the memory budget too: the pipeline depth is
+        # capped so that resident bytes (cache + completed prefetch
+        # results) plus the PROJECTED size of in-flight decodes (mean
+        # of the views seen so far) stay within the budget, falling
+        # back to 1-deep lookahead at the cap.
         depth = self._decode_workers
         if depth > 1:
-            resident = sum(self._view_nbytes(v)
-                           for v in self._chrom_cache.values())
+            resident = 0
+            sizes = [self._view_nbytes(v)
+                     for v in self._chrom_cache.values()]
+            resident += sum(sizes)
             for fut in self._prefetch.values():
                 if fut.done():
                     try:
-                        resident += self._view_nbytes(fut.result())
+                        nb = self._view_nbytes(fut.result())
                     except Exception:
-                        pass
+                        nb = 0
+                    sizes.append(nb)
+                    resident += nb
             if resident >= self._cache_budget:
                 depth = 1
+            elif sizes:
+                avg = max(1, sum(sizes) // len(sizes))
+                room = (self._cache_budget - resident) // avg
+                depth = max(1, min(depth, int(room)))
         plan = self._scan_plan
         if plan is not None:
             try:
