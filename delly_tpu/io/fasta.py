@@ -7,11 +7,115 @@ chromosome slice — memory stays O(chromosome), never O(genome). An LRU
 of one chromosome backs the drivers' per-chromosome loops. Sequences
 come back as raw strings in file case; callers uppercase where the
 reference does.
+
+Bgzip-compressed genomes (.fa.gz) are supported like htslib faidx:
+random access goes through a .gzi block index (htslib-compatible
+binary format, built on demand when absent) mapping uncompressed
+offsets to BGZF blocks, so fetches still inflate only the blocks
+covering the requested slice.
 """
 
 from __future__ import annotations
 
 import os
+import struct
+
+
+class _BgzfText:
+    """Random access over a bgzip file's UNCOMPRESSED byte space via a
+    .gzi block index (role of htslib's bgzf_index / .gzi)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._c_offs: list[int] = [0]
+        self._u_offs: list[int] = [0]
+        gzi = path + ".gzi"
+        if (os.path.exists(gzi)
+                and os.path.getmtime(gzi) >= os.path.getmtime(path)):
+            self._load_gzi(gzi)
+        else:
+            self._build_index()
+            try:
+                self._write_gzi(gzi)
+            except OSError:
+                pass
+
+    def _load_gzi(self, gzi: str) -> None:
+        with open(gzi, "rb") as fh:
+            raw = fh.read()
+        (n,) = struct.unpack_from("<Q", raw, 0)
+        for k in range(n):
+            c, u = struct.unpack_from("<QQ", raw, 8 + 16 * k)
+            self._c_offs.append(c)
+            self._u_offs.append(u)
+
+    def _write_gzi(self, gzi: str) -> None:
+        with open(gzi, "wb") as fh:
+            fh.write(struct.pack("<Q", len(self._c_offs) - 1))
+            for c, u in zip(self._c_offs[1:], self._u_offs[1:]):
+                fh.write(struct.pack("<QQ", c, u))
+
+    def _build_index(self) -> None:
+        """Header-hop over the BGZF blocks recording (compressed,
+        uncompressed) start offsets — no inflation."""
+        from delly_tpu.io.bgzf import _block_size_at
+        with open(self.path, "rb") as fh:
+            c = 0
+            u = 0
+            while True:
+                size = _block_size_at(fh, c)
+                if size <= 0:
+                    break
+                fh.seek(c + size - 4)
+                tail = fh.read(4)
+                if len(tail) < 4:
+                    break
+                (isize,) = struct.unpack("<I", tail)
+                c += size
+                u += isize
+                if isize == 0:       # EOF block
+                    break
+                self._c_offs.append(c)
+                self._u_offs.append(u)
+        self.usize = u
+
+    def read(self, u_start: int, u_end: int) -> bytes:
+        """Uncompressed bytes [u_start, u_end): inflate only the
+        covering blocks."""
+        import bisect
+
+        from delly_tpu.io.bgzf import bgzf_decompress
+        if u_end <= u_start:
+            return b""
+        bi = bisect.bisect_right(self._u_offs, u_start) - 1
+        bj = bisect.bisect_left(self._u_offs, u_end)
+        c_lo = self._c_offs[bi]
+        c_hi = (self._c_offs[bj] if bj < len(self._c_offs)
+                else os.path.getsize(self.path))
+        with open(self.path, "rb") as fh:
+            fh.seek(c_lo)
+            comp = fh.read(c_hi - c_lo)
+        data = bgzf_decompress(comp)
+        rel = u_start - self._u_offs[bi]
+        return data[rel:rel + (u_end - u_start)]
+
+    def iter_chunks(self, chunk_blocks: int = 4096):
+        """Sequential decompressed chunks (for the .fai build pass)."""
+        from delly_tpu.io.bgzf import bgzf_decompress
+        with open(self.path, "rb") as fh:
+            n = len(self._c_offs)
+            k = 0
+            csize = os.path.getsize(self.path)
+            while k < n:
+                c_lo = self._c_offs[k]
+                k2 = min(k + chunk_blocks, n)
+                c_hi = self._c_offs[k2] if k2 < n else csize
+                fh.seek(c_lo)
+                comp = fh.read(c_hi - c_lo)
+                if not comp:
+                    break
+                yield bgzf_decompress(comp)
+                k = k2
 
 
 class FastaFile:
@@ -22,6 +126,10 @@ class FastaFile:
         # .fai columns: name, length, byte offset, bases/line, bytes/line
         self._fai: dict[str, tuple[int, int, int, int]] = {}
         self._cache: tuple[str | None, str] = (None, "")
+        self._bgzf: _BgzfText | None = None
+        with open(path, "rb") as fh:
+            if fh.read(2) == b"\x1f\x8b":
+                self._bgzf = _BgzfText(path)
         self._load_fai()
 
     def _load_fai(self) -> None:
@@ -46,37 +154,53 @@ class FastaFile:
                     self._fai[name] = (int(parts[1]), int(parts[2]),
                                       int(parts[3]), int(parts[4]))
 
+    def _raw_lines(self):
+        """Lines (with terminators) of the possibly-compressed text."""
+        if self._bgzf is None:
+            with open(self.path, "rb") as fh:
+                yield from fh
+            return
+        tail = b""
+        for chunk in self._bgzf.iter_chunks():
+            buf = tail + chunk
+            lines = buf.split(b"\n")
+            tail = lines.pop()
+            for ln in lines:
+                yield ln + b"\n"
+        if tail:
+            yield tail
+
     def _build_fai(self, fai_path: str) -> list[tuple]:
-        """fai_build equivalent: one sequential pass recording offsets."""
+        """fai_build equivalent: one sequential pass recording offsets
+        (uncompressed-space offsets for bgzipped genomes, like htslib)."""
         rows = []
-        with open(self.path, "rb") as fh:
-            name = None
-            seq_len = 0
-            line_bases = 0
-            line_bytes = 0
-            offset = 0
-            first_line = True
-            pos = 0
-            for raw in fh:
-                n = len(raw)
-                line = raw.rstrip(b"\r\n")
-                if line.startswith(b">"):
-                    if name is not None:
-                        rows.append((name, seq_len, offset, line_bases,
-                                     line_bytes))
-                    name = line[1:].split()[0].decode()
-                    seq_len = 0
-                    first_line = True
-                    offset = pos + n
-                else:
-                    if first_line and line:
-                        line_bases = len(line)
-                        line_bytes = n
-                        first_line = False
-                    seq_len += len(line)
-                pos += n
-            if name is not None:
-                rows.append((name, seq_len, offset, line_bases, line_bytes))
+        name = None
+        seq_len = 0
+        line_bases = 0
+        line_bytes = 0
+        offset = 0
+        first_line = True
+        pos = 0
+        for raw in self._raw_lines():
+            n = len(raw)
+            line = raw.rstrip(b"\r\n")
+            if line.startswith(b">"):
+                if name is not None:
+                    rows.append((name, seq_len, offset, line_bases,
+                                 line_bytes))
+                name = line[1:].split()[0].decode()
+                seq_len = 0
+                first_line = True
+                offset = pos + n
+            else:
+                if first_line and line:
+                    line_bases = len(line)
+                    line_bytes = n
+                    first_line = False
+                seq_len += len(line)
+            pos += n
+        if name is not None:
+            rows.append((name, seq_len, offset, line_bases, line_bytes))
         try:
             with open(fai_path, "w") as fh:
                 for r in rows:
@@ -116,7 +240,10 @@ class FastaFile:
             + start % line_bases
         byte_end = offset + ((end - 1) // line_bases) * line_bytes \
             + (end - 1) % line_bases + 1
-        with open(self.path, "rb") as fh:
-            fh.seek(byte_start)
-            raw = fh.read(byte_end - byte_start)
+        if self._bgzf is not None:
+            raw = self._bgzf.read(byte_start, byte_end)
+        else:
+            with open(self.path, "rb") as fh:
+                fh.seek(byte_start)
+                raw = fh.read(byte_end - byte_start)
         return raw.replace(b"\n", b"").replace(b"\r", b"").decode()

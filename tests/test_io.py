@@ -143,3 +143,62 @@ def test_cg_tag_cigar_restore():
         "q2", 0, 0, 100, 60, [("S", 10), ("N", 8)], -1, -1, 0,
         "ACGTACGTAC"), 0)
     assert rec2.cigar_ops.tolist() == [CSOFT_CLIP, CREF_SKIP]
+
+
+def test_bgzipped_fasta_random_access(tmp_path):
+    """Bgzip-compressed genomes (.fa.gz) serve identical sequences via
+    the .gzi block index (htslib faidx parity: fai_load on bgzf input)."""
+    import os
+
+    from delly_tpu.io.bgzf import bgzf_compress
+    from delly_tpu.io.fasta import FastaFile
+
+    src = "/root/reference/example/ref.fa"
+    gz = str(tmp_path / "ref.fa.gz")
+    with open(src, "rb") as fh:
+        data = fh.read()
+    with open(gz, "wb") as fh:
+        fh.write(bgzf_compress(data))
+    plain = FastaFile(src)
+    comp = FastaFile(gz)
+    assert comp.names == plain.names
+    assert comp.lengths == plain.lengths
+    name = plain.names[0]
+    ln = plain.lengths[name]
+    for s, e in ((0, 100), (99_990, 100_050), (ln - 75, ln),
+                 (123_456, 140_000), (0, ln)):
+        assert comp.fetch(name, s, e) == plain.fetch(name, s, e), (s, e)
+    # the .gzi sidecar was written and a fresh open loads it
+    assert os.path.exists(gz + ".gzi")
+    comp2 = FastaFile(gz)
+    assert comp2.fetch(name, 5_000, 6_000) == plain.fetch(name, 5_000,
+                                                          6_000)
+
+
+def test_sr_engine_identical_on_bgzipped_genome(tmp_path):
+    """The sr engine produces byte-identical output with a bgzipped
+    genome."""
+    import subprocess
+    import sys
+
+    from delly_tpu.io.bgzf import bgzf_compress
+
+    src = "/root/reference/example/ref.fa"
+    gz = str(tmp_path / "ref.fa.gz")
+    with open(src, "rb") as fh:
+        data = fh.read()
+    with open(gz, "wb") as fh:
+        fh.write(bgzf_compress(data))
+    outs = []
+    for genome in (src, gz):
+        out = str(tmp_path / (os.path.basename(genome) + ".vcf"))
+        r = subprocess.run(
+            [sys.executable, "-m", "delly_tpu.cli", "sr", "-g", genome,
+             "-o", out, "/root/reference/example/sr.bam"],
+            capture_output=True, text=True, timeout=590)
+        assert r.returncode == 0, r.stderr[-1500:]
+        outs.append("\n".join(
+            ln for ln in open(out).read().splitlines()
+            if not ln.startswith("##reference=")))
+    assert outs[0] == outs[1]
+    assert "SVTYPE=DEL" in outs[0]
