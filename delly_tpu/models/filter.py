@@ -232,13 +232,16 @@ def _population_annotations(cfg, rec, gl_vector):
     fic = est_biallelic_fic(gl_vector, hwe_af)
     rsq = est_biallelic_rsq(gl_vector, hwe_af)
     pval = est_biallelic_hwe_lrt(gl_vector, hwe_af, mle)
+    # the reference stores these as BCF float32 (filter.h:421-441) —
+    # render through np.float32 so %g digits match
+    import numpy as _np
     info = rec["info"]
-    info["AFmle"] = f"{hwe_af[1]:g}"
+    info["AFmle"] = f"{_np.float32(hwe_af[1]):g}"
     info["ACmle"] = int(_iround(hwe_af[1] * 2.0 * len(gl_vector)))
-    info["GFmle"] = ",".join(f"{x:g}" for x in mle)
-    info["FIC"] = f"{fic:g}"
-    info["RSQ"] = f"{rsq:g}"
-    info["HWEpval"] = f"{pval:g}"
+    info["GFmle"] = ",".join(f"{_np.float32(x):g}" for x in mle)
+    info["FIC"] = f"{_np.float32(fic):g}"
+    info["RSQ"] = f"{_np.float32(rsq):g}"
+    info["HWEpval"] = f"{_np.float32(pval):g}"
     return fic, pval, mle
 
 
@@ -333,9 +336,11 @@ def filter_germline_cnv(cfg, rec):
                     continue
                 gl, gq, _vq, _best = compute_cnls(rdcn[i], sd, cfg.ploidy)
                 sm["CN"] = int(_iround(rdcn[i]))
-                sm["CNL"] = ",".join(f"{g:g}" for g in gl)
+                # BCF float32 FORMAT fields (filter.h:466-471)
+                import numpy as _np
+                sm["CNL"] = ",".join(f"{_np.float32(g):g}" for g in gl)
                 sm["GQ"] = gq
-                sm["RDCN"] = f"{rdcn[i]:g}"
+                sm["RDCN"] = f"{_np.float32(rdcn[i]):g}"
                 if not biallelic:
                     sm["GT"] = "./."
                     sm["PL"] = ".,.,."
@@ -365,11 +370,15 @@ def filter_germline_cnv(cfg, rec):
                 fic_store, hwe_store, _ = _population_annotations(
                     cfg, rec, gl_vector)
 
+            import numpy as _np
             info = rec["info"]
-            info["CNSHIFT"] = f"{cnshift:g}"
-            info["CNSD"] = f"{sd:g}"
+            info["CNSHIFT"] = f"{_np.float32(cnshift):g}"
+            info["CNSD"] = f"{_np.float32(sd):g}"
             info["SUBTYPE"] = "CNV"
             info["SVTYPE"] = cls
+            # the reference rewrites the alleles to N,<CLS>
+            # (filter.h:455-456)
+            rec["ref"] = "N"
             rec["alt"] = f"<{cls}>"
             for i, sm in enumerate(samples):
                 gq = sm.get("GQ")
@@ -442,9 +451,11 @@ def filter_somatic_cnv(cfg, rec) -> bool:
                 best_cn_offset = tcn_offset
     if somatic:
         info = rec["info"]
+        import numpy as _np
         info["SOMATIC"] = True
-        info["PGERM"] = f"{lowest_p:g}"
-        info["CNDIFF"] = f"{best_cn_offset:g}"
+        # f32 renderings like the reference's float casts (filter.h:215-219)
+        info["PGERM"] = f"{_np.float32(lowest_p):g}"
+        info["CNDIFF"] = f"{_np.float32(best_cn_offset):g}"
         return False
     return True
 
