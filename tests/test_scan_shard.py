@@ -200,3 +200,43 @@ def test_shard_bounds_cover_and_order():
             assert b[0][0] == 0 and b[-1][1] == n
             for (a1, b1), (a2, b2) in zip(b, b[1:]):
                 assert b1 == a2 and a1 < b1
+
+
+def test_kitchen_sink_cross_feature_byte_identity(tmp_path, monkeypatch):
+    """Feature intersection: two samples (one transcoded to CRAM), an
+    exclude file, sharded scan workers, tiny shard rows AND an
+    8-device mesh — byte-identical to the plain 1-thread no-mesh run."""
+    from bamsynth import make_somatic_pair_dataset
+    from delly_tpu.io.bam import BamFile
+    from delly_tpu.io.cram import write_cram
+
+    tumor, control, fa, germ, soma = make_somatic_pair_dataset(
+        str(tmp_path), n_contigs=2, contig_len=100_000)
+    cram = str(tmp_path / "control.cram")
+    write_cram(BamFile(control), fa, cram)
+    excl = tmp_path / "excl.bed"
+    excl.write_text("chr2\t70000\t90000\n")
+
+    def run(out, threads, mesh_env):
+        import subprocess
+        import sys
+        env = dict(os.environ)
+        env["DELLY_TPU_MESH"] = mesh_env
+        env["JAX_PLATFORMS"] = "cpu"
+        if mesh_env != "0":
+            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        env["DELLY_TPU_SCAN_SHARD_ROWS"] = "61"
+        r = subprocess.run(
+            [sys.executable, "-m", "delly_tpu.cli", "sr", "-g", fa,
+             "-x", str(excl), "-h", str(threads), "-o", out,
+             tumor, cram],
+            capture_output=True, text=True, timeout=590, env=env)
+        assert r.returncode == 0, r.stderr[-1500:]
+        return open(out).read()
+
+    base = run(str(tmp_path / "plain.vcf"), 1, "0")
+    body = [ln for ln in base.splitlines()
+            if ln and not ln.startswith("#")]
+    assert len(body) >= len(germ)
+    got = run(str(tmp_path / "mesh.vcf"), 4, "8")
+    assert got == base
