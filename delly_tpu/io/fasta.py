@@ -30,11 +30,24 @@ class _BgzfText:
         self._c_offs: list[int] = [0]
         self._u_offs: list[int] = [0]
         gzi = path + ".gzi"
+        loaded = False
         if (os.path.exists(gzi)
                 and os.path.getmtime(gzi) >= os.path.getmtime(path)):
-            self._load_gzi(gzi)
-        else:
+            try:
+                self._load_gzi(gzi)
+                loaded = True
+            except (struct.error, OSError):
+                # truncated/corrupt sidecar: rebuild from the file
+                self._c_offs = [0]
+                self._u_offs = [0]
+        if not loaded:
             self._build_index()
+            if len(self._c_offs) < 2 and getattr(self, "usize", 0) == 0:
+                # gzip magic but no BGZF blocks: plain gzip — random
+                # access is impossible (htslib faidx rejects this too)
+                raise ValueError(
+                    f"{path}: compressed with plain gzip, not bgzip — "
+                    f"faidx random access requires BGZF")
             try:
                 self._write_gzi(gzi)
             except OSError:
@@ -50,10 +63,14 @@ class _BgzfText:
             self._u_offs.append(u)
 
     def _write_gzi(self, gzi: str) -> None:
-        with open(gzi, "wb") as fh:
+        # temp + rename: a partial write must never leave a corrupt
+        # sidecar newer than the fasta
+        tmp = gzi + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
             fh.write(struct.pack("<Q", len(self._c_offs) - 1))
             for c, u in zip(self._c_offs[1:], self._u_offs[1:]):
                 fh.write(struct.pack("<QQ", c, u))
+        os.replace(tmp, gzi)
 
     def _build_index(self) -> None:
         """Header-hop over the BGZF blocks recording (compressed,

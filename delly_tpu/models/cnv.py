@@ -250,17 +250,17 @@ def segment_rd(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
         if bounds[-1] < nv:
             bounds.append(nv)
     b = np.asarray(bounds, dtype=np.int64)
-    # Per-window sums via reduceat: each window accumulates
-    # sequentially from zero exactly like the reference's per-window
-    # running sums (cnv.h:313-339 resets covsum/expcor per window) —
-    # cumulative-sum differences would round differently for the
-    # non-integer expected coverage.
-    def _wsum(x):
-        if b[-1] >= len(x):
-            return np.add.reduceat(x, b[:-1])
-        return np.add.reduceat(x, b)[:-1]
-    wcov = _wsum(vcov)
-    wexp = _wsum(ecor)
+    # Per-window sums: the coverage sum is integer-valued (exact in any
+    # order, one reduceat pass); the expected coverage is non-integer,
+    # so each window accumulates sequentially from zero exactly like
+    # the reference's running sums (cnv.h:313-339 resets expcor per
+    # window — pairwise/vectorized summation differs in the last ulp).
+    if b[-1] >= len(vcov):
+        wcov = np.add.reduceat(vcov, b[:-1])
+    else:
+        wcov = np.add.reduceat(vcov, b)[:-1]
+    from delly_tpu.models.coral import _seq_sums
+    wexp = _seq_sums(ecor, b[:-1], b[1:])
     ws = vpos[b[:-1]]
     we = vpos[b[1:] - 1] + 1
     ratio = np.where(wexp > 0, wcov / np.maximum(wexp, 1e-300), 1.0)

@@ -313,26 +313,53 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
     return 0
 
 
+def _seq_sums(x, starts, ends):
+    """Left-to-right sequential per-range float64 sums — the
+    reference's per-window running-sum rounding (coral.h:296-339).
+    Native core with an exact Python fallback."""
+    try:
+        from delly_tpu import native
+        out = native.seq_range_sums(x, starts, ends)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    xl = np.asarray(x, dtype=np.float64)
+    out = np.empty(len(starts), dtype=np.float64)
+    for k in range(len(starts)):
+        s = 0.0
+        for v in xl[int(starts[k]):int(ends[k])].tolist():
+            s += v
+        out[k] = s
+    return out
+
+
 def _bounded_sums(x, bounds, dtype=None):
     """Sums of x over [bounds[k], bounds[k+1]) for a strictly
-    increasing boundary chain (one np.add.reduceat pass: no prefix
-    arrays, no dtype-conversion copies). bounds[-1] <= len(x)."""
-    if bounds[-1] >= len(x):
-        return np.add.reduceat(x, bounds[:-1], dtype=dtype)
-    return np.add.reduceat(x, bounds, dtype=dtype)[:-1]
+    increasing boundary chain. Integer-valued inputs (declared via an
+    integer `dtype`) take one np.add.reduceat pass — exact in any
+    order; float inputs accumulate sequentially per window like the
+    reference's running sums (pairwise summation differs in the last
+    ulp)."""
+    if dtype is not None and np.issubdtype(np.dtype(dtype), np.integer):
+        if bounds[-1] >= len(x):
+            return np.add.reduceat(x, bounds[:-1], dtype=dtype)
+        return np.add.reduceat(x, bounds, dtype=dtype)[:-1]
+    b = np.asarray(bounds, dtype=np.int64)
+    return _seq_sums(x, b[:-1], b[1:])
 
 
 def _range_sums(x, starts, ends, dtype=None):
-    """Sums over [starts[i], ends[i]) — reduceat when the windows tile
-    contiguously (the production layouts), prefix-sum fallback
-    otherwise (overlapping user windows)."""
+    """Sums over [starts[i], ends[i]): reduceat for integer-valued
+    inputs on contiguous windows, sequential per-range accumulation
+    otherwise (reference rounding; handles overlapping user windows)."""
     if len(starts) == 0:
         return np.zeros(0, dtype=dtype or np.float64)
-    if np.all(starts[1:] == ends[:-1]):
+    if (dtype is not None and np.issubdtype(np.dtype(dtype), np.integer)
+            and np.all(starts[1:] == ends[:-1])):
         bounds = np.append(starts, ends[-1])
         return _bounded_sums(x, bounds, dtype=dtype)
-    cs = np.concatenate(([0], np.cumsum(x, dtype=dtype)))
-    return cs[ends] - cs[starts]
+    return _seq_sums(x, starts, ends)
 
 
 def _write_windows(cfg, data_out, chrn, reflen, gcbound, gc_content,

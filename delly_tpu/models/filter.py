@@ -16,6 +16,9 @@ import math
 from dataclasses import dataclass, field
 from functools import lru_cache
 
+import numpy as _np
+
+
 
 from delly_tpu.io.vcf import VcfReader
 from delly_tpu.ops.likelihood import compute_cnls
@@ -234,7 +237,6 @@ def _population_annotations(cfg, rec, gl_vector):
     pval = est_biallelic_hwe_lrt(gl_vector, hwe_af, mle)
     # the reference stores these as BCF float32 (filter.h:421-441) —
     # render through np.float32 so %g digits match
-    import numpy as _np
     info = rec["info"]
     info["AFmle"] = f"{_np.float32(hwe_af[1]):g}"
     info["ACmle"] = int(_iround(hwe_af[1] * 2.0 * len(gl_vector)))
@@ -337,7 +339,6 @@ def filter_germline_cnv(cfg, rec):
                 gl, gq, _vq, _best = compute_cnls(rdcn[i], sd, cfg.ploidy)
                 sm["CN"] = int(_iround(rdcn[i]))
                 # BCF float32 FORMAT fields (filter.h:466-471)
-                import numpy as _np
                 sm["CNL"] = ",".join(f"{_np.float32(g):g}" for g in gl)
                 sm["GQ"] = gq
                 sm["RDCN"] = f"{_np.float32(rdcn[i]):g}"
@@ -370,7 +371,6 @@ def filter_germline_cnv(cfg, rec):
                 fic_store, hwe_store, _ = _population_annotations(
                     cfg, rec, gl_vector)
 
-            import numpy as _np
             info = rec["info"]
             info["CNSHIFT"] = f"{_np.float32(cnshift):g}"
             info["CNSD"] = f"{_np.float32(sd):g}"
@@ -451,7 +451,6 @@ def filter_somatic_cnv(cfg, rec) -> bool:
                 best_cn_offset = tcn_offset
     if somatic:
         info = rec["info"]
-        import numpy as _np
         info["SOMATIC"] = True
         # f32 renderings like the reference's float casts (filter.h:215-219)
         info["PGERM"] = f"{_np.float32(lowest_p):g}"
@@ -696,7 +695,6 @@ def filter_run(cfg: FilterConfig) -> int:
                     # 0/0 = NaN (filter.h:837-840): every comparison
                     # against it is false, so an unassessable control
                     # can never count toward controlpass
-                    import numpy as _np
                     if not precise:
                         tot = dr + dv
                         return (float(_np.float32(dv) / _np.float32(tot))
@@ -706,7 +704,6 @@ def filter_run(cfg: FilterConfig) -> int:
                             if tot else float("nan"))
 
                 def rc_norm():
-                    import numpy as _np
                     if rcl is not None and rcr is not None \
                             and rcl + rcr != 0:
                         return float(_np.float32(rc)
@@ -727,7 +724,6 @@ def filter_run(cfg: FilterConfig) -> int:
                 elif not germline and name in cfg.tumor_set:
                     t_count += 1
                     rc_tumor.append(rc_norm())
-                    import numpy as _np
                     if not precise:
                         tot = dr + dv
                         if (tot and float(_np.float32(dv)
@@ -741,7 +737,6 @@ def filter_run(cfg: FilterConfig) -> int:
                                 and tot >= cfg.coverage):
                             tumorpass += 1
 
-            import numpy as _np
             if cfg.filter == "somatic":
                 denom = len(cfg.control_set) + len(cfg.tumor_set)
                 genotype_ratio = (float(_np.float32(n_count + t_count)

@@ -14,6 +14,8 @@ chunked merging for >chunksize input files.
 
 from __future__ import annotations
 
+import numpy as _np
+
 import heapq
 import math
 import os
@@ -1110,7 +1112,6 @@ def emit_selected(cfg: MergeConfig, svtin: int, contig_map: dict,
         # float32 division like the reference's (float)ac / (float)an
         # (merge.h:1168) — the 6-digit rendering can differ from f64
         # near rounding boundaries
-        import numpy as _np
         af = (float(_np.float32(agg.ac) / _np.float32(agg.an))
               if agg.an > 0 else 0.0)
         info.append(("AC", agg.ac))

@@ -6,6 +6,8 @@ precise records (SVMETHOD starting with EMBL.DELLY and CONSBP present).
 
 from __future__ import annotations
 
+import numpy as _np
+
 import sys
 
 from delly_tpu.io.vcf import VcfReader
@@ -103,7 +105,6 @@ def vcf_parse(path: str, header) -> list:
         sv.srMapQuality = int(info.get("SRMAPQ", 0)) & 0xFF
         # htslib parses the text through float32 then widens
         # (bcf_get_info_float; modvcf.h:303 (double)*srq)
-        import numpy as _np
         sv.srAlignQuality = float(_np.float32(info.get("SRQ", 0.0)))
         if "ALLELEID" in info:
             sv.alleleid = int(info["ALLELEID"])

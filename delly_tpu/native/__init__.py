@@ -198,6 +198,10 @@ def get_lib():
     lib.edist_scan_row.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
         ctypes.c_char_p, ctypes.c_void_p]
+    lib.seq_range_sums.restype = None
+    lib.seq_range_sums.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p]
     lib.cnv_segment_core.restype = ctypes.c_int64
     lib.cnv_segment_core.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
@@ -431,6 +435,23 @@ def edist_scan_last(q: bytes, t: bytes, mode: int,
     lib.edist_scan_last(q, len(q), t, len(t), mode, eq,
                         out.ctypes.data_as(ctypes.c_void_p))
     return int(out[0]), int(out[1])
+
+
+def seq_range_sums(x, starts, ends):
+    """Per-range left-to-right sequential float64 sums (the reference's
+    per-window running-sum rounding), or None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    out = np.empty(len(starts), dtype=np.float64)
+    lib.seq_range_sums(x.ctypes.data_as(ctypes.c_void_p),
+                       starts.ctypes.data_as(ctypes.c_void_p),
+                       ends.ctypes.data_as(ctypes.c_void_p),
+                       len(starts), out.ctypes.data_as(ctypes.c_void_p))
+    return out
 
 
 def edist_scan_row(q: bytes, t: bytes, eq: bytes | None = None):

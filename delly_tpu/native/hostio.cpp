@@ -1641,6 +1641,21 @@ void edist_scan_last(const uint8_t* q, int32_t m, const uint8_t* t,
   edist_scan_impl(q, m, t, n, mode, eq, 1, out2);
 }
 
+// Sequential per-range sums: out[k] = x[starts[k]] + ... +
+// x[ends[k]-1], accumulated LEFT-TO-RIGHT from zero per range — the
+// reference's per-window running sums (coral.h:296-339, cnv.h:313-339)
+// round this way, and vectorized pairwise summation (numpy reduceat /
+// np.sum) differs in the last ulp for non-integer doubles.
+void seq_range_sums(const double* x, const int64_t* starts,
+                    const int64_t* ends, int64_t n_ranges,
+                    double* out) {
+  for (int64_t k = 0; k < n_ranges; ++k) {
+    double s = 0.0;
+    for (int64_t i = starts[k]; i < ends[k]; ++i) s += x[i];
+    out[k] = s;
+  }
+}
+
 // Full last DP row via the Myers scan: out_row[j] = d(query,
 // target[:j]) for j = 0..n (unit costs, NW/SHW boundary D[0][j] = j).
 // Feeds the Hirschberg column computations of the edlib-parity PATH

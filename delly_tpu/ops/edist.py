@@ -285,6 +285,11 @@ def _hirschberg_nw(q: np.ndarray, t: np.ndarray, best: int,
     if _edlib_traceback_mem(m, n) < _EDLIB_TB_LIMIT:
         return _nw_path_ops(q, t, eq)
     mid = n // 2
+    if mid == 0:
+        # n == 1 (only reachable for multi-megabase queries): the
+        # ulHeight=0 split would recurse on the identical subproblem;
+        # the two-column DP is trivial instead
+        return _nw_path_ops(q, t, eq)
     # leftCol[i] = d(q[:i], t[:mid]); edit distance is symmetric (and
     # the custom-equality matrix is symmetric), so it is the last DP
     # row with the roles swapped. rightCol[r] = d(q[r:], t[mid:]).
