@@ -75,7 +75,12 @@ def parse_gfa(path: str) -> Graph:
                 continue
             if toks[0] == "S":
                 if len(toks) < 3:
-                    raise ValueError("S segment lacks sequence information!")
+                    # the reference logs and returns the partial graph
+                    # (gfa.h:110-117 return false; the caller ignores
+                    # the status, junction.h:552)
+                    print("S segment lacks sequence information!",
+                          file=sys.stderr)
+                    return g
                 g.offset.append(len(g.sequence))
                 g.sequence += toks[2]
                 g.smap[toks[1]] = id_counter
