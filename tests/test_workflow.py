@@ -439,3 +439,26 @@ def test_sr_exclude_regions_mask_scan(tmp_path):
                    for t, p in calls), calls
     # the DUP at 35000 lies outside the exclusion and survives
     assert any(t == "DUP" and abs(p - 35000) < 200 for t, p in calls), calls
+
+
+def test_plot_scripts_smoke(tmp_path):
+    """The plotting helpers (role of the reference's R/rd.R, R/cnv.R,
+    R/gcbias.R) run end-to-end on real cnv outputs and emit images."""
+    import subprocess
+    import sys
+
+    pytest.importorskip("matplotlib")
+    cov = str(tmp_path / "cov.gz")
+    out = str(tmp_path / "cnv.vcf")
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "cnv",
+         "-g", "/root/reference/example/ref.fa", "-c", cov, "-o", out,
+         "/root/reference/example/sr.bam"],
+        capture_output=True, text=True, timeout=590)
+    assert r.returncode == 0, r.stderr[-1000:]
+    prefix = str(tmp_path / "rd")
+    r = subprocess.run(
+        [sys.executable, "scripts/plot_rd.py", cov, "-o", prefix],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert os.path.getsize(prefix + ".wholegenome.png") > 1000
