@@ -304,3 +304,30 @@ def test_lr_all_five_sv_families(tmp_path):
     bnd = [c for c in calls if c[0] == "BND"][0]
     assert bnd[1] == "ctgB" and abs(bnd[2] - 30000) <= 5
     assert "ctgA:125000" in bnd[3]
+
+
+def test_lr_ultra_long_reads_no_blowup(tmp_path):
+    """120 kb background reads (real ONT territory) through the full
+    lr engine: must complete quickly (banded/bit-parallel paths, no
+    quadratic full-matrix fallbacks) and still call the implanted SVs."""
+    import time
+
+    from bamsynth import make_lr_genome_dataset
+
+    from delly_tpu.models.config import LrConfig
+    from delly_tpu.models.lr import run_lr
+
+    bam, fa, truth = make_lr_genome_dataset(
+        str(tmp_path), n_contigs=1, contig_len=400_000,
+        reads_per_contig=25, read_len=120_000, var_reads=6,
+        error_rate=0.02, name="ultralong")
+    out = str(tmp_path / "ul.vcf")
+    t0 = time.time()
+    cfg = LrConfig(genome=fa, files=[bam], outfile=out)
+    assert run_lr(cfg) == 0
+    wall = time.time() - t0
+    body = [ln for ln in open(out) if not ln.startswith("#")]
+    assert len(body) == len(truth)
+    # generous bound: quadratic blowups on 120 kb reads would take
+    # minutes, the banded paths take seconds
+    assert wall < 120, wall
