@@ -462,3 +462,33 @@ def test_plot_scripts_smoke(tmp_path):
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-1000:]
     assert os.path.getsize(prefix + ".wholegenome.png") > 1000
+
+
+def test_sr_dump_supporting_reads(tmp_path):
+    """-d writes the gzipped SV-supporting-read table
+    (coverage.h:337-342: '#svid bam qname chr pos mapq type')."""
+    import gzip
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "d.vcf")
+    dump = str(tmp_path / "support.tsv.gz")
+    r = subprocess.run(
+        [sys.executable, "-m", "delly_tpu.cli", "sr",
+         "-g", "/root/reference/example/ref.fa", "-o", out,
+         "-d", dump, "/root/reference/example/sr.bam"],
+        capture_output=True, text=True, timeout=590)
+    assert r.returncode == 0, r.stderr[-1000:]
+    with gzip.open(dump, "rt") as fh:
+        lines = fh.read().splitlines()
+    assert lines[0] == ("#svid\tbam\tqname\tchr\tpos\tmatechr\t"
+                        "matepos\tmapq\ttype")  # coverage.h:341
+    rows = [ln.split("\t") for ln in lines[1:]]
+    assert rows, "no supporting reads dumped"
+    assert all(row[0] == "DEL00000000" for row in rows)
+    assert {row[8] for row in rows} <= {"SR", "PE"}
+    # the junction reads recorded here must match the VCF's RV count
+    fmt_keys = [ln for ln in open(out)
+                if not ln.startswith("#")][0].split("\t")
+    rv = int(fmt_keys[9].split(":")[fmt_keys[8].split(":").index("RV")])
+    assert sum(1 for row in rows if row[8] == "SR") == rv
