@@ -25,7 +25,8 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--engine",
-                    choices=["sr", "lr", "cnv", "merge", "svmix"],
+                    choices=["sr", "lr", "cnv", "merge", "svmix",
+                             "asm"],
                     default="sr")
     ap.add_argument("--samples", type=int, default=50,
                     help="cohort size (merge engine)")
@@ -53,6 +54,8 @@ def main():
         return run_merge_bench(args)
     if args.engine == "svmix":
         return run_svmix_bench(args)
+    if args.engine == "asm":
+        return run_asm_bench(args)
 
     # tests/ holds the synthetic writer
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -374,6 +377,64 @@ def run_merge_bench(args):
         "merged_sites": len(body),
         "gen_s": round(gen_s, 2),
         "rc": rc,
+    }))
+    return rc
+
+
+def run_asm_bench(args):
+    """Assembly-mode engine at genome scale: two ~contig-length
+    haplotype alignments per sample with implanted DEL + INS
+    (asmode.h squashed pipeline)."""
+    import random
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.bamsynth import (
+        encode_record, random_contig, write_bam, write_fasta,
+    )
+
+    from delly_tpu.utils.jaxenv import setup as _jax_setup
+    _jax_setup()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    rng = random.Random(7)
+    L = args.clen
+    ref = random_contig(rng, L)
+    posd, dell = L // 3, 1200
+    posi, insl = 2 * L // 3, 600
+    ins_seq = random_contig(rng, insl)
+    contigs = [("chr1", ref)]
+
+    def hap(qname):
+        cig = [("M", posd), ("D", dell),
+               ("M", posi - (posd + dell)), ("I", insl),
+               ("M", L - posi)]
+        seq = ref[:posd] + ref[posd + dell:posi] + ins_seq + ref[posi:]
+        return encode_record(qname, 0x0, 0, 0, 60, cig, -1, -1, 0, seq)
+
+    bam = f"{args.workdir}/asm_{L}.bam"
+    fa = f"{args.workdir}/asm_{L}.fa"
+    write_bam(bam, contigs, [hap("h1"), hap("h2")])
+    write_fasta(fa, contigs)
+
+    from delly_tpu.models.asmode import AsmConfig, run_asm
+    out = f"{args.workdir}/asm_{L}.vcf"
+    wall = None
+    for _ in range(max(1, args.repeat)):
+        t0 = time.time()
+        rc = run_asm(AsmConfig(genome=fa, files=[bam], outfile=out))
+        w = time.time() - t0
+        wall = w if wall is None else min(wall, w)
+    body = [ln for ln in open(out) if not ln.startswith("#")]
+    hits = sum(1 for ln in body
+               for want, pos in (("DEL", posd), ("INS", posi))
+               if f"SVTYPE={want}" in ln
+               and abs(int(ln.split("\t")[1]) - pos) < 50)
+    print(json.dumps({
+        "metric": "asm_e2e_bases_per_s",
+        "value": round(2 * L / wall, 1) if wall else 0.0,
+        "unit": "bases/s", "wall_s": round(wall, 2),
+        "aligned_bases": 2 * L, "rc": rc,
+        "sv_hits": f"{hits}/2",
     }))
     return rc
 
