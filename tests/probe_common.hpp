@@ -1,0 +1,158 @@
+// Shared shim preamble for the differential-oracle probes that compile
+// reference headers as-is (refine_probe.cpp, assemble_probe.cpp).
+// Supplies the htslib record structs/API declarations the reference's
+// template code names, plus the handful of small util.h helpers
+// (hand-written to util.h's documented behavior, NOT copied — see line
+// citations).  Functions inside uninstantiated reference templates
+// only need declarations; only what the probes actually call needs a
+// definition.
+#ifndef DP_PROBE_COMMON_HPP
+#define DP_PROBE_COMMON_HPP
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <numeric>
+#include <cstdint>
+#include <limits>
+#include <string>
+#include <vector>
+
+// --- htslib shims ---
+struct bam1_core_t {
+  int32_t tid;
+  int32_t pos;
+  uint16_t flag;
+  uint8_t qual;
+  int32_t l_qseq;
+  int32_t mtid;
+  int32_t mpos;
+  int64_t isize;
+};
+struct bam1_t {
+  bam1_core_t core;
+};
+struct bam_hdr_t {
+  int32_t n_targets;
+  uint32_t* target_len;
+  char** target_name;
+};
+struct samFile;
+struct hts_idx_t;
+struct hts_itr_t;
+struct faidx_t;
+#define BAM_FUNMAP 4
+#define BAM_FREVERSE 16
+#define BAM_FMREVERSE 32
+#define BAM_FSECONDARY 256
+#define BAM_FQCFAIL 512
+#define BAM_FDUP 1024
+#define BAM_FSUPPLEMENTARY 2048
+// declaration-only API surface (named inside uninstantiated templates)
+const char* bam_get_qname(bam1_t*);
+uint8_t* bam_get_seq(bam1_t*);
+int bam_seqi(uint8_t*, int);
+void bam_hdr_destroy(bam_hdr_t*);
+samFile* sam_open(const char*, const char*);
+int sam_close(samFile*);
+bam_hdr_t* sam_hdr_read(samFile*);
+hts_idx_t* sam_index_load(samFile*, const char*);
+void hts_idx_destroy(hts_idx_t*);
+hts_itr_t* sam_itr_queryi(hts_idx_t*, int, int64_t, int64_t);
+void hts_itr_destroy(hts_itr_t*);
+int sam_itr_next(samFile*, hts_itr_t*, bam1_t*);
+int hts_set_fai_filename(samFile*, const char*);
+faidx_t* fai_load(const char*);
+void fai_destroy(faidx_t*);
+char* faidx_fetch_seq(const faidx_t*, const char*, int, int, int*);
+bam1_t* bam_init1();
+void bam_destroy1(bam1_t*);
+
+namespace boost {
+// util.h pulls boost::to_upper_copy from boost/algorithm/string.hpp.
+inline std::string to_upper_copy(std::string const& s) {
+  std::string out(s);
+  for (char& c : out) c = (char)std::toupper((unsigned char)c);
+  return out;
+}
+// log banners in uninstantiated driver templates
+namespace posix_time {
+struct ptime {};
+std::string to_simple_string(ptime);
+struct second_clock {
+  static ptime local_time();
+};
+}  // namespace posix_time
+}  // namespace boost
+
+namespace torali {
+// util.h:549-563 (see dp_probe.cpp for the non-ACGTN quirk).
+inline void reverseComplement(std::string& sequence) {
+  std::string rev(sequence.rbegin(), sequence.rend());
+  for (std::size_t i = 0; i < rev.size(); ++i) {
+    switch (std::toupper((unsigned char)rev[i])) {
+      case 'A': sequence[i] = 'T'; break;
+      case 'C': sequence[i] = 'G'; break;
+      case 'G': sequence[i] = 'C'; break;
+      case 'T': sequence[i] = 'A'; break;
+      case 'N': sequence[i] = 'N'; break;
+      default: break;
+    }
+  }
+}
+}  // namespace torali
+
+#include "edlib.h"
+#include "tags.h"
+
+namespace torali {
+
+// util.h:87-100 — target coordinates of an HW (infix) edlib hit.
+inline uint32_t infixStart(EdlibAlignResult const& cigar) {
+  int32_t tIdx = cigar.endLocations[0];
+  for (int32_t i = 0; i < cigar.alignmentLength; i++)
+    if (cigar.alignment[i] != EDLIB_EDOP_INSERT) tIdx--;
+  return (tIdx >= 0) ? (uint32_t)(tIdx + 1) : 0u;
+}
+inline uint32_t infixEnd(EdlibAlignResult const& cigar) {
+  return cigar.endLocations[0];
+}
+
+// util.h:240-248 — symbolic ALT id per svt.
+inline std::string _addID(int32_t const svt) {
+  if (svt == 0 || svt == 1) return "INV";
+  if (svt == 2) return "DEL";
+  if (svt == 3) return "DUP";
+  if (svt == 4) return "INS";
+  if (svt == 9) return "CNV";
+  return "BND";
+}
+
+// util.h:251-271 — REF,ALT allele strings (BND bracket notation).
+inline std::string _addAlleles(std::string const& ref,
+                               std::string const& alt) {
+  return ref + "," + alt;
+}
+inline std::string _addAlleles(std::string const& ref,
+                               std::string const& chr2,
+                               StructuralVariantRecord const& sv,
+                               int32_t const svt) {
+  if (_translocation(svt)) {
+    uint8_t ct = _getSpanOrientation(svt);
+    std::string pos2 = std::to_string(sv.svEnd);
+    if (ct == 0) return ref + "," + ref + "]" + chr2 + ":" + pos2 + "]";
+    if (ct == 1) return ref + ",[" + chr2 + ":" + pos2 + "[" + ref;
+    if (ct == 2) return ref + "," + ref + "[" + chr2 + ":" + pos2 + "[";
+    if (ct == 3) return ref + ",]" + chr2 + ":" + pos2 + "]" + ref;
+  }
+  return ref + ",<" + _addID(svt) + ">";
+}
+
+// util.h:102-130 — debug printers, named only in comments/templates.
+inline void printAlignment(std::string const&, std::string const&,
+                           EdlibAlignMode const,
+                           EdlibAlignResult const&) {}
+
+}  // namespace torali
+
+#endif
