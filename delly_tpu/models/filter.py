@@ -23,8 +23,7 @@ import numpy as _np
 from delly_tpu.io.vcf import VcfReader
 from delly_tpu.ops.likelihood import compute_cnls
 from delly_tpu.ops.popgen import (
-    dosage_r2, est_biallelic_af, est_biallelic_fic, est_biallelic_gt_freq,
-    est_biallelic_hwe_lrt, est_biallelic_rsq,
+    dosage_r2, site_stats,
 )
 from delly_tpu.utils.log import stage
 
@@ -230,11 +229,8 @@ def _flush_redundancy(win: list, flush_below: int, flush_all: bool,
 def _population_annotations(cfg, rec, gl_vector):
     """Shared AFmle/ACmle/GFmle/FIC/RSQ/HWEpval annotation block.
     Returns (fic, hwe_pval, mle_gt_freq)."""
-    hwe_af = est_biallelic_af(gl_vector, cfg.epsilon, cfg.maxiter)
-    mle = est_biallelic_gt_freq(gl_vector, cfg.epsilon, cfg.maxiter)
-    fic = est_biallelic_fic(gl_vector, hwe_af)
-    rsq = est_biallelic_rsq(gl_vector, hwe_af)
-    pval = est_biallelic_hwe_lrt(gl_vector, hwe_af, mle)
+    hwe_af, mle, fic, rsq, pval = site_stats(gl_vector, cfg.epsilon,
+                                             cfg.maxiter)
     # the reference stores these as BCF float32 (filter.h:421-441) —
     # render through np.float32 so %g digits match
     info = rec["info"]

@@ -202,6 +202,14 @@ def get_lib():
     lib.seq_range_sums.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_void_p]
+    lib.popgen_site_stats.restype = None
+    lib.popgen_site_stats.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_void_p]
+    lib.dosage_r2_seq.restype = ctypes.c_double
+    lib.dosage_r2_seq.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32]
     lib.cnv_segment_core.restype = ctypes.c_int64
     lib.cnv_segment_core.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
@@ -435,6 +443,35 @@ def edist_scan_last(q: bytes, t: bytes, mode: int,
     lib.edist_scan_last(q, len(q), t, len(t), mode, eq,
                         out.ctypes.data_as(ctypes.c_void_p))
     return int(out[0]), int(out[1])
+
+
+def popgen_site_stats(gl, epsilon: float, maxiter: int):
+    """All five popgen.h site statistics in one sequential pass
+    (popgen.h:12-201 accumulation order): returns np.array
+    [af0, af1, gtf0, gtf1, gtf2, fic, rsq, hwe_pvalue], or None
+    without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    gl = np.ascontiguousarray(gl, dtype=np.float64).reshape(-1, 3)
+    out = np.zeros(8, dtype=np.float64)
+    lib.popgen_site_stats(gl.ctypes.data_as(ctypes.c_void_p),
+                          gl.shape[0], float(epsilon), int(maxiter),
+                          out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def dosage_r2_seq(a, b, min_shared: int):
+    """Sequential-order dosage R² (popgen.h:149-177), or None without
+    the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    b = np.ascontiguousarray(b, dtype=np.float64)
+    return float(lib.dosage_r2_seq(
+        a.ctypes.data_as(ctypes.c_void_p), len(a),
+        b.ctypes.data_as(ctypes.c_void_p), len(b), int(min_shared)))
 
 
 def seq_range_sums(x, starts, ends):

@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <cctype>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -1983,6 +1984,160 @@ int64_t pair_match(const uint64_t* keys, const uint8_t* first,
     }
   }
   return nout;
+}
+
+// Population-genetics site statistics with the reference's exact
+// sequential accumulation order (popgen.h:12-201): HWE allele-
+// frequency EM, genotype-frequency EM, inbreeding coefficient FIC,
+// imputation RSQ and the HWE LRT chi2(1) p-value, all in one pass.
+// gl is n x 3 row-major linear-space likelihoods.  out[8] =
+// {af0, af1, gtf0, gtf1, gtf2, fic, rsq, pvalue}.  Outputs that the
+// reference leaves untouched on degenerate input keep 0/0/0/1 inits.
+void popgen_site_stats(const double* gl, int64_t n, double epsilon,
+                       int64_t maxiter, double* out) {
+  double af0 = 0, af1 = 0, g0 = 0, g1 = 0, g2 = 0;
+  double fic = 0, rsq = 0, pvalue = 1;
+  if (n > 0) {
+    // EM allele frequency under HWE (popgen.h:12-51)
+    double ap0 = 0.5, ap1 = 0.5;
+    double err = 1;
+    for (int64_t count = 0; (err > epsilon) && (count < maxiter);
+         ++count) {
+      const double p0 = ap0 * ap0, p1 = 2 * ap0 * ap1, p2 = ap1 * ap1;
+      af0 = 0;
+      af1 = 0;
+      double used = 0;
+      for (int64_t i = 0; i < n; ++i) {
+        double t0 = p0 * gl[3 * i], t1 = p1 * gl[3 * i + 1],
+               t2 = p2 * gl[3 * i + 2];
+        double p = t0 + t1 + t2;
+        if (p <= 0) continue;
+        t0 /= p;
+        t1 /= p;
+        t2 /= p;
+        af0 += t0 + 0.5 * t1;
+        af1 += t2 + 0.5 * t1;
+        used += 1;
+      }
+      if (used > 0) {
+        af0 /= used;
+        af1 /= used;
+      }
+      err = (ap0 - af0) * (ap0 - af0) + (ap1 - af1) * (ap1 - af1);
+      ap0 = af0;
+      ap1 = af1;
+    }
+    // EM genotype frequencies (popgen.h:54-91)
+    double q0 = 1.0 / 3.0, q1 = 1.0 / 3.0, q2 = 1.0 / 3.0;
+    err = 1;
+    for (int64_t count = 0; (err > epsilon) && (count < maxiter);
+         ++count) {
+      g0 = 0;
+      g1 = 0;
+      g2 = 0;
+      double used = 0;
+      for (int64_t i = 0; i < n; ++i) {
+        const double t0 = q0 * gl[3 * i], t1 = q1 * gl[3 * i + 1],
+                     t2 = q2 * gl[3 * i + 2];
+        const double p = t0 + t1 + t2;
+        if (p <= 0) continue;
+        g0 += t0 / p;
+        g1 += t1 / p;
+        g2 += t2 / p;
+        used += 1;
+      }
+      if (used > 0) {
+        g0 /= used;
+        g1 /= used;
+        g2 /= used;
+      }
+      err = (q0 - g0) * (q0 - g0) + (q1 - g1) * (q1 - g1) +
+            (q2 - g2) * (q2 - g2);
+      q0 = g0;
+      q1 = g1;
+      q2 = g2;
+    }
+    const double h0 = af0 * af0, h1 = 2 * af0 * af1, h2 = af1 * af1;
+    // inbreeding coefficient (popgen.h:94-111)
+    double sumGLHet = 0, denominator = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const double p =
+          gl[3 * i] * h0 + gl[3 * i + 1] * h1 + gl[3 * i + 2] * h2;
+      if (p <= 0) continue;
+      sumGLHet += ((gl[3 * i + 1] * h1) / p);
+      denominator += h1;
+    }
+    if (denominator > 0) fic = 1 - sumGLHet / denominator;
+    // imputation quality (popgen.h:114-147)
+    double sumD = 0, sumD2 = 0, used = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      double t0 = gl[3 * i] * h0, t1 = gl[3 * i + 1] * h1,
+             t2 = gl[3 * i + 2] * h2;
+      const double p = t0 + t1 + t2;
+      if (p <= 0) continue;
+      t0 /= p;
+      t1 /= p;
+      t2 /= p;
+      sumD += (t1 + 2 * t0);
+      sumD2 += (t1 + 2 * t0) * (t1 + 2 * t0);
+      used += 1;
+    }
+    if ((used > 1) && (h1 > 0)) {
+      const double meanD = sumD / used;
+      double v = (sumD2 - used * meanD * meanD);
+      if (v < 0) v = 0;
+      v /= (used - 1);
+      rsq = v / h1;
+    }
+    // HWE LRT (popgen.h:180-201); chi2(1) upper tail = erfc(sqrt(x/2))
+    double lnull = 0, lalt = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const double pnull =
+          gl[3 * i] * h0 + gl[3 * i + 1] * h1 + gl[3 * i + 2] * h2;
+      const double palt = gl[3 * i] * g0 + gl[3 * i + 1] * g1 +
+                          gl[3 * i + 2] * g2;
+      if ((pnull <= 0) || (palt <= 0)) continue;
+      lnull += std::log(pnull);
+      lalt += std::log(palt);
+    }
+    double lrts = -2 * (lnull - lalt);
+    if (lrts < 0) lrts = 0;
+    pvalue = std::erfc(std::sqrt(lrts / 2));
+  }
+  out[0] = af0;
+  out[1] = af1;
+  out[2] = g0;
+  out[3] = g1;
+  out[4] = g2;
+  out[5] = fic;
+  out[6] = rsq;
+  out[7] = pvalue;
+}
+
+// Squared Pearson correlation over shared-called dosages with the
+// reference's sequential accumulation (popgen.h:149-177); -1 when
+// fewer than min_shared shared calls or a degenerate variance.
+double dosage_r2_seq(const double* a, int64_t na, const double* b,
+                     int64_t nb, int32_t min_shared) {
+  double n = 0, sa = 0, sb = 0, saa = 0, sbb = 0, sab = 0;
+  const int64_t m = (na < nb) ? na : nb;
+  for (int64_t i = 0; i < m; ++i) {
+    if ((a[i] < 0) || (b[i] < 0)) continue;
+    const double x = a[i], y = b[i];
+    n += 1;
+    sa += x;
+    sb += y;
+    saa += x * x;
+    sbb += y * y;
+    sab += x * y;
+  }
+  if (n < (double)min_shared) return -1;
+  const double cov = sab - sa * sb / n;
+  const double va = saa - sa * sa / n;
+  const double vb = sbb - sb * sb / n;
+  if ((va <= 0) || (vb <= 0)) return -1;
+  const double r = cov / std::sqrt(va * vb);
+  return r * r;
 }
 
 void delly_free(uint8_t* ptr) { std::free(ptr); }

@@ -19,6 +19,15 @@ SMALLEST_GL = -1000
 PHRED2PROB = np.power(10.0, -(np.arange(0, -10 * SMALLEST_GL + 1) / 10.0))
 
 
+def _log10(x: float) -> float:
+    """C++ std::log10 semantics: log10(0) = -inf (no exception), so a
+    mapq-0 read (phred2prob == 1) contributes -inf and is capped at
+    SMALLEST_GL downstream, exactly like bolog.h:33-40."""
+    if x > 0.0:
+        return math.log10(x)
+    return -math.inf
+
+
 def compute_gls(mapq_ref, mapq_alt):
     """Diploid RR/RA/AA genotype likelihoods (bolog.h:23-85).
 
@@ -30,14 +39,14 @@ def compute_gls(mapq_ref, mapq_alt):
     pe_depth = len(mapq_ref) + len(mapq_alt)
     for q in mapq_ref:
         p = PHRED2PROB[q]
-        gl[0] += math.log10(p)
-        gl[1] += math.log10(p + (1.0 - p))
-        gl[2] += math.log10(1.0 - p)
+        gl[0] += _log10(p)
+        gl[1] += _log10(p + (1.0 - p))
+        gl[2] += _log10(1.0 - p)
     for q in mapq_alt:
         p = PHRED2PROB[q]
-        gl[0] += math.log10(1.0 - p)
-        gl[1] += math.log10((1.0 - p) + p)
-        gl[2] += math.log10(p)
+        gl[0] += _log10(1.0 - p)
+        gl[1] += _log10((1.0 - p) + p)
+        gl[2] += _log10(p)
     gl[1] += -pe_depth * math.log10(2.0)
     gl_best = 0
     gl_best_val = gl[0]
@@ -75,16 +84,24 @@ def compute_gls(mapq_ref, mapq_alt):
 def compute_cnls(mean: float, sd: float, ploidy: float, max_cn: int = 10):
     """Copy-number likelihoods CN0..CN{max_cn-1} (bolog.h:88-133).
 
+    The reference stores each likelihood into a float* array, so every
+    comparison and the final rescale read back FLOAT32 values while
+    glObs stays double — mirrored here exactly (pinned by
+    tests/test_stats_oracle.py against bolog.h compiled live).
     Returns (gl list rescaled by best, gq, varqual, best_cn).
     """
     def norm_pdf(x):
-        return math.exp(-0.5 * ((x - mean) / sd) ** 2) / (sd * math.sqrt(2 * math.pi))
+        # boost::math::normal pdf evaluation order
+        exponent = x - mean
+        exponent *= -exponent
+        exponent /= 2 * sd * sd
+        return math.exp(exponent) / (sd * math.sqrt(2 * math.pi))
 
+    cap = np.float32(SMALLEST_GL)
     gl = []
     for geno in range(max_cn):
-        prob = norm_pdf(geno)
-        v = math.log10(prob) if prob > 0 else SMALLEST_GL
-        gl.append(max(v, SMALLEST_GL))
+        v = np.float32(_log10(norm_pdf(float(geno))))  # (float) store
+        gl.append(v if v > cap else cap)
     best = 0
     best2 = 1
     if gl[best] < gl[best2]:
@@ -96,13 +113,13 @@ def compute_cnls(mean: float, sd: float, ploidy: float, max_cn: int = 10):
                 best = geno
             else:
                 best2 = geno
-    gl_obs = max(math.log10(norm_pdf(mean)), SMALLEST_GL)
+    gl_obs = max(_log10(norm_pdf(mean)), SMALLEST_GL)  # double
     pl_variant = iround(-10 * gl_obs)
-    pl_ploidy = iround(-10 * gl[iround(ploidy)])
+    pl_ploidy = iround(-10 * float(gl[iround(ploidy)]))
     varqual = pl_ploidy - pl_variant
-    pl_best = iround(-10 * gl[best])
-    pl_best2 = iround(-10 * gl[best2])
+    pl_best = iround(-10 * float(gl[best]))
+    pl_best2 = iround(-10 * float(gl[best2]))
     gq = pl_best2 - pl_best
-    best_val = gl[best]
-    gl = [g - best_val for g in gl]
+    best_val = float(gl[best])  # double(glBestVal), bolog.h:128
+    gl = [float(np.float32(float(g) - best_val)) for g in gl]
     return gl, gq, varqual, best
