@@ -8,17 +8,23 @@ iterative neighbor merging, per-CNV genotyping (CN / mappable fraction /
 uniq fraction / SD), same-CN merging, and CNV BCF emission with CN0..CN9
 likelihoods.
 
-The window profile construction is vectorized with cumulative sums over
-callable-position arrays (each greedy expected-coverage bucket boundary
-is one searchsorted); the sequential penalized DP stays on the host
-(small N, data-dependent pruning).
+The window profile and flank-z construction run through native
+sequential accumulators (hostio rd_windows / rd_flank_z) because the
+reference resets its running float sums at every window close — any
+vectorized cumsum differs in the last ulp and shifts a boundary or a CN
+digit (pinned by tests/test_cnv_oracle.py). The sequential penalized DP
+stays on the host (small N, data-dependent pruning).
 """
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 
 import numpy as np
+
+from delly_tpu import native
 
 from delly_tpu.io.vcf import VcfReader, VcfWriter, fmt_float
 from delly_tpu.ops.likelihood import compute_cnls
@@ -79,46 +85,39 @@ def collect_breakpoints(cfg, gcbound, gc_content, uniq_content, gcbias,
     vpos = np.nonzero(valid)[0]
     vcov = cov[vpos].astype(np.float64)
     vexp = cov_curve[gc_content[vpos].astype(np.int64)]
-    ccov = np.concatenate(([0.0], np.cumsum(vcov)))
-    cexp = np.concatenate(([0.0], np.cumsum(vexp)))
+
+    def _flank_seq(c_arr, e_arr):
+        # pure-Python fallback, reference op order (cnv.h:88-110)
+        z = []
+        covsum = expcov = 0.0
+        for k in range(len(c_arr)):
+            if len(z) >= 8:
+                break
+            covsum += float(c_arr[k])
+            expcov += float(e_arr[k])
+            if expcov >= sub_exp:
+                z.append(math.log2(max(covsum / expcov, r_floor)))
+                covsum = expcov = 0.0
+        return z
 
     def flank_z(bppos, left: bool):
-        """Up to 8 sub-windows of >= subExp expected coverage."""
-        z = []
+        """Up to 8 sub-windows of >= subExp expected coverage,
+        accumulated sequentially in walk order (cnv.h:88-110)."""
         if left:
-            # valid positions < bppos, scanning down, bounded by max_flank
             hi = int(np.searchsorted(vpos, bppos, side="left"))
-            lo_bound = int(np.searchsorted(vpos, bppos - max_flank,
-                                           side="left"))
-            i = hi
-            while len(z) < 8 and i > lo_bound:
-                # find largest j < i with cexp[i] - cexp[j] >= sub_exp
-                target = cexp[i] - sub_exp
-                j = int(np.searchsorted(cexp[:i], target, side="right")) - 1
-                if j < lo_bound:
-                    break
-                covsum = ccov[i] - ccov[j]
-                expcov = cexp[i] - cexp[j]
-                if expcov <= 0:
-                    break
-                z.append(np.log2(max(covsum / expcov, r_floor)))
-                i = j
+            lo = int(np.searchsorted(vpos, bppos - max_flank,
+                                     side="left"))
+            c_arr = vcov[lo:hi][::-1]
+            e_arr = vexp[lo:hi][::-1]
         else:
             lo = int(np.searchsorted(vpos, bppos, side="left"))
-            hi_bound = int(np.searchsorted(vpos, bppos + max_flank,
-                                           side="left"))
-            i = lo
-            while len(z) < 8 and i < hi_bound:
-                target = cexp[i] + sub_exp
-                j = int(np.searchsorted(cexp, target, side="left"))
-                if j > hi_bound or j > len(vpos):
-                    break
-                covsum = ccov[j] - ccov[i]
-                expcov = cexp[j] - cexp[i]
-                if expcov < sub_exp:
-                    break
-                z.append(np.log2(max(covsum / expcov, r_floor)))
-                i = j
+            hi = int(np.searchsorted(vpos, bppos + max_flank,
+                                     side="left"))
+            c_arr = vcov[lo:hi]
+            e_arr = vexp[lo:hi]
+        z = native.rd_flank_z(c_arr, e_arr, sub_exp)
+        if z is None:
+            z = _flank_seq(c_arr, e_arr)
         return z
 
     # cluster boundaries wherever the gap between consecutive sorted
@@ -136,14 +135,24 @@ def collect_breakpoints(cfg, gcbound, gc_content, uniq_content, gcbias,
         zl = flank_z(bppos, True)
         zr = flank_z(bppos, False)
         if len(zl) >= 2 and len(zr) >= 2:
-            ml = float(np.mean(zl))
-            mr = float(np.mean(zr))
-            ss = float(np.sum((np.asarray(zl) - ml) ** 2)
-                       + np.sum((np.asarray(zr) - mr) ** 2))
-            sd = np.sqrt(ss / (len(zl) + len(zr) - 2))
-            se = sd * np.sqrt(1.0 / len(zl) + 1.0 / len(zr))
-            cn_l = cfg.ploidy * 2.0 ** ml
-            cn_r = cfg.ploidy * 2.0 ** mr
+            # sequential accumulation + std::exp2, cnv.h:112-125
+            ml = 0.0
+            for v in zl:
+                ml += v
+            ml /= len(zl)
+            mr = 0.0
+            for v in zr:
+                mr += v
+            mr /= len(zr)
+            ss = 0.0
+            for v in zl:
+                ss += (v - ml) * (v - ml)
+            for v in zr:
+                ss += (v - mr) * (v - mr)
+            sd = math.sqrt(ss / (len(zl) + len(zr) - 2))
+            se = sd * math.sqrt(1.0 / len(zl) + 1.0 / len(zr))
+            cn_l = cfg.ploidy * math.exp2(ml)
+            cn_r = cfg.ploidy * math.exp2(mr)
             if abs(cn_l - cn_r) >= min_cn_shift and abs(mr - ml) >= 3 * se:
                 qual = 50 + min(support, 40)
                 chrbp.append(SVBreakpoint(bppos, -bp_tol, bp_tol, qual,
@@ -227,44 +236,52 @@ def segment_rd(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
         ecor = e1 * tile_fac[vpos // reg_win]
     else:
         ecor = e1
-    ccov = np.concatenate(([0.0], np.cumsum(vcov)))
-    craw = np.concatenate(([0.0], np.cumsum(e1)))
-    ccor = np.concatenate(([0.0], np.cumsum(ecor)))
-
-    # Greedy window boundaries over the valid-position axis
-    bounds = [0]
-    nv = len(vpos)
-    if pcf_target_exp > 0:
-        i = 0
-        while i < nv:
-            j = int(np.searchsorted(craw, craw[i] + pcf_target_exp,
-                                    side="left"))
-            if j > nv:
-                break
-            bounds.append(j)
-            i = j
-        if bounds[-1] < nv:
-            bounds.append(nv)
+    # Window profile: the reference accumulates covsum/expraw/expcor
+    # sequentially and RESETS to zero at each window close
+    # (cnv.h:307-350) — both the closure threshold (expraw >= target)
+    # and the per-window float sums round differently under
+    # cumsum/pairwise summation, so build the windows natively in the
+    # identical order (pinned by tests/test_cnv_oracle.py).
+    win = native.rd_windows(vpos, vcov, e1, ecor, pcf_target_exp,
+                            pcf_win_bases)
+    if win is None:  # pure-Python fallback, same op order
+        ws_l, we_l, wcov_l, wexp_l, z_l = [], [], [], [], []
+        covsum = expraw = expcor = 0.0
+        winlen = 0
+        start = -1
+        for i in range(len(vpos)):
+            if start < 0:
+                start = int(vpos[i])
+            covsum += float(vcov[i])
+            expraw += float(e1[i])
+            expcor += float(ecor[i])
+            winlen += 1
+            close = (expraw >= pcf_target_exp if pcf_target_exp > 0
+                     else winlen >= pcf_win_bases)
+            if close:
+                r = covsum / expcor if expcor > 0 else 1.0
+                z_l.append(math.log2(max(r, r_floor)))
+                ws_l.append(start)
+                we_l.append(int(vpos[i]) + 1)
+                wcov_l.append(covsum)
+                wexp_l.append(expcor)
+                covsum = expraw = expcor = 0.0
+                winlen = 0
+                start = -1
+        if winlen > 0 and start >= 0:  # trailing partial window flush
+            r = covsum / expcor if expcor > 0 else 1.0
+            z_l.append(math.log2(max(r, r_floor)))
+            ws_l.append(start)
+            we_l.append(int(vpos[-1]) + 1)
+            wcov_l.append(covsum)
+            wexp_l.append(expcor)
+        ws = np.asarray(ws_l, dtype=np.int64)
+        we = np.asarray(we_l, dtype=np.int64)
+        wcov = np.asarray(wcov_l)
+        wexp = np.asarray(wexp_l)
+        z = np.asarray(z_l)
     else:
-        bounds.extend(range(pcf_win_bases, nv + 1, pcf_win_bases))
-        if bounds[-1] < nv:
-            bounds.append(nv)
-    b = np.asarray(bounds, dtype=np.int64)
-    # Per-window sums: the coverage sum is integer-valued (exact in any
-    # order, one reduceat pass); the expected coverage is non-integer,
-    # so each window accumulates sequentially from zero exactly like
-    # the reference's running sums (cnv.h:313-339 resets expcor per
-    # window — pairwise/vectorized summation differs in the last ulp).
-    if b[-1] >= len(vcov):
-        wcov = np.add.reduceat(vcov, b[:-1])
-    else:
-        wcov = np.add.reduceat(vcov, b)[:-1]
-    from delly_tpu.models.coral import _seq_sums
-    wexp = _seq_sums(ecor, b[:-1], b[1:])
-    ws = vpos[b[:-1]]
-    we = vpos[b[1:] - 1] + 1
-    ratio = np.where(wexp > 0, wcov / np.maximum(wexp, 1e-300), 1.0)
-    z = np.log2(np.maximum(ratio, r_floor))
+        ws, we, wcov, wexp, z = win
     n_w = len(z)
     if n_w < 1:
         return
@@ -276,7 +293,7 @@ def segment_rd(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
     if sigma < 0.02:
         sigma = 0.02
 
-    beta = cfg.penalty * sigma * sigma * np.log(max(n_w, 2))
+    beta = cfg.penalty * sigma * sigma * math.log(max(n_w, 2))
     pcfbnd = cnv_segment(z, beta, kmin)
 
     bset = [_Boundary(0)] + [_Boundary(w) for w in pcfbnd] + [_Boundary(n_w)]
@@ -307,10 +324,16 @@ def segment_rd(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
     ns = len(bset) - 1
     # segcov is integer-valued (exact in any order); segexp sums
     # doubles sequentially like the reference's window loop
-    # (cnv.h:409-414)
+    # (cnv.h:409-414).  NOTE: builtin sum() must not be used here —
+    # CPython 3.12+ compensates float sums (Neumaier), which rounds
+    # differently from the reference's plain left-to-right loop.
     segcov = [float(wcov[bset[s].w:bset[s + 1].w].sum()) for s in range(ns)]
-    segexp = [float(sum(wexp[bset[s].w:bset[s + 1].w].tolist(), 0.0))
-              for s in range(ns)]
+    segexp = []
+    for s in range(ns):
+        acc = 0.0
+        for v in wexp[bset[s].w:bset[s + 1].w].tolist():
+            acc += v
+        segexp.append(acc)
     segnw = [bset[s + 1].w - bset[s].w for s in range(ns)]
 
     # Iterative neighbor merging (cnv.h:417-441)
@@ -324,10 +347,10 @@ def segment_rd(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
                     if segexp[s] > 0 else cfg.ploidy)
             cn_r = (cfg.ploidy * segcov[s + 1] / segexp[s + 1]
                     if segexp[s + 1] > 0 else cfg.ploidy)
-            dz = abs(np.log2(max(cn_l / cfg.ploidy, r_floor))
-                     - np.log2(max(cn_r / cfg.ploidy, r_floor)))
-            se = sigma * np.sqrt(1.0 / max(segnw[s], 1)
-                                 + 1.0 / max(segnw[s + 1], 1))
+            dz = abs(math.log2(max(cn_l / cfg.ploidy, r_floor))
+                     - math.log2(max(cn_r / cfg.ploidy, r_floor)))
+            se = sigma * math.sqrt(1.0 / max(segnw[s], 1)
+                                   + 1.0 / max(segnw[s + 1], 1))
             tol = max(z_floor, z_k * se)
             if dz < tol and (best < 0 or dz < best_dz):
                 best = s

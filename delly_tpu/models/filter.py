@@ -29,6 +29,7 @@ from delly_tpu.utils.log import stage
 
 
 from delly_tpu.utils.stats import iround as _iround
+from delly_tpu.utils.stats import seq_sum as _seq_sum
 
 MAX_CN = 10
 
@@ -273,7 +274,7 @@ def filter_germline_cnv(cfg, rec):
         shift_vals = [_iround(rdcn[i]) - rdcn[i]
                       for i in range(nsmpl) if confident[i]]
         nconf = len(shift_vals)
-        cnshift = sum(shift_vals) / nconf if nconf else 0.0
+        cnshift = _seq_sum(shift_vals) / nconf if nconf else 0.0
         cncount = [0] * MAX_CN
         hdel = hdup = hbeyond = 0
         for i in range(nsmpl):
@@ -315,9 +316,10 @@ def filter_germline_cnv(cfg, rec):
             main_vals = [rdcn[i] for i in range(nsmpl)
                          if confident[i] and int(_iround(rdcn[i])) == cnmain]
             if main_vals:
-                s_mean = sum(main_vals) / len(main_vals)
-                sd = math.sqrt(sum((v - s_mean) ** 2 for v in main_vals)
-                               / len(main_vals))
+                s_mean = _seq_sum(main_vals) / len(main_vals)
+                sd = math.sqrt(
+                    _seq_sum((v - s_mean) ** 2 for v in main_vals)
+                    / len(main_vals))
             else:
                 sd = 0.025
             if sd < 0.025:
@@ -648,7 +650,7 @@ def filter_run(cfg: FilterConfig) -> int:
                         pp = [mle[k] * 10.0 ** (-plv[k] / 10.0)
                               for k in range(3)]
                         best_idx = plv.index(min(plv))
-                        sum_pp = sum(pp)
+                        sum_pp = _seq_sum(pp)
                         sample_gq = 0.0
                         if sum_pp > 0:
                             frac = 1.0 - pp[best_idx] / sum_pp

@@ -210,6 +210,14 @@ def get_lib():
     lib.dosage_r2_seq.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32]
+    lib.rd_windows.restype = ctypes.c_int64
+    lib.rd_windows.argtypes = [ctypes.c_void_p] * 4 + [
+        ctypes.c_int64, ctypes.c_double, ctypes.c_int64] + [
+        ctypes.c_void_p] * 5
+    lib.rd_flank_z.restype = ctypes.c_int32
+    lib.rd_flank_z.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_void_p]
     lib.cnv_segment_core.restype = ctypes.c_int64
     lib.cnv_segment_core.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
@@ -472,6 +480,52 @@ def dosage_r2_seq(a, b, min_shared: int):
     return float(lib.dosage_r2_seq(
         a.ctypes.data_as(ctypes.c_void_p), len(a),
         b.ctypes.data_as(ctypes.c_void_p), len(b), int(min_shared)))
+
+
+def rd_windows(vpos, vcov, ve1, vecor, target_exp: float,
+               win_bases: int):
+    """Sequential read-depth window builder (cnv.h:307-350 rounding);
+    returns (ws, we, wcov, wexp, z) arrays or None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vpos = np.ascontiguousarray(vpos, dtype=np.int64)
+    vcov = np.ascontiguousarray(vcov, dtype=np.float64)
+    ve1 = np.ascontiguousarray(ve1, dtype=np.float64)
+    vecor = np.ascontiguousarray(vecor, dtype=np.float64)
+    n = len(vpos)
+    ws = np.empty(n + 1, dtype=np.int64)
+    we = np.empty(n + 1, dtype=np.int64)
+    wcov = np.empty(n + 1, dtype=np.float64)
+    wexp = np.empty(n + 1, dtype=np.float64)
+    z = np.empty(n + 1, dtype=np.float64)
+    k = lib.rd_windows(
+        vpos.ctypes.data_as(ctypes.c_void_p),
+        vcov.ctypes.data_as(ctypes.c_void_p),
+        ve1.ctypes.data_as(ctypes.c_void_p),
+        vecor.ctypes.data_as(ctypes.c_void_p), n, float(target_exp),
+        int(win_bases), ws.ctypes.data_as(ctypes.c_void_p),
+        we.ctypes.data_as(ctypes.c_void_p),
+        wcov.ctypes.data_as(ctypes.c_void_p),
+        wexp.ctypes.data_as(ctypes.c_void_p),
+        z.ctypes.data_as(ctypes.c_void_p))
+    return ws[:k], we[:k], wcov[:k], wexp[:k], z[:k]
+
+
+def rd_flank_z(vcov, vexp, sub_exp: float):
+    """Sequential flank z-profile (cnv.h:88-110 rounding); returns a
+    list of <= 8 z values or None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vcov = np.ascontiguousarray(vcov, dtype=np.float64)
+    vexp = np.ascontiguousarray(vexp, dtype=np.float64)
+    z = np.empty(8, dtype=np.float64)
+    nz = lib.rd_flank_z(vcov.ctypes.data_as(ctypes.c_void_p),
+                        vexp.ctypes.data_as(ctypes.c_void_p),
+                        len(vcov), float(sub_exp),
+                        z.ctypes.data_as(ctypes.c_void_p))
+    return [float(x) for x in z[:nz]]
 
 
 def seq_range_sums(x, starts, ends):

@@ -2114,6 +2114,80 @@ void popgen_site_stats(const double* gl, int64_t n, double epsilon,
   out[7] = pvalue;
 }
 
+// Read-depth window builder with the reference's exact reset-to-zero
+// sequential accumulation (cnv.h:307-350): walk the valid positions in
+// order, accumulate coverage / raw expected / corrected expected, and
+// close a window when the raw expected sum reaches target_exp (>0) or
+// after win_bases valid positions.  Emits per-window [start, end)
+// genome coordinates, the coverage and corrected-expected sums, and
+// z = log2(max(cov/exp, 1/64)) computed with std::log2 like the
+// reference.  Returns the window count (capacity n is always enough —
+// every window consumes >= 1 valid position).
+int64_t rd_windows(const int64_t* vpos, const double* vcov,
+                   const double* ve1, const double* vecor, int64_t n,
+                   double target_exp, int64_t win_bases, int64_t* ws,
+                   int64_t* we, double* wcov, double* wexp, double* z) {
+  double covsum = 0, expraw = 0, expcor = 0;
+  int64_t winlen = 0, start = -1, k = 0;
+  const double rFloor = 1.0 / 64.0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (start < 0) start = vpos[i];
+    covsum += vcov[i];
+    expraw += ve1[i];
+    expcor += vecor[i];
+    ++winlen;
+    const bool close = (target_exp > 0) ? (expraw >= target_exp)
+                                        : (winlen >= win_bases);
+    if (close) {
+      const double r = (expcor > 0) ? (covsum / expcor) : 1.0;
+      z[k] = std::log2(r > rFloor ? r : rFloor);
+      ws[k] = start;
+      we[k] = vpos[i] + 1;
+      wcov[k] = covsum;
+      wexp[k] = expcor;
+      ++k;
+      covsum = 0;
+      expraw = 0;
+      expcor = 0;
+      winlen = 0;
+      start = -1;
+    }
+  }
+  if ((winlen > 0) && (start >= 0)) {  // trailing partial window flush
+    const double r = (expcor > 0) ? (covsum / expcor) : 1.0;
+    z[k] = std::log2(r > rFloor ? r : rFloor);
+    ws[k] = start;
+    we[k] = vpos[n - 1] + 1;
+    wcov[k] = covsum;
+    wexp[k] = expcor;
+    ++k;
+  }
+  return k;
+}
+
+// Flank z-profile for the CNV breakpoint CN-shift test with the
+// reference's exact accumulation (cnv.h:88-110): walk the (already
+// direction-ordered) valid-position slices, accumulate coverage and
+// expected coverage, and emit z = log2(max(cov/exp, 1/64)) each time
+// the expected sum reaches sub_exp (max 8 sub-windows).
+int32_t rd_flank_z(const double* vcov, const double* vexp, int64_t n,
+                   double sub_exp, double* z_out) {
+  double covsum = 0, expcov = 0;
+  const double rFloor = 1.0 / 64.0;
+  int32_t nz = 0;
+  for (int64_t i = 0; i < n && nz < 8; ++i) {
+    covsum += vcov[i];
+    expcov += vexp[i];
+    if (expcov >= sub_exp) {
+      const double r = covsum / expcov;
+      z_out[nz++] = std::log2(r > rFloor ? r : rFloor);
+      covsum = 0;
+      expcov = 0;
+    }
+  }
+  return nz;
+}
+
 // Squared Pearson correlation over shared-called dosages with the
 // reference's sequential accumulation (popgen.h:149-177); -1 when
 // fewer than min_shared shared calls or a degenerate variance.

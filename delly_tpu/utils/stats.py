@@ -216,3 +216,14 @@ def parse_exclude_intervals(exclude_path, header):
         if istart + 1 < header.lengths[tid]:
             valid[tid].append((istart, header.lengths[tid]))
     return valid
+
+
+def seq_sum(vals) -> float:
+    """Plain left-to-right float accumulation. CPython 3.12+ builtin
+    sum() compensates float error (Neumaier), which rounds differently
+    from the reference's sequential C loops — use this wherever a sum
+    mirrors a reference running total."""
+    acc = 0.0
+    for v in vals:
+        acc += v
+    return acc

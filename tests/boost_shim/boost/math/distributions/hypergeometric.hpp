@@ -1,0 +1,5 @@
+// No-op shim: contents unused by probe-instantiated code paths
+// (see probe_common.hpp).  NOT boost/htslib code.
+#ifndef DP_PROBE_SHIM_BOOST_MATH_DISTRIBUTIONS_HYPERGEOMETRIC_HPP
+#define DP_PROBE_SHIM_BOOST_MATH_DISTRIBUTIONS_HYPERGEOMETRIC_HPP
+#endif

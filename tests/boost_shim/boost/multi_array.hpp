@@ -11,6 +11,7 @@
 #include <cstddef>
 #include <memory>
 #include <string>
+#include <type_traits>
 #include <vector>
 
 namespace boost {
@@ -100,8 +101,17 @@ class tokenizer {
 };
 
 template <typename T>
-inline T lexical_cast(std::string const& s) {
+inline typename std::enable_if<!std::is_same<T, std::string>::value,
+                               T>::type
+lexical_cast(std::string const& s) {
   return static_cast<T>(std::stol(s));
+}
+
+template <typename T, typename S>
+inline typename std::enable_if<std::is_same<T, std::string>::value,
+                               T>::type
+lexical_cast(S const& v) {
+  return std::to_string(v);
 }
 
 }  // namespace boost

@@ -1,0 +1,5 @@
+// No-op shim: contents unused by probe-instantiated code paths
+// (see probe_common.hpp).  NOT boost/htslib code.
+#ifndef DP_PROBE_SHIM_HTSLIB_FAIDX_H
+#define DP_PROBE_SHIM_HTSLIB_FAIDX_H
+#endif

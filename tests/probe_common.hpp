@@ -75,9 +75,15 @@ inline std::string to_upper_copy(std::string const& s) {
   for (char& c : out) c = (char)std::toupper((unsigned char)c);
   return out;
 }
-// log banners in uninstantiated driver templates
+// log banners / VCF date strings in uninstantiated driver templates
+namespace gregorian {
+struct date {};
+std::string to_iso_string(date);
+}  // namespace gregorian
 namespace posix_time {
-struct ptime {};
+struct ptime {
+  gregorian::date date() const;
+};
 std::string to_simple_string(ptime);
 struct second_clock {
   static ptime local_time();
