@@ -41,7 +41,9 @@ struct samFile;
 struct hts_idx_t;
 struct hts_itr_t;
 struct faidx_t;
+#define BAM_FPAIRED 1
 #define BAM_FUNMAP 4
+#define BAM_FMUNMAP 8
 #define BAM_FREVERSE 16
 #define BAM_FMREVERSE 32
 #define BAM_FSECONDARY 256
