@@ -1,6 +1,36 @@
-// No-op shim: the reference header including this never uses its
-// contents in the probe-instantiated code paths (types/records come
-// from tests/probe_common.hpp).  NOT boost/htslib code.
+// Minimal functional stand-in for boost::filesystem::path as used by
+// the reference config structs (a string wrapper with .string()); the
+// free functions are declaration-only (named in uninstantiated driver
+// templates).  NOT boost code.
 #ifndef DP_PROBE_SHIM_BOOST_FILESYSTEM_HPP
 #define DP_PROBE_SHIM_BOOST_FILESYSTEM_HPP
+
+#include <string>
+
+namespace boost {
+namespace filesystem {
+
+class path {
+ public:
+  path() {}
+  path(std::string const& s) : s_(s) {}
+  path(const char* s) : s_(s) {}
+  std::string const& string() const { return s_; }
+  path stem() const;
+  path filename() const;
+  path parent_path() const;
+  bool empty() const { return s_.empty(); }
+  bool operator==(path const& o) const { return s_ == o.s_; }
+  bool operator<(path const& o) const { return s_ < o.s_; }
+
+ private:
+  std::string s_;
+};
+
+bool exists(path const&);
+std::uintmax_t file_size(path const&);
+
+}  // namespace filesystem
+}  // namespace boost
+
 #endif
