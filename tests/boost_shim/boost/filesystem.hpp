@@ -5,6 +5,7 @@
 #ifndef DP_PROBE_SHIM_BOOST_FILESYSTEM_HPP
 #define DP_PROBE_SHIM_BOOST_FILESYSTEM_HPP
 
+#include <ostream>
 #include <string>
 
 namespace boost {
@@ -29,6 +30,10 @@ class path {
 
 bool exists(path const&);
 std::uintmax_t file_size(path const&);
+
+inline std::ostream& operator<<(std::ostream& os, path const& p) {
+  return os << p.string();
+}
 
 }  // namespace filesystem
 }  // namespace boost

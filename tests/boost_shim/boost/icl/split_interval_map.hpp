@@ -38,6 +38,7 @@ class interval_set {
   void insert(discrete_interval<T> const& iv) { s_.insert(iv); }
   void clear() { s_.clear(); }
   std::size_t size() const { return s_.size(); }
+  bool empty() const { return s_.empty(); }
 
  private:
   storage s_;

@@ -1,0 +1,254 @@
+// Differential-oracle probe #10: drives the REFERENCE split-read
+// junction plane (/root/reference/src/junction.h, included as-is with
+// assemble.h and the DP stack) so delly_tpu/models/junctions.py can be
+// fuzzed against the real reference code actually executing: the
+// long-read CIGAR walk with indel-extension look-ahead merging
+// (findJunctions, junction.h:319-460, including the per-read junction
+// sort at :452), and the pairwise junction matchers
+// selectDeletions/Duplications/Inversions/Insertions/Translocations +
+// bridgeInsertions behind fetchSVs (junction.h:60-316,463-475).
+//
+// The htslib iteration layer is a functional REPLAY shim: records fed
+// on stdin are stored per (file, tid) and handed back through
+// sam_itr_next, so findJunctions runs its real loop.  hash_lr returns
+// the probe-assigned read id (grouping key only; junction semantics
+// do not depend on the hash value).
+//
+// stdin, one case per line:
+//   LR <minRefSep> <minClip> <indelExt> <minMapQual> <maxReadSep>
+//      <nchr> <chrlens,...> <nrec>
+//      then per record: <readid,tid,pos,flag,qual> <cigar>
+//      (cigar like 120M5000D80M900S)
+// stdout, one line per case:
+//   junctions "readid:fw,scleft,refidx,rstart,refpos,seqpos,qual|..."
+//   then "#" then per-svt SRBamRecords (sorted)
+//   "svt:chr,pos,chr2,pos2,rstart,sstart,qual,inslen,id|..."
+#include <algorithm>
+#include <cstdio>
+#include <cstring>
+#include <iostream>
+#include <map>
+#include <set>
+#include <sstream>
+
+#include "probe_common.hpp"
+
+#include <boost/filesystem.hpp>
+#include <boost/multi_array.hpp>
+#include <boost/icl/split_interval_map.hpp>
+#include <boost/unordered_map.hpp>
+
+// ---- functional replay IO layer (satisfies probe_common decls) ----
+struct samFile {
+  int idx;
+};
+struct hts_idx_t {
+  int idx;
+};
+struct hts_itr_t {
+  int file;
+  int tid;
+  std::size_t i;
+};
+static std::vector<std::map<int, std::vector<bam1_t> > > g_files;
+static std::vector<uint32_t> g_tlen;
+
+samFile* sam_open(const char* f, const char*) {
+  return new samFile{std::atoi(f)};
+}
+int sam_close(samFile* s) {
+  delete s;
+  return 0;
+}
+bam_hdr_t* sam_hdr_read(samFile*) {
+  static bam_hdr_t h;
+  h.n_targets = (int32_t)g_tlen.size();
+  h.target_len = g_tlen.data();
+  h.target_name = nullptr;
+  return &h;
+}
+void bam_hdr_destroy(bam_hdr_t*) {}
+hts_idx_t* sam_index_load(samFile* s, const char*) {
+  return new hts_idx_t{s->idx};
+}
+void hts_idx_destroy(hts_idx_t* i) { delete i; }
+int hts_set_fai_filename(samFile*, const char*) { return 0; }
+hts_itr_t* sam_itr_queryi(hts_idx_t* i, int tid, int64_t, int64_t) {
+  return new hts_itr_t{i->idx, tid, 0};  // probe regions = whole chr
+}
+void hts_itr_destroy(hts_itr_t* it) { delete it; }
+bam1_t* bam_init1() { return new bam1_t(); }
+void bam_destroy1(bam1_t* b) { delete b; }
+int sam_itr_next(samFile*, hts_itr_t* it, bam1_t* rec) {
+  std::vector<bam1_t>& v = g_files[it->file][it->tid];
+  if (it->i >= v.size()) return -1;
+  *rec = v[it->i++];
+  return 0;
+}
+
+namespace boost {
+namespace posix_time {
+// instantiated banner path: stub the clock/format decls
+inline ptime second_clock::local_time() { return ptime(); }
+std::string to_simple_string(ptime) { return std::string(); }
+}  // namespace posix_time
+}  // namespace boost
+
+namespace torali {
+// probe read-id stand-ins for util.h's qname hashes (grouping only)
+inline std::size_t hash_lr(bam1_t* r) { return r->seed_; }
+inline std::size_t hash_sr(bam1_t* r) { return r->seed_; }
+std::size_t hash_pair(bam1_t*);
+std::size_t hash_pair_mate(bam1_t*);
+// util.h:429-438 — read length incl. hard clips
+inline int32_t readLength(bam1_t const* rec) {
+  const uint32_t* cigar = bam_get_cigar(rec);
+  int32_t totalHardClip = 0;
+  for (std::size_t ci = 0; ci < rec->core.n_cigar; ++ci)
+    if (bam_cigar_op(cigar[ci]) == BAM_CHARD_CLIP)
+      totalHardClip += bam_cigar_oplen(cigar[ci]);
+  return (int32_t)rec->core.l_qseq + totalHardClip;
+}
+// named in the uninstantiated alt-alignment branch
+struct Graph {
+  boost::unordered_map<std::string, uint32_t> smap;
+};
+bool isBamCram(std::string const&);
+}  // namespace torali
+
+#define UTIL_H       // helpers restated above / pulled via probe_common
+#define PANGENOME_H  // graph path never instantiated
+
+#include "junction.h"
+
+using namespace torali;
+
+struct Cfg {
+  uint32_t minRefSep;
+  uint32_t minClip;
+  float indelExtension;
+  uint16_t minMapQual;
+  uint32_t maxReadSep;
+  bool hasAltFile = false;
+  std::set<int32_t> svtset;
+  std::vector<boost::filesystem::path> files;
+  boost::filesystem::path genome;
+};
+
+static std::vector<uint32_t> parseCigar(std::string const& s) {
+  std::vector<uint32_t> out;
+  const char* ops = "MIDNSHP=X";
+  uint32_t len = 0;
+  for (char ch : s) {
+    if (ch >= '0' && ch <= '9') {
+      len = len * 10 + (ch - '0');
+    } else {
+      const char* p = std::strchr(ops, ch);
+      out.push_back((len << 4) | (uint32_t)(p - ops));
+      len = 0;
+    }
+  }
+  return out;
+}
+
+int main() {
+  std::string line;
+  while (std::getline(std::cin, line)) {
+    std::istringstream ss(line);
+    std::string op;
+    ss >> op;
+    if (op != "LR") continue;
+    Cfg c;
+    int nchr, nrec;
+    std::string lens;
+    ss >> c.minRefSep >> c.minClip >> c.indelExtension >>
+        c.minMapQual >> c.maxReadSep >> nchr >> lens >> nrec;
+    g_tlen.clear();
+    {
+      std::istringstream ls(lens);
+      std::string item;
+      while (std::getline(ls, item, ',')) g_tlen.push_back(std::stoul(item));
+    }
+    g_files.assign(1, std::map<int, std::vector<bam1_t> >());
+    c.files.push_back(boost::filesystem::path("0"));
+    for (int i = 0; i < nrec; ++i) {
+      std::string meta, cig;
+      ss >> meta >> cig;
+      std::istringstream ms(meta);
+      std::string item;
+      std::vector<long> f;
+      while (std::getline(ms, item, ',')) f.push_back(std::stol(item));
+      bam1_t r;
+      r.seed_ = (std::size_t)f[0];
+      r.core.tid = (int32_t)f[1];
+      r.core.pos = (int32_t)f[2];
+      r.core.flag = (uint16_t)f[3];
+      r.core.qual = (uint8_t)f[4];
+      r.cigar_ = parseCigar(cig);
+      r.core.n_cigar = (uint32_t)r.cigar_.size();
+      int32_t ql = 0;  // l_qseq = query length excl. hard clips
+      for (uint32_t cg : r.cigar_) {
+        int o = bam_cigar_op(cg);
+        if (o == BAM_CMATCH || o == BAM_CINS || o == BAM_CSOFT_CLIP ||
+            o == BAM_CEQUAL || o == BAM_CDIFF)
+          ql += bam_cigar_oplen(cg);
+      }
+      r.core.l_qseq = ql;
+      r.qname_ = "r" + std::to_string(f[0]);
+      g_files[0][r.core.tid].push_back(r);
+    }
+    // whole-chromosome valid regions
+    typedef boost::icl::interval_set<uint32_t> TChrIntervals;
+    std::vector<TChrIntervals> validRegions(g_tlen.size());
+    for (std::size_t k = 0; k < g_tlen.size(); ++k)
+      validRegions[k].insert(
+          boost::icl::discrete_interval<uint32_t>::right_open(
+              0, g_tlen[k]));
+
+    typedef std::vector<Junction> TJunctionVector;
+    typedef boost::unordered_map<std::size_t, TJunctionVector> TReadBp;
+    TReadBp readBp;
+    std::set<std::size_t> validSR;
+    findJunctions(c, validRegions, readBp, validSR);
+
+    // dump junctions sorted by (readid, vector order)
+    std::vector<std::size_t> seeds;
+    for (auto const& kv : readBp) seeds.push_back(kv.first);
+    std::sort(seeds.begin(), seeds.end());
+    bool first = true;
+    for (std::size_t s : seeds)
+      for (Junction const& j : readBp[s]) {
+        std::cout << (first ? "" : "|") << s << ':' << (j.forward ? 1 : 0)
+                  << ',' << (j.scleft ? 1 : 0) << ',' << j.refidx << ','
+                  << j.rstart << ',' << j.refpos << ',' << j.seqpos
+                  << ',' << j.qual;
+        first = false;
+      }
+    if (first) std::cout << '-';
+    std::cout << " # ";
+    // fetchSVs over all svts; sort each bucket for order independence
+    std::vector<std::vector<SRBamRecord> > br(2 * DELLY_SVT_TRANS);
+    fetchSVs(c, readBp, br);
+    first = true;
+    for (std::size_t svt = 0; svt < br.size(); ++svt) {
+      std::sort(br[svt].begin(), br[svt].end(),
+                [](SRBamRecord const& a, SRBamRecord const& b) {
+                  return std::tie(a.chr, a.pos, a.chr2, a.pos2, a.id,
+                                  a.sstart) <
+                         std::tie(b.chr, b.pos, b.chr2, b.pos2, b.id,
+                                  b.sstart);
+                });
+      for (SRBamRecord const& r : br[svt]) {
+        std::cout << (first ? "" : "|") << svt << ':' << r.chr << ','
+                  << r.pos << ',' << r.chr2 << ',' << r.pos2 << ','
+                  << r.rstart << ',' << r.sstart << ',' << r.qual
+                  << ',' << r.inslen << ',' << r.id;
+        first = false;
+      }
+    }
+    if (first) std::cout << '-';
+    std::cout << '\n';
+    std::cout.flush();
+  }
+  return 0;
+}

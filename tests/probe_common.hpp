@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <limits>
 #include <string>
+#include <unordered_set>
 #include <vector>
 
 // --- htslib shims ---
@@ -28,9 +29,16 @@ struct bam1_core_t {
   int32_t mtid;
   int32_t mpos;
   int64_t isize;
+  uint32_t n_cigar;
 };
+// Functional record: layout is probe-defined (reference code only
+// touches it through the core fields and the accessor macros below).
 struct bam1_t {
   bam1_core_t core;
+  std::vector<uint32_t> cigar_;
+  std::string qname_;
+  std::vector<uint8_t> seq4_;  // packed 4-bit nt16 codes
+  std::size_t seed_ = 0;       // probe-assigned read id (hash_* stub)
 };
 struct bam_hdr_t {
   int32_t n_targets;
@@ -50,10 +58,31 @@ struct faidx_t;
 #define BAM_FQCFAIL 512
 #define BAM_FDUP 1024
 #define BAM_FSUPPLEMENTARY 2048
-// declaration-only API surface (named inside uninstantiated templates)
-const char* bam_get_qname(bam1_t*);
-uint8_t* bam_get_seq(bam1_t*);
-int bam_seqi(uint8_t*, int);
+// htslib CIGAR encoding (public wire-format constants)
+#define BAM_CMATCH 0
+#define BAM_CINS 1
+#define BAM_CDEL 2
+#define BAM_CREF_SKIP 3
+#define BAM_CSOFT_CLIP 4
+#define BAM_CHARD_CLIP 5
+#define BAM_CPAD 6
+#define BAM_CEQUAL 7
+#define BAM_CDIFF 8
+#define bam_cigar_op(c) ((c) & 0xf)
+#define bam_cigar_oplen(c) ((c) >> 4)
+// functional record accessors over the probe-defined layout
+inline const char* bam_get_qname(const bam1_t* b) {
+  return b->qname_.c_str();
+}
+inline uint32_t* bam_get_cigar(const bam1_t* b) {
+  return const_cast<uint32_t*>(b->cigar_.data());
+}
+inline uint8_t* bam_get_seq(const bam1_t* b) {
+  return const_cast<uint8_t*>(b->seq4_.data());
+}
+inline int bam_seqi(const uint8_t* s, int i) {
+  return (s[i >> 1] >> ((~i & 1) << 2)) & 0xf;
+}
 void bam_hdr_destroy(bam_hdr_t*);
 samFile* sam_open(const char*, const char*);
 int sam_close(samFile*);
@@ -154,6 +183,16 @@ inline std::string _addAlleles(std::string const& ref,
     if (ct == 3) return ref + ",]" + chr2 + ":" + pos2 + "]" + ref;
   }
   return ref + ",<" + _addID(svt) + ">";
+}
+
+// util.h:273-285 — CT orientation string per svt.
+inline std::string _addOrientation(int32_t const svt) {
+  uint8_t ct = _getSpanOrientation(svt);
+  if (ct == 0) return "3to3";
+  if (ct == 1) return "5to5";
+  if (ct == 2) return "3to5";
+  if (ct == 3) return "5to3";
+  return "NtoN";
 }
 
 // util.h:102-130 — debug printers, named only in comments/templates.
