@@ -1,6 +1,5 @@
-// No-op shim: the reference header including this never uses its
-// contents in the probe-instantiated code paths (types/records come
-// from tests/probe_common.hpp).  NOT boost/htslib code.
+// See filtering_stream.hpp in this directory.
 #ifndef DP_PROBE_SHIM_BOOST_IOSTREAMS_FILTER_GZIP_HPP
 #define DP_PROBE_SHIM_BOOST_IOSTREAMS_FILTER_GZIP_HPP
+#include <boost/iostreams/filtering_stream.hpp>
 #endif

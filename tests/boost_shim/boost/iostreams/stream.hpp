@@ -1,5 +1,5 @@
 // See filtering_stream.hpp in this directory.
-#ifndef DP_PROBE_SHIM_BOOST_IOSTREAMS_STREAMBUF
-#define DP_PROBE_SHIM_BOOST_IOSTREAMS_STREAMBUF
+#ifndef DP_PROBE_SHIM_BOOST_IOSTREAMS_STREAM_HPP
+#define DP_PROBE_SHIM_BOOST_IOSTREAMS_STREAM_HPP
 #include <boost/iostreams/filtering_stream.hpp>
 #endif

@@ -38,6 +38,7 @@ struct bam1_t {
   std::vector<uint32_t> cigar_;
   std::string qname_;
   std::vector<uint8_t> seq4_;  // packed 4-bit nt16 codes
+  std::vector<uint8_t> aux_;   // htslib aux wire format: tag,tag,type,...
   std::size_t seed_ = 0;       // probe-assigned read id (hash_* stub)
 };
 struct bam_hdr_t {
@@ -82,6 +83,57 @@ inline uint8_t* bam_get_seq(const bam1_t* b) {
 }
 inline int bam_seqi(const uint8_t* s, int i) {
   return (s[i >> 1] >> ((~i & 1) << 2)) & 0xf;
+}
+inline int64_t bam_aux2i(const uint8_t* s) {
+  switch ((char)*s) {
+    case 'c': return (int8_t)s[1];
+    case 'C': return (uint8_t)s[1];
+    case 's': return (int16_t)((uint16_t)s[1] | ((uint16_t)s[2] << 8));
+    case 'S': return (uint16_t)s[1] | ((uint16_t)s[2] << 8);
+    case 'i': case 'I': {
+      uint32_t v = (uint32_t)s[1] | ((uint32_t)s[2] << 8) |
+                   ((uint32_t)s[3] << 16) | ((uint32_t)s[4] << 24);
+      return ((char)*s == 'i') ? (int32_t)v : (int64_t)v;
+    }
+    default: return 0;
+  }
+}
+inline char* bam_aux2Z(const uint8_t* s) {
+  return (char*)(s + 1);
+}
+// functional aux scan over the htslib tag wire format
+inline uint8_t* bam_aux_get(const bam1_t* b, const char tag[2]) {
+  const uint8_t* p = b->aux_.data();
+  const uint8_t* end = p + b->aux_.size();
+  while (p + 3 <= end) {
+    const uint8_t* rec = p;
+    char type = (char)p[2];
+    p += 3;
+    std::size_t sz = 0;
+    switch (type) {
+      case 'A': case 'c': case 'C': sz = 1; break;
+      case 's': case 'S': sz = 2; break;
+      case 'i': case 'I': case 'f': sz = 4; break;
+      case 'Z': case 'H':
+        while (p + sz < end && p[sz]) ++sz;
+        ++sz;
+        break;
+      case 'B': {
+        char sub = (char)p[0];
+        uint32_t n = (uint32_t)p[1] | ((uint32_t)p[2] << 8) |
+                     ((uint32_t)p[3] << 16) | ((uint32_t)p[4] << 24);
+        std::size_t esz = (sub == 'c' || sub == 'C') ? 1
+                          : (sub == 's' || sub == 'S') ? 2 : 4;
+        sz = 5 + (std::size_t)n * esz;
+        break;
+      }
+      default: return nullptr;
+    }
+    if (rec[0] == (uint8_t)tag[0] && rec[1] == (uint8_t)tag[1])
+      return const_cast<uint8_t*>(rec + 2);
+    p += sz;
+  }
+  return nullptr;
 }
 void bam_hdr_destroy(bam_hdr_t*);
 samFile* sam_open(const char*, const char*);
