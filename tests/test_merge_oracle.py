@@ -21,12 +21,13 @@ import types
 import numpy as np
 import pytest
 
+from delly_tpu.models.sr import merge_sort
 from delly_tpu.models.merge import (
     MergeConfig, MergeSV, UnionFind, best_seq_identity,
     merge_decode_svt, min_rotation, parse_bnd_mate, rec_overlap,
     seq_identity, subtype_code, sv_match,
 )
-from delly_tpu.utils.tags import decode_orientation
+from delly_tpu.utils.tags import StructuralVariantRecord, decode_orientation
 
 REF_SRC = "/root/reference/src"
 PROBE_SRC = os.path.join(os.path.dirname(__file__), "merge_probe.cpp")
@@ -52,6 +53,17 @@ def oracle(tmp_path_factory):
     (gen / "merge_slice.h").write_text(
         _slice(os.path.join(REF_SRC, "merge.h"), "namespace torali",
                "_collectSVtype", off_end=-2) + "}\n")
+    sp = open(os.path.join(REF_SRC, "shortpe.h")).read().splitlines(
+        keepends=True)
+    start = next(i for i, ln in enumerate(sp)
+                 if "mergeSort(std::vector" in ln) - 1
+    tail = sp[start:]
+    while tail and tail[-1].strip() in ("", "#endif"):
+        tail.pop()
+    assert tail[-1].strip() == "}"
+    tail.pop()
+    (gen / "shortpe_slice.h").write_text(
+        "namespace torali {\n" + "".join(tail) + "\n}\n")
     exe = str(gen / "probe")
     subprocess.run(
         ["g++", "-O2", "-std=c++17", "-I", str(gen), "-I", SHIM_DIR,
@@ -217,3 +229,101 @@ def test_unionfind_matches_reference(oracle):
             uf.unite(a, b)
         assert [uf.find(i) for i in range(n)] == \
             [int(x) for x in out.split(",")], (n, pairs)
+
+
+def _sv(rng, svt, precise):
+    start = rng.randint(1000, 40000)
+    end = start + rng.randint(150, 8000)
+    sv = StructuralVariantRecord()
+    sv.chr = rng.randint(0, 1)
+    sv.chr2 = sv.chr if svt < 5 else rng.randint(0, 1)
+    sv.svStart = start
+    sv.svEnd = end
+    sv.svt = svt
+    sv.precise = precise
+    if precise:
+        ci = rng.randint(1, 15)
+        sv.srSupport = rng.randint(0, 9)
+        sv.srMapQuality = rng.randint(10, 60)
+        sv.srAlignQuality = float(np.float32(rng.uniform(0.0, 1.0)))
+        sv.consensus = "ACGT" * rng.randint(1, 5)
+        sv.consBp = rng.randint(10, 80)
+        sv.insLen = rng.choice([0, rng.randint(1, 50)])
+        sv.homLen = rng.randint(0, 12)
+        sv.mapq = sv.srSupport * 40
+    else:
+        ci = rng.randint(30, 400)
+        sv.peSupport = rng.randint(2, 15)
+        sv.mapq = sv.peSupport * 40
+    sv.ciposlow, sv.ciposhigh = -ci, ci
+    sv.ciendlow, sv.ciendhigh = -ci, ci
+    return sv
+
+
+def test_merge_sort_matches_reference(oracle):
+    """PE/SR reconciliation (shortpe.h:536-621): SR records augment
+    imprecise PE records whose confidence interval contains them;
+    SR-only records append unless a better precise duplicate exists."""
+    rng = random.Random(8484)
+    cases = []
+    for _ in range(120):
+        pe, sr = [], []
+        for _ in range(rng.randint(0, 8)):
+            svt = rng.choice([0, 1, 2, 2, 3, 4, 5])
+            p = _sv(rng, svt, False)
+            pe.append(p)
+            # SR records near the PE record (augmentation candidates)
+            for _ in range(rng.randint(0, 2)):
+                s = _sv(rng, svt if rng.random() < 0.8 else 2, True)
+                s.chr, s.chr2 = p.chr, p.chr2
+                s.svStart = p.svStart + rng.randint(-60, 60)
+                s.svEnd = p.svEnd + rng.randint(-60, 60)
+                sr.append(s)
+        for _ in range(rng.randint(0, 6)):  # SR-only + near-duplicates
+            s = _sv(rng, rng.choice([0, 2, 3, 4]), True)
+            sr.append(s)
+            if rng.random() < 0.5:
+                d = _sv(rng, s.svt, True)
+                d.chr, d.chr2 = s.chr, s.chr2
+                d.svStart = s.svStart + rng.randint(-8, 8)
+                d.svEnd = s.svEnd + rng.randint(-8, 8)
+                sr.append(d)
+        for _ in range(rng.randint(0, 2)):  # failed assemblies ignored
+            s = _sv(rng, 2, True)
+            if rng.random() < 0.5:
+                s.srSupport = 0
+            else:
+                s.srAlignQuality = 0.0
+            sr.append(s)
+        for i, s in enumerate(pe + sr):
+            s.id = i
+        cases.append((pe, sr))
+
+    def enc(s):
+        return (f"{s.chr},{s.svStart},{s.chr2},{s.svEnd},{s.ciposlow},"
+                f"{s.ciposhigh},{s.ciendlow},{s.ciendhigh},"
+                f"{s.peSupport},{s.srSupport},{s.srMapQuality},"
+                f"{s.mapq},{s.insLen},{s.homLen},{s.svt},"
+                f"{1 if s.precise else 0},{s.consBp},{s.id} "
+                f"{np.float32(s.srAlignQuality):.9g} "
+                f"{s.consensus or '.'}")
+
+    import copy
+    lines = [f"MERGESORT {len(pe)} {len(sr)} "
+             + " ".join(enc(s) for s in pe + sr)
+             for pe, sr in cases]
+    n_aug = 0
+    for (pe, sr), out in zip(cases, oracle(lines)):
+        pe2 = copy.deepcopy(pe)
+        sr2 = copy.deepcopy(sr)
+        merge_sort(pe2, sr2)
+        mine = "|".join(
+            f"{s.chr},{s.svStart},{s.chr2},{s.svEnd},{s.ciposlow},"
+            f"{s.ciposhigh},{s.ciendlow},{s.ciendhigh},{s.peSupport},"
+            f"{s.srSupport},{s.srMapQuality},{s.mapq},{s.insLen},"
+            f"{s.homLen},{s.svt},{1 if s.precise else 0},{s.consBp},"
+            f"{s.id},{np.float32(s.srAlignQuality):.9g},"
+            f"{s.consensus or '.'}" for s in pe2) or "-"
+        assert mine == out, (len(pe), len(sr))
+        n_aug += sum(1 for s in pe2 if s.precise)
+    assert n_aug >= 80
