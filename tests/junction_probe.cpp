@@ -15,6 +15,10 @@
 // do not depend on the hash value).
 //
 // stdin, one case per line:
+//   LIBPARAMS <madNormalCutoff> <madCutoff> <nchr> <chrlens,...>
+//      <nrec> then per record:
+//      <tid,pos,flag,qual,lqseq,mtid,mpos,isize>
+//      -> rs median mad minN maxN minCut maxCut  (util.h:771-891)
 //   LR <minRefSep> <minClip> <indelExt> <minMapQual> <maxReadSep>
 //      <nchr> <chrlens,...> <nrec>
 //      then per record: <readid,tid,pos,flag,qual> <cigar>
@@ -109,6 +113,17 @@ inline int32_t readLength(bam1_t const* rec) {
       totalHardClip += bam_cigar_oplen(cigar[ci]);
   return (int32_t)rec->core.l_qseq + totalHardClip;
 }
+// util.h:29-40 — library insert-size summary (plain struct restated)
+struct LibraryInfo {
+  int32_t rs = 0;
+  int32_t median = 0;
+  int32_t mad = 0;
+  int32_t minNormalISize = 0;
+  int32_t minISizeCutoff = 0;
+  int32_t maxNormalISize = 0;
+  int32_t maxISizeCutoff = 0;
+  uint32_t abnormal_pairs = 0;
+};
 // named in the uninstantiated alt-alignment branch
 struct Graph {
   boost::unordered_map<std::string, uint32_t> smap;
@@ -120,6 +135,17 @@ bool isBamCram(std::string const&);
 #define PANGENOME_H  // graph path never instantiated
 
 #include "junction.h"
+
+// getLibraryParams, compiled byte-exact from the reference via a
+// sed slice the test fixture generates (UTIL_H is predefined above)
+#include "util_libparams_slice.h"
+
+struct LibCfg {
+  int32_t madNormalCutoff;
+  int32_t madCutoff;
+  std::vector<boost::filesystem::path> files;
+  boost::filesystem::path genome;
+};
 
 using namespace torali;
 
@@ -157,6 +183,56 @@ int main() {
     std::istringstream ss(line);
     std::string op;
     ss >> op;
+    if (op == "LIBPARAMS") {
+      LibCfg c;
+      int nchr, nrec;
+      std::string lens;
+      ss >> c.madNormalCutoff >> c.madCutoff >> nchr >> lens >> nrec;
+      g_tlen.clear();
+      {
+        std::istringstream ls(lens);
+        std::string item;
+        while (std::getline(ls, item, ','))
+          g_tlen.push_back(std::stoul(item));
+      }
+      g_files.assign(1, std::map<int, std::vector<bam1_t> >());
+      c.files.push_back(boost::filesystem::path("0"));
+      for (int i = 0; i < nrec; ++i) {
+        std::string meta;
+        ss >> meta;
+        std::istringstream ms(meta);
+        std::string item;
+        std::vector<long> f;
+        while (std::getline(ms, item, ','))
+          f.push_back(std::stol(item));
+        bam1_t r;
+        r.core = bam1_core_t{};
+        r.core.tid = (int32_t)f[0];
+        r.core.pos = (int32_t)f[1];
+        r.core.flag = (uint16_t)f[2];
+        r.core.qual = (uint8_t)f[3];
+        r.core.l_qseq = (int32_t)f[4];
+        r.core.mtid = (int32_t)f[5];
+        r.core.mpos = (int32_t)f[6];
+        r.core.isize = f[7];
+        g_files[0][r.core.tid].push_back(r);
+      }
+      typedef boost::icl::interval_set<uint32_t> TChrIntervals;
+      std::vector<TChrIntervals> validRegions(g_tlen.size());
+      for (std::size_t k = 0; k < g_tlen.size(); ++k)
+        validRegions[k].insert(
+            boost::icl::discrete_interval<uint32_t>::right_open(
+                0, g_tlen[k]));
+      std::vector<LibraryInfo> libs(1);
+      getLibraryParams(c, validRegions, libs);
+      std::cout << libs[0].rs << ' ' << libs[0].median << ' '
+                << libs[0].mad << ' ' << libs[0].minNormalISize << ' '
+                << libs[0].maxNormalISize << ' '
+                << libs[0].minISizeCutoff << ' '
+                << libs[0].maxISizeCutoff << '\n';
+      std::cout.flush();
+      continue;
+    }
     if (op != "LR") continue;
     Cfg c;
     int nchr, nrec;

@@ -55,6 +55,8 @@ struct faidx_t;
 #define BAM_FMUNMAP 8
 #define BAM_FREVERSE 16
 #define BAM_FMREVERSE 32
+#define BAM_FREAD1 64
+#define BAM_FREAD2 128
 #define BAM_FSECONDARY 256
 #define BAM_FQCFAIL 512
 #define BAM_FDUP 1024

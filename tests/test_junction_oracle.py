@@ -39,10 +39,22 @@ def oracle(tmp_path_factory):
     if (shutil.which("g++") is None
             or not os.path.isfile(os.path.join(REF_SRC, "junction.h"))):
         pytest.skip("g++ or reference junction.h unavailable")
-    exe = str(tmp_path_factory.mktemp("junction_oracle") / "probe")
+    gen = tmp_path_factory.mktemp("junction_oracle")
+    lines_u = open(os.path.join(REF_SRC, "util.h")).read().splitlines(
+        keepends=True)
+    a = next(i for i, ln in enumerate(lines_u)
+             if "getLibraryParams(TConfig" in ln) - 2
+    b = next(i for i in range(a, len(lines_u))
+             if "sam_close(samfile[file_c]);" in lines_u[i])
+    while lines_u[b].rstrip() != "  }":
+        b += 1
+    (gen / "util_libparams_slice.h").write_text(
+        "namespace torali {\n" + "".join(lines_u[a:b + 1]) + "\n}\n")
+    exe = str(gen / "probe")
     subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-I", SHIM_DIR, "-I", REF_SRC,
-         PROBE_SRC, os.path.join(REF_SRC, "edlib.cpp"), "-o", exe],
+        ["g++", "-O2", "-std=c++17", "-I", str(gen), "-I", SHIM_DIR,
+         "-I", REF_SRC, PROBE_SRC,
+         os.path.join(REF_SRC, "edlib.cpp"), "-o", exe],
         check=True, capture_output=True)
 
     def run(lines):
@@ -199,3 +211,82 @@ def test_lr_junctions_and_svs_match_reference(oracle):
         n_junc += len(ref_j)
         n_sv += len(ref_sv)
     assert n_junc >= 300 and n_sv >= 60, (n_junc, n_sv)
+
+
+def test_library_params_match_reference(oracle):
+    """Insert-size library characterization (util.h:771-891): flag
+    gating, sampling caps, median/MAD, orientation tally, cutoff
+    floors — vs our vectorized get_library_params over the identical
+    record stream."""
+    import types
+
+    from delly_tpu.utils.stats import get_library_params
+
+    rng = random.Random(9393)
+    cases = []
+    for _ in range(12):
+        nchr = rng.randint(1, 2)
+        chrlens = [1000000] * nchr
+        median = rng.choice([350, 500, 42, 120000])
+        mad = rng.randint(10, 60)
+        fr_frac = rng.choice([0.95, 0.95, 0.3])
+        nrec = rng.randint(900, 2600)
+        recs = []
+        pos = 100
+        for i in range(nrec):
+            tid = rng.randrange(nchr)
+            lq = rng.choice([150, 151, 250])
+            isz = int(rng.gauss(median, 1.4826 * mad))
+            flag = 0x1 | 0x2 | 0x40  # paired, proper, read1
+            if rng.random() < fr_frac:
+                flag |= 0x20  # mate reverse (FR layout, pos < mpos)
+                mpos = pos + max(0, isz - lq)
+            else:
+                flag |= 0x10
+                mpos = pos + max(0, isz - lq)
+            r = rng.random()
+            if r < 0.06:
+                flag |= rng.choice([0x100, 0x400, 0x200, 0x800, 0x4])
+            elif r < 0.10:
+                flag = (flag & ~0x40) | 0x80  # READ2: screened out
+            elif r < 0.13:
+                flag |= 0x8  # mate unmapped
+            recs.append((tid, pos, flag, 60, lq, tid, mpos, isz))
+            pos += rng.randint(50, 400)
+        cases.append((chrlens, recs))
+    lines = []
+    for chrlens, recs in cases:
+        toks = " ".join(",".join(map(str, r)) for r in recs)
+        lines.append(f"LIBPARAMS 5 9 {len(chrlens)} "
+                     + ",".join(map(str, chrlens))
+                     + f" {len(recs)} {toks}")
+    outs = oracle(lines)
+    for (chrlens, recs), out in zip(cases, outs):
+        rs, med, mad_, mn, mx, mnc, mxc = (int(x) for x in out.split())
+
+        class _SoaBam:
+            class header:
+                n_targets = len(chrlens)
+                lengths = chrlens
+
+            @staticmethod
+            def iter_soa_chunks():
+                import numpy as np
+                order = sorted(range(len(recs)),
+                               key=lambda i: (recs[i][0], recs[i][1]))
+                cols = list(zip(*[recs[i] for i in order]))
+                soa = {"tid": np.asarray(cols[0], dtype=np.int32),
+                       "pos": np.asarray(cols[1], dtype=np.int64),
+                       "flag": np.asarray(cols[2], dtype=np.int32),
+                       "lqseq": np.asarray(cols[4], dtype=np.int32),
+                       "mtid": np.asarray(cols[5], dtype=np.int32),
+                       "mpos": np.asarray(cols[6], dtype=np.int64),
+                       "tlen": np.asarray(cols[7], dtype=np.int64)}
+                yield types.SimpleNamespace(soa=soa)
+
+        vr = [[(0, L)] for L in chrlens]
+        lib = get_library_params(_SoaBam, vr)
+        assert (lib.rs, lib.median, lib.mad, lib.minNormalISize,
+                lib.maxNormalISize, lib.minISizeCutoff,
+                lib.maxISizeCutoff) == (rs, med, mad_, mn, mx, mnc,
+                                        mxc), (len(recs),)
