@@ -1,0 +1,4 @@
+// No-op shim (see probe_common.hpp).  NOT boost code.
+#ifndef DP_PROBE_SHIM_BOOST_GRAPH_GRAPHVIZ_HPP
+#define DP_PROBE_SHIM_BOOST_GRAPH_GRAPHVIZ_HPP
+#endif

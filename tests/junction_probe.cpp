@@ -42,61 +42,7 @@
 #include <boost/icl/split_interval_map.hpp>
 #include <boost/unordered_map.hpp>
 
-// ---- functional replay IO layer (satisfies probe_common decls) ----
-struct samFile {
-  int idx;
-};
-struct hts_idx_t {
-  int idx;
-};
-struct hts_itr_t {
-  int file;
-  int tid;
-  std::size_t i;
-};
-static std::vector<std::map<int, std::vector<bam1_t> > > g_files;
-static std::vector<uint32_t> g_tlen;
-
-samFile* sam_open(const char* f, const char*) {
-  return new samFile{std::atoi(f)};
-}
-int sam_close(samFile* s) {
-  delete s;
-  return 0;
-}
-bam_hdr_t* sam_hdr_read(samFile*) {
-  static bam_hdr_t h;
-  h.n_targets = (int32_t)g_tlen.size();
-  h.target_len = g_tlen.data();
-  h.target_name = nullptr;
-  return &h;
-}
-void bam_hdr_destroy(bam_hdr_t*) {}
-hts_idx_t* sam_index_load(samFile* s, const char*) {
-  return new hts_idx_t{s->idx};
-}
-void hts_idx_destroy(hts_idx_t* i) { delete i; }
-int hts_set_fai_filename(samFile*, const char*) { return 0; }
-hts_itr_t* sam_itr_queryi(hts_idx_t* i, int tid, int64_t, int64_t) {
-  return new hts_itr_t{i->idx, tid, 0};  // probe regions = whole chr
-}
-void hts_itr_destroy(hts_itr_t* it) { delete it; }
-bam1_t* bam_init1() { return new bam1_t(); }
-void bam_destroy1(bam1_t* b) { delete b; }
-int sam_itr_next(samFile*, hts_itr_t* it, bam1_t* rec) {
-  std::vector<bam1_t>& v = g_files[it->file][it->tid];
-  if (it->i >= v.size()) return -1;
-  *rec = v[it->i++];
-  return 0;
-}
-
-namespace boost {
-namespace posix_time {
-// instantiated banner path: stub the clock/format decls
-inline ptime second_clock::local_time() { return ptime(); }
-std::string to_simple_string(ptime) { return std::string(); }
-}  // namespace posix_time
-}  // namespace boost
+#include "probe_replay.hpp"
 
 namespace torali {
 // probe read-id stand-ins for util.h's qname hashes (grouping only)
