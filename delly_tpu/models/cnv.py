@@ -56,6 +56,17 @@ class CNV:
         return (self.chr, self.start, self.end, self.cn)
 
 
+def uniq_threshold(cfg) -> float:
+    """The uniqueness threshold `c.fragmentUnique * c.meanisize` is a
+    FLOAT product in the reference (CountDNAConfig.fragmentUnique is
+    float, coral.h:60; usual conversions make the whole comparison
+    float32) — a float64 0.97*300 lands one ulp BELOW 291 while the
+    reference's float32 product lands above it, flipping any position
+    whose uniqContent sits exactly on the boundary."""
+    return float(np.float32(cfg.fragment_unique)
+                 * np.float32(cfg.meanisize))
+
+
 @dataclass
 class SVBreakpoint:
     """cnv.h:34-47."""
@@ -81,7 +92,7 @@ def collect_breakpoints(cfg, gcbound, gc_content, uniq_content, gcbias,
 
     cov_curve = np.asarray([gb.coverage for gb in gcbias])
     valid = ((gc_content > gcbound[0]) & (gc_content < gcbound[1])
-             & (uniq_content >= cfg.fragment_unique * cfg.meanisize))
+             & (uniq_content >= uniq_threshold(cfg)))
     vpos = np.nonzero(valid)[0]
     vcov = cov[vpos].astype(np.float64)
     vexp = cov_curve[gc_content[vpos].astype(np.int64)]
@@ -226,7 +237,7 @@ def segment_rd(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
 
     cov_curve = np.asarray([gb.coverage for gb in gcbias])
     valid = ((gc_content > gcbound[0]) & (gc_content < gcbound[1])
-             & (uniq_content >= cfg.fragment_unique * cfg.meanisize))
+             & (uniq_content >= uniq_threshold(cfg)))
     vpos = np.nonzero(valid)[0]
     if len(vpos) == 0:
         return
@@ -392,7 +403,7 @@ def genotype_cnvs(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
     """Per-CNV CN / mappable / uniqfrac / SD (cnv.h:137-202)."""
     cov_curve = np.asarray([gb.coverage for gb in gcbias])
     valid = ((gc_content > gcbound[0]) & (gc_content < gcbound[1])
-             & (uniq_content >= cfg.fragment_unique * cfg.meanisize))
+             & (uniq_content >= uniq_threshold(cfg)))
     for cnv in cnvs:
         if cnv.chr != ref_index:
             continue
@@ -404,12 +415,11 @@ def genotype_cnvs(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
         m = valid[lo:hi]
         idx = np.nonzero(m)[0] + lo
         winlen = len(idx)
-        covsum = float(cov[idx].sum()) if winlen else 0.0
-        evals = cov_curve[gc_content[idx].astype(np.int64)] if winlen else []
+        ccov = cov[idx].astype(np.float64)
+        evals = (cov_curve[gc_content[idx].astype(np.int64)] if winlen
+                 else np.zeros(0))
         if winlen and len(tile_fac):
             evals = evals * tile_fac[idx // reg_win]
-        expcov = float(np.sum(evals)) if winlen else 0.0
-        cnv.cn = cfg.ploidy * covsum / expcov if expcov > 0 else cfg.ploidy
         span = cnv.end - cnv.start
         cnv.mappable = winlen / span if span > 0 else 0.0
 
@@ -417,22 +427,42 @@ def genotype_cnvs(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
         tcov = float(cov_map[lo:hi].sum())
         cnv.uniqfrac = ucov / tcov if tcov > 0 else -1.0
 
-        wsz = winlen // 10
-        if wsz > 1:
-            ccov = cov[idx].astype(np.float64)
-            nchunk = winlen // wsz
-            take = nchunk * wsz
-            csum = ccov[:take].reshape(nchunk, wsz).sum(axis=1)
-            esum = np.asarray(evals)[:take].reshape(nchunk, wsz).sum(axis=1)
-            cns = np.where(esum > 0, cfg.ploidy * csum / np.maximum(esum,
-                                                                    1e-300),
-                           cfg.ploidy)
-            cnv.sd = float(np.sqrt(np.var(cns)))
-            if cnv.sd < 0.025:
-                cnv.sd = 0.025
+        # CN + chunked-SD with the reference's exact sequential sums
+        # and boost lazy variance (cnv.h:140-199). covsum is a sum of
+        # uint16 values (exact in f64 regardless of order) but expcov
+        # and the per-chunk CN pushes are order-sensitive float sums.
+        got = native.cnv_gt_core(ccov, evals, cfg.ploidy)
+        if got is not None:
+            cnv.cn, cnv.sd = got
         else:
-            cnv.cn = -1
-            cnv.sd = 0.025
+            covsum = expcov = 0.0
+            for k in range(winlen):
+                covsum += ccov[k]
+                expcov += evals[k]
+            cnv.cn = (cfg.ploidy * covsum / expcov if expcov > 0
+                      else cfg.ploidy)
+            wsz = winlen // 10
+            if wsz > 1:
+                n_acc = s_acc = ss_acc = 0.0
+                covsum = expcov = 0.0
+                wl = 0
+                for k in range(winlen):
+                    covsum += ccov[k]
+                    expcov += evals[k]
+                    wl += 1
+                    if wl % wsz == 0:
+                        c = (cfg.ploidy * covsum / expcov if expcov > 0
+                             else float(cfg.ploidy))
+                        n_acc += 1.0
+                        s_acc += c
+                        ss_acc += c * c
+                        covsum = expcov = 0.0
+                mean = s_acc / n_acc
+                sd = math.sqrt(ss_acc / n_acc - mean * mean)
+                cnv.sd = sd if not sd < 0.025 else 0.025
+            else:
+                cnv.cn = -1
+                cnv.sd = 0.025
 
 
 def merge_adjacent_same_cn(cnvs: list, merge_tol: float) -> list:

@@ -25,7 +25,7 @@ from delly_tpu.io.bam import (
 from delly_tpu.io.fasta import FastaFile
 from delly_tpu.models.cnv import (
     cnv_vcf, collect_breakpoints, genotype_cnvs, merge_adjacent_same_cn,
-    parse_vcf_cnv, segment_rd,
+    parse_vcf_cnv, segment_rd, uniq_threshold,
 )
 from delly_tpu.models.depth import (
     add_split_read_breakpoints, base_coverage_bulk, gc_content_track,
@@ -368,7 +368,7 @@ def _write_windows(cfg, data_out, chrn, reflen, gcbound, gc_content,
     """Adaptive or fixed logR/CN windows + hom-del vs unmappable
     separation (coral.h:296-414)."""
     valid = ((gc_content > gcbound[0]) & (gc_content < gcbound[1])
-             & (uniq_content >= cfg.fragment_unique * cfg.meanisize))
+             & (uniq_content >= uniq_threshold(cfg)))
     wins = []  # (start, end, winlen, covsum, expcov, ucov, tcov, valid)
     if cfg.adaptive:
         vpos = np.nonzero(valid)[0]

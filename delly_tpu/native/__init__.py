@@ -218,6 +218,10 @@ def get_lib():
     lib.rd_flank_z.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_double, ctypes.c_void_p]
+    lib.cnv_gt_core.restype = None
+    lib.cnv_gt_core.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p]
     lib.cnv_segment_core.restype = ctypes.c_int64
     lib.cnv_segment_core.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
@@ -510,6 +514,24 @@ def rd_windows(vpos, vcov, ve1, vecor, target_exp: float,
         wexp.ctypes.data_as(ctypes.c_void_p),
         z.ctypes.data_as(ctypes.c_void_p))
     return ws[:k], we[:k], wcov[:k], wexp[:k], z[:k]
+
+
+def cnv_gt_core(cov, expv, ploidy: float):
+    """genotypeCNVs CN + chunked-SD core with the reference's exact
+    sequential accumulation and boost lazy variance (cnv.h:140-199);
+    returns (cn, sd) — cn == -1 marks the wsz <= 1 invalid case — or
+    None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cov = np.ascontiguousarray(cov, dtype=np.float64)
+    expv = np.ascontiguousarray(expv, dtype=np.float64)
+    cn = ctypes.c_double()
+    sd = ctypes.c_double()
+    lib.cnv_gt_core(cov.ctypes.data_as(ctypes.c_void_p),
+                    expv.ctypes.data_as(ctypes.c_void_p), len(cov),
+                    float(ploidy), ctypes.byref(cn), ctypes.byref(sd))
+    return cn.value, sd.value
 
 
 def rd_flank_z(vcov, vexp, sub_exp: float):

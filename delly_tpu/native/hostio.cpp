@@ -2214,6 +2214,55 @@ double dosage_r2_seq(const double* a, int64_t na, const double* b,
   return r * r;
 }
 
+// genotypeCNVs numeric core (cnv.h:140-199): sequential covsum/expcov
+// accumulation over the CNV's valid positions, then the chunked SD
+// estimate — wsz = winlen/10 consecutive valid positions per chunk, a
+// trailing partial chunk discarded, per-chunk CN pushed into a
+// boost::accumulators lazy-variance pair (sd = sqrt(sum(x^2)/n -
+// mean^2), floored at 0.025; NaN passes through like the reference's
+// `if (sd < 0.025)` on a NaN).  cov/expv are the per-position values
+// in genome order; winlen <= 1 never reaches here (caller mirrors the
+// wsz > 1 gate).
+void cnv_gt_core(const double* cov, const double* expv, int64_t winlen,
+                 double ploidy, double* cn_out, double* sd_out) {
+  double covsum = 0, expcov = 0;
+  for (int64_t i = 0; i < winlen; ++i) {
+    covsum += cov[i];
+    expcov += expv[i];
+  }
+  double cn = ploidy;
+  if (expcov > 0) cn = ploidy * covsum / expcov;
+  *cn_out = cn;
+  const uint32_t wsz = (uint32_t)(winlen / 10);
+  if (wsz > 1) {
+    double n = 0, s = 0, ss = 0;
+    covsum = 0;
+    expcov = 0;
+    int32_t wl = 0;
+    for (int64_t i = 0; i < winlen; ++i) {
+      covsum += cov[i];
+      expcov += expv[i];
+      ++wl;
+      if (wl % wsz == 0) {
+        double c = ploidy;
+        if (expcov > 0) c = ploidy * covsum / expcov;
+        n += 1;
+        s += c;
+        ss += c * c;
+        covsum = 0;
+        expcov = 0;
+      }
+    }
+    const double m = s / n;
+    double sd = std::sqrt(ss / n - m * m);
+    if (sd < 0.025) sd = 0.025;
+    *sd_out = sd;
+  } else {
+    *cn_out = -1;
+    *sd_out = 0.025;
+  }
+}
+
 void delly_free(uint8_t* ptr) { std::free(ptr); }
 
 }  // extern "C"

@@ -23,10 +23,15 @@
 //           <minBpSupport> <penalty> <cnMergeTol> <window_size>
 //           <minCnvSize> <gclo> <gchi> <reflen>
 //           <gc...> <uniq...> <cov...> <gcbias_cov...> <clips...|->
+//   GT      <fragUniq> <meanisize> <ploidy> <gclo> <gchi> <reflen>
+//           <regWin> <gc...> <uniq...> <cov...> <covUniq...>
+//           <covMap...> <gcbias_cov...> <tilefac...|->
+//           <cnvs "s:e;s:e;..."|->                     (genotypeCNVs)
 // stdout, one line per case:
 //   SEGMENT: <bnd,...|->
 //   BP:      "pos,cil,cih,qual,sup|..." or "-"
 //   RD:      "chr,start,end,cil,cih,cel,ceh,srl,srr,cn%.17g,map%.17g|..."
+//   GT:      "cn%.17g,map%.17g,uf%.17g,sd%.17g|..." or "-"
 #include <cstdlib>
 #include <iostream>
 #include <sstream>
@@ -97,6 +102,15 @@ struct Cfg {
   uint32_t minCnvSize;
 };
 
+// genotypeCNVs field types exactly as CountDNAConfig declares them
+// (coral.h:42,53,60): float fragmentUnique/ploidy, uint32 meanisize —
+// the uniqueness gate and the CN math see float32 products.
+struct GtCfg {
+  float fragmentUnique;
+  uint32_t meanisize;
+  float ploidy;
+};
+
 template <typename T>
 static std::vector<T> arr(std::istringstream& ss) {
   std::string tok;
@@ -115,7 +129,60 @@ int main() {
     std::istringstream ss(line);
     std::string op;
     ss >> op;
-    if (op == "SEGMENT") {
+    if (op == "GT") {
+      GtCfg c;
+      uint32_t gclo, gchi, regWin;
+      int32_t reflen;
+      ss >> c.fragmentUnique >> c.meanisize >> c.ploidy >> gclo >>
+          gchi >> reflen >> regWin;
+      std::vector<uint16_t> gc = arr<uint16_t>(ss);
+      std::vector<uint16_t> uniq = arr<uint16_t>(ss);
+      std::vector<uint16_t> cov = arr<uint16_t>(ss);
+      std::vector<uint16_t> covUniq = arr<uint16_t>(ss);
+      std::vector<uint16_t> covMap = arr<uint16_t>(ss);
+      std::vector<double> gcov = arr<double>(ss);
+      std::vector<float> tileFac = arr<float>(ss);
+      std::vector<GcBias> gcbias(gcov.size());
+      for (std::size_t i = 0; i < gcov.size(); ++i)
+        gcbias[i].coverage = gcov[i];
+      std::string cnvtok;
+      ss >> cnvtok;
+      std::vector<CNV> cnvs;
+      if (cnvtok != "-") {
+        std::istringstream cs(cnvtok);
+        std::string one;
+        while (std::getline(cs, one, ';')) {
+          std::size_t colon = one.find(':');
+          cnvs.emplace_back(0, std::stoi(one.substr(0, colon)),
+                            std::stoi(one.substr(colon + 1)), 0, 0, 0,
+                            0, 0.0, 0.0);
+        }
+      }
+      uint32_t tlen[1] = {(uint32_t)reflen};
+      bam_hdr_t hdr;
+      hdr.n_targets = 1;
+      hdr.target_len = tlen;
+      hdr.target_name = nullptr;
+      std::pair<uint32_t, uint32_t> gcbound(gclo, gchi);
+      genotypeCNVs(c, gcbound, gc, uniq, gcbias, tileFac, regWin, cov,
+                   covUniq, covMap, &hdr, 0, cnvs);
+      if (cnvs.empty()) std::cout << '-';
+      bool first = true;
+      char buf[64];
+      for (auto const& v : cnvs) {
+        std::cout << (first ? "" : "|");
+        std::snprintf(buf, sizeof buf, "%.17g", v.cn);
+        std::cout << buf << ',';
+        std::snprintf(buf, sizeof buf, "%.17g", v.mappable);
+        std::cout << buf << ',';
+        std::snprintf(buf, sizeof buf, "%.17g", v.uniqfrac);
+        std::cout << buf << ',';
+        std::snprintf(buf, sizeof buf, "%.17g", v.sd);
+        std::cout << buf;
+        first = false;
+      }
+      std::cout << '\n';
+    } else if (op == "SEGMENT") {
       double penalty;
       int kmin;
       ss >> penalty >> kmin;

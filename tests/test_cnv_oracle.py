@@ -158,6 +158,87 @@ def test_collect_breakpoints_matches_reference(oracle):
     assert n_bp >= 20
 
 
+def test_genotype_cnvs_matches_reference(oracle):
+    """genotypeCNVs (cnv.h:137-202) driven LIVE: CN from sequential
+    covsum/expcov accumulation, mappable fraction, uniqfrac, and the
+    chunked RDSD through the boost lazy-variance accumulator (the shim
+    reproduces boost's sum/sum-of-squares extraction exactly) — %.17g
+    on all four fields. Includes uniq values pinned to the float32
+    uniqueness-gate boundary (0.97f*300 > 291 while 0.97*300 < 291)
+    and tile-factor regional correction."""
+    from delly_tpu.models.cnv import CNV, genotype_cnvs
+
+    rng = random.Random(6464)
+    lines, cases = [], []
+    for _ in range(40):
+        L = rng.randint(3000, 20000)
+        meanisize = 300
+        frag = rng.choice([0.97, 0.5])
+        ploidy = rng.choice([2.0, 1.7, 3.0])
+        gclo, gchi = rng.choice([(30, 70), (0, 101)])
+        gc = np.asarray([rng.randint(20, 80) for _ in range(L)],
+                        dtype=np.uint16)
+        # 291 sits exactly on the f32/f64 boundary of 0.97*300
+        uniq = np.asarray(
+            [rng.choice([0, meanisize, 291, 150, 292]) for _ in
+             range(L)], dtype=np.uint16)
+        cov = np.asarray([rng.randint(0, 80) for _ in range(L)],
+                         dtype=np.uint16)
+        cuniq = np.asarray([rng.randint(0, 60) for _ in range(L)],
+                           dtype=np.uint16)
+        cmap = np.asarray([rng.randint(0, 60) for _ in range(L)],
+                          dtype=np.uint16)
+        gcbias = [0.2 + 0.005 * g + rng.uniform(0, 0.001)
+                  for g in range(102)]
+        reg_win = rng.choice([0, 1000])
+        if reg_win:
+            tile = [round(rng.uniform(0.5, 1.5), 4)
+                    for _ in range(L // reg_win + 1)]
+        else:
+            tile = []
+        reflen = L if rng.random() < 0.7 else rng.randint(L // 2, L)
+        cnvs = []
+        for _ in range(rng.randint(1, 6)):
+            s = rng.randint(0, L - 20)
+            e = s + rng.choice([rng.randint(3, 15),       # wsz<=1
+                                rng.randint(200, 3000)])  # SD path
+            cnvs.append((s, min(e, L + 50)))
+        def tok(a):
+            return ",".join(str(x) for x in a) or "-"
+        lines.append(
+            f"GT {np.float32(frag):.9g} {meanisize} "
+            f"{np.float32(ploidy):.9g} {gclo} {gchi} {reflen} "
+            f"{max(reg_win, 1)} {tok(gc)} {tok(uniq)} {tok(cov)} "
+            f"{tok(cuniq)} {tok(cmap)} "
+            + ",".join(f"{v:.17g}" for v in gcbias) + " "
+            + (",".join(f"{np.float32(v):.9g}" for v in tile) or "-")
+            + " " + (";".join(f"{s}:{e}" for s, e in cnvs) or "-"))
+        cases.append((frag, meanisize, ploidy, (gclo, gchi), gc, uniq,
+                      cov, cuniq, cmap, gcbias, tile, reg_win, reflen,
+                      cnvs))
+    n_sd = 0
+    for case, out in zip(cases, oracle(lines)):
+        (frag, meanisize, ploidy, gcb, gc, uniq, cov, cuniq, cmap,
+         gcbias, tile, reg_win, reflen, spans) = case
+        # the production config f32-rounds its C-float fields at
+        # construction (coral.py __post_init__); mirror that here
+        cfg = types.SimpleNamespace(fragment_unique=frag,
+                                    meanisize=meanisize,
+                                    ploidy=float(np.float32(ploidy)))
+        gb = [GcBias(coverage=c) for c in gcbias]
+        recs = [CNV(chr=0, start=s, end=e) for s, e in spans]
+        genotype_cnvs(cfg, gcb, gc, uniq, gb,
+                      np.asarray(tile, dtype=np.float32),
+                      max(reg_win, 1), cov, cuniq, cmap, reflen, 0,
+                      recs)
+        mine = "|".join(
+            f"{v.cn:.17g},{v.mappable:.17g},{v.uniqfrac:.17g},"
+            f"{v.sd:.17g}" for v in recs) or "-"
+        assert mine == out, (reflen, spans, frag, ploidy)
+        n_sd += sum(1 for v in recs if v.cn >= 0 and v.sd > 0.025)
+    assert n_sd >= 30  # the variance path is genuinely exercised
+
+
 def test_segment_rd_matches_reference(oracle):
     rng = random.Random(6363)
     cases = [_chrom_case(rng, True) for _ in range(25)]
