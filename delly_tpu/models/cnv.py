@@ -458,7 +458,11 @@ def genotype_cnvs(cfg, gcbound, gc_content, uniq_content, gcbias, tile_fac,
                         ss_acc += c * c
                         covsum = expcov = 0.0
                 mean = s_acc / n_acc
-                sd = math.sqrt(ss_acc / n_acc - mean * mean)
+                var = ss_acc / n_acc - mean * mean
+                # std::sqrt of a slightly-negative rounding residue is
+                # NaN in the reference path; `NaN < 0.025` is false so
+                # NaN passes through — match that, don't raise
+                sd = math.sqrt(var) if var >= 0.0 else float("nan")
                 cnv.sd = sd if not sd < 0.025 else 0.025
             else:
                 cnv.cn = -1

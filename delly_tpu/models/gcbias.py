@@ -214,7 +214,9 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
                                           cfg.meanisize)
 
         # Summarize GC coverage over selected windows (gcbias.h:348-360)
-        uniq_pos = uniq_content >= cfg.fragment_unique * cfg.meanisize
+        # float32 product, matching the reference comparison (gcbias.h:350)
+        from delly_tpu.models.cnv import uniq_threshold
+        uniq_pos = uniq_content >= uniq_threshold(cfg)
         if bin_of is not None:
             selected = np.zeros(len(scan_counts[ref_index]), dtype=bool)
             for b, w in enumerate(scan_counts[ref_index]):

@@ -266,15 +266,9 @@ int main() {
       g_files[0][r.core.tid].push_back(r);
     }
     // header with numeric names (faidx shim keys on atoi(name));
-    // replay sam_hdr_read must hand these back, so patch its static
-    bam_hdr_t* hdr0 = sam_hdr_read(nullptr);
-    std::vector<std::string> nameStore(nchr);
-    std::vector<char*> names(nchr);
-    for (int t = 0; t < nchr; ++t) {
-      nameStore[t] = std::to_string(t);
-      names[t] = const_cast<char*>(nameStore[t].c_str());
-    }
-    hdr0->target_name = names.data();
+    // annotateCoverage re-reads the header itself (coverage.h:285), so
+    // the names must be installed in the replay layer's own storage
+    replaySetTargetNames();
 
     std::vector<std::vector<ReadCount> > covCount;
     std::vector<std::vector<JunctionCount> > countMap;

@@ -23,6 +23,11 @@ struct hts_itr_t {
 };
 static std::vector<std::map<int, std::vector<bam1_t> > > g_files;
 static std::vector<uint32_t> g_tlen;
+// optional target names (probes that run reference code dereferencing
+// hdr->target_name set these; sam_hdr_read is re-invoked inside the
+// reference loops, so the names must live here, not in probe locals)
+static std::vector<std::string> g_tname_store;
+static std::vector<char*> g_tname;
 
 samFile* sam_open(const char* f, const char*) {
   return new samFile{std::atoi(f)};
@@ -35,8 +40,16 @@ bam_hdr_t* sam_hdr_read(samFile*) {
   static bam_hdr_t h;
   h.n_targets = (int32_t)g_tlen.size();
   h.target_len = g_tlen.data();
-  h.target_name = nullptr;
+  h.target_name = g_tname.empty() ? nullptr : g_tname.data();
   return &h;
+}
+static void replaySetTargetNames() {
+  g_tname_store.resize(g_tlen.size());
+  g_tname.resize(g_tlen.size());
+  for (std::size_t t = 0; t < g_tlen.size(); ++t) {
+    g_tname_store[t] = std::to_string(t);
+    g_tname[t] = const_cast<char*>(g_tname_store[t].c_str());
+  }
 }
 void bam_hdr_destroy(bam_hdr_t*) {}
 hts_idx_t* sam_index_load(samFile* s, const char*) {

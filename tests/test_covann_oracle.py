@@ -26,7 +26,7 @@ import pytest
 from delly_tpu.io.bam import BamFile
 from delly_tpu.io.fasta import FastaFile
 from delly_tpu.models.genotype_sr import annotate_coverage
-from delly_tpu.ops.dna import revcomp
+from delly_tpu.utils.tags import revcomp
 from delly_tpu.utils.stats import LibraryInfo
 from delly_tpu.utils.tags import StructuralVariantRecord
 
@@ -286,7 +286,8 @@ def test_annotate_coverage_matches_reference(oracle, tmp_path):
             sv.peSupport = pe
             sv.consensus = cons
             mysvs.append(sv)
-        with BamFile(bam) as bf, FastaFile(fa) as fasta:
+        fasta = FastaFile(fa)
+        with BamFile(bam) as bf:
             jct, rc, span = annotate_coverage(cfg, [bf], fasta, [lib],
                                               mysvs)
         mine = [(sv.id, list(jct[0][sv.id].ref), list(jct[0][sv.id].alt),

@@ -72,7 +72,7 @@ def test_host_banded_narrow_matches_full_on_similar():
 def test_kernel_bit_identical_to_host(ac):
     rng = np.random.default_rng(sum(ac) + 31)
     jobs = []
-    for rep in range(6):
+    for rep in range(3):
         m = int(rng.integers(280, 700))
         s1 = rng.choice(ALPHA, m)
         s2 = _mutate(rng, s1, [0.0, 0.05, 0.2][rep % 3])
@@ -98,8 +98,8 @@ def test_palign_dispatch_routes_long_pairs_to_banded():
     validation) returns the EXACT full-DP result on a realistic pair."""
     from delly_tpu.ops import msa as msamod
     rng = np.random.default_rng(5)
-    s1 = rng.choice(ALPHA, 9000)
-    s2 = _mutate(rng, s1, 0.01)[:9000]
+    s1 = rng.choice(ALPHA, 8300)
+    s2 = _mutate(rng, s1, 0.01)[:8300]
     got = msamod._gotoh_dispatch(s1[None], s2[None], (True, True),
                                  DnaScore())
     want = gotoh(s1[None], s2[None], ac=(True, True))
@@ -112,7 +112,7 @@ def test_palign_dispatch_falls_back_on_distant_pairs():
     routes to the exact full DP (no silent banding)."""
     from delly_tpu.ops import msa as msamod
     rng = np.random.default_rng(9)
-    s1 = rng.choice(ALPHA, 8600)
+    s1 = rng.choice(ALPHA, 8300)
     # a 3000-base insertion near the start pushes the optimal path far
     # off the diagonal
     s2 = np.concatenate([s1[:200], rng.choice(ALPHA, 3000), s1[200:]])
