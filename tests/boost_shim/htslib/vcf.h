@@ -17,19 +17,48 @@ struct bcf_hdr_t_shim_detail {
 typedef bcf_hdr_t_shim_detail bcf_hdr_t_base;
 struct bcf_hdr_t : bcf_hdr_t_base {};
 
+// INFO/FORMAT record internals: the member surface modvcf.h's plain
+// _remove_info/_remove_format touch (never called by probes, but they
+// must compile).  Public htslib field names, shim-defined layout.
+struct bcf_info_t {
+  int key;
+  uint8_t* vptr;
+  int vptr_off;
+  int vptr_free;
+};
+struct bcf_fmt_t {
+  int id;
+  uint8_t* p;
+  int p_off;
+  int p_free;
+};
 struct bcf_dec_t {
   char* id;
+  char** allele;
+  bcf_info_t* info;
+  bcf_fmt_t* fmt;
+  int shared_dirty;
+  int indiv_dirty;
 };
 struct bcf1_t {
   int32_t rid;
   int64_t pos;
   float qual;
+  uint32_t n_info;
+  uint32_t n_fmt;
+  int unpacked;
   bcf_dec_t d;
 };
 
 #define BCF_UN_SHR 3
+#define BCF_UN_INFO 4
+#define BCF_UN_FMT 8
+#define BCF1_DIRTY_INF 4
 #define BCF_DT_ID 0
 #define BCF_DT_CTG 1
+#define BCF_HL_FLT 0
+#define BCF_HL_INFO 1
+#define BCF_HL_FMT 2
 #define BCF_HT_FLAG 0
 #define BCF_HT_INT 1
 #define BCF_HT_REAL 2
@@ -38,7 +67,22 @@ struct bcf1_t {
 #define bcf_gt_unphased(idx) (((idx) + 1) << 1)
 #define bcf_gt_phased(idx) ((((idx) + 1) << 1) | 1)
 #define bcf_gt_missing 0
+#define bcf_gt_is_missing(val) ((val) >> 1 ? 0 : 1)
+#define bcf_gt_allele(val) (((val) >> 1) - 1)
+#define bcf_int8_missing (-127 - 1)
+#define bcf_int16_missing (-32767 - 1)
 #define bcf_int32_missing (-2147483647 - 1)
+// htslib float-missing NaN payload (0x7F800001)
+inline int bcf_float_is_missing(float f) {
+  union { float f; uint32_t u; } v;
+  v.f = f;
+  return v.u == 0x7F800001u;
+}
+inline void bcf_float_set_missing(float& f) {
+  union { float f; uint32_t u; } v;
+  v.u = 0x7F800001u;
+  f = v.f;
+}
 
 htsFile* bcf_open(const char*, const char*);
 int bcf_close(htsFile*);
@@ -84,5 +128,12 @@ int bcf_update_format_float(bcf_hdr_t*, bcf1_t*, const char*,
 int bcf_update_format_string(bcf_hdr_t*, bcf1_t*, const char*,
                              const char**, int);
 int bcf_index_build(const char*, int);
+int bcf_update_info(const bcf_hdr_t*, bcf1_t*, const char*, const void*,
+                    int, int);
+int bcf_update_format(const bcf_hdr_t*, bcf1_t*, const char*,
+                      const void*, int, int);
+const char* bcf_hdr_int2id(const bcf_hdr_t*, int, int);
+int bcf_hdr_id2type(const bcf_hdr_t*, int, int);
+int bcf_get_info_flag(bcf_hdr_t*, bcf1_t*, const char*, void*, int*);
 
 #endif
