@@ -136,8 +136,12 @@ def _fmt_int(sm, key):
 
 
 def _fmt_float(sm, key):
+    """FORMAT float fetch: the reference reads these through
+    bcf_get_format_float, i.e. the FLOAT32 of the text value
+    (filter.h:171-172, 246-247) — the f32 parse propagates into the
+    CN-shift arithmetic and the recomputed CNLs."""
     try:
-        return float(sm.get(key, "."))
+        return float(_np.float32(sm.get(key, ".")))
     except ValueError:
         return None
 
@@ -280,7 +284,9 @@ def filter_germline_cnv(cfg, rec):
         for i in range(nsmpl):
             if not valid[i]:
                 continue
-            rdcn[i] += cnshift
+            # float += double stores back into the f32 array
+            # (filter.h:294)
+            rdcn[i] = float(_np.float32(rdcn[i] + cnshift))
             if not confident[i]:
                 continue
             r = int(_iround(rdcn[i]))
@@ -330,7 +336,8 @@ def filter_germline_cnv(cfg, rec):
             for i, sm in enumerate(samples):
                 if not valid[i]:
                     sm["GT"] = "./."
-                    sm["PL"] = ".,.,."
+                    if biallelic:
+                        sm["PL"] = ".,.,."
                     sm["CN"] = "."
                     sm["GQ"] = 0
                     continue
@@ -341,8 +348,10 @@ def filter_germline_cnv(cfg, rec):
                 sm["GQ"] = gq
                 sm["RDCN"] = f"{_np.float32(rdcn[i]):g}"
                 if not biallelic:
+                    # PL is only written for biallelic reclassifications
+                    # (filter.h:467); multi-allelic CNVs keep whatever
+                    # PL the input carried
                     sm["GT"] = "./."
-                    sm["PL"] = ".,.,."
                     continue
                 gl_rr = gl[s_rr]
                 gl_ra = gl[s_ra]

@@ -15,7 +15,9 @@ struct bcf_hdr_t_shim_detail {
   int32_t n[3];
 };
 typedef bcf_hdr_t_shim_detail bcf_hdr_t_base;
-struct bcf_hdr_t : bcf_hdr_t_base {};
+struct bcf_hdr_t : bcf_hdr_t_base {
+  char** samples = nullptr;  // filter.h reads hdr->samples[i]
+};
 
 // INFO/FORMAT record internals: the member surface modvcf.h's plain
 // _remove_info/_remove_format touch (never called by probes, but they
@@ -46,6 +48,7 @@ struct bcf1_t {
   float qual;
   uint32_t n_info;
   uint32_t n_fmt;
+  uint32_t n_allele;
   int unpacked;
   bcf_dec_t d;
 };
@@ -53,6 +56,7 @@ struct bcf1_t {
 #define BCF_UN_SHR 3
 #define BCF_UN_INFO 4
 #define BCF_UN_FMT 8
+#define BCF_UN_ALL 15
 #define BCF1_DIRTY_INF 4
 #define BCF_DT_ID 0
 #define BCF_DT_CTG 1
@@ -116,8 +120,10 @@ int bcf_update_info_flag(bcf_hdr_t*, bcf1_t*, const char*, const char*,
                          int);
 int bcf_update_info_int32(bcf_hdr_t*, bcf1_t*, const char*,
                           const int32_t*, int);
+// htslib's is a macro over generic bcf_update_info, so callers may pass
+// float(*)[N]; accept const void*
 int bcf_update_info_float(bcf_hdr_t*, bcf1_t*, const char*,
-                          const float*, int);
+                          const void*, int);
 int bcf_update_info_string(bcf_hdr_t*, bcf1_t*, const char*,
                            const char*);
 int bcf_update_genotypes(bcf_hdr_t*, bcf1_t*, const int32_t*, int);
@@ -135,5 +141,17 @@ int bcf_update_format(const bcf_hdr_t*, bcf1_t*, const char*,
 const char* bcf_hdr_int2id(const bcf_hdr_t*, int, int);
 int bcf_hdr_id2type(const bcf_hdr_t*, int, int);
 int bcf_get_info_flag(bcf_hdr_t*, bcf1_t*, const char*, void*, int*);
+#define bcf_int32_vector_end (-2147483647)
+bcf1_t* bcf_init1();
+bcf1_t* bcf_dup(bcf1_t*);
+bcf_hdr_t* bcf_hdr_dup(const bcf_hdr_t*);
+int bcf_hdr_remove(bcf_hdr_t*, int, const char*);
+int bcf_has_filter(const bcf_hdr_t*, bcf1_t*, char*);
+int bcf_get_format_int32(const bcf_hdr_t*, bcf1_t*, const char*,
+                         int32_t**, int*);
+int bcf_get_format_float(const bcf_hdr_t*, bcf1_t*, const char*,
+                         float**, int*);
+int bcf_get_format_string(const bcf_hdr_t*, bcf1_t*, const char*,
+                          char***, int*);
 
 #endif

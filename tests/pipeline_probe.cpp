@@ -244,7 +244,8 @@ int bcf_update_info_int32(bcf_hdr_t*, bcf1_t*, const char* key,
   return 0;
 }
 int bcf_update_info_float(bcf_hdr_t*, bcf1_t*, const char* key,
-                          const float* v, int n) {
+                          const void* vp, int n) {
+  const float* v = (const float*)vp;
   std::string out;
   for (int i = 0; i < n; ++i) {
     if (i) out += ",";
