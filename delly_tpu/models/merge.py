@@ -1108,7 +1108,13 @@ def emit_selected(cfg: MergeConfig, svtin: int, contig_map: dict,
         if trp is not None:
             info.append(("TRPERIOD", trp))
         if trc is not None:
-            info.append(("TRCOPIES", trc))
+            # the reference round-trips TRCOPIES through a BCF float
+            # (merge.h:1065,1158), so "32.0" re-renders as "32"
+            try:
+                info.append(("TRCOPIES",
+                             fmt_float(float(_np.float32(str(trc))))))
+            except ValueError:
+                info.append(("TRCOPIES", trc))
         # float32 division like the reference's (float)ac / (float)an
         # (merge.h:1168) — the 6-digit rendering can differ from f64
         # near rounding boundaries

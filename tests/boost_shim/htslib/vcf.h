@@ -119,7 +119,7 @@ int bcf_update_filter(bcf_hdr_t*, bcf1_t*, int32_t*, int);
 int bcf_update_info_flag(bcf_hdr_t*, bcf1_t*, const char*, const char*,
                          int);
 int bcf_update_info_int32(bcf_hdr_t*, bcf1_t*, const char*,
-                          const int32_t*, int);
+                          const void*, int);
 // htslib's is a macro over generic bcf_update_info, so callers may pass
 // float(*)[N]; accept const void*
 int bcf_update_info_float(bcf_hdr_t*, bcf1_t*, const char*,

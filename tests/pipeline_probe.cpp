@@ -234,7 +234,8 @@ int bcf_update_info_flag(bcf_hdr_t*, bcf1_t*, const char* key,
   return 0;
 }
 int bcf_update_info_int32(bcf_hdr_t*, bcf1_t*, const char* key,
-                          const int32_t* v, int n) {
+                          const void* vp, int n) {
+  const int32_t* v = (const int32_t*)vp;
   std::string out;
   for (int i = 0; i < n; ++i) {
     if (i) out += ",";
