@@ -18,8 +18,8 @@ def _pin_platform() -> None:
     the persistent compilation cache so repeated CLI invocations reuse
     compiled kernels (compiles dominate cold-start wall time on
     slow-compile links)."""
-    from delly_tpu.utils.jaxenv import setup
-    setup()
+    from delly_tpu.utils.jaxenv import setup_deferred
+    setup_deferred()
 
 
 def _startup_checks(genome: str | None = None, files=(), exclude: str = "",
@@ -372,12 +372,20 @@ def _dispatch(argv=None) -> int:
     if args.command is None:
         parser.print_help()
         return 0
-    with _mesh_scope(args.command):
+    with _mesh_scope(args.command, getattr(args, "input_files", None)
+                     or [getattr(args, "input_file", "")]):
         return _run_command(args)
 
 
+# Auto-meshing only pays for itself at scale: initializing the
+# accelerator backend costs ~2s (tunnelled PJRT client), which dwarfs a
+# small run entirely (tegua.h runs the 2.2MB example in ~1s).  Explicit
+# DELLY_TPU_MESH=N always wins.
+_MESH_AUTO_MIN_BYTES = 64 << 20
+
+
 @contextlib.contextmanager
-def _mesh_scope(command: str):
+def _mesh_scope(command: str, input_files=None):
     """Production multi-chip activation (the reference analogue is
     threadpool.h:15-77 — use the hardware you were given):
 
@@ -398,6 +406,14 @@ def _mesh_scope(command: str):
     if not spec and command not in ("sr", "lr", "asm", "cnv"):
         yield None
         return
+    if not spec and input_files:
+        try:
+            total = sum(os.path.getsize(f) for f in input_files if f)
+        except OSError:
+            total = _MESH_AUTO_MIN_BYTES
+        if total < _MESH_AUTO_MIN_BYTES:
+            yield None
+            return
     want = None
     if spec:
         try:

@@ -329,7 +329,12 @@ _ED_BUF = [np.empty(0, dtype=np.int32)]
 
 def _scratch(pool: list, idx: int, cells: int) -> np.ndarray:
     if pool[idx].size < cells:
-        pool[idx] = np.empty(cells, dtype=np.int32)
+        # np.zeros (calloc -> fresh zeroed mmap), NOT np.empty: numpy's
+        # cached allocator hands back MADV_FREE'd pages whose refault
+        # path is ~100x slower under this kernel's free-page reporting
+        # (measured: 190MB first-write 14.3s via np.empty vs 0.11s via
+        # np.zeros)
+        pool[idx] = np.zeros(cells, dtype=np.int32)
     return pool[idx]
 
 
@@ -378,14 +383,20 @@ def long_needle_scores(s1: bytes, s2: bytes, r1: bytes, r2: bytes,
     cells = (m + 1) * (n + 1)
     for i in range(2):
         if _LN_BUFS[i].size < cells:
-            _LN_BUFS[i] = np.empty(cells, dtype=np.int32)
+            # np.zeros, not np.empty — see _scratch
+            _LN_BUFS[i] = np.zeros(cells, dtype=np.int32)
     fwd = _LN_BUFS[0][:cells].reshape(m + 1, n + 1)
     rev = _LN_BUFS[1][:cells].reshape(m + 1, n + 1)
     flat = ctypes.c_int64()
     best = ctypes.c_int64()
+    if threads is None:
+        # wavefront row-level synchronization dominates tiny DPs;
+        # sequential fill runs >200M cells/s
+        threads = _default_threads()
+        if cells < 1_000_000:
+            threads = 1
     lib.long_needle_core(s1, m, s2, n, r1, r2, match, mismatch, ge,
-                         int(horizontal_free),
-                         threads or _default_threads(),
+                         int(horizontal_free), threads,
                          fwd.ctypes.data_as(ctypes.c_void_p),
                          rev.ctypes.data_as(ctypes.c_void_p),
                          ctypes.byref(flat), ctypes.byref(best))

@@ -43,3 +43,48 @@ def enable_persistent_cache() -> None:
 def setup() -> None:
     pin_platform()
     enable_persistent_cache()
+
+
+class _DeferredJaxSetup:
+    """Meta-path hook: run setup() right after the real `jax` module
+    first executes.  Importing jax costs ~1s; small CLI runs that never
+    touch a device kernel should not pay it up front, but the platform
+    pin and cache config must still land before any backend/compile."""
+
+    _installed = False
+
+    def find_spec(self, name, path=None, target=None):
+        if name != "jax":
+            return None
+        import importlib.util
+        import sys
+        sys.meta_path.remove(self)
+        _DeferredJaxSetup._installed = False
+        spec = importlib.util.find_spec("jax")
+        if spec is None or spec.loader is None:
+            return None
+        loader = spec.loader
+        orig_exec = loader.exec_module
+
+        def exec_module(module):
+            orig_exec(module)
+            setup()
+
+        # per-spec override; the loader instance is spec-specific for
+        # source loaders, but guard with a shallow copy to be safe
+        import copy
+        loader2 = copy.copy(loader)
+        loader2.exec_module = exec_module
+        spec.loader = loader2
+        return spec
+
+
+def setup_deferred() -> None:
+    """setup() now if jax is already imported, else on first import."""
+    import sys
+    if "jax" in sys.modules:
+        setup()
+        return
+    if not _DeferredJaxSetup._installed:
+        _DeferredJaxSetup._installed = True
+        sys.meta_path.insert(0, _DeferredJaxSetup())

@@ -23,6 +23,28 @@ import pytest  # noqa: E402
 EXAMPLE = "/root/reference/example"
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (production-size DP cases "
+             "whose quick monkeypatched variants run by default)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: production-size case with a quick default "
+                   "variant; run with --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="needs --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def example_dir():
     return EXAMPLE

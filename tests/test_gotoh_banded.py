@@ -73,7 +73,7 @@ def test_kernel_bit_identical_to_host(ac):
     rng = np.random.default_rng(sum(ac) + 31)
     jobs = []
     for rep in range(3):
-        m = int(rng.integers(280, 700))
+        m = int(rng.integers(220, 460))
         s1 = rng.choice(ALPHA, m)
         s2 = _mutate(rng, s1, [0.0, 0.05, 0.2][rep % 3])
         if len(s2) == 0:
@@ -93,9 +93,12 @@ def test_kernel_bit_identical_to_host(ac):
         np.testing.assert_array_equal(got[i][1], w_merged)
 
 
+@pytest.mark.slow
 def test_palign_dispatch_routes_long_pairs_to_banded():
     """The long-context dispatch (Myers-sized corridor + edge-touch
-    validation) returns the EXACT full-DP result on a realistic pair."""
+    validation) returns the EXACT full-DP result on a realistic pair
+    at the production routing size (quick variant below runs the same
+    dispatch logic at a lowered threshold by default)."""
     from delly_tpu.ops import msa as msamod
     rng = np.random.default_rng(5)
     s1 = rng.choice(ALPHA, 8300)
@@ -107,6 +110,7 @@ def test_palign_dispatch_routes_long_pairs_to_banded():
     np.testing.assert_array_equal(got[1], want[1])
 
 
+@pytest.mark.slow
 def test_palign_dispatch_falls_back_on_distant_pairs():
     """A pair whose edit distance implies a corridor wider than 4096
     routes to the exact full DP (no silent banding)."""
@@ -119,5 +123,30 @@ def test_palign_dispatch_falls_back_on_distant_pairs():
     got = msamod._gotoh_dispatch(s1[None], s2[None], (True, True),
                                  DnaScore())
     want = gotoh(s1[None], s2[None], ac=(True, True))
+    assert got[0] == want[0]
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_palign_dispatch_banded_quick(monkeypatch):
+    """Default-suite variant of the two slow dispatch tests: the same
+    corridor routing + edge-touch validation + full-DP fallback logic,
+    exercised at a lowered _BANDED_MIN_DIM so the exactness comparison
+    stays cheap."""
+    from delly_tpu.ops import msa as msamod
+    monkeypatch.setattr(msamod, "_BANDED_MIN_DIM", 2048)
+    rng = np.random.default_rng(5)
+    # similar pair: corridor engages and must equal the full DP
+    s1 = rng.choice(ALPHA, 2600)
+    s2 = _mutate(rng, s1, 0.01)[:2600]
+    got = msamod._gotoh_dispatch(s1[None], s2[None], (True, True),
+                                 DnaScore())
+    want = gotoh(s1[None], s2[None], ac=(True, True))
+    assert got[0] == want[0]
+    np.testing.assert_array_equal(got[1], want[1])
+    # distant pair: corridor invalid, must fall back to the full DP
+    s3 = np.concatenate([s1[:100], rng.choice(ALPHA, 1500), s1[100:]])
+    got = msamod._gotoh_dispatch(s1[None], s3[None], (True, True),
+                                 DnaScore())
+    want = gotoh(s1[None], s3[None], ac=(True, True))
     assert got[0] == want[0]
     np.testing.assert_array_equal(got[1], want[1])

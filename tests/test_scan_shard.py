@@ -126,6 +126,7 @@ def test_scan_phase_a_cross_process_merge(tmp_path):
     plain values, so shards computed in SEPARATE PROCESSES (each with
     its own reader — the multi-host data plane in miniature) merge to
     records byte-identical to the in-process scan."""
+    import multiprocessing
     from concurrent.futures import ProcessPoolExecutor
 
     import numpy as np
@@ -170,7 +171,10 @@ def test_scan_phase_a_cross_process_merge(tmp_path):
     matetra2 = {}
     lib2 = get_library_params(BamFile(bam_path, genome=fa),
                               valid_regions, cfg.mad_cutoff, 9)
-    with ProcessPoolExecutor(2) as ex:
+    # spawn, not fork: the parent holds JAX's thread pools and a
+    # forked child can deadlock on their locks (os.fork warning)
+    with ProcessPoolExecutor(
+            2, mp_context=multiprocessing.get_context("spawn")) as ex:
         for ri, chrom_jobs in enumerate(jobs):
             parts = list(ex.map(_phase_a_worker, chrom_jobs))
             srm._merge_read_bp(got_bp, [p[0] for p in parts])
