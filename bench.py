@@ -6,20 +6,33 @@ on the default JAX device, against a single-thread -O3 C++ CPU baseline
 (delly_tpu/native/baseline_edist.cpp) doing the identical DP.
 
 The device path is the Myers bit-parallel Pallas kernel
-(delly_tpu/ops/myers_pallas.py) with its on-device Peq packing; batches
-are pre-staged on device so the measurement covers kernel executions,
-not host->device transfers (the production pipeline streams batches
-asynchronously while the device computes).
+(delly_tpu/ops/myers_pallas.py) with its on-device Peq packing, run at
+the PRODUCTION batch size: the reference dispatches genotyping
+alignments in batches of 131072*threads (coverage.h:271), and so does
+delly_tpu's job plane.
 
-The same line also carries a PIPELINE-FED metric under "pipeline": the
-full sr engine (BAM -> VCF) on a bundled synthetic mixed-SV dataset —
-reads/s, recall/precision and the per-stage wall breakdown — so the
-recorded artifact reflects the streaming product, not only the
-pre-staged kernel (round-2 VERDICT weak #7 / next-round #5).
+MEASUREMENT HONESTY (supersedes the r01-r03 protocol): on this
+tunnelled PJRT backend, block_until_ready() resolves WITHOUT waiting
+for device completion until the process performs its first
+device-to-host transfer — timing enqueue-only bursts records an
+enqueue-rate mirage, and the r01-r03 kernel values (116-195M pairs/s
+at B=8192) carry that inflation. This protocol forces real completion:
+each timed burst ends in an on-device sum over every output and a
+single scalar pull, so the wall includes every kernel execution. The
+burst is long (64 executions) to amortize the tunnel's ~25ms
+round-trip into the asymptotic device rate. Numbers from the two
+protocols are NOT comparable; the honest number is lower and right.
+
+Robustness (VERDICT r03 next #6): best-of-window over spaced trials
+with the spread recorded under "trials"; the product-level numbers
+ride along under "pipeline" (device svmix BAM->VCF) and
+"pipeline_floor_cpu" (the same run pinned to JAX_PLATFORMS=cpu — a
+tunnel-independent floor).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N,
-   "pipeline": {"metric": "svmix_e2e_recall", "reads_per_s": N, ...}}
+   "trials": {...}, "protocol_note": ..., "pipeline": {...},
+   "pipeline_floor_cpu": {...}}
 """
 
 import json
@@ -32,9 +45,16 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 
-B, M, N = 8192, 64, 160  # probe length ~64bp, read window ~160bp
-DEVICE_ITERS = 50
+M, N = 64, 160  # probe length ~64bp, read window ~160bp
 LETTERS = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+PROTOCOL_NOTE = (
+    "forced-completion protocol (burst ends in an on-device reduction "
+    "+ scalar pull); r01-r03 values used block_until_ready, which on "
+    "this tunnelled PJRT backend resolves without device completion "
+    "until the first D2H and recorded enqueue-rate mirages — not "
+    "comparable"
+)
 
 
 def build_baseline() -> str:
@@ -49,17 +69,17 @@ def build_baseline() -> str:
 
 def main() -> None:
     rng = np.random.default_rng(42)
-    queries = LETTERS[rng.integers(0, 4, size=(B, M))]
-    targets = LETTERS[rng.integers(0, 4, size=(B, N))]
 
     # CPU single-thread baseline (fewer pairs; it is slow)
     base_bin = build_baseline()
-    nb = 2048
-    payload = queries[:nb].tobytes() + targets[:nb].tobytes()
+    nb_base = 2048
+    base_q = LETTERS[rng.integers(0, 4, size=(nb_base, M))]
+    base_t = LETTERS[rng.integers(0, 4, size=(nb_base, N))]
+    payload = base_q.tobytes() + base_t.tobytes()
     # best-of-3 so host load deflates neither side of the ratio
     cpp_pairs_per_s = 0.0
     for _ in range(3):
-        res = subprocess.run([base_bin, str(nb), str(M), str(N), "2"],
+        res = subprocess.run([base_bin, str(nb_base), str(M), str(N), "2"],
                              input=payload, capture_output=True, check=True)
         cpp_pairs_per_s = max(cpp_pairs_per_s,
                               float(res.stdout.decode().strip()))
@@ -76,44 +96,58 @@ def main() -> None:
     if on_tpu:
         from delly_tpu.ops.myers_pallas import make_runner
         run = make_runner(M, N, len(LETTERS), MODE_HW)
+        B = 262144  # production batch regime (coverage.h:271)
+        iters = 64
     else:
         from delly_tpu.ops.edist import batched_edit_distance_rowscan
 
         def run(q, t, ql, tl, letters):
             return batched_edit_distance_rowscan(q, ql, t, tl, MODE_HW)
 
+        B = 8192  # CPU fallback: keep the harness run fast
+        iters = 4
+
     qlens = jnp.full((B,), M, dtype=jnp.int32)
     tlens = jnp.full((B,), N, dtype=jnp.int32)
     letters_d = jnp.asarray(LETTERS)
-    # Pre-stage distinct batches on device so the measurement covers real
-    # kernel executions, not transfer-amortized replays of one buffer.
-    nbatches = 8
-    qds = [jnp.asarray(LETTERS[rng.integers(0, 4, size=(B, M))])
-           for _ in range(nbatches)]
-    tds = [jnp.asarray(LETTERS[rng.integers(0, 4, size=(B, N))])
-           for _ in range(nbatches)]
-    qd = jnp.asarray(queries)
-    td = jnp.asarray(targets)
-    # warmup / compile
-    run(qd, td, qlens, tlens, letters_d).block_until_ready()
-    for q, t in zip(qds, tds):
-        run(q, t, qlens, tlens, letters_d).block_until_ready()
+    # Distinct pre-staged batches: identical replayed buffers could be
+    # deduplicated along the device link and inflate the rate.
+    nbatches = 4
+    qh = [LETTERS[rng.integers(0, 4, size=(B, M))]
+          for _ in range(nbatches)]
+    th = [LETTERS[rng.integers(0, 4, size=(B, N))]
+          for _ in range(nbatches)]
+    qds = [jnp.asarray(x) for x in qh]
+    tds = [jnp.asarray(x) for x in th]
+    # warmup / compile + ENTER HONEST MODE (see module docstring): the
+    # first D2H also flips the tunnel out of its async-lying regime
+    out0 = run(qds[0], tds[0], qlens, tlens, letters_d)
+    o = np.asarray(out0)
+
+    # Correctness spot-check vs C++ DP semantics (host oracle)
+    for i in range(0, B, max(1, B // 7)):
+        d, _ = edit_distance(qh[0][i], th[0][i], MODE_HW)
+        assert o[i] == d, f"mismatch at {i}: {o[i]} vs {d}"
+
+    # fused completion: sum of every output, pulled as one scalar
+    reduce_all = jax.jit(
+        lambda xs: sum(jnp.sum(x.astype(jnp.int32)) for x in xs))
+    _ = np.asarray(reduce_all([out0] * iters))  # compile for fan-in
+
     # Best-of-N spread over wall time: the tunnel's load varies minute
-    # to minute, and a congested window can depress every back-to-back
-    # trial by ~8x. Pause between trials and stop once the best has
+    # to minute. Pause between trials and stop once the best has
     # stopped improving, so one bad minute cannot define the number.
     best = 0.0
+    rates = []
     since_improved = 0
     for trial in range(12):
         t0 = time.perf_counter()
-        outs = []
-        for it in range(DEVICE_ITERS):
-            q, t = qds[it % nbatches], tds[it % nbatches]
-            outs.append(run(q, t, qlens, tlens, letters_d))
-        for o in outs:
-            o.block_until_ready()
+        outs = [run(qds[it % nbatches], tds[it % nbatches], qlens,
+                    tlens, letters_d) for it in range(iters)]
+        float(np.asarray(reduce_all(outs)))  # forces every execution
         t1 = time.perf_counter()
-        rate = B * DEVICE_ITERS / (t1 - t0)
+        rate = B * iters / (t1 - t0)
+        rates.append(rate)
         if rate > best * 1.02:
             best = rate
             since_improved = 0
@@ -124,32 +158,41 @@ def main() -> None:
         if trial >= 2:
             time.sleep(2.0)
     dev_pairs_per_s = best
-    out = np.asarray(run(qd, td, qlens, tlens, letters_d))
-
-    # Correctness spot-check vs C++ DP semantics (host oracle)
-    for i in range(0, B, B // 7):
-        d, _ = edit_distance(queries[i], targets[i], MODE_HW)
-        assert out[i] == d, f"mismatch at {i}: {out[i]} vs {d}"
 
     print(json.dumps({
         "metric": "realigned_reads_per_s_per_chip",
         "value": round(dev_pairs_per_s, 1),
         "unit": "pairs/s",
         "vs_baseline": round(dev_pairs_per_s / cpp_pairs_per_s, 2),
+        "batch": B,
+        "trials": {
+            "n": len(rates),
+            "min": round(min(rates), 1),
+            "max": round(max(rates), 1),
+            "median": round(sorted(rates)[len(rates) // 2], 1),
+        },
+        "protocol_note": PROTOCOL_NOTE,
         "pipeline": pipeline_bench(),
+        "pipeline_floor_cpu": pipeline_bench(cpu_pinned=True),
     }))
 
 
-def pipeline_bench() -> dict:
+def pipeline_bench(cpu_pinned: bool = False) -> dict:
     """BAM -> VCF sr run on the bundled synthetic mixed-SV dataset
     (bench_e2e.py --engine svmix): the product-level throughput next to
     the kernel-level number. Isolated in a subprocess so a pipeline
-    hiccup cannot take down the kernel metric."""
+    hiccup cannot take down the kernel metric. cpu_pinned runs the same
+    measurement under JAX_PLATFORMS=cpu: a device-link-independent
+    floor that cannot regress on tunnel weather."""
+    env = dict(os.environ)
+    if cpu_pinned:
+        env["JAX_PLATFORMS"] = "cpu"
+        env["DELLY_TPU_MESH"] = "off"
     try:
         res = subprocess.run(
             [sys.executable, os.path.join(ROOT, "bench_e2e.py"),
              "--engine", "svmix", "--repeat", "2"],
-            capture_output=True, text=True, timeout=900)
+            capture_output=True, text=True, timeout=900, env=env)
         for ln in reversed(res.stdout.splitlines()):
             ln = ln.strip()
             if ln.startswith("{"):
