@@ -497,16 +497,26 @@ def _write_windows(cfg, data_out, chrn, reflen, gcbound, gc_content,
             np, covsum, np.where(ok, expcov, 0.0), cfg.expected_cn,
             cfg.purity, chr_ctrl_ploidy, chr_ploidy)
 
-    rows = []
-    for i in range(nw):
-        if na_flag[i]:
-            rows.append(f"{chrn}\t{start_i[i]}\t{end_i[i]}\t"
-                        f"{uniq_frac[i]:g}\tNA\tNA\n")
-        else:
-            rows.append(f"{chrn}\t{start_i[i]}\t{end_i[i]}\t"
-                        f"{uniq_frac[i]:g}\t{logr_arr[i]:g}\t"
-                        f"{cn_arr[i]:g}\n")
-    data_out.write("".join(rows))
+    # batch row rendering: native snprintf plane (byte-identical %g)
+    # with a Python fallback — a WGS run emits ~3M windows and the
+    # per-row f-string loop is minutes of interpreter time at scale
+    from delly_tpu import native
+    text = native.cov_rows(chrn, start_i, end_i, uniq_frac,
+                           np.where(na_flag, 0.0, logr_arr),
+                           np.where(na_flag, 0.0, cn_arr), na_flag)
+    if text is not None:
+        data_out.write(text)
+    else:
+        rows = []
+        for i in range(nw):
+            if na_flag[i]:
+                rows.append(f"{chrn}\t{start_i[i]}\t{end_i[i]}\t"
+                            f"{uniq_frac[i]:g}\tNA\tNA\n")
+            else:
+                rows.append(f"{chrn}\t{start_i[i]}\t{end_i[i]}\t"
+                            f"{uniq_frac[i]:g}\t{logr_arr[i]:g}\t"
+                            f"{cn_arr[i]:g}\n")
+        data_out.write("".join(rows))
 
 
 def run_cnv(cfg) -> int:

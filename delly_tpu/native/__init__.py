@@ -226,6 +226,12 @@ def get_lib():
     lib.cnv_segment_core.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
         ctypes.c_int64, ctypes.c_void_p]
+    lib.cov_rows.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.cov_rows.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
     lib.hash_pair_h_many.restype = None
     lib.hash_pair_h_many.argtypes = [ctypes.c_void_p] * 5 + [
         ctypes.c_int64, ctypes.c_void_p]
@@ -811,3 +817,35 @@ def bam_scan(data: bytes, start: int):
     for name, arr in cols.items():
         out[name] = arr[:n].copy()
     return out
+
+
+def cov_rows(chrn: str, start, end, uniq, logr, cn, na) -> str | None:
+    """Render CNV covfile rows natively (coral.h:296-414 output plane):
+    "chr\\tstart\\tend\\t%g\\t%g\\t%g\\n" with NA for uncallable
+    windows — byte-identical to the Python f-string loop (C %g and
+    Python format(x,'g') agree for doubles incl. inf/nan). Returns the
+    text block or None when the native library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    start = np.ascontiguousarray(start, dtype=np.int64)
+    end = np.ascontiguousarray(end, dtype=np.int64)
+    uniq = np.ascontiguousarray(uniq, dtype=np.float64)
+    logr = np.ascontiguousarray(logr, dtype=np.float64)
+    cn = np.ascontiguousarray(cn, dtype=np.float64)
+    na = np.ascontiguousarray(na, dtype=np.uint8)
+    nw = len(start)
+    out_len = ctypes.c_int64()
+
+    def ptr(arr):
+        return arr.ctypes.data_as(ctypes.c_void_p)
+
+    buf = lib.cov_rows(chrn.encode(), ptr(start), ptr(end), ptr(uniq),
+                       ptr(logr), ptr(cn), ptr(na), nw,
+                       ctypes.byref(out_len))
+    if not buf or out_len.value < 0:
+        return None
+    try:
+        return ctypes.string_at(buf, out_len.value).decode()
+    finally:
+        lib.delly_free(buf)

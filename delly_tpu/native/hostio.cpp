@@ -16,6 +16,8 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <unordered_set>
@@ -2264,5 +2266,56 @@ void cnv_gt_core(const double* cov, const double* expv, int64_t winlen,
 }
 
 void delly_free(uint8_t* ptr) { std::free(ptr); }
+
+// ---------------------------------------------------------------------
+// CNV covfile row rendering (coral.h:296-414 output plane): batch-format
+// "chr\tstart\tend\t%g\t%g\t%g\n" rows (logR/CN are "NA" where the
+// window is uncallable).  %g here matches Python's format(x, 'g')
+// byte-for-byte for finite doubles, inf and nan, so the native path is
+// byte-identical to the Python fallback loop.  Returns a malloc'd
+// buffer (free with delly_free) and its length via out_len.
+uint8_t* cov_rows(const char* chrn, const int64_t* start,
+                  const int64_t* end, const double* uniq,
+                  const double* logr, const double* cn,
+                  const uint8_t* na, int64_t nw, int64_t* out_len) {
+  size_t chrlen = std::strlen(chrn);
+  size_t cap = (size_t)nw * (chrlen + 64) + 64;
+  char* buf = (char*)std::malloc(cap);
+  if (!buf) {
+    *out_len = -1;
+    return nullptr;
+  }
+  size_t off = 0;
+  for (int64_t i = 0; i < nw; ++i) {
+    if (cap - off < chrlen + 128) {
+      cap = cap * 2 + 256;
+      char* nb = (char*)std::realloc(buf, cap);
+      if (!nb) {
+        std::free(buf);
+        *out_len = -1;
+        return nullptr;
+      }
+      buf = nb;
+    }
+    std::memcpy(buf + off, chrn, chrlen);
+    off += chrlen;
+    off += (size_t)std::snprintf(buf + off, 64, "\t%lld\t%lld\t",
+                                 (long long)start[i],
+                                 (long long)end[i]);
+    off += (size_t)std::snprintf(buf + off, 32, "%g", uniq[i]);
+    if (na[i]) {
+      std::memcpy(buf + off, "\tNA\tNA\n", 7);
+      off += 7;
+    } else {
+      buf[off++] = '\t';
+      off += (size_t)std::snprintf(buf + off, 32, "%g", logr[i]);
+      buf[off++] = '\t';
+      off += (size_t)std::snprintf(buf + off, 32, "%g", cn[i]);
+      buf[off++] = '\n';
+    }
+  }
+  *out_len = (int64_t)off;
+  return (uint8_t*)buf;
+}
 
 }  // extern "C"

@@ -180,3 +180,38 @@ def test_cnv_segment_native_matches_numpy():
         finally:
             native.cnv_segment_core = orig
         assert native_b == numpy_b, (trial, native_b, numpy_b)
+
+
+def test_native_cov_rows_byte_identical():
+    """Native covfile row rendering (hostio.cpp cov_rows) matches the
+    Python f-string loop byte-for-byte, including %g edge cases."""
+    import numpy as np
+
+    from delly_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    nw = 5000
+    start = (np.arange(nw, dtype=np.int64) * 997) % (1 << 31)
+    end = start + rng.integers(1, 100000, nw)
+    uniq = np.where(rng.random(nw) < 0.1, -1.0, rng.random(nw))
+    logr = rng.normal(size=nw) * 3
+    cn = np.abs(rng.normal(size=nw) * 2)
+    # %g regimes: integers, tiny, huge, inf, nan
+    logr[0], logr[1], logr[2], logr[3] = 0.0, 1e-7, 1e20, -0.0
+    cn[4], cn[5] = np.inf, np.nan
+    cn[6] = 2.0
+    na = (rng.random(nw) < 0.2).astype(np.uint8)
+    na[4] = na[5] = 0
+    got = native.cov_rows("chr7", start, end, uniq, logr, cn, na)
+    rows = []
+    for i in range(nw):
+        if na[i]:
+            rows.append(f"chr7\t{start[i]}\t{end[i]}\t{uniq[i]:g}"
+                        f"\tNA\tNA\n")
+        else:
+            rows.append(f"chr7\t{start[i]}\t{end[i]}\t{uniq[i]:g}\t"
+                        f"{logr[i]:g}\t{cn[i]:g}\n")
+    assert got == "".join(rows)
