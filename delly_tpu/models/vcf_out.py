@@ -8,6 +8,8 @@ from delly_tpu.ops.likelihood import compute_gls
 from delly_tpu.utils.tags import (
     SVT_TRANS, add_id, add_orientation, entropy, is_translocation,
 )
+import numpy as _np
+
 from delly_tpu.version import SVMETHOD
 from delly_tpu.utils.log import stage
 
@@ -94,10 +96,10 @@ def vcf_output(cfg, header, svs, jct_map, rc_map, span_map,
             info.append(("HOMLEN", sv.homLen))
             homlen_emitted = True
             info.append(("SR", sv.srSupport))
-            info.append(("SRQ", fmt_float(float(f"{sv.srAlignQuality:.6g}"))))
+            info.append(("SRQ", fmt_float(float(_np.float32(sv.srAlignQuality)))))
             if sv.consensus:
                 info.append(("CONSENSUS", sv.consensus))
-                info.append(("CE", fmt_float(float(f"{entropy(sv.consensus):.6g}"))))
+                info.append(("CE", fmt_float(float(_np.float32(entropy(sv.consensus))))))
                 info.append(("CONSBP", sv.consBp))
         # SVAnno (modvcf.h:577-598)
         if not is_translocation(sv.svt):
@@ -116,7 +118,7 @@ def vcf_output(cfg, header, svs, jct_map, rc_map, span_map,
                 info.append(("SUBTYPE",
                              "INS:TR" if sv.svt == 4 else "DEL:TR"))
                 info.append(("TRPERIOD", sv.anno.trPeriod))
-                info.append(("TRCOPIES", fmt_float(float(f"{sv.anno.trCopies:.6g}"))))
+                info.append(("TRCOPIES", fmt_float(float(_np.float32(sv.anno.trCopies)))))
 
         # Genotypes
         sample_fields = []

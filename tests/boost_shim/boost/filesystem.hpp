@@ -31,6 +31,22 @@ class path {
 bool exists(path const&);
 std::uintmax_t file_size(path const&);
 
+// functional: temp-name templating + deletion (asmode.h:659-667 writes
+// a temp BCF, reads it back through the merge plane and removes it)
+inline path unique_path(path const& model) {
+  std::string s = model.string();
+  char fill = 'a';
+  for (char& ch : s)
+    if (ch == '%') {
+      ch = fill;
+      fill = (fill == 'z') ? 'a' : (char)(fill + 1);
+    }
+  return path(s);
+}
+inline bool remove(path const& p) {
+  return ::remove(p.string().c_str()) == 0;
+}
+
 inline std::ostream& operator<<(std::ostream& os, path const& p) {
   return os << p.string();
 }
