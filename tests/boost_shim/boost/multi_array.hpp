@@ -101,10 +101,17 @@ class tokenizer {
 };
 
 template <typename T>
-inline typename std::enable_if<!std::is_same<T, std::string>::value,
+inline typename std::enable_if<!std::is_same<T, std::string>::value
+                                   && !std::is_same<T, char>::value,
                                T>::type
 lexical_cast(std::string const& s) {
   return static_cast<T>(std::stol(s));
+}
+
+template <typename T>
+inline typename std::enable_if<std::is_same<T, char>::value, T>::type
+lexical_cast(std::string const& s) {
+  return s.empty() ? '\0' : s[0];
 }
 
 template <typename T, typename S>
