@@ -87,295 +87,10 @@ int faidx_seq_len(const faidx_t*, const char* tname) {
   return (int)g_chrseq[std::atoi(tname)].size();
 }
 
-// ---------- functional TEXT-MODE htslib vcf layer ----------
-#include <htslib/vcf.h>
-
-struct htsFile {
-  int dummy;
-};
-static std::string g_vcf_buf;
-static std::vector<std::string> g_hdr_lines;
-static std::vector<std::string> g_dict;  // shared FILTER/INFO/FORMAT ids
-static std::vector<std::string> g_vcf_contigs;
-static std::vector<std::string> g_vcf_samples;
-
-static std::string _hdrLineId(std::string const& line,
-                              const char* prefix) {
-  std::size_t plen = std::strlen(prefix);
-  if (line.compare(0, plen, prefix) != 0) return std::string();
-  std::size_t at = line.find("<ID=", plen - 1);
-  if (at == std::string::npos) return std::string();
-  at += 4;
-  std::size_t end = line.find_first_of(",>", at);
-  return line.substr(at, end - at);
-}
-
-htsFile* hts_open(const char*, const char*) {
-  g_vcf_buf.clear();
-  return new htsFile{0};
-}
-int hts_close(htsFile* f) {
-  delete f;
-  return 0;
-}
-htsFile* bcf_open(const char* p, const char* m) { return hts_open(p, m); }
-int bcf_close(htsFile* f) { return hts_close(f); }
-bcf_hdr_t* bcf_hdr_init(const char*) {
-  static bcf_hdr_t h;
-  h.n[0] = h.n[1] = h.n[2] = 0;
-  g_hdr_lines.clear();
-  g_dict.assign(1, "PASS");  // implicit id 0, htslib semantics
-  g_vcf_contigs.clear();
-  g_vcf_samples.clear();
-  g_hdr_lines.push_back("##fileformat=VCFv4.2");
-  return &h;
-}
-void bcf_hdr_destroy(bcf_hdr_t*) {}
-int bcf_hdr_append(bcf_hdr_t* h, const char* line) {
-  g_hdr_lines.push_back(line);
-  for (const char* pre :
-       {"##FILTER=", "##INFO=", "##FORMAT="}) {
-    std::string id = _hdrLineId(line, pre);
-    if (!id.empty() &&
-        std::find(g_dict.begin(), g_dict.end(), id) == g_dict.end())
-      g_dict.push_back(id);
-  }
-  std::string ctg = _hdrLineId(line, "##contig=");
-  if (!ctg.empty()) g_vcf_contigs.push_back(ctg);
-  h->n[0] = (int32_t)g_dict.size();
-  h->n[1] = (int32_t)g_vcf_contigs.size();
-  return 0;
-}
-int bcf_hdr_add_sample(bcf_hdr_t* h, const char* s) {
-  if (s != nullptr) {
-    g_vcf_samples.push_back(s);
-    h->n[2] = (int32_t)g_vcf_samples.size();
-  }
-  return 0;
-}
-int bcf_hdr_id2int(const bcf_hdr_t*, int, const char* key) {
-  for (std::size_t i = 0; i < g_dict.size(); ++i)
-    if (g_dict[i] == key) return (int)i;
-  return -1;
-}
-int bcf_hdr_name2id(bcf_hdr_t*, const char* name) {
-  for (std::size_t i = 0; i < g_vcf_contigs.size(); ++i)
-    if (g_vcf_contigs[i] == name) return (int)i;
-  return -1;
-}
-int bcf_hdr_write(htsFile*, bcf_hdr_t*) {
-  for (auto const& l : g_hdr_lines) g_vcf_buf += l + "\n";
-  g_vcf_buf += "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO";
-  if (!g_vcf_samples.empty()) {
-    g_vcf_buf += "\tFORMAT";
-    for (auto const& s : g_vcf_samples) g_vcf_buf += "\t" + s;
-  }
-  g_vcf_buf += "\n";
-  return 0;
-}
-
-struct InfoKV {
-  std::string key, val;
-  bool flag;
-};
-static std::string g_rec_id, g_rec_alleles;
-static int g_rec_filter = -1;
-static std::vector<InfoKV> g_rec_info;
-static std::vector<std::pair<std::string, std::vector<std::string> > >
-    g_rec_fmt;
-
-bcf1_t* bcf_init() {
-  static bcf1_t r;
-  bcf_clear1(&r);
-  return &r;
-}
-void bcf_destroy(bcf1_t*) {}
-void bcf_destroy1(bcf1_t*) {}
-void bcf_clear1(bcf1_t* r) {
-  r->rid = 0;
-  r->pos = 0;
-  r->qual = 0;
-  g_rec_id = ".";
-  g_rec_alleles.clear();
-  g_rec_filter = -1;
-  g_rec_info.clear();
-  g_rec_fmt.clear();
-}
-int bcf_update_id(bcf_hdr_t*, bcf1_t*, const char* id) {
-  g_rec_id = id;
-  return 0;
-}
-int bcf_update_alleles_str(bcf_hdr_t*, bcf1_t*, const char* a) {
-  g_rec_alleles = a;
-  return 0;
-}
-int bcf_update_filter(bcf_hdr_t*, bcf1_t*, int32_t* ids, int) {
-  g_rec_filter = *ids;
-  return 0;
-}
-static void _setInfo(std::string const& key, std::string const& val,
-                     bool flag) {
-  for (auto& kv : g_rec_info)
-    if (kv.key == key) {  // htslib replaces in place
-      kv.val = val;
-      kv.flag = flag;
-      return;
-    }
-  g_rec_info.push_back(InfoKV{key, val, flag});
-}
-static std::string _fmtFloat(double v) {
-  char b[64];
-  std::snprintf(b, sizeof(b), "%g", v);
-  return b;
-}
-int bcf_update_info_flag(bcf_hdr_t*, bcf1_t*, const char* key,
-                         const char*, int n) {
-  if (n) _setInfo(key, "", true);
-  return 0;
-}
-int bcf_update_info_int32(bcf_hdr_t*, bcf1_t*, const char* key,
-                          const void* vp, int n) {
-  const int32_t* v = (const int32_t*)vp;
-  std::string out;
-  for (int i = 0; i < n; ++i) {
-    if (i) out += ",";
-    out += (v[i] == bcf_int32_missing) ? "." : std::to_string(v[i]);
-  }
-  _setInfo(key, out, false);
-  return 0;
-}
-int bcf_update_info_float(bcf_hdr_t*, bcf1_t*, const char* key,
-                          const void* vp, int n) {
-  const float* v = (const float*)vp;
-  std::string out;
-  for (int i = 0; i < n; ++i) {
-    if (i) out += ",";
-    out += bcf_float_is_missing(v[i]) ? "." : _fmtFloat((double)v[i]);
-  }
-  _setInfo(key, out, false);
-  return 0;
-}
-int bcf_update_info_string(bcf_hdr_t*, bcf1_t*, const char* key,
-                           const char* v) {
-  _setInfo(key, v, false);
-  return 0;
-}
-static std::vector<std::string>& _fmtSlot(std::string const& key) {
-  for (auto& kv : g_rec_fmt)
-    if (kv.first == key) {
-      kv.second.clear();
-      return kv.second;
-    }
-  g_rec_fmt.push_back({key, {}});
-  return g_rec_fmt.back().second;
-}
-int bcf_update_genotypes(bcf_hdr_t* h, bcf1_t*, const int32_t* gts,
-                         int n) {
-  int ns = bcf_hdr_nsamples(h);
-  int w = ns ? n / ns : 0;
-  auto& slot = _fmtSlot("GT");
-  for (int s = 0; s < ns; ++s) {
-    std::string out;
-    for (int k = 0; k < w; ++k) {
-      int32_t v = gts[s * w + k];
-      if (k) out += (v & 1) ? "|" : "/";
-      int a = (v >> 1) - 1;
-      out += (a < 0) ? "." : std::to_string(a);
-    }
-    slot.push_back(out);
-  }
-  return 0;
-}
-int bcf_update_format_int32(bcf_hdr_t* h, bcf1_t*, const char* key,
-                            const int32_t* v, int n) {
-  int ns = bcf_hdr_nsamples(h);
-  int w = ns ? n / ns : 0;
-  auto& slot = _fmtSlot(key);
-  for (int s = 0; s < ns; ++s) {
-    std::string out;
-    for (int k = 0; k < w; ++k) {
-      if (k) out += ",";
-      int32_t x = v[s * w + k];
-      out += (x == bcf_int32_missing) ? "." : std::to_string(x);
-    }
-    slot.push_back(out.empty() ? "." : out);
-  }
-  return 0;
-}
-int bcf_update_format_float(bcf_hdr_t* h, bcf1_t*, const char* key,
-                            const float* v, int n) {
-  int ns = bcf_hdr_nsamples(h);
-  int w = ns ? n / ns : 0;
-  auto& slot = _fmtSlot(key);
-  for (int s = 0; s < ns; ++s) {
-    std::string out;
-    for (int k = 0; k < w; ++k) {
-      if (k) out += ",";
-      float x = v[s * w + k];
-      out += bcf_float_is_missing(x) ? "." : _fmtFloat((double)x);
-    }
-    slot.push_back(out.empty() ? "." : out);
-  }
-  return 0;
-}
-int bcf_update_format_string(bcf_hdr_t* h, bcf1_t*, const char* key,
-                             const char** v, int n) {
-  auto& slot = _fmtSlot(key);
-  for (int s = 0; s < n; ++s) slot.push_back(v[s]);
-  return 0;
-}
-int bcf_write1(htsFile*, bcf_hdr_t* h, bcf1_t* r) {
-  std::string line = g_vcf_contigs[r->rid];
-  line += "\t" + std::to_string(r->pos + 1);
-  line += "\t" + g_rec_id;
-  std::size_t comma = g_rec_alleles.find(',');
-  line += "\t" + g_rec_alleles.substr(0, comma);
-  line += "\t" + (comma == std::string::npos
-                      ? std::string(".")
-                      : g_rec_alleles.substr(comma + 1));
-  line += "\t" + _fmtFloat((double)r->qual);
-  line += "\t" + (g_rec_filter < 0 ? std::string(".")
-                                   : g_dict[g_rec_filter]);
-  std::string info;
-  for (auto const& kv : g_rec_info) {
-    if (!info.empty()) info += ";";
-    info += kv.flag ? kv.key : kv.key + "=" + kv.val;
-  }
-  line += "\t" + (info.empty() ? std::string(".") : info);
-  if (!g_rec_fmt.empty()) {
-    std::string keys;
-    for (auto const& kv : g_rec_fmt) {
-      if (!keys.empty()) keys += ":";
-      keys += kv.first;
-    }
-    line += "\t" + keys;
-    for (int s = 0; s < bcf_hdr_nsamples(h); ++s) {
-      std::string col;
-      for (auto const& kv : g_rec_fmt) {
-        if (!col.empty()) col += ":";
-        col += ((std::size_t)s < kv.second.size()) ? kv.second[s] : ".";
-      }
-      line += "\t" + col;
-    }
-  }
-  g_vcf_buf += line + "\n";
-  return 0;
-}
-// unused-at-runtime surface kept linkable (modvcf.h plain functions)
-int bcf_unpack(bcf1_t*, int) { return 0; }
-int bcf_update_info(const bcf_hdr_t*, bcf1_t*, const char*, const void*,
-                    int, int) {
-  return 0;
-}
-int bcf_update_format(const bcf_hdr_t*, bcf1_t*, const char*,
-                      const void*, int, int) {
-  return 0;
-}
-const char* bcf_hdr_int2id(const bcf_hdr_t*, int, int id) {
-  return g_dict[id].c_str();
-}
-int bcf_hdr_id2type(const bcf_hdr_t*, int, int) { return 0; }
-int bcf_index_build(const char*, int) { return 0; }
+// functional text-mode htslib vcf layer (shared multi-file reader/
+// writer; vcfOutput writes to "-" -> g_vcf_stdout, and the -v
+// re-genotyping mode reads a real VCF text file through vcfParse)
+#include "vcf_text_replay.hpp"
 
 // gregorian date rendering named by vcfOutput's fileDate line (the
 // header is excluded from comparison; any fixed token works)
@@ -587,10 +302,17 @@ int main() {
     Cfg c;
     std::string lens;
     int nchr, nrec;
+    std::string vcfpath;
     ss >> c.minMapQual >> c.minTraQual >> c.minGenoQual >> c.madCutoff >>
         c.minClip >> c.minCliqueSize >> c.minRefSep >> c.maxReadSep >>
         c.maxGenoReadCount >> c.maxReadPerSV >> c.graphPruning >>
-        c.minConsWindow >> nchr >> lens;
+        c.minConsWindow >> vcfpath >> nchr >> lens;
+    if (vcfpath != "-") {
+      c.hasVcfFile = true;
+      c.vcffile = boost::filesystem::path(vcfpath);
+    } else {
+      c.hasVcfFile = false;
+    }
     c.nchr = nchr;
     g_tlen.clear();
     {
@@ -645,14 +367,18 @@ int main() {
     getLibraryParams(c, validRegions, sampleLib);
 
     std::vector<StructuralVariantRecord> svs, srSVs;
-    {
+    if (!c.hasVcfFile) {
       typedef std::map<std::pair<int32_t, std::size_t>, int32_t>
           TPosRead;
       std::vector<TPosRead> srStore(g_tlen.size());
       scanPEandSR(c, validRegions, svs, srSVs, srStore, sampleLib);
       assembleSplitReads(c, validRegions, srStore, srSVs);
+      mergeSort(svs, srSVs);
+    } else {
+      // re-genotyping input reader (delly.h:150, modvcf.h:155-339)
+      bam_hdr_t* bamhd = sam_hdr_read(nullptr);
+      vcfParse(c, bamhd, svs);
     }
-    mergeSort(svs, srSVs);
 
     std::sort(svs.begin(), svs.end());
     uint32_t cliqueCount = 0;
@@ -668,7 +394,7 @@ int main() {
 
     // emit body lines joined by \x01
     std::string out;
-    std::istringstream vs(g_vcf_buf);
+    std::istringstream vs(g_vcf_stdout);
     std::string vline;
     while (std::getline(vs, vline)) {
       if (!vline.empty() && vline[0] == '#') continue;

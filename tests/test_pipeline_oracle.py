@@ -52,8 +52,15 @@ def oracle(tmp_path_factory):
     f = next(i for i in range(e, len(lines_u))
              if lines_u[i].rstrip() == "  }")
     ent_slice = "".join(lines_u[e:f + 1])
+    d0 = next(i for i, ln in enumerate(lines_u)
+              if "_decodeOrientation(std::string const& value, "
+                 "std::string const& svt)" in ln) - 1
+    d1 = next(i for i in range(d0, len(lines_u))
+              if lines_u[i].rstrip() == "  }")
+    dec_slice = "".join(lines_u[d0:d1 + 1])
     (gen / "util_pipeline_slice.h").write_text(
-        "namespace torali {\n" + ent_slice + "\n" + lib_slice + "\n}\n")
+        "namespace torali {\n" + ent_slice + "\n" + dec_slice + "\n"
+        + lib_slice + "\n}\n")
     exe = str(gen / "probe")
     subprocess.run(
         ["g++", "-O2", "-std=c++17", "-I", str(gen), "-I", SHIM_DIR,
@@ -71,7 +78,7 @@ def oracle(tmp_path_factory):
     return run
 
 
-def _serialize_case(bam_path, fa_path):
+def _serialize_case(bam_path, fa_path, vcffile="-"):
     """Render a BAM + FASTA as one probe input line (PIPE protocol)."""
     fasta = FastaFile(fa_path)
     with BamFile(bam_path) as bf:
@@ -86,6 +93,7 @@ def _serialize_case(bam_path, fa_path):
                     f"{rec.cigar_string() or '*'} {rec.seq or '.'}")
     seqs = [fasta.fetch(n) for n in names]
     line = ("PIPE 1 20 5 9 25 2 25 40 250 20 1000 100 "
+            f"{vcffile} "
             f"{len(names)} " + ",".join(str(x) for x in lens) + " "
             + " ".join(seqs) + f" {len(recs)} " + " ".join(recs))
     return line
@@ -172,3 +180,65 @@ def test_synthetic_families_vcf_body_byte_identical(oracle, tmp_path):
         total += _compare(name, bam, fa, out, tmp_path)
     # the families must actually emit sites (DEL/DUP/INV/INS/BND)
     assert total >= 8, total
+
+
+def _index_named_vcf(text, names, out_path):
+    """Rewrite a VCF to the probe's index-named contigs ('0','1',...),
+    header contig lines included."""
+    idx = {n: str(i) for i, n in enumerate(names)}
+    out = []
+    for l in text.splitlines():
+        if l.startswith("##contig=<ID="):
+            rest = l[len("##contig=<ID="):]
+            name, tail = rest.split(",", 1)
+            out.append(f"##contig=<ID={idx.get(name, name)},{tail}")
+        elif l.startswith("#"):
+            out.append(l)
+        else:
+            out.extend(_strip_contig_names([l], names))
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+
+
+def test_regenotyping_mode_vcf_body_byte_identical(oracle, tmp_path):
+    """-v mode: reference vcfParse (modvcf.h:155-339) + annotateCoverage
+    + vcfOutput execute over a previously-discovered site list."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bamsynth import make_multi_sv_dataset
+
+    sub = tmp_path / "regeno"
+    sub.mkdir()
+    bam, fa, _truth = make_multi_sv_dataset(str(sub))
+    # stage 1: discovery (mine) -> site list text
+    sites_bcf = str(tmp_path / "sites.bcf")
+    cfg = SrConfig(genome=fa, files=[bam], outfile=sites_bcf,
+                   max_threads=1)
+    assert run_sr(cfg) == 0
+    with open(sites_bcf, "rb") as fh:
+        sites_text = bcf_to_vcf_text(fh.read())
+    with BamFile(bam) as bf:
+        names = list(bf.header.names)
+    # my re-genotyping run against the site list
+    sites_vcf = str(tmp_path / "sites.vcf")
+    with open(sites_vcf, "w") as fh:
+        fh.write(sites_text if sites_text.endswith("\n")
+                 else sites_text + "\n")
+    out2 = str(tmp_path / "regeno.bcf")
+    cfg2 = SrConfig(genome=fa, files=[bam], outfile=out2,
+                    vcffile=sites_vcf, max_threads=1)
+    assert run_sr(cfg2) == 0
+    with open(out2, "rb") as fh:
+        mine = [l for l in bcf_to_vcf_text(fh.read()).splitlines()
+                if not l.startswith("#")]
+    mine = _strip_contig_names(mine, names)
+    # the probe's re-genotyping over the same (index-named) site list
+    probe_sites = str(tmp_path / "sites_idx.vcf")
+    _index_named_vcf(sites_text, names, probe_sites)
+    out = oracle([_serialize_case(bam, fa, vcffile=probe_sites)])
+    ref = _ref_body(out[0])
+    assert len(mine) == len(ref), (len(mine), len(ref), mine[:1],
+                                   ref[:1])
+    for k, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, (k, m, r)
+    assert len(ref) >= 4

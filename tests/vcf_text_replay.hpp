@@ -736,6 +736,12 @@ int bcf_write1(htsFile* hf, bcf_hdr_t* h, bcf1_t* rec) {
   return 0;
 }
 int bcf_index_build(const char*, int) { return 0; }
-int bam_name2id(void*, const char*) { return -1; }
+// replay BAM headers use index-named contigs ("0", "1", ...)
+int bam_name2id(void*, const char* name) {
+  if (!name || !*name) return -1;
+  for (const char* p = name; *p; ++p)
+    if (*p < '0' || *p > '9') return -1;
+  return std::atoi(name);
+}
 
 #endif
