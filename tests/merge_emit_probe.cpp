@@ -171,8 +171,27 @@ int main(int argc, char** argv) {
   c.cnvGainUniq = 0.9f;
   c.totalSamples = c.files.size();
 
-  // driver core, merge() stage order (merge.h:2050-2115; files fit in
-  // one chunk — the chunked path is delly_tpu-side tested separately)
+  // driver core, merge() stage order (merge.h:2050-2115), including
+  // the chunked path (optimal chunk sizing :2040-2052, per-chunk
+  // mergeRun with the vaf/coverage reset on the re-merge :2066-2087).
+  // DELLY_MERGE_CHUNKSIZE mirrors the CLI -u option (floored at 100,
+  // merge.h:1989)
+  if (const char* cs = std::getenv("DELLY_MERGE_CHUNKSIZE"))
+    c.chunksize = (uint32_t)std::atoi(cs);
+  if (c.chunksize < 100) c.chunksize = 100;
+  if (c.files.size() > c.chunksize) {
+    int32_t bestChunkSize = c.chunksize;
+    int32_t bestBinSize = 0;
+    for (uint32_t i = 50; i < c.chunksize; ++i) {
+      int32_t chunks = ((c.files.size() - 1) / i);
+      int32_t lastBin = c.files.size() - chunks * i;
+      if (lastBin > bestBinSize) {
+        bestBinSize = lastBin;
+        bestChunkSize = i;
+      }
+    }
+    c.chunksize = bestChunkSize;
+  }
   int32_t minSVT = 0, maxSVT = 9;
   if (c.cnvMode) {
     minSVT = 9;
@@ -182,8 +201,36 @@ int main(int argc, char** argv) {
   for (int32_t svt = minSVT; svt < maxSVT; ++svt) {
     svtCollect[svt] = boost::filesystem::path(
         tmpdir + "/svt" + std::to_string(svt) + ".vcf");
-    c.outfile = svtCollect[svt];
-    mergeRun(c, svt);
+    if (c.files.size() <= c.chunksize) {
+      c.outfile = svtCollect[svt];
+      mergeRun(c, svt);
+    } else {
+      std::vector<boost::filesystem::path> fileRestore = c.files;
+      uint32_t chunks = ((c.files.size() - 1) / c.chunksize) + 1;
+      std::vector<boost::filesystem::path> chunkCollect(chunks);
+      for (uint32_t ic = 0; ic < chunks; ++ic) {
+        chunkCollect[ic] = boost::filesystem::path(
+            tmpdir + "/chunk" + std::to_string(svt) + "_"
+            + std::to_string(ic) + ".vcf");
+        c.files.clear();
+        for (uint32_t k = ic * c.chunksize;
+             (k < (ic + 1) * c.chunksize) && (k < fileRestore.size());
+             ++k)
+          c.files.push_back(fileRestore[k]);
+        c.outfile = chunkCollect[ic];
+        mergeRun(c, svt);
+      }
+      c.files = chunkCollect;
+      c.outfile = svtCollect[svt];
+      float vafStore = c.vaf;
+      uint32_t coverageStore = c.coverage;
+      c.vaf = 0;
+      c.coverage = 0;
+      mergeRun(c, svt);
+      c.vaf = vafStore;
+      c.coverage = coverageStore;
+      c.files = fileRestore;
+    }
   }
   c.outfile = outPath;
   if (c.cnvMode) {

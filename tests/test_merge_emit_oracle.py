@@ -68,6 +68,8 @@ def oracle(tmp_path_factory):
         out = str(workdir / "ref_merged.vcf")
         tmp = workdir / "ref_tmp"
         tmp.mkdir(exist_ok=True)
+        env = dict(os.environ)
+        env["DELLY_MERGE_CHUNKSIZE"] = str(cfg.chunksize)
         args = [exe, out, str(tmp),
                 str(int(cfg.cnv_mode)), str(int(cfg.filter_for_pass)),
                 str(int(cfg.filter_for_precise)), str(cfg.qualthres),
@@ -75,7 +77,8 @@ def oracle(tmp_path_factory):
                 str(cfg.coverage), str(cfg.minsize), str(cfg.maxsize),
                 str(cfg.bpoffset), repr(cfg.recoverlap),
                 repr(cfg.rep_min_af), cfg.genome or "-"] + files
-        subprocess.run(args, capture_output=True, text=True, check=True)
+        subprocess.run(args, capture_output=True, text=True,
+                       check=True, env=env)
         return [l for l in open(out).read().splitlines()
                 if not l.startswith("#")]
 
@@ -373,3 +376,34 @@ def test_cnv_interval_merge_matches_reference(oracle, tmp_path):
         mine = _run_mine(files, MergeConfig(**kw), wd)
         ref = oracle(files, MergeConfig(**kw), wd)
         _assert_same(f"cnvmerge{case}", mine, ref)
+
+
+def test_chunked_merge_matches_reference(oracle, tmp_path):
+    """>chunksize cohorts go through per-chunk mergeRun + a site-list
+    re-merge with VAF/coverage gating off (merge.h:2040-2087): 120
+    single-sample files at chunksize 100."""
+    rng = random.Random(31415)
+    genome = _seq(rng, 40000) * 50
+    events = _gen_events(rng, genome, 10)
+    files = []
+    for s in range(120):
+        recs = []
+        k = 0
+        for ev in events:
+            if rng.random() < 0.5:
+                recs.append(_render_record(rng, genome, ev, k))
+                k += 1
+        recs.sort(key=lambda r: (r[0], r[1]))
+        hdr = HDR + [("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER"
+                      f"\tINFO\tFORMAT\tS{s}")]
+        p = str(tmp_path / f"chunk_s{s}.vcf")
+        with open(p, "w") as fh:
+            fh.write("\n".join(hdr + [r[2] for r in recs]) + "\n")
+        files.append(p)
+    wd = tmp_path / "wchunk"
+    wd.mkdir()
+    cfg = MergeConfig(chunksize=100)
+    mine = _run_mine(files, cfg, wd)
+    ref = oracle(files, MergeConfig(chunksize=100), wd)
+    _assert_same("chunked", mine, ref)
+    assert len(ref) >= 5
