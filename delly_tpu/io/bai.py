@@ -252,7 +252,7 @@ def build_bai(bgzf_bytes: bytes) -> bytes:
     nrec = len(offsets)
     if spans is None:
         from delly_tpu.io.bam import parse_record_at
-        spans = np.empty(nrec, dtype=np.int64)
+        spans = np.zeros(nrec, dtype=np.int64)
         for i in range(nrec):
             spans[i] = parse_record_at(data, int(offsets[i])
                                        ).alignment_length()

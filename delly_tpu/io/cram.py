@@ -1692,7 +1692,7 @@ def _decode_slice_native(ch, sh, streams, slice_refseq, rg_names):
     cap = 4 * sum(int(x) for x in slens) + 128 * sh["nrec"] + 1024
     out_nrec = ctypes.c_int32()
     for _attempt in range(4):
-        out = np.empty(cap, dtype=np.uint8)
+        out = np.zeros(cap, dtype=np.uint8)  # zeros: see native._scratch
         rc = lib.cram_decode_slice(
             sptr, slens.ctypes.data_as(ctypes.c_void_p),
             sh["nrec"], sh["ref_id"], sh["start"], int(ch.ap_delta),

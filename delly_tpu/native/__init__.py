@@ -798,8 +798,9 @@ def bam_scan(data: bytes, start: int):
     if lib is None:
         return None
     cap = max(16, (len(data) - start) // 36 + 1)
-    offsets = np.empty(cap, dtype=np.int64)
-    cols = {name: np.empty(cap, dtype=np.int32)
+    # np.zeros, not np.empty — see _scratch (large native first-touch)
+    offsets = np.zeros(cap, dtype=np.int64)
+    cols = {name: np.zeros(cap, dtype=np.int32)
             for name in ("tid", "pos", "flag", "mapq", "mtid", "mpos",
                          "tlen", "lqseq")}
 
