@@ -39,11 +39,9 @@ PROBE_SRC = os.path.join(os.path.dirname(__file__), "edlib_probe.cpp")
 def oracle(tmp_path_factory):
     if shutil.which("g++") is None or not os.path.isfile(REF_EDLIB):
         pytest.skip("g++ or reference edlib.cpp unavailable")
-    exe = str(tmp_path_factory.mktemp("edlib_oracle") / "probe")
-    subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-I", os.path.dirname(REF_EDLIB),
-         PROBE_SRC, REF_EDLIB, "-o", exe],
-        check=True, capture_output=True)
+    from probeutil import cached_probe
+    exe = cached_probe(["g++", "-O2", "-std=c++17", "-I", os.path.dirname(REF_EDLIB),
+         PROBE_SRC, REF_EDLIB])
 
     def run(cases):
         """cases: list of (mode, task, k, qbytes, tbytes, eqpairs).

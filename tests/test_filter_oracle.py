@@ -38,11 +38,9 @@ def oracle(tmp_path_factory):
                if "int filter(int argc, char **argv)" in ln)
     (gen / "filter_sliced.h").write_text(
         "".join(lines[:cut]) + "\n}\n\n#endif\n")
-    exe = str(gen / "probe")
-    subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-I", str(gen), "-I", SHIM_DIR,
-         "-I", REF_SRC, PROBE_SRC, "-o", exe],
-        check=True, capture_output=True)
+    from probeutil import cached_probe
+    exe = cached_probe(["g++", "-O2", "-std=c++17", "-I", str(gen), "-I", SHIM_DIR,
+         "-I", REF_SRC, PROBE_SRC])
 
     def run(vcf_path, cfg, roles=()):
         args = [exe, vcf_path, cfg.filter,

@@ -36,12 +36,9 @@ def oracle(tmp_path_factory):
     if (shutil.which("g++") is None
             or not os.path.isfile(os.path.join(REF_SRC, "coverage.h"))):
         pytest.skip("g++ or reference coverage.h unavailable")
-    exe = str(tmp_path_factory.mktemp("geno_oracle") / "probe")
-    subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-I", SHIM_DIR, "-I", REF_SRC,
-         PROBE_SRC, os.path.join(REF_SRC, "edlib.cpp"), "-pthread",
-         "-o", exe],
-        check=True, capture_output=True)
+    from probeutil import cached_probe
+    exe = cached_probe(["g++", "-O2", "-std=c++17", "-I", SHIM_DIR, "-I", REF_SRC,
+         PROBE_SRC, os.path.join(REF_SRC, "edlib.cpp"), "-pthread"])
 
     def run(lines):
         out = subprocess.run(

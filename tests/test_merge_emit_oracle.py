@@ -57,12 +57,10 @@ def oracle(tmp_path_factory):
     (gen / "util_merge_slice.h").write_text(
         "namespace torali {\n" + "".join(ul[d0:d1 + 1]) + "\n"
         + "".join(ul[e0:e1 + 1]) + "\n}\n")
-    exe = str(gen / "probe")
-    subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-I", str(gen), "-I", SHIM_DIR,
+    from probeutil import cached_probe
+    exe = cached_probe(["g++", "-O2", "-std=c++17", "-I", str(gen), "-I", SHIM_DIR,
          "-I", REF_SRC, PROBE_SRC,
-         os.path.join(REF_SRC, "edlib.cpp"), "-o", exe],
-        check=True, capture_output=True)
+         os.path.join(REF_SRC, "edlib.cpp")])
 
     def run(files, cfg, workdir):
         out = str(workdir / "ref_merged.vcf")

@@ -64,12 +64,10 @@ def oracle(tmp_path_factory):
     tail.pop()
     (gen / "shortpe_slice.h").write_text(
         "namespace torali {\n" + "".join(tail) + "\n}\n")
-    exe = str(gen / "probe")
-    subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-I", str(gen), "-I", SHIM_DIR,
+    from probeutil import cached_probe
+    exe = cached_probe(["g++", "-O2", "-std=c++17", "-I", str(gen), "-I", SHIM_DIR,
          "-I", REF_SRC, PROBE_SRC,
-         os.path.join(REF_SRC, "edlib.cpp"), "-o", exe],
-        check=True, capture_output=True)
+         os.path.join(REF_SRC, "edlib.cpp")])
 
     def run(lines):
         out = subprocess.run(

@@ -32,11 +32,9 @@ def oracle(tmp_path_factory):
             or not os.path.isfile(os.path.join(REF_SRC,
                                                "pangenome.h"))):
         pytest.skip("g++ or reference pangenome.h unavailable")
-    exe = str(tmp_path_factory.mktemp("pangenome_oracle") / "probe")
-    subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-I", SHIM_DIR, "-I", REF_SRC,
-         PROBE_SRC, "-o", exe],
-        check=True, capture_output=True)
+    from probeutil import cached_probe
+    exe = cached_probe(["g++", "-O2", "-std=c++17", "-I", SHIM_DIR, "-I", REF_SRC,
+         PROBE_SRC])
 
     def run(min_map_qual, min_ref_sep, gfa, gafs):
         out = subprocess.run(

@@ -61,12 +61,10 @@ def oracle(tmp_path_factory):
     (gen / "util_pipeline_slice.h").write_text(
         "namespace torali {\n" + ent_slice + "\n" + dec_slice + "\n"
         + lib_slice + "\n}\n")
-    exe = str(gen / "probe")
-    subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-I", str(gen), "-I", SHIM_DIR,
+    from probeutil import cached_probe
+    exe = cached_probe(["g++", "-O2", "-std=c++17", "-I", str(gen), "-I", SHIM_DIR,
          "-I", REF_SRC, PROBE_SRC,
-         os.path.join(REF_SRC, "edlib.cpp"), "-pthread", "-o", exe],
-        check=True, capture_output=True)
+         os.path.join(REF_SRC, "edlib.cpp"), "-pthread"])
 
     def run(lines):
         out = subprocess.run(
