@@ -148,9 +148,12 @@ def main() -> None:
         t1 = time.perf_counter()
         rate = B * iters / (t1 - t0)
         rates.append(rate)
-        if rate > best * 1.02:
+        if rate > best:
+            # plateau detection uses a 2% band; the reported value is
+            # always the true window maximum
+            if rate > best * 1.02:
+                since_improved = 0
             best = rate
-            since_improved = 0
         else:
             since_improved += 1
         if trial >= 4 and since_improved >= 3:

@@ -522,13 +522,20 @@ _dev_min_pairs = None
 
 def _device_min_pairs() -> int:
     """Batch size below which a device dispatch loses to the host core
-    (DELLY_TPU_DEVICE_MIN_PAIRS; default tuned for a tunneled chip —
-    co-located deployments can lower it)."""
+    (DELLY_TPU_DEVICE_MIN_PAIRS; co-located deployments can lower it).
+
+    Default = one job-plane flush (65536 jobs -> 131072 pairs spill
+    over this at full batches): forced-completion measurements on the
+    tunnelled chip put a single dispatch round trip at ~25ms and a
+    cold pipeline compile at seconds-to-minutes under contention,
+    while the native host Myers core clears a 64k-pair genotyping
+    batch in well under a second — a 560-pair batch that slipped to
+    the device was once observed costing 450s of wall time."""
     global _dev_min_pairs
     if _dev_min_pairs is None:
         import os
         _dev_min_pairs = int(os.environ.get(
-            "DELLY_TPU_DEVICE_MIN_PAIRS", "512"))
+            "DELLY_TPU_DEVICE_MIN_PAIRS", "65536"))
     return _dev_min_pairs
 
 

@@ -67,7 +67,13 @@ class _DeferredJaxSetup:
         orig_exec = loader.exec_module
 
         def exec_module(module):
-            orig_exec(module)
+            try:
+                orig_exec(module)
+            except BaseException:
+                # a failed first import (e.g. transient plugin error)
+                # must not disarm the setup for a later retry
+                setup_deferred()
+                raise
             setup()
 
         # per-spec override; the loader instance is spec-specific for

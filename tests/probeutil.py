@@ -46,7 +46,16 @@ def cached_probe(compile_args, key_files=(), shim_dir=_SHIM_DIR):
     for p in key_files:
         with open(p, "rb") as fh:
             h.update(fh.read())
-    _tree_digest(h, shim_dir)
+    # the probes quote-include the shared replay layers from tests/
+    # (probe_common/probe_replay/vcf_text_replay); an edit there must
+    # invalidate every cached binary
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    for f in sorted(os.listdir(tests_dir)):
+        if f.endswith(".hpp"):
+            with open(os.path.join(tests_dir, f), "rb") as fh:
+                h.update(fh.read())
+    if shim_dir not in compile_args:
+        _tree_digest(h, shim_dir)
     cache = os.path.join(
         os.environ.get("XDG_CACHE_HOME",
                        os.path.join(os.path.expanduser("~"), ".cache")),
