@@ -5,6 +5,7 @@
 #ifndef DP_PROBE_SHIM_BOOST_FILESYSTEM_HPP
 #define DP_PROBE_SHIM_BOOST_FILESYSTEM_HPP
 
+#include <fstream>
 #include <ostream>
 #include <string>
 
@@ -21,6 +22,7 @@ class path {
   path filename() const;
   path parent_path() const;
   bool empty() const { return s_.empty(); }
+  void clear() { s_.clear(); }
   bool operator==(path const& o) const { return s_ == o.s_; }
   bool operator<(path const& o) const { return s_ < o.s_; }
 
@@ -28,8 +30,21 @@ class path {
   std::string s_;
 };
 
-bool exists(path const&);
-std::uintmax_t file_size(path const&);
+inline bool exists(path const& p) {
+  std::ifstream f(p.string().c_str());
+  return f.good();
+}
+inline std::uintmax_t file_size(path const& p) {
+  std::ifstream f(p.string().c_str(),
+                  std::ios::binary | std::ios::ate);
+  return f.good() ? (std::uintmax_t)f.tellg() : 0;
+}
+inline bool is_regular_file(path const& p) {
+  // functional enough for the sliced _alternateAlignments (the alt
+  // branch never runs: hasAltFile=false keeps the list empty)
+  std::ifstream f(p.string().c_str());
+  return f.good();
+}
 
 // functional: temp-name templating + deletion (asmode.h:659-667 writes
 // a temp BCF, reads it back through the merge plane and removes it)
