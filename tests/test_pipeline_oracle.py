@@ -154,7 +154,8 @@ def test_synthetic_families_vcf_body_byte_identical(oracle, tmp_path):
     sys.path.insert(0, os.path.dirname(__file__))
     from bamsynth import (
         make_bnd_orientation_dataset, make_dup_inv_dataset,
-        make_insertion_dataset, make_multi_sv_dataset,
+        make_homopolymer_del_dataset, make_insertion_dataset,
+        make_multi_contig_del_dataset, make_multi_sv_dataset,
         make_overlapping_dels_dataset, make_translocation_dataset,
     )
 
@@ -165,7 +166,12 @@ def test_synthetic_families_vcf_body_byte_identical(oracle, tmp_path):
             ("ins", make_insertion_dataset),
             ("tra", make_translocation_dataset),
             ("overlapping_dels", make_overlapping_dels_dataset),
-            ("bnd_orient", make_bnd_orientation_dataset)):
+            ("bnd_orient", make_bnd_orientation_dataset),
+            ("homopolymer", make_homopolymer_del_dataset),
+            ("multi_contig",
+             lambda d: make_multi_contig_del_dataset(
+                 d, n_contigs=3, contig_len=80_000,
+                 error_rate=0.005))):
         sub = tmp_path / name
         sub.mkdir()
         d = maker(str(sub))
