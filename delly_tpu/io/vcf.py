@@ -107,6 +107,15 @@ def fmt_float(x: float) -> str:
     return s
 
 
+def fmt_float32(x) -> str:
+    """Render a value the way htslib renders a BCF Float: stored as
+    float32, then %g of the promoted double. Pre-rounding through
+    6-digit text instead diverges on boundary values (pinned by the
+    asm/merge emission oracles)."""
+    import numpy as np
+    return fmt_float(float(np.float32(x)))
+
+
 class VcfWriter:
     def __init__(self, path: str, chrom_names, chrom_lens, samples,
                  genome_path: str = "", header_lines=None,

@@ -26,7 +26,7 @@ import numpy as np
 
 from delly_tpu import native
 
-from delly_tpu.io.vcf import VcfReader, VcfWriter, fmt_float
+from delly_tpu.io.vcf import VcfReader, VcfWriter, fmt_float, fmt_float32
 from delly_tpu.ops.likelihood import compute_cnls
 from delly_tpu.version import SVMETHOD
 from delly_tpu.utils.log import stage
@@ -614,8 +614,8 @@ def cnv_vcf(cfg, header, cnvs: list) -> None:
                               f"{cnv.ciposhigh - cnv.start}"))
         info.append(("CIEND", f"{cnv.ciendlow - cnv.end},"
                               f"{cnv.ciendhigh - cnv.end}"))
-        info.append(("MP", fmt_float(float(np.float32(cnv.mappable)))))
-        info.append(("UNIQ", fmt_float(float(np.float32(cnv.uniqfrac)))))
+        info.append(("MP", fmt_float32(cnv.mappable)))
+        info.append(("UNIQ", fmt_float32(cnv.uniqfrac)))
         info.append(("SRL", cnv.srleft))
         info.append(("SRR", cnv.srright))
 
@@ -628,11 +628,11 @@ def cnv_vcf(cfg, header, cnvs: list) -> None:
         fields = {
             "GT": "./.",
             "CN": abs_cn,
-            "CNL": ",".join(fmt_float(float(np.float32(g))) for g in gl),
+            "CNL": ",".join(fmt_float32(g) for g in gl),
             "GQ": gq,
             "FT": ft,
-            "RDCN": fmt_float(float(np.float32(cnv.cn))),
-            "RDSD": fmt_float(float(np.float32(cnv.sd))),
+            "RDCN": fmt_float32(cnv.cn),
+            "RDSD": fmt_float32(cnv.sd),
         }
         writer.write_record(header.names[cnv.chr], cnv.start + 1, vid, "N",
                             "<CNV>", qual, filt, info, [fields])

@@ -20,6 +20,7 @@ from delly_tpu.models.depth import (
     base_coverage_bulk, gc_content_track, uniq_content_track,
 )
 
+from delly_tpu.models.cnv import uniq_threshold
 from delly_tpu.utils.log import stage
 
 
@@ -215,7 +216,6 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
 
         # Summarize GC coverage over selected windows (gcbias.h:348-360)
         # float32 product, matching the reference comparison (gcbias.h:350)
-        from delly_tpu.models.cnv import uniq_threshold
         uniq_pos = uniq_content >= uniq_threshold(cfg)
         if bin_of is not None:
             selected = np.zeros(len(scan_counts[ref_index]), dtype=bool)

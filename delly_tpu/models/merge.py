@@ -23,7 +23,7 @@ import sys
 import tempfile
 from dataclasses import dataclass, field
 
-from delly_tpu.io.vcf import VcfReader, VcfWriter, fmt_float
+from delly_tpu.io.vcf import VcfReader, VcfWriter, fmt_float, fmt_float32
 from delly_tpu.ops.edist import MODE_NW, edit_distance
 from delly_tpu.utils.tags import (
     SVT_TRANS, add_id, add_orientation, decode_orientation, entropy,
@@ -1099,7 +1099,7 @@ def emit_selected(cfg: MergeConfig, svtin: int, contig_map: dict,
             info.append(("SRQ", fmt_float(srq)))
             if cons:
                 info.append(("CONSENSUS", cons))
-                info.append(("CE", fmt_float(float(_np.float32(ce)))))
+                info.append(("CE", fmt_float32(ce)))
                 info.append(("CONSBP", cons_bp))
         if sub:
             info.append(("SUBTYPE", sub))
@@ -1112,7 +1112,7 @@ def emit_selected(cfg: MergeConfig, svtin: int, contig_map: dict,
             # (merge.h:1065,1158), so "32.0" re-renders as "32"
             try:
                 info.append(("TRCOPIES",
-                             fmt_float(float(_np.float32(str(trc))))))
+                             fmt_float32(str(trc))))
             except ValueError:
                 info.append(("TRCOPIES", trc))
         # float32 division like the reference's (float)ac / (float)an
@@ -1122,7 +1122,7 @@ def emit_selected(cfg: MergeConfig, svtin: int, contig_map: dict,
               if agg.an > 0 else 0.0)
         info.append(("AC", agg.ac))
         info.append(("AN", agg.an))
-        info.append(("AF", fmt_float(float(_np.float32(af)))))
+        info.append(("AF", fmt_float32(af)))
         info.append(("SUPP", agg.supp))
         info.append(("ALLELEID", agg.alleleId))
         info.append(("NALLELE", agg.nAllele))
@@ -1334,7 +1334,7 @@ def output_selected_cnv_intervals(cfg: MergeConfig, iselected: list,
         info.append(("CIPOS", info_in.get("CIPOS", "-50,50")))
         info.append(("CIEND", info_in.get("CIEND", "-50,50")))
         info.append(("MP", info_in.get("MP", 0)))
-        info.append(("UNIQ", fmt_float(float(_np.float32(found.uniq)))))
+        info.append(("UNIQ", fmt_float32(found.uniq)))
         info.append(("SRL", found.srl))
         info.append(("SRR", found.srr))
         info.append(("SUPPLOSS", found.suppLoss))

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 
-from delly_tpu.io.vcf import VcfWriter, fmt_float, format_gt, replace_iupac
+from delly_tpu.io.vcf import VcfWriter, fmt_float, fmt_float32, format_gt, replace_iupac
 from delly_tpu.ops.likelihood import compute_gls
 from delly_tpu.utils.tags import (
     SVT_TRANS, add_id, add_orientation, entropy, is_translocation,
@@ -96,10 +96,10 @@ def vcf_output(cfg, header, svs, jct_map, rc_map, span_map,
             info.append(("HOMLEN", sv.homLen))
             homlen_emitted = True
             info.append(("SR", sv.srSupport))
-            info.append(("SRQ", fmt_float(float(_np.float32(sv.srAlignQuality)))))
+            info.append(("SRQ", fmt_float32(sv.srAlignQuality)))
             if sv.consensus:
                 info.append(("CONSENSUS", sv.consensus))
-                info.append(("CE", fmt_float(float(_np.float32(entropy(sv.consensus))))))
+                info.append(("CE", fmt_float32(entropy(sv.consensus))))
                 info.append(("CONSBP", sv.consBp))
         # SVAnno (modvcf.h:577-598)
         if not is_translocation(sv.svt):
@@ -118,7 +118,7 @@ def vcf_output(cfg, header, svs, jct_map, rc_map, span_map,
                 info.append(("SUBTYPE",
                              "INS:TR" if sv.svt == 4 else "DEL:TR"))
                 info.append(("TRPERIOD", sv.anno.trPeriod))
-                info.append(("TRCOPIES", fmt_float(float(_np.float32(sv.anno.trCopies)))))
+                info.append(("TRCOPIES", fmt_float32(sv.anno.trCopies)))
 
         # Genotypes
         sample_fields = []
