@@ -188,6 +188,17 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+    lib.lcs_many.restype = None
+    lib.lcs_many.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+    lib.gotoh_core.restype = None
+    lib.gotoh_core.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.edist_scan.restype = None
     lib.edist_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
@@ -446,6 +457,58 @@ def edist_many(q: np.ndarray, qlens: np.ndarray, t: np.ndarray,
                    tlens.ctypes.data_as(ctypes.c_void_p), ncap, nb, mode,
                    threads or _default_threads(),
                    out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def gotoh_core(score: np.ndarray, vg_open: np.ndarray,
+               vg_ext: np.ndarray, hfree: bool, vfree: bool,
+               go: int, ge: int):
+    """Affine-gap Gotoh S/H/V fill over a precomputed profile score
+    matrix, or None without the native lib. Returns (S, H, V) int64
+    matrices of shape (m+1, n+1)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    score = np.ascontiguousarray(score, dtype=np.int32)
+    m, n = score.shape
+    vg_open = np.ascontiguousarray(vg_open, dtype=np.int64)
+    vg_ext = np.ascontiguousarray(vg_ext, dtype=np.int64)
+    S = np.zeros((m + 1, n + 1), dtype=np.int64)
+    H = np.zeros((m + 1, n + 1), dtype=np.int64)
+    V = np.zeros((m + 1, n + 1), dtype=np.int64)
+    lib.gotoh_core(score.ctypes.data_as(ctypes.c_void_p), m, n,
+                   vg_open.ctypes.data_as(ctypes.c_void_p),
+                   vg_ext.ctypes.data_as(ctypes.c_void_p),
+                   int(hfree), int(vfree), go, ge,
+                   S.ctypes.data_as(ctypes.c_void_p),
+                   H.ctypes.data_as(ctypes.c_void_p),
+                   V.ctypes.data_as(ctypes.c_void_p))
+    return S, H, V
+
+
+def lcs_many(a: np.ndarray, alens: np.ndarray, b: np.ndarray,
+             blens: np.ndarray, threads: int | None = None):
+    """Batched LCS lengths (bit-parallel CIPR) on host threads, or
+    None without the native lib. Same padded-batch layout as
+    edist_many."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    b = np.ascontiguousarray(b, dtype=np.uint8)
+    nb, mcap = a.shape
+    ncap = b.shape[1]
+    alens = np.ascontiguousarray(np.minimum(alens, mcap),
+                                 dtype=np.int32)
+    blens = np.ascontiguousarray(np.minimum(blens, ncap),
+                                 dtype=np.int32)
+    out = np.zeros(nb, dtype=np.int32)
+    lib.lcs_many(a.ctypes.data_as(ctypes.c_char_p),
+                 alens.ctypes.data_as(ctypes.c_void_p), mcap,
+                 b.ctypes.data_as(ctypes.c_char_p),
+                 blens.ctypes.data_as(ctypes.c_void_p), ncap, nb,
+                 threads or _default_threads(),
+                 out.ctypes.data_as(ctypes.c_void_p))
     return out
 
 

@@ -2268,6 +2268,142 @@ void cnv_gt_core(const double* cov, const double* expv, int64_t winlen,
 void delly_free(uint8_t* ptr) { std::free(ptr); }
 
 // ---------------------------------------------------------------------
+// Affine-gap Gotoh DP fill (reference gotoh.h:71-174): given the
+// precomputed profile score matrix (align.h:89-111, integer), fills the
+// S/H/V matrices with the direct Gotoh recurrence
+//   V[r][c] = max(S[r-1][c] + vg_open[c], V[r-1][c] + vg_ext[c])
+//   H[r][c] = max(S[r][c-1] + O_r,        H[r][c-1] + E_r)
+//   S[r][c] = max(S[r-1][c-1] + score, V[r][c], H[r][c])
+// with the AlignConfig end-free boundary costs (align.h:45-73): O/E are
+// zero on the first/last row when horizontal_free, vg_open/vg_ext carry
+// the per-column vertical analogue. Traceback stays in Python over the
+// returned matrices.
+void gotoh_core(const int32_t* score, int64_t m, int64_t n,
+                const int64_t* vg_open, const int64_t* vg_ext,
+                int32_t hfree, int32_t vfree, int64_t go, int64_t ge,
+                int64_t* S, int64_t* H, int64_t* V) {
+  const int64_t NEG = -1000000;  // -DnaScore.inf (align.h:21)
+  const int64_t stride = n + 1;
+  const int64_t hrow0 = (hfree ? 0 : 1);
+  const int64_t vcol0 = (vfree ? 0 : 1);
+  for (int64_t c = 0; c <= n; ++c) {
+    S[c] = hrow0 * (go + c * ge);
+    H[c] = S[c];
+    V[c] = NEG;
+  }
+  S[0] = 0;
+  H[0] = NEG;
+  for (int64_t r = 1; r <= m; ++r) {
+    S[r * stride] = vcol0 * (go + r * ge);
+    V[r * stride] = S[r * stride];
+    H[r * stride] = NEG;
+  }
+  for (int64_t r = 1; r <= m; ++r) {
+    const bool row_free = hfree && (r == m);
+    const int64_t O = row_free ? 0 : go + ge;
+    const int64_t E = row_free ? 0 : ge;
+    const int64_t* Sp = S + (r - 1) * stride;
+    const int64_t* Vp = V + (r - 1) * stride;
+    const int32_t* sc = score + (r - 1) * n;
+    int64_t* Sr = S + r * stride;
+    int64_t* Hr = H + r * stride;
+    int64_t* Vr = V + r * stride;
+    int64_t hprev = NEG;
+    for (int64_t c = 1; c <= n; ++c) {
+      const int64_t v1 = Sp[c] + vg_open[c];
+      const int64_t v2 = Vp[c] + vg_ext[c];
+      const int64_t v = v1 > v2 ? v1 : v2;
+      Vr[c] = v;
+      int64_t t = Sp[c - 1] + sc[c - 1];
+      if (v > t) t = v;
+      const int64_t h1 = Sr[c - 1] + O;
+      const int64_t h2 = hprev + E;
+      const int64_t h = h1 > h2 ? h1 : h2;
+      Hr[c] = h;
+      hprev = h;
+      Sr[c] = t > h ? t : h;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------
+// Batched bit-parallel LCS length (reference msa.h:10-30 "lcs"): the
+// CIPR recurrence — V starts all-ones over b's bit positions and, per
+// character of a, U = V & M[c]; V = (V + U) | (V - U) with the
+// add/sub carry chains rippling across 64-bit words. The LCS length is
+// the number of zero bits of V within b's first n positions. Feeds the
+// MSA similarity matrix (msa.h:32-44); same flat padded-batch API as
+// edist_many.
+void lcs_many(const uint8_t* a, const int32_t* alens, int32_t mcap,
+              const uint8_t* b, const int32_t* blens, int32_t ncap,
+              int64_t nb, int32_t threads, int32_t* out) {
+  std::atomic<int64_t> next(0);
+  const int32_t wmax = (ncap + 63) / 64;
+  auto worker = [&]() {
+    std::vector<uint64_t> match((size_t)256 * wmax);
+    std::vector<uint64_t> v(wmax);
+    std::vector<uint8_t> touched;
+    touched.reserve(16);
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= nb) return;
+      const uint8_t* ai = a + i * (int64_t)mcap;
+      const uint8_t* bi = b + i * (int64_t)ncap;
+      int32_t m = alens[i];
+      int32_t n = blens[i];
+      if (m == 0 || n == 0) { out[i] = 0; continue; }
+      const int32_t w = (n + 63) / 64;
+      for (uint8_t c : touched)
+        std::memset(match.data() + (size_t)c * wmax, 0,
+                    (size_t)wmax * 8);
+      touched.clear();
+      for (int32_t r = 0; r < n; ++r) {
+        uint8_t c = bi[r];
+        uint64_t* row = match.data() + (size_t)c * wmax;
+        bool seen = false;
+        for (uint8_t tc : touched) if (tc == c) { seen = true; break; }
+        if (!seen) touched.push_back(c);
+        row[r >> 6] |= 1ULL << (r & 63);
+      }
+      for (int32_t wi = 0; wi < w; ++wi) v[wi] = ~0ULL;
+      for (int32_t r = 0; r < m; ++r) {
+        const uint64_t* mrow = match.data() + (size_t)ai[r] * wmax;
+        uint64_t carry = 0, borrow = 0;
+        for (int32_t wi = 0; wi < w; ++wi) {
+          const uint64_t vw = v[wi];
+          const uint64_t u = vw & mrow[wi];
+          uint64_t s = vw + u;
+          uint64_t c1 = (uint64_t)(s < vw);
+          uint64_t s2 = s + carry;
+          carry = c1 | (uint64_t)(s2 < s);
+          uint64_t d = vw - u;
+          uint64_t b1 = (uint64_t)(d > vw);
+          uint64_t d2 = d - borrow;
+          borrow = b1 | (uint64_t)(d2 > d);
+          v[wi] = s2 | d2;
+        }
+      }
+      int32_t zeros = 0;
+      for (int32_t wi = 0; wi < w; ++wi) {
+        uint64_t word = ~v[wi];
+        if (wi == w - 1 && (n & 63))
+          word &= (1ULL << (n & 63)) - 1;  // only b's real positions
+        zeros += (int32_t)__builtin_popcountll(word);
+      }
+      out[i] = zeros;
+    }
+  };
+  int nthreads = std::max(1, (int)threads);
+  if (nthreads == 1 || nb < 64) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int tix = 0; tix < nthreads; ++tix) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
+// ---------------------------------------------------------------------
 // CNV covfile row rendering (coral.h:296-414 output plane): batch-format
 // "chr\tstart\tend\t%g\t%g\t%g\n" rows (logR/CN are "NA" where the
 // window is uncallable).  %g here matches Python's format(x, 'g')

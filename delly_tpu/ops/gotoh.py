@@ -155,6 +155,19 @@ def _dp(a1: np.ndarray, a2: np.ndarray, sc: DnaScore,
     vg_ext = _gap_cost(vertical_free, cols, n,
                        np.full(n + 1, sc.ge, dtype=np.int64))
 
+    from delly_tpu import native
+    if native.get_lib() is not None:
+        # Native fill with the direct Gotoh recurrence (opening H from
+        # S rather than from t is equivalent: when S=H>t at c-1,
+        # S+go+ge <= H+ge since go <= 0, so the extend term dominates
+        # either way).
+        out = native.gotoh_core(score, vg_open, vg_ext,
+                                horizontal_free, vertical_free,
+                                sc.go, sc.ge)
+        if out is not None:
+            S, H, V = out
+            return S, H, V, score
+
     S = np.empty((m + 1, n + 1), dtype=np.int64)
     H = np.empty((m + 1, n + 1), dtype=np.int64)
     V = np.empty((m + 1, n + 1), dtype=np.int64)

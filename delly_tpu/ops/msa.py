@@ -66,6 +66,31 @@ def _lcs_device_fn():
     return kern
 
 
+def _lcs_host_batch(pairs: list) -> np.ndarray:
+    """Host path: one native bit-parallel batch (hostio lcs_many),
+    falling back to the per-pair numpy DP without the native lib."""
+    from delly_tpu import native
+    mcap = max(len(a) for a, _ in pairs)
+    ncap = max(len(b) for _, b in pairs)
+    if mcap and ncap and native.get_lib() is not None:
+        nb = len(pairs)
+        a = np.zeros((nb, mcap), dtype=np.uint8)
+        b = np.zeros((nb, ncap), dtype=np.uint8)
+        al = np.zeros(nb, dtype=np.int32)
+        bl = np.zeros(nb, dtype=np.int32)
+        for i, (x, y) in enumerate(pairs):
+            xb = x.encode()
+            yb = y.encode()
+            a[i, :len(xb)] = np.frombuffer(xb, dtype=np.uint8)
+            b[i, :len(yb)] = np.frombuffer(yb, dtype=np.uint8)
+            al[i] = len(xb)
+            bl[i] = len(yb)
+        out = native.lcs_many(a, al, b, bl)
+        if out is not None:
+            return out.astype(np.int64)
+    return np.asarray([lcs(a, b) for a, b in pairs], dtype=np.int64)
+
+
 def lcs_pairs(pairs: list) -> np.ndarray:
     """Batched LCS lengths for (a, b) string pairs — one padded device
     batch (the row recurrence reduces to an in-row prefix max, the same
@@ -79,7 +104,7 @@ def lcs_pairs(pairs: list) -> np.ndarray:
     # the same ordering)
     from delly_tpu.ops.edist import _device_min_pairs
     if len(pairs) < max(8, _device_min_pairs()):
-        return np.asarray([lcs(a, b) for a, b in pairs], dtype=np.int64)
+        return _lcs_host_batch(pairs)
     if _lcs_use_device is None:
         try:
             import jax
@@ -87,7 +112,7 @@ def lcs_pairs(pairs: list) -> np.ndarray:
         except Exception:
             _lcs_use_device = False
     if not _lcs_use_device:
-        return np.asarray([lcs(a, b) for a, b in pairs], dtype=np.int64)
+        return _lcs_host_batch(pairs)
 
     def bucket(x):
         v = 128
