@@ -110,14 +110,20 @@ class BgzfReader:
             # range ends exactly at a block boundary
             fh.seek(cbeg)
             comp = fh.read(cend - cbeg)
+            if ubeg:
+                try:
+                    from delly_tpu import native
+                    r = native.bgzf_inflate_range(comp, ubeg, 0,
+                                                  self._threads)
+                    if r is not None:
+                        return r
+                except Exception:
+                    pass
             data = bgzf_decompress(comp, self._threads)
             return data[ubeg:] if ubeg else data
         last_size = _block_size_at(fh, cend)
         fh.seek(cbeg)
         comp = fh.read(cend + last_size - cbeg)
-        data = bgzf_decompress(comp, self._threads)
-        if not data:
-            return b""
         # size of the final block's payload = ISIZE trailer
         if last_size >= 8 and cend + last_size - cbeg <= len(comp):
             (isize,) = struct.unpack_from("<I", comp,
@@ -125,6 +131,19 @@ class BgzfReader:
         else:
             isize = 0
         tail_drop = isize - min(uend, isize)
+        try:
+            # head/tail trim inside the native inflate pass: skips the
+            # output-sized slice copy (hot on whole-contig views)
+            from delly_tpu import native
+            r = native.bgzf_inflate_range(comp, ubeg, tail_drop,
+                                          self._threads)
+            if r is not None:
+                return r
+        except Exception:
+            pass
+        data = bgzf_decompress(comp, self._threads)
+        if not data:
+            return b""
         end = len(data) - tail_drop
         return data[ubeg:end]
 

@@ -110,6 +110,15 @@ def get_lib():
     try:
         lib.bgzf_total_out.restype = ctypes.c_longlong
         lib.bgzf_total_out.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.bgzf_inflate_range_into.restype = ctypes.c_longlong
+        lib.bgzf_inflate_range_into.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t]
+        lib.bgzf_range_out.restype = ctypes.c_longlong
+        lib.bgzf_range_out.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t]
         lib.bgzf_inflate_into.restype = ctypes.c_longlong
         lib.bgzf_inflate_into.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
@@ -193,6 +202,12 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+    lib.isize_svt_many.restype = None
+    lib.isize_svt_many.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+        ctypes.c_void_p]
     lib.gotoh_core.restype = None
     lib.gotoh_core.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -314,6 +329,25 @@ def bgzf_inflate(data: bytes, threads: int | None = None):
         return ctypes.string_at(out, rc)
     finally:
         lib.delly_free(out)
+
+
+def bgzf_inflate_range(data: bytes, ubeg: int, tail_drop: int,
+                       threads: int | None = None):
+    """BGZF decompression of a span minus its first `ubeg` and last
+    `tail_drop` uncompressed bytes, trimmed inside the inflate pass.
+    Returns bytes or None on failure."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bgzf_inflate_range_into"):
+        return None
+    want = lib.bgzf_range_out(data, len(data), ubeg, tail_drop)
+    if want < 0:
+        return None
+    buf = _PyBytes_FromStringAndSize(None, want)
+    rc = lib.bgzf_inflate_range_into(data, len(data),
+                                     threads or _default_threads(),
+                                     ubeg, tail_drop,
+                                     _PyBytes_AsString(buf), want)
+    return buf if rc == want else None
 
 
 def bgzf_deflate(data: bytes, level: int = 6, threads: int | None = None,
@@ -457,6 +491,34 @@ def edist_many(q: np.ndarray, qlens: np.ndarray, t: np.ndarray,
                    tlens.ctypes.data_as(ctypes.c_void_p), ncap, nb, mode,
                    threads or _default_threads(),
                    out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def isize_svt_many(flag, tid, pos, mtid, mpos, tlen, cutoff: int,
+                   svt_trans: int):
+    """Fused isize_mapping_pos over SoA columns, or None without the
+    native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    # ascontiguousarray promotes 0-d scalars to shape (1,), so length,
+    # not ndim, decides who needs broadcasting. Batch length = flag's
+    # (always a real array); scalar/length-1 columns (callers pass tid
+    # as the current ref_index) broadcast to it like the numpy
+    # formulation they replace.
+    cols = [np.ascontiguousarray(x, dtype=np.int32)
+            for x in (flag, tid, pos, mtid, mpos, tlen)]
+    n = cols[0].shape[0]
+    if any(c.shape[0] not in (1, n) for c in cols[1:]):
+        return None  # not numpy-broadcastable; let the caller fall back
+    cols = [c if c.shape[0] == n else
+            np.ascontiguousarray(np.broadcast_to(c, (n,)),
+                                 dtype=np.int32) for c in cols]
+    out = np.zeros(n, dtype=np.int64)
+    lib.isize_svt_many(*(c.ctypes.data_as(ctypes.c_void_p)
+                         for c in cols), n, float(cutoff),
+                       int(svt_trans),
+                       out.ctypes.data_as(ctypes.c_void_p))
     return out
 
 

@@ -177,6 +177,94 @@ long long bgzf_inflate_into(const uint8_t* data, size_t n, int threads,
   return (long long)total;
 }
 
+// Decompress a BGZF span into a caller buffer, dropping the first
+// `ubeg` and the last `tail_drop` uncompressed bytes IN the inflate
+// pass (boundary blocks go through a 64 KiB scratch; interior blocks
+// write in place). This is the virtual-offset range read
+// (io/bgzf.py::read_voffset_range) without the output-sized slice
+// copy Python would otherwise pay. Returns bytes written or a
+// negative error code.
+long long bgzf_inflate_range_into(const uint8_t* data, size_t n,
+                                  int threads, size_t ubeg,
+                                  size_t tail_drop, uint8_t* out,
+                                  size_t cap) {
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  int rc = scan_blocks(data, n, blocks, total);
+  if (rc != 0) return rc;
+  if (ubeg > total) ubeg = total;
+  size_t uend = total - std::min(tail_drop, total);
+  if (uend < ubeg) uend = ubeg;
+  size_t want = uend - ubeg;
+  if (want > cap) return -6;
+  std::atomic<size_t> next(0);
+  std::atomic<int> err(0);
+  auto inflate_one = [&](const BgzfBlock& b, uint8_t* dst) -> int {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) return -4;
+    zs.next_in = const_cast<Bytef*>(data + b.in_off);
+    zs.avail_in = (uInt)b.in_len;
+    zs.next_out = dst;
+    zs.avail_out = (uInt)b.out_len;
+    int zrc = inflate(&zs, Z_FINISH);
+    size_t got = zs.total_out;
+    inflateEnd(&zs);
+    if (zrc != Z_STREAM_END || got != b.out_len) return -5;
+    return 0;
+  };
+  auto worker = [&]() {
+    std::vector<uint8_t> scratch;
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size()) return;
+      const BgzfBlock& b = blocks[i];
+      if (b.out_len == 0) continue;
+      size_t lo = std::max(b.out_off, ubeg);
+      size_t hi = std::min(b.out_off + b.out_len, uend);
+      if (hi <= lo) continue;
+      if (lo == b.out_off && hi == b.out_off + b.out_len) {
+        if (inflate_one(b, out + (b.out_off - ubeg)) != 0) {
+          err.store(-5);
+          return;
+        }
+      } else {
+        if (scratch.size() < b.out_len) scratch.resize(b.out_len);
+        if (inflate_one(b, scratch.data()) != 0) {
+          err.store(-5);
+          return;
+        }
+        std::memcpy(out + (lo - ubeg), scratch.data() + (lo - b.out_off),
+                    hi - lo);
+      }
+    }
+  };
+  int nthreads = std::max(1, threads);
+  if (nthreads == 1 || blocks.size() < 4) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  if (err.load() != 0) return err.load();
+  return (long long)want;
+}
+
+// Uncompressed size of the [ubeg, total - tail_drop) range of a BGZF
+// span (header-only scan), or a negative error code.
+long long bgzf_range_out(const uint8_t* data, size_t n, size_t ubeg,
+                         size_t tail_drop) {
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  int rc = scan_blocks(data, n, blocks, total);
+  if (rc != 0) return rc;
+  if (ubeg > total) ubeg = total;
+  size_t uend = total - std::min(tail_drop, total);
+  if (uend < ubeg) uend = ubeg;
+  return (long long)(uend - ubeg);
+}
+
 // ---------------------------------------------------------------------
 // BGZF compression
 // ---------------------------------------------------------------------
@@ -2266,6 +2354,54 @@ void cnv_gt_core(const double* cov, const double* expv, int64_t winlen,
 }
 
 void delly_free(uint8_t* ptr) { std::free(ptr); }
+
+// ---------------------------------------------------------------------
+// Fused isize_mapping_pos (reference tags.h:229-258) over record SoA
+// columns: pair orientation from the flag bits, then the
+// translocation / intra-chromosomal svt split with the insert-size
+// cutoff; -1 marks pairs with no SV signal. One pass instead of the
+// ~15 chained numpy temporaries of the vectorized form
+// (utils/tags.py::isize_mapping_pos_batch).
+void isize_svt_many(const int32_t* flag, const int32_t* tid,
+                    const int32_t* pos, const int32_t* mtid,
+                    const int32_t* mpos, const int32_t* tlen,
+                    int64_t n, double cutoff, int64_t svt_trans,
+                    int64_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const bool f16 = (flag[i] & 16) != 0;
+    const bool f32 = (flag[i] & 32) != 0;
+    int orient;
+    if (!f16)
+      orient = !f32 ? 0 : (pos[i] < mpos[i] ? 2 : 3);
+    else
+      orient = !f32 ? (pos[i] > mpos[i] ? 2 : 3) : 1;
+    int64_t r;
+    if (tid[i] != mtid[i]) {
+      if (orient == 0)
+        r = svt_trans;
+      else if (orient == 1)
+        r = svt_trans + 1;
+      else if (tid[i] > mtid[i])
+        r = svt_trans + (!f16 ? 2 : 3);
+      else
+        r = svt_trans + (!f16 ? 3 : 2);
+    } else if (pos[i] == mpos[i]) {
+      r = -1;
+    } else if (orient == 0) {
+      r = 0;
+    } else if (orient == 1) {
+      r = 1;
+    } else if (orient == 2) {
+      // cutoff is the float maxISizeCutoff (median + 9*MAD) — compare
+      // in double; truncating it reclassifies every pair with |tlen|
+      // in (floor(cutoff), cutoff) as a DUP-type signal
+      r = (cutoff > (double)std::llabs((long long)tlen[i])) ? -1 : 2;
+    } else {
+      r = (std::llabs((long long)pos[i] - mpos[i]) < 100) ? -1 : 3;
+    }
+    out[i] = r;
+  }
+}
 
 // ---------------------------------------------------------------------
 // Affine-gap Gotoh DP fill (reference gotoh.h:71-174): given the

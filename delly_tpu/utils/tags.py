@@ -126,6 +126,13 @@ def isize_mapping_pos_batch(flag, tid, pos, mtid, mpos, tlen, cutoff):
     maxISizeCutoff scalar."""
     import numpy as np
 
+    from delly_tpu import native
+    if native.get_lib() is not None:
+        out = native.isize_svt_many(flag, tid, pos, mtid, mpos, tlen,
+                                    float(cutoff), SVT_TRANS)
+        if out is not None:
+            return out
+
     f16 = (flag & 16) != 0
     f32 = (flag & 32) != 0
     # pair orientation (tags.h:218-227)
