@@ -502,16 +502,38 @@ def assemble(cfg, bams, fasta, valid_regions, svs: list, sr_store: list):
         hits = {pos for (pos, _seed) in sr_store[ref_index]}
 
         for bam in bams:
-            for rec in bam.records(tid=ref_index):
-                if rec.flag & (FQCFAIL | FDUP | FUNMAP | FSECONDARY
-                               | FSUPPLEMENTARY):
-                    continue
-                if rec.pos not in hits:
-                    continue
-                seed = hash_lr(rec.qname)
-                slices = sr_store[ref_index].get((rec.pos, seed))
+            # SoA prefilter (assemble.h:806-830 walks every record but
+            # touches only reads whose (pos, name-seed) is in the SR
+            # store): select candidate rows by position membership,
+            # derive seeds from the bulk CIGAR/name-hash pass, and
+            # Python-parse only confirmed store hits — row order is
+            # file order, so store lookups and appends are
+            # order-identical to the full walk.
+            import numpy as np
+
+            from delly_tpu.models.genotype_sr import _cigar_stats
+            from delly_tpu.utils.hashing import hash_lr_batch
+
+            view = bam.chrom(ref_index)
+            excl = (FQCFAIL | FDUP | FUNMAP | FSECONDARY
+                    | FSUPPLEMENTARY)
+            hits_arr = np.fromiter(hits, dtype=np.int64, count=len(hits))
+            cand = (((view["flag"] & excl) == 0)
+                    & np.isin(view["pos"].astype(np.int64), hits_arr))
+            rows = np.nonzero(cand)[0]
+            if not len(rows):
+                continue
+            offs_c = view["offsets"][rows]
+            stats_c = _cigar_stats(view, offs_c)
+            seeds_c = hash_lr_batch(stats_c["name_hash"],
+                                    stats_c["fnv_hash"]).tolist()
+            pos_c = view["pos"][rows].tolist()
+            offs_l = offs_c.tolist()
+            for k in range(len(offs_l)):
+                slices = sr_store[ref_index].get((pos_c[k], seeds_c[k]))
                 if slices is None:
                     continue
+                rec = view.parse_at(offs_l[k])
                 sequence = rec.seq
                 readlen = len(sequence)
                 for seqsl in slices:

@@ -129,6 +129,9 @@ def get_lib():
     lib.bgzf_deflate.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    lib.bam_count.restype = ctypes.c_longlong
+    lib.bam_count.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.c_size_t]
     lib.bam_scan.restype = ctypes.c_longlong
     lib.bam_scan.argtypes = ([ctypes.c_char_p, ctypes.c_size_t,
                               ctypes.c_size_t]
@@ -922,7 +925,10 @@ def bam_scan(data: bytes, start: int):
     lib = get_lib()
     if lib is None:
         return None
-    cap = max(16, (len(data) - start) // 36 + 1)
+    # exact count via a native skip walk: the len/36 worst-case bound
+    # over-allocates ~1000x on long-read data, and the arena calloc
+    # memsets the whole bound (observed ~3s/run at scale)
+    cap = max(16, int(lib.bam_count(data, len(data), start)))
     # np.zeros, not np.empty — see _scratch (large native first-touch)
     offsets = np.zeros(cap, dtype=np.int64)
     cols = {name: np.zeros(cap, dtype=np.int32)
@@ -939,6 +945,11 @@ def bam_scan(data: bytes, start: int):
                      ptr(cols["lqseq"]), cap)
     if n < 0:
         return None
+    if n == cap:
+        # exact fit: hand the columns over without the prefix copy
+        out = {"offsets": offsets}
+        out.update(cols)
+        return out
     out = {"offsets": offsets[:n].copy()}
     for name, arr in cols.items():
         out[name] = arr[:n].copy()

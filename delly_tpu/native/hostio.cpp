@@ -387,6 +387,24 @@ long long bam_scan(const uint8_t* data, size_t n, size_t start,
   return (long long)count;
 }
 
+// Record count of a decoded BAM record stream (block-size skip walk).
+// Lets bam_scan callers allocate exact SoA columns instead of the
+// worst-case len/36 bound — long-read records run to tens of KB, so
+// the bound over-allocates ~1000x there and the arena calloc memsets
+// it all.
+long long bam_count(const uint8_t* data, size_t n, size_t start) {
+  size_t p = start;
+  size_t count = 0;
+  while (p + 4 <= n) {
+    uint32_t block_size;
+    std::memcpy(&block_size, data + p, 4);
+    if (p + 4 + block_size > n || block_size < 32) break;
+    ++count;
+    p += 4 + block_size;
+  }
+  return (long long)count;
+}
+
 // Per-record CIGAR aggregates + read-name hash for the records at
 // `offsets` (from bam_scan). Emits, per record:
 //   name_hash  — the reference's 32-bit string hash (tags.h:260-267)
