@@ -89,6 +89,10 @@ def get_lib():
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
+    # any native-IO user benefits from the retained-arena malloc policy
+    # (slow fresh-page hosts; see utils/malloc_tuning.py)
+    from delly_tpu.utils import malloc_tuning
+    malloc_tuning.apply()
     try:
         lib_path = _lib_path()
     except OSError:

@@ -41,6 +41,8 @@ def enable_persistent_cache() -> None:
 
 
 def setup() -> None:
+    from delly_tpu.utils import malloc_tuning
+    malloc_tuning.apply()
     pin_platform()
     enable_persistent_cache()
 
