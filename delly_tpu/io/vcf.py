@@ -260,11 +260,8 @@ def parse_vcf_line(line: str) -> dict:
     cols = line.rstrip("\n").split("\t")
     info = {}
     for item in cols[7].split(";"):
-        if "=" in item:
-            k, v = item.split("=", 1)
-            info[k] = v
-        else:
-            info[item] = True
+        k, eq, v = item.partition("=")  # one scan vs find+split
+        info[k] = v if eq else True
     rec = {
         "chrom": cols[0], "pos": int(cols[1]), "id": cols[2], "ref": cols[3],
         "alt": cols[4], "qual": cols[5], "filter": cols[6], "info": info,

@@ -378,6 +378,16 @@ def _info_float(info, key, default=0.0):
         return default
 
 
+def _fmt_int(sm: dict, key: str):
+    """FORMAT field as int, or None on '.'/absent (module-level: a
+    per-sample closure here costs one function object per genotype)."""
+    v = sm.get(key, ".")
+    try:
+        return int(v)
+    except ValueError:
+        return None
+
+
 def collect_svtype(cfg: MergeConfig, svtin: int, contig_map: dict,
                    readers: list) -> list:
     """Pass 1: read all records for one SV type (merge.h:341-629)."""
@@ -481,15 +491,8 @@ def collect_svtype(cfg: MergeConfig, svtin: int, contig_map: dict,
                     var_reads = 0
                     vaf_val = 0.0
 
-                    def _int_f(key):
-                        v = sm.get(key, ".")
-                        try:
-                            return int(v)
-                        except ValueError:
-                            return None
-
-                    rr, rv = _int_f("RR"), _int_f("RV")
-                    dr, dv = _int_f("DR"), _int_f("DV")
+                    rr, rv = _fmt_int(sm, "RR"), _fmt_int(sm, "RV")
+                    dr, dv = _fmt_int(sm, "DR"), _fmt_int(sm, "DV")
                     if precise and rr is not None and rv is not None:
                         support_sum = rr + rv
                         var_reads = rv
