@@ -68,6 +68,44 @@ def _lib_path() -> str:
     return os.path.join(cache, name)
 
 
+def _prune_stale(lib_path: str) -> None:
+    """Drop superseded hash-keyed builds from the cache directory.
+
+    A source edit or flag change produces a new hash, so a long-lived
+    install accumulates one .so per historical build; after a
+    successful build only the current hash (and, when arch selection is
+    forced per-variant, the sibling arch variants of the SAME source)
+    are worth keeping. Multi-arch container prebuilds set
+    DELLY_TPU_NATIVE_ARCH per pass, so pruning keys on source hash via
+    best effort: any libhostio-*.so whose name differs from every
+    live-variant path is removed."""
+    keep = set()
+    env = os.environ.get("DELLY_TPU_NATIVE_ARCH")
+    try:
+        for forced in (None, "baseline", "v3"):
+            if forced is None:
+                os.environ.pop("DELLY_TPU_NATIVE_ARCH", None)
+            else:
+                os.environ["DELLY_TPU_NATIVE_ARCH"] = forced
+            keep.add(os.path.basename(_lib_path()))
+    finally:
+        if env is None:
+            os.environ.pop("DELLY_TPU_NATIVE_ARCH", None)
+        else:
+            os.environ["DELLY_TPU_NATIVE_ARCH"] = env
+    d = os.path.dirname(lib_path)
+    try:
+        for name in os.listdir(d):
+            if (name.startswith("libhostio-") and name.endswith(".so")
+                    and name not in keep):
+                try:
+                    os.unlink(os.path.join(d, name))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+
+
 def _build(lib_path: str) -> bool:
     try:
         tmp = lib_path + f".tmp{os.getpid()}"
@@ -77,6 +115,7 @@ def _build(lib_path: str) -> bool:
              "-fPIC", "-pthread", "-o", tmp, _SRC, "-lz"],
             check=True, capture_output=True)
         os.replace(tmp, lib_path)
+        _prune_stale(lib_path)
         return True
     except (OSError, subprocess.CalledProcessError) as exc:
         print(f"warning: native hostio build failed ({exc}); "

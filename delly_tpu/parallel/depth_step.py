@@ -68,13 +68,26 @@ def make_depth_windows_step(mesh, expected_cn: float = 2.0,
     from jax.sharding import PartitionSpec as P
 
     win = P(("interval", "batch"))
+    inner = partial(depth_windows_shard_fn, expected_cn=expected_cn,
+                    purity=purity, ctrl_ploidy=ctrl_ploidy,
+                    chr_ploidy=chr_ploidy)
+    if dispatch.spans_processes(mesh):
+        # multi-process: every process must be able to read the full
+        # window outputs, so gather them back to replicated form
+        def body(covsum, expcov, ok):
+            cn, logr, tot = inner(covsum, expcov, ok)
+            names = ("interval", "batch")
+            return (dispatch._gather_tiled(cn, names),
+                    dispatch._gather_tiled(logr, names), tot)
+
+        out_specs = (P(), P(), P())
+    else:
+        body = inner
+        out_specs = (win, win, P())
     fn = jax.shard_map(
-        partial(depth_windows_shard_fn, expected_cn=expected_cn,
-                purity=purity, ctrl_ploidy=ctrl_ploidy,
-                chr_ploidy=chr_ploidy),
-        mesh=mesh,
+        body, mesh=mesh,
         in_specs=(win, win, win),
-        out_specs=(win, win, P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(fn)
@@ -112,10 +125,13 @@ def depth_windows_on_mesh(mesh, covsum, expcov, ok, expected_cn: float,
         lambda: make_depth_windows_step(mesh, expected_cn, purity,
                                         ctrl_ploidy, chr_ploidy))
     sharding = NamedSharding(mesh, P(("interval", "batch")))
+    if dispatch.spans_processes(mesh):
+        spec = P(("interval", "batch"))
+        put = lambda a: dispatch._as_global(mesh, spec, a)  # noqa: E731
+    else:
+        put = lambda a: jax.device_put(jnp.asarray(a), sharding)  # noqa: E731
     with jax.enable_x64():
-        cn, logr, tot = fn(jax.device_put(jnp.asarray(covsum), sharding),
-                           jax.device_put(jnp.asarray(expcov), sharding),
-                           jax.device_put(jnp.asarray(ok), sharding))
+        cn, logr, tot = fn(put(covsum), put(expcov), put(ok))
         cn = np.asarray(cn)[:w]
         logr = np.asarray(logr)[:w]
         tot = np.asarray(tot)

@@ -131,6 +131,32 @@ def _flat_spec(mesh):
     return P(names if len(names) > 1 else names[0])
 
 
+def spans_processes(mesh) -> bool:
+    """True when the mesh covers devices of more than one OS process
+    (multi-host / multi-controller run)."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def _as_global(mesh, spec, arr):
+    """Lift a host array (identical on every process — the hostaxis
+    exchange guarantees it) into a global jax.Array sharded by `spec`
+    over a multi-process mesh: each process supplies the shards its
+    local devices address."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def _gather_tiled(res, names):
+    """all_gather a per-device result back to a replicated full batch
+    (leading axis) so every process can read the whole output."""
+    import jax
+    return jax.lax.all_gather(res, names, axis=0, tiled=True)
+
+
 def _get_cached(mesh, tag, build):
     key = (mesh_fingerprint(mesh), tag)
     fn = _cache.get(key)
@@ -151,15 +177,35 @@ def sharded_grid_call(mesh, inner_fn, tag, args, n_out: int):
     cache key)."""
     import jax
 
+    mp = spans_processes(mesh)
+
     def build():
+        from jax.sharding import PartitionSpec
         spec = _flat_spec(mesh)
-        out_specs = spec if n_out == 1 else (spec,) * n_out
+        names = tuple(mesh.axis_names)
+        if mp:
+            rep = PartitionSpec()
+
+            def body(*a):
+                res = inner_fn(*a)
+                if n_out == 1:
+                    return _gather_tiled(res, names)
+                return tuple(_gather_tiled(r, names) for r in res)
+
+            out_specs = rep if n_out == 1 else (rep,) * n_out
+        else:
+            body = lambda *a: inner_fn(*a)  # noqa: E731
+            out_specs = spec if n_out == 1 else (spec,) * n_out
         return jax.jit(jax.shard_map(
-            lambda *a: inner_fn(*a), mesh=mesh,
+            body, mesh=mesh,
             in_specs=(spec,) * len(args), out_specs=out_specs,
             check_vma=False))
 
-    fn = _get_cached(mesh, tag, build)
+    fn = _get_cached(mesh, ("mp",) * mp + (tag if isinstance(tag, tuple)
+                                           else (tag,)), build)
+    if mp:
+        spec = _flat_spec(mesh)
+        args = [_as_global(mesh, spec, np.asarray(a)) for a in args]
     return fn(*args)
 
 
@@ -170,6 +216,9 @@ def _build_sharded(mesh, mode: int, use_pallas: bool, nalpha: int):
 
     spec = _flat_spec(mesh)
     rep = PartitionSpec()
+    mp = spans_processes(mesh)
+    names = tuple(mesh.axis_names)
+    out_spec = rep if mp else spec
     if use_pallas:
         from delly_tpu.ops import myers_pallas
 
@@ -177,22 +226,24 @@ def _build_sharded(mesh, mode: int, use_pallas: bool, nalpha: int):
             m = q.shape[1]
             n = t.shape[1]
             run = myers_pallas.make_runner(m, n, nalpha, mode)
-            return run(q, t, ql, tl, letters)
+            res = run(q, t, ql, tl, letters)
+            return _gather_tiled(res, names) if mp else res
 
         fn = jax.shard_map(body, mesh=mesh,
                            in_specs=(spec, spec, spec, spec, rep),
-                           out_specs=spec)
+                           out_specs=out_spec, check_vma=False)
     else:
         from delly_tpu.ops import edist
 
         core = edist._device_fns()
 
         def body(q, ql, t, tl):
-            return core(q, ql, t, tl, mode)
+            res = core(q, ql, t, tl, mode)
+            return _gather_tiled(res, names) if mp else res
 
         fn = jax.shard_map(body, mesh=mesh,
                            in_specs=(spec, spec, spec, spec),
-                           out_specs=spec)
+                           out_specs=out_spec, check_vma=False)
     return jax.jit(fn)
 
 
@@ -242,7 +293,18 @@ def sharded_batched_edit_distance(mesh, queries, qlens, targets, tlens,
     tag = ("edist", mode, use_pallas, nalpha)
     fn = _get_cached(mesh, tag,
                      lambda: _build_sharded(mesh, mode, use_pallas, nalpha))
-    if use_pallas:
+    if spans_processes(mesh):
+        from jax.sharding import PartitionSpec
+        spec = _flat_spec(mesh)
+        rep = PartitionSpec()
+        if use_pallas:
+            out = fn(_as_global(mesh, spec, q), _as_global(mesh, spec, t),
+                     _as_global(mesh, spec, ql), _as_global(mesh, spec, tl),
+                     _as_global(mesh, rep, np.asarray(letters)))
+        else:
+            out = fn(_as_global(mesh, spec, q), _as_global(mesh, spec, ql),
+                     _as_global(mesh, spec, t), _as_global(mesh, spec, tl))
+    elif use_pallas:
         out = fn(jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
                  jnp.asarray(tl), jnp.asarray(letters))
     else:

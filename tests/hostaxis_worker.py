@@ -1,0 +1,78 @@
+"""Worker entry for the 2-process host-axis tests.
+
+Launched as: python hostaxis_worker.py <case> <process_id> <nproc>
+<port> <outdir>. Initializes jax.distributed over localhost (CPU
+backend, gloo collectives), runs the requested case, and writes its
+results to <outdir>/p<process_id>.pkl for the parent test to compare.
+"""
+
+import os
+import pickle
+import sys
+
+
+def main() -> int:
+    case, pid, nproc, port, outdir = sys.argv[1:6]
+    pid, nproc = int(pid), int(nproc)
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2"
+                               ).strip()
+    os.environ["DELLY_TPU_COORD"] = f"localhost:{port}"
+    os.environ["DELLY_TPU_NPROC"] = str(nproc)
+    os.environ["DELLY_TPU_PROC_ID"] = str(pid)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from delly_tpu.parallel import hostaxis
+    assert hostaxis.maybe_init() == (nproc > 1)
+    assert jax.process_index() == pid
+
+    import numpy as np
+    from delly_tpu.parallel import dispatch
+    from delly_tpu.parallel.mesh import make_mesh
+
+    out = {}
+    if case == "primitives":
+        # object exchange, ownership partition, writer gate
+        got = hostaxis.allgather_obj({"pid": pid, "data": [pid] * 3})
+        out["gather"] = got
+        out["plan"] = hostaxis.partition_plan(list(range(7)))
+        out["writer"] = hostaxis.is_writer()
+        merged = hostaxis.exchange_owned(
+            {k: f"p{pid}:{k}" for k in range(7)
+             if hostaxis.owns(k)})
+        out["merged"] = merged
+    elif case == "kernels":
+        # the production batched kernels over the GLOBAL mesh must
+        # reproduce the single-device result on every process
+        mesh = make_mesh(len(jax.devices()))
+        rng = np.random.RandomState(7)
+        n = 37
+        q = rng.randint(0, 4, size=(n, 40)).astype(np.uint8) + 65
+        t = rng.randint(0, 4, size=(n, 64)).astype(np.uint8) + 65
+        ql = np.full(n, 40, dtype=np.int32)
+        tl = np.full(n, 64, dtype=np.int32)
+        from delly_tpu.ops.edist import MODE_HW
+        d_mesh = dispatch.sharded_batched_edit_distance(
+            mesh, q, ql, t, tl, MODE_HW)
+        out["edist"] = np.asarray(d_mesh).tolist()
+
+        from delly_tpu.parallel.depth_step import depth_windows_on_mesh
+        w = 23
+        covsum = rng.randint(0, 500, size=w).astype(np.float64)
+        expcov = rng.uniform(10, 50, size=w)
+        ok = rng.rand(w) > 0.2
+        cn, logr, tot = depth_windows_on_mesh(
+            mesh, covsum, expcov, ok, 2.0, 1.0, 2.0, 2.0)
+        out["cnv"] = (cn.tolist(), logr.tolist(), tot)
+    else:
+        raise SystemExit(f"unknown case {case}")
+
+    hostaxis.barrier("done")
+    with open(os.path.join(outdir, f"p{pid}.pkl"), "wb") as fh:
+        pickle.dump(out, fh)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

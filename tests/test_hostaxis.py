@@ -1,0 +1,95 @@
+"""Multi-process (host-axis) layer tests.
+
+Each test launches REAL OS processes that bring up
+jax.distributed.initialize over localhost (CPU backend, gloo
+collectives) and form one global mesh spanning both processes —
+the configuration SURVEY.md §7.7 prescribes for pod runs, validated
+without TPU hardware.
+"""
+
+import os
+import pickle
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "hostaxis_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run_world(case: str, tmpdir, nproc: int = 2, timeout: int = 300,
+              worker=WORKER, extra=()):
+    """Launch an nproc-process world; returns per-process result dicts."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("DELLY_TPU_DIST", None)
+    root = os.path.dirname(HERE)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
+    for pid in range(nproc):
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, case, str(pid), str(nproc),
+             str(port), str(tmpdir), *extra],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            so, se = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"worker {pid} timed out")
+        if p.returncode != 0:
+            pytest.fail(f"worker {pid} rc={p.returncode}\n"
+                        f"stdout:\n{so.decode()}\nstderr:\n{se.decode()}")
+        with open(os.path.join(str(tmpdir), f"p{pid}.pkl"), "rb") as fh:
+            outs.append(pickle.load(fh))
+    return outs
+
+
+def test_primitives_two_process(tmp_path):
+    outs = run_world("primitives", tmp_path)
+    # both processes observe the same gathered object list
+    assert outs[0]["gather"] == outs[1]["gather"]
+    assert outs[0]["gather"][0] == {"pid": 0, "data": [0, 0, 0]}
+    assert outs[0]["gather"][1] == {"pid": 1, "data": [1, 1, 1]}
+    # ownership partitions the plan (round-robin, disjoint, covering)
+    assert outs[0]["plan"] == [0, 2, 4, 6]
+    assert outs[1]["plan"] == [1, 3, 5]
+    # writer gate: exactly process 0
+    assert outs[0]["writer"] is True
+    assert outs[1]["writer"] is False
+    # exchange_owned merges per-key products identically everywhere
+    want = {k: f"p{k % 2}:{k}" for k in range(7)}
+    assert outs[0]["merged"] == want
+    assert outs[1]["merged"] == want
+
+
+def test_kernels_global_mesh_match_single_process(tmp_path):
+    """The production batched kernels over a 2-process global mesh
+    must equal the single-process (1-process world) results bit for
+    bit, on every process."""
+    outs2 = run_world("kernels", tmp_path)
+    assert outs2[0]["edist"] == outs2[1]["edist"]
+    assert outs2[0]["cnv"][0] == outs2[1]["cnv"][0]
+
+    d1 = str(tmp_path / "single")
+    os.makedirs(d1, exist_ok=True)
+    outs1 = run_world("kernels", d1, nproc=1)
+    assert outs2[0]["edist"] == outs1[0]["edist"]
+    cn2, logr2, tot2 = outs2[0]["cnv"]
+    cn1, logr1, tot1 = outs1[0]["cnv"]
+    assert cn2 == cn1
+    assert logr2 == logr1
+    assert tot2 == tot1
