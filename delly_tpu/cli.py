@@ -334,6 +334,10 @@ def main(argv=None) -> int:
 
 def _dispatch(argv=None) -> int:
     _pin_platform()
+    # multi-process (pod / host-axis) bring-up when requested via
+    # DELLY_TPU_DIST / DELLY_TPU_COORD; jax-free no-op otherwise
+    from delly_tpu.parallel import hostaxis
+    hostaxis.maybe_init()
     argv = sys.argv[1:] if argv is None else argv
     from delly_tpu.version import VERSION
     # Word-command front door (reference delly.cpp:47-64): "version",

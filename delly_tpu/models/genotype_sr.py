@@ -9,6 +9,7 @@ as ONE batched device kernel call (delly_tpu.ops.edist.batched_edit_distance)
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass, field
 
@@ -223,8 +224,14 @@ def _process_jobs_device(jobs, count_map, ref_aligned_count, cfg,
     dists = batched_pairs_distance(pairs, MODE_HW)
     # k-cap and score transform (coverage.h:109-114)
     for i, job in enumerate(jobs):
-        cons_probe, ref_probe, sequence, file_c, sv_id, qual, dumpinfo = job
+        (cons_probe, ref_probe, sequence, file_c, sv_id, qual,
+         dumpinfo) = job[:7]
         d_alt, d_ref = int(dists[2 * i]), int(dists[2 * i + 1])
+        if len(job) > 7 and job[7] is not None:
+            # host-axis tape: record the computed distances so every
+            # process can replay the tally in serial order
+            job[7].append((sv_id, qual, d_alt, d_ref,
+                           len(cons_probe), len(ref_probe)))
         k_alt = int(2 * cfg.flank_quality * len(cons_probe))
         k_ref = int(2 * cfg.flank_quality * len(ref_probe))
         score_alt = 0.0
@@ -332,13 +339,55 @@ def _match_coverage(view, offsets, target_len):
     return np.cumsum(diff[:target_len], dtype=np.int32)
 
 
+def _replay_jct(entries, file_c, count_map, ref_aligned_count, cfg):
+    """Apply recorded junction-alignment results (sv_id, qual, d_alt,
+    d_ref, len_cons, len_ref) in serial order — the same k-cap/score/
+    cap/parity rules as _process_jobs_device (coverage.h:109-114 +
+    425-454)."""
+    fq = cfg.flank_quality
+    for sv_id, qual, d_alt, d_ref, lc, lr_ in entries:
+        score_alt = 0.0
+        score_ref = 0.0
+        if d_alt <= int(2 * fq * lc):
+            score_alt = ((1.0 - fq) * lc) / (d_alt + 1)
+        if d_ref <= int(2 * fq * lr_):
+            score_ref = ((1.0 - fq) * lr_) / (d_ref + 1)
+        if score_ref > 0.7 or score_alt > 0.7:
+            cm = count_map[file_c][sv_id]
+            if len(cm.ref) + len(cm.alt) >= cfg.max_geno_read_count:
+                continue
+            if score_ref > score_alt:
+                ref_aligned_count[file_c][sv_id] += 1
+                if ref_aligned_count[file_c][sv_id] % 2:
+                    cm.ref.append(min(255, min(int(score_ref * 35), qual)))
+            else:
+                cm.alt.append(min(255, min(int(score_alt * 35), qual)))
+
+
 def annotate_coverage(cfg, bams, fasta, libs, svs):
-    """coverage.h:265-743. Returns (jct_map, rc_map, span_map) per sample."""
+    """coverage.h:265-743. Returns (jct_map, rc_map, span_map) per sample.
+
+    Host-axis mode (>1 process, SURVEY §7.7): each process decodes and
+    scans only its OWNED chromosomes, recording an event tape per
+    (file, chromosome) — junction-alignment distances (the device DP
+    already ran, sharded over the global mesh), spanning-pair
+    store/pop ops and walk appends, and the chromosome-local coverage
+    sums. Tapes are exchanged and every process replays them in the
+    serial (file, chromosome, row) order, which reproduces the
+    single-process tallies bit for bit (cap gates re-check at replay;
+    an extra locally-enqueued job a serial run would have gate-skipped
+    is dropped by the same cap at the same replay position)."""
+    from delly_tpu.parallel import hostaxis
+
     header = bams[0].header
     nfiles = len(bams)
     cov_count = [[ReadCount() for _ in svs] for _ in range(nfiles)]
     count_map = [[JunctionCount() for _ in svs] for _ in range(nfiles)]
     span_map = [[SpanningCount() for _ in svs] for _ in range(nfiles)]
+
+    nproc = hostaxis.process_count()
+    hx = nproc > 1 and not getattr(cfg, "dumpfile", "")
+    tape: dict = {}  # (file_c, ref_index) -> per-chromosome event tape
 
     from delly_tpu.utils.log import stage
     stage("Generate REF and ALT probes")
@@ -355,7 +404,12 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
     if getattr(cfg, "dumpfile", ""):
         import gzip as _gzip
         from delly_tpu.utils.tags import add_id
-        dump_out = _gzip.open(cfg.dumpfile, "wt")
+        # dump mode disables host-axis sharding (rows interleave in
+        # strict read order); every process runs the identical serial
+        # pass, non-writers sink their rows to devnull
+        dump_path = (cfg.dumpfile if hostaxis.is_writer()
+                     else os.devnull)
+        dump_out = _gzip.open(dump_path, "wt")
         dump_out.write("#svid\tbam\tqname\tchr\tpos\tmatechr\tmatepos"
                        "\tmapq\ttype\n")
         for sv in svs:
@@ -396,14 +450,18 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
         for pj in pending_jobs:
             pj.clear()
 
+    plan_all_ac = [ri for ri in range(header.n_targets) if sv_on_chr[ri]]
     for file_c, bam in enumerate(bams):
         cliptra = {}
-        plan = [ri for ri in range(header.n_targets) if sv_on_chr[ri]]
+        plan = (hostaxis.partition_plan(plan_all_ac) if hx
+                else plan_all_ac)
         bam.set_decode_workers(
             getattr(cfg, "max_threads", 1) or 1, plan)
-        for ref_index in range(header.n_targets):
-            if not sv_on_chr[ref_index]:
-                continue
+        for ref_index in plan:
+            ch_tape = None
+            if hx:
+                ch_tape = {"jct": [], "auto": [], "walk": [], "cov": []}
+                tape[(file_c, ref_index)] = ch_tape
             target_len = header.lengths[ref_index]
             cov_fragment = np.zeros(target_len, dtype=np.uint16)
             max_cov = np.iinfo(np.uint16).max
@@ -532,6 +590,8 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                             sequence, file_c, itbp.id, j_mapq[k],
                             (rec.qname, ref_index, rpos, j_mtid[k],
                              j_mpos[k], j_mapq[k]))
+                        if hx:
+                            job = job + (ch_tape["jct"],)
                         if dump_out is not None:
                             # dump mode runs INLINE per read like the
                             # reference ("No multi-threading",
@@ -630,7 +690,12 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                 cov_fragment = np.maximum(
                     cov_fragment, frag.astype(np.uint16))
 
-            # inter-chromosome pairs through the scalar cliptra dict
+            # inter-chromosome pairs through the scalar cliptra dict.
+            # Host-axis mode records the store/pop ops instead: the
+            # automaton spans chromosomes, so it resolves during the
+            # post-exchange serial replay. The pop's span walk is
+            # row-local, so its candidate sp.ids are precomputed here
+            # and applied at replay with the resolved pair quality.
             inter_events = []  # (row, pair_quality)
             irows = np.nonzero(~intra)[0]
             if len(irows):
@@ -642,7 +707,43 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                 ir_l = irows.tolist()
                 for k in range(len(ir_l)):
                     if i_first[k]:
-                        cliptra[i_hv1[k]] = (i_clipf[k], i_mapq[k])
+                        if hx:
+                            ch_tape["auto"].append(
+                                ("s", i_hv1[k], int(i_mapq[k])))
+                        else:
+                            cliptra[i_hv1[k]] = (i_clipf[k], i_mapq[k])
+                    elif hx:
+                        row = ir_l[k]
+                        spids = []
+                        if lib.median != 0 and int(b_svt[row]) != -1:
+                            rpos = int(b_pos[row])
+                            lqseq = int(b_lq[row])
+                            if int(b_flag[row]) & FREVERSE:
+                                pbeg = max(0, rpos + lqseq
+                                           - lib.maxNormalISize)
+                                pend = min(rpos + lqseq, target_len)
+                            else:
+                                pbeg = rpos
+                                pend = min(rpos + lib.maxNormalISize,
+                                           target_len)
+                            if pbeg < pend:
+                                it = _bisect.bisect_left(span_bppos,
+                                                         pbeg)
+                                while (it < len(span_point)
+                                       and pend
+                                       >= span_point[it].bppos):
+                                    sp = span_point[it]
+                                    it += 1
+                                    if (int(b_svt[row]) != sp.svt
+                                            or int(b_mtid[row])
+                                            != sp.chr2):
+                                        continue
+                                    if (abs(int(b_mpos[row])
+                                            - sp.otherBppos)
+                                            < lib.maxNormalISize):
+                                        spids.append(sp.id)
+                        ch_tape["auto"].append(
+                            ("p", i_hv2[k], int(i_mapq[k]), row, spids))
                     else:
                         ent = cliptra.pop(i_hv2[k], None)
                         if ent is None:
@@ -714,6 +815,7 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                     mpos = int(b_mpos[row])
                     mtid = int(b_mtid[row])
                     lqseq = int(b_lq[row])
+                    ops = [] if hx else None
                     if kind == "i":
                         k = aux
                         pair_quality = int(pq[k])
@@ -725,6 +827,9 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                                    and st + spl >= span_point[it].bppos):
                                 sp = span_point[it]
                                 it += 1
+                                if hx:
+                                    ops.append(("r", sp.id, pair_quality))
+                                    continue
                                 ref_aligned_span_count[file_c][sp.id] += 1
                                 if ref_aligned_span_count[file_c][sp.id] % 2:
                                     span_map[file_c][sp.id].ref.append(
@@ -742,6 +847,10 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                                     continue
                                 if (abs(mpos - sp.otherBppos)
                                         < lib.maxNormalISize):
+                                    if hx:
+                                        ops.append(("a", sp.id,
+                                                    pair_quality))
+                                        continue
                                     if dump_out is not None:
                                         rec = view.parse_at(
                                             int(b_offs[row]))
@@ -751,6 +860,8 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                                                   int(b_mapq[row]), "PE")
                                     span_map[file_c][sp.id].alt.append(
                                         pair_quality)
+                        if hx and ops:
+                            ch_tape["walk"].append((row, ops))
                     else:
                         pair_quality = aux
                         svt = int(b_svt[row])
@@ -815,21 +926,81 @@ def annotate_coverage(cfg, bams, fasta, libs, svs):
                     small_sv = True
                 cum = cb_src if small_sv else cf_src
                 lstart = max(sv.svStart - half, 0)
-                cov_count[file_c][sv.id].leftRC = _range_sum(
-                    cum, lstart, sv.svStart)
+                left_rc = _range_sum(cum, lstart, sv.svStart)
                 mstart, mend = sv.svStart, sv.svEnd
                 if is_translocation(sv.svt) or sv.svt == 4:
                     mstart = max(sv.svStart - half, 0)
                     mend = min(sv.svStart + half, target_len)
-                cov_count[file_c][sv.id].rc = _range_sum(cum, mstart, mend)
+                mid_rc = _range_sum(cum, mstart, mend)
                 rstart = sv.svEnd
                 rend = min(sv.svEnd + half, target_len)
                 if is_translocation(sv.svt) or sv.svt == 4:
                     rstart = sv.svStart
                     rend = min(sv.svStart + half, target_len)
-                cov_count[file_c][sv.id].rightRC = _range_sum(
-                    cum, rstart, rend)
+                right_rc = _range_sum(cum, rstart, rend)
+                if hx:
+                    ch_tape["cov"].append((sv.id, left_rc, mid_rc,
+                                           right_rc))
+                else:
+                    cc = cov_count[file_c][sv.id]
+                    cc.leftRC = left_rc
+                    cc.rc = mid_rc
+                    cc.rightRC = right_rc
     _flush_jobs(force=True)
     if dump_out is not None:
         dump_out.close()
+    if hx:
+        # Exchange the per-(file, chromosome) tapes and replay them in
+        # serial order into FRESH tallies on every process. The
+        # scan-time structures above only served the (permissive)
+        # enqueue gates; replay re-applies every cap/parity rule at
+        # its serial position, so the result is byte-identical to the
+        # single-process pass.
+        merged = hostaxis.exchange_owned(tape)
+        cov_count = [[ReadCount() for _ in svs] for _ in range(nfiles)]
+        count_map = [[JunctionCount() for _ in svs]
+                     for _ in range(nfiles)]
+        span_map = [[SpanningCount() for _ in svs]
+                    for _ in range(nfiles)]
+        ref_aligned_read_count = [[0] * len(svs) for _ in range(nfiles)]
+        ref_aligned_span_count = [[0] * len(svs) for _ in range(nfiles)]
+        for file_c in range(nfiles):
+            cliptra = {}
+            for ref_index in plan_all_ac:
+                t = merged.get((file_c, ref_index))
+                if t is None:
+                    continue
+                _replay_jct(t["jct"], file_c, count_map,
+                            ref_aligned_read_count, cfg)
+                resolved = []  # (row, pair_quality, spids)
+                for op in t["auto"]:
+                    if op[0] == "s":
+                        cliptra[op[1]] = (None, op[2])
+                        continue
+                    _tag, hv2, mapq, row, spids = op
+                    ent = cliptra.pop(hv2, None)
+                    if ent is None:
+                        continue
+                    q = min(ent[1], mapq)
+                    if q < cfg.min_geno_qual:
+                        continue
+                    if spids:
+                        resolved.append((row, q, spids))
+                walk = list(t["walk"])
+                walk.extend((row, [("a", spid, q) for spid in spids])
+                            for row, q, spids in resolved)
+                walk.sort(key=lambda e: e[0])
+                for _row, ops in walk:
+                    for kind, spid, q in ops:
+                        if kind == "r":
+                            ref_aligned_span_count[file_c][spid] += 1
+                            if ref_aligned_span_count[file_c][spid] % 2:
+                                span_map[file_c][spid].ref.append(q)
+                        else:
+                            span_map[file_c][spid].alt.append(q)
+                for sv_id, left_rc, mid_rc, right_rc in t["cov"]:
+                    cc = cov_count[file_c][sv_id]
+                    cc.leftRC = left_rc
+                    cc.rc = mid_rc
+                    cc.rightRC = right_rc
     return count_map, cov_count, span_map

@@ -249,6 +249,8 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
+    from delly_tpu.parallel import hostaxis
+
     header = bams[0].header
     nsvt = 2 * SVT_TRANS
     sr_br = [[] for _ in range(nsvt)]
@@ -256,6 +258,8 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
     valid_mask = np.asarray([bool(v) for v in valid_regions], dtype=bool)
     _log("Paired-end and split-read scanning")
 
+    nproc = hostaxis.process_count()
+    plan_all = [ri for ri in range(header.n_targets) if valid_regions[ri]]
     nworkers = max(1, int(getattr(cfg, "max_threads", 1) or 1))
     import os as _os
     shard_rows = int(_os.environ.get("DELLY_TPU_SCAN_SHARD_ROWS",
@@ -271,11 +275,13 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
     def drive_file(file_c, bam):
         """Phase-A producer for one sample: sequential chromosome
         views (the reader prefetches tid+1 in background), sharded
-        row-range tasks on the shared pool."""
+        row-range tasks on the shared pool. Under the host axis each
+        process decodes ONLY its owned plan slots; the exchanged
+        products replay in full plan order (byte-identical)."""
         lib = libs[file_c]
         out = []
-        plan = [ri for ri in range(header.n_targets)
-                if valid_regions[ri]]
+        plan = (hostaxis.partition_plan(plan_all) if nproc > 1
+                else plan_all)
         # deepen the reader's background decode pipeline so view
         # inflate/SoA scans for upcoming chromosomes overlap phase A
         bam.set_decode_workers(nworkers, plan)
@@ -319,19 +325,45 @@ def scan_pe_and_sr(cfg, bams, valid_regions, svs, sr_svs, sr_store, libs):
         # shards in row order — identical record/junction sequences to
         # the serial scan for any worker count. File 0's phase B starts
         # as soon as its own shards land (no all-file barrier); later
-        # files keep scanning concurrently.
+        # files keep scanning concurrently. Under the host axis the
+        # owned-chromosome products are exchanged first, and the same
+        # full-plan replay runs on every process.
+        merged_products = None
+        if nproc > 1:
+            products = {}
+            for file_c, bam in enumerate(bams):
+                plan = (plan_futs[file_c].result()
+                        if plan_futs is not None
+                        else drive_file(file_c, bam))
+                for ref_index, futs in plan:
+                    parts = [f if isinstance(f, tuple) else f.result()
+                             for f in futs]
+                    rb: dict = {}
+                    _merge_read_bp(rb, [p[0] for p in parts])
+                    ca = _merge_cands([p[1] for p in parts])
+                    products[(file_c, ref_index)] = (rb, ca)
+            merged_products = hostaxis.exchange_owned(products)
+
         for file_c, bam in enumerate(bams):
-            plan = (plan_futs[file_c].result() if plan_futs is not None
-                    else drive_file(file_c, bam))
+            if merged_products is None:
+                plan = (plan_futs[file_c].result()
+                        if plan_futs is not None
+                        else drive_file(file_c, bam))
+            else:
+                plan = [(ri, None) for ri in plan_all]
             lib = libs[file_c]
             matetra = {}
             read_bp = {}
             per_file_sr = [[] for _ in range(nsvt)]
             for ref_index, futs in plan:
-                parts = [f if isinstance(f, tuple) else f.result()
-                         for f in futs]
-                _merge_read_bp(read_bp, [p[0] for p in parts])
-                ca = _merge_cands([p[1] for p in parts])
+                if merged_products is not None:
+                    rb, ca = merged_products[(file_c, ref_index)]
+                    _merge_read_bp(read_bp, [rb])
+                else:
+                    parts = [f if isinstance(f, tuple) else f.result()
+                             for f in futs]
+                    _merge_read_bp(read_bp, [p[0] for p in parts])
+                    ca = _merge_cands([p[1] for p in parts])
                 _scan_phase_b(cfg, lib, ref_index, ca, bam_records,
                               matetra)
             for jv in read_bp.values():
@@ -399,35 +431,43 @@ def fetch_sr_only(cfg, read_bp, br):
 
 def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
     """shortpe.h:48-282."""
+    from delly_tpu.parallel import hostaxis
+
     header = bams[0].header
     _log("Split-read assembly")
     sc = DnaScore(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_ext)
     tra_store = [dict() for _ in svs]  # seq -> qual (insertion ordered)
     # Phase 1 — read-window collection for every chromosome (an SV's
     # reads live on its own chromosome, so one global store is safe).
+    # Collection (BAM decode + record parse, host-axis sharded by
+    # chromosome) is split from application (cap/dedup/insert, replayed
+    # in serial chromosome/bam/row order on every process so the
+    # stores fill identically at any process count).
     seq_store = [dict() for _ in svs]
-    visited = set()
+    nproc = hostaxis.process_count()
     plan = [ri for ri in range(header.n_targets)
             if valid_regions[ri] and sr_store[ri]]
+    plan_mine = hostaxis.partition_plan(plan) if nproc > 1 else plan
+    visited = set(plan)
     for bam in bams:
-        bam.set_decode_workers(getattr(cfg, "max_threads", 1) or 1, plan)
-    for ref_index in range(header.n_targets):
-        if not valid_regions[ref_index]:
-            continue
-        if not sr_store[ref_index]:
-            continue
-        visited.add(ref_index)
+        bam.set_decode_workers(getattr(cfg, "max_threads", 1) or 1,
+                               plan_mine)
+
+    def collect_chrom(ref_index):
+        """Ordered (svid, adjusted-seq, mapq) contributions of one
+        chromosome, bam-major in file order (shortpe.h:88-101 SoA
+        prefilter: only reads whose start position matches an SR-store
+        entry are parsed)."""
         hits = set(pos for pos, _h in sr_store[ref_index])
+        hit_arr = np.fromiter(hits, dtype=np.int64, count=len(hits))
+        contrib = []
         for bam in bams:
-            # SoA prefilter (shortpe.h:88-101): only reads whose start
-            # position matches an SR-store entry are parsed.
             view = bam.chrom(ref_index)
             flag_a = view["flag"]
             keep = (((flag_a & (FQCFAIL | FDUP | FUNMAP | FSECONDARY
                                 | FSUPPLEMENTARY)) == 0)
                     & (view["mapq"] >= cfg.min_map_qual))
             sel = np.nonzero(keep)[0]
-            hit_arr = np.fromiter(hits, dtype=np.int64, count=len(hits))
             inhits = np.isin(view["pos"][sel], hit_arr)
             for off in view["offsets"][sel[inhits]].tolist():
                 rec = view.parse_at(off)
@@ -445,13 +485,22 @@ def assemble_split_reads(cfg, bams, fasta, valid_regions, sr_store, svs):
                     bp_point = rec.pos + 25 > svs[svid].svEnd
                 sequence = adjust_orientation(sequence, bp_point,
                                               svs[svid].svt)
-                if len(seq_store[svid]) < cfg.max_read_per_sv:
-                    if is_translocation(svs[svid].svt):
-                        if sequence not in tra_store[svid]:
-                            tra_store[svid][sequence] = rec.mapq
-                    else:
-                        if sequence not in seq_store[svid]:
-                            seq_store[svid][sequence] = rec.mapq
+                contrib.append((svid, sequence, rec.mapq))
+        return contrib
+
+    contribs = {ri: collect_chrom(ri) for ri in plan_mine}
+    if nproc > 1:
+        contribs = hostaxis.exchange_owned(contribs)
+    for ref_index in plan:
+        for svid, sequence, mapq in contribs[ref_index]:
+            if len(seq_store[svid]) < cfg.max_read_per_sv:
+                if is_translocation(svs[svid].svt):
+                    if sequence not in tra_store[svid]:
+                        tra_store[svid][sequence] = mapq
+                else:
+                    if sequence not in seq_store[svid]:
+                        seq_store[svid][sequence] = mapq
+    del contribs
 
     # Phase 2 — one GLOBAL cross-SV batched LCS + lockstep MSA over
     # every chromosome's SVs: a single device dispatch per guide-tree
@@ -705,11 +754,15 @@ def run_sr(cfg) -> int:
     if svs:
         jct_map, rc_map, span_map = annotate_coverage(cfg, bams, fasta, libs,
                                                       svs)
-    vcf_output(cfg, header, svs, jct_map, rc_map, span_map)
-    _log("Sample statistics")
-    for i, lib in enumerate(libs):
-        print(f"Sample:{cfg.sample_names[i]},ReadSize={lib.rs},"
-              f"Median={lib.median},MAD={lib.mad},"
-              f"UniqueDiscordantPairs={lib.abnormal_pairs}", file=sys.stderr)
+    from delly_tpu.parallel import hostaxis
+    if hostaxis.is_writer():
+        vcf_output(cfg, header, svs, jct_map, rc_map, span_map)
+        _log("Sample statistics")
+        for i, lib in enumerate(libs):
+            print(f"Sample:{cfg.sample_names[i]},ReadSize={lib.rs},"
+                  f"Median={lib.median},MAD={lib.mad},"
+                  f"UniqueDiscordantPairs={lib.abnormal_pairs}",
+                  file=sys.stderr)
+    hostaxis.barrier("sr-done")
     _log("Done.")
     return 0

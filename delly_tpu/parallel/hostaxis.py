@@ -50,10 +50,14 @@ def maybe_init() -> bool:
     global _INITIALIZED
     if _INITIALIZED:
         return process_count() > 1
-    import jax
-
     mode = os.environ.get("DELLY_TPU_DIST", "").strip().lower()
     coord = os.environ.get("DELLY_TPU_COORD", "").strip()
+    if not mode and not coord:
+        # no distributed request: stay jax-free (backend init is
+        # deferred until a kernel actually dispatches)
+        return _external_world()
+    import jax
+
     try:
         if mode == "auto":
             jax.distributed.initialize()
@@ -71,12 +75,34 @@ def maybe_init() -> bool:
     return process_count() > 1
 
 
+def _external_world() -> bool:
+    """True when jax.distributed was brought up OUTSIDE this module
+    (e.g. the DEPLOY.md pod snippet calls jax.distributed.initialize()
+    itself). Never imports jax — a cold process cannot be in a world."""
+    import sys
+    if "jax" not in sys.modules:
+        return False
+    try:
+        from jax._src import distributed
+        return distributed.global_state.client is not None
+    except Exception:
+        return False
+
+
+def _in_world() -> bool:
+    return _INITIALIZED or _external_world()
+
+
 def process_index() -> int:
+    if not _in_world():
+        return 0
     import jax
     return int(jax.process_index())
 
 
 def process_count() -> int:
+    if not _in_world():
+        return 1
     import jax
     return int(jax.process_count())
 

@@ -65,6 +65,34 @@ def main() -> int:
         cn, logr, tot = depth_windows_on_mesh(
             mesh, covsum, expcov, ok, 2.0, 1.0, 2.0, 2.0)
         out["cnv"] = (cn.tolist(), logr.tolist(), tot)
+    elif case == "sr_multi":
+        # multi-contig mixed-SV genome (DEL/DUP/INV/INS per contig +
+        # cross-contig BNDs): exercises real interval ownership,
+        # cross-chromosome mate automata and tra-span parity replay
+        import glob
+        gen_dir = os.path.join(outdir, "data")
+        if hostaxis.is_writer():
+            os.makedirs(gen_dir, exist_ok=True)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from bamsynth import make_multi_sv_dataset
+            make_multi_sv_dataset(gen_dir)
+        hostaxis.barrier("data")
+        bam = glob.glob(os.path.join(gen_dir, "*.bam"))[0]
+        fa = glob.glob(os.path.join(gen_dir, "*.fa"))[0]
+        from delly_tpu import cli
+        rc = cli.main(["sr", "-g", fa, "-o",
+                       os.path.join(outdir, "out.vcf"), bam])
+        out["rc"] = rc
+        out["nproc_seen"] = hostaxis.process_count()
+    elif case == "sr_e2e":
+        # full sr pipeline through the CLI; process 0 writes the VCF
+        ref = "/root/reference/example/ref.fa"
+        bam = "/root/reference/example/sr.bam"
+        from delly_tpu import cli
+        rc = cli.main(["sr", "-g", ref, "-o",
+                       os.path.join(outdir, "out.vcf"), bam])
+        out["rc"] = rc
+        out["nproc_seen"] = hostaxis.process_count()
     else:
         raise SystemExit(f"unknown case {case}")
 

@@ -76,6 +76,55 @@ def test_primitives_two_process(tmp_path):
     assert outs[1]["merged"] == want
 
 
+def test_sr_pipeline_two_process_byte_identical(tmp_path):
+    """run_sr under a 2-process world: interval-owned scan/assembly
+    decode, exchanged products, process-0 VCF — byte-identical to the
+    1-process run (SURVEY §7.7 / BASELINE 2-host target)."""
+    d2 = tmp_path / "two"
+    d1 = tmp_path / "one"
+    d2.mkdir()
+    d1.mkdir()
+    outs2 = run_world("sr_e2e", d2)
+    assert [o["rc"] for o in outs2] == [0, 0]
+    assert outs2[0]["nproc_seen"] == 2
+    outs1 = run_world("sr_e2e", d1, nproc=1)
+    assert outs1[0]["rc"] == 0
+    v2 = (d2 / "out.vcf").read_bytes()
+    v1 = (d1 / "out.vcf").read_bytes()
+    assert v2 == v1
+    body = [ln for ln in v2.decode().splitlines()
+            if not ln.startswith("#")]
+    assert len(body) == 1 and "SVTYPE=DEL" in body[0]
+
+
+def test_sr_multicontig_two_process_byte_identical(tmp_path):
+    """Multi-contig mixed-SV genome under 2 processes: both processes
+    own real chromosome subsets, cross-chromosome pairs resolve through
+    the replayed automaton, output byte-identical to 1 process."""
+    d2 = tmp_path / "two"
+    d1 = tmp_path / "one"
+    d2.mkdir()
+    d1.mkdir()
+    outs2 = run_world("sr_multi", d2, timeout=600)
+    assert [o["rc"] for o in outs2] == [0, 0]
+    outs1 = run_world("sr_multi", d1, nproc=1, timeout=600)
+    assert outs1[0]["rc"] == 0
+
+    def _norm(p):
+        # the ##reference line embeds the per-world tmp path; all
+        # other bytes must match exactly
+        return [ln for ln in p.read_bytes().splitlines()
+                if not ln.startswith(b"##reference=")]
+
+    v2l = _norm(d2 / "out.vcf")
+    assert v2l == _norm(d1 / "out.vcf")
+    v2 = b"\n".join(v2l)
+    body = [ln for ln in v2.decode().splitlines()
+            if not ln.startswith("#")]
+    types = {ln.split("SVTYPE=")[1].split(";")[0] for ln in body}
+    assert {"DEL", "DUP", "INV", "INS", "BND"} <= types
+
+
 def test_kernels_global_mesh_match_single_process(tmp_path):
     """The production batched kernels over a 2-process global mesh
     must equal the single-process (1-process world) results bit for
