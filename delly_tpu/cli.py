@@ -436,6 +436,14 @@ def _mesh_scope(command: str, input_files=None):
         # startup checks' one-line errors.
         import jax
         devices = jax.devices()
+        if jax.process_count() > 1:
+            # Host axis: each process owns chromosome intervals and
+            # drives ONLY its local chips — per-process job streams
+            # differ, so kernel dispatches must not be collective.
+            # Cross-process data moves through the hostaxis exchange
+            # (all-gather over the global device plane) at
+            # synchronized points instead.
+            devices = jax.local_devices()
         n = want
         if n is None:
             n = len(devices)
@@ -449,7 +457,7 @@ def _mesh_scope(command: str, input_files=None):
                   f"{len(devices)}.", file=sys.stderr)
             n = len(devices)
         from delly_tpu.parallel.mesh import make_mesh
-        return make_mesh(n)
+        return make_mesh(n, devices=devices)
 
     from delly_tpu.parallel import dispatch
     with dispatch.use_mesh_factory(build_mesh):

@@ -12,6 +12,7 @@ plus the gzipped logR/CN coverage table.
 from __future__ import annotations
 
 import gzip
+import io
 import os
 import sys
 from dataclasses import dataclass, field
@@ -151,12 +152,21 @@ def _mapped_stats(bam) -> tuple:
 
 
 def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
-    """Main counting pass (coral.h:93-437)."""
+    """Main counting pass (coral.h:93-437).
+
+    Host-axis mode: each process counts only its owned chromosomes;
+    the per-chromosome products (discovered+genotyped CNVs, genofile
+    record updates, rendered covfile text block) are exchanged and
+    stitched in chromosome order, and process 0 alone writes the
+    covfile and the CNV BCF."""
+    from delly_tpu.parallel import hostaxis
+
     header = bam.header
     stage("Count fragments")
+    nproc = hostaxis.process_count()
 
     data_out = None
-    if cfg.covfile:
+    if cfg.covfile and hostaxis.is_writer():
         data_out = gzip.open(cfg.covfile, "wt")
         data_out.write(f"chr\tstart\tend\t{cfg.sample_name}_uniqfrac\t"
                        f"{cfg.sample_name}_logR\t{cfg.sample_name}_CN\n")
@@ -170,12 +180,16 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
 
     from delly_tpu.io.bam import default_decode_workers
     bam.set_decode_workers(default_decode_workers())
-    for ref_index in range(header.n_targets):
-        if not cfg.genofile and not bam.mapped_count(ref_index):
-            continue
+    plan = [ri for ri in range(header.n_targets)
+            if (cfg.genofile or bam.mapped_count(ri))
+            and fasta.has_seq(header.names[ri])]
+    plan_mine = hostaxis.partition_plan(plan) if nproc > 1 else plan
+    products: dict = {}
+    for ref_index in plan_mine:
+        chrom_cnvs = cnvs if (cfg.genofile or nproc == 1) else []
+        chrom_out = io.StringIO() if (cfg.covfile and nproc > 1) \
+            else data_out
         name = header.names[ref_index]
-        if not fasta.has_seq(name):
-            continue
         reflen = header.lengths[ref_index]
         chr_ctrl_ploidy = cfg.ctrl_ploidy
         chr_ploidy = cfg.ploidy
@@ -292,24 +306,53 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
         if not cfg.genofile:
             segment_rd(cfg, gcbound, gc_content, uniq_content, gcbias,
                        tile_fac, reg_win, cov, reflen, ref_index, chrbp,
-                       cnvs)
+                       chrom_cnvs)
         genotype_cnvs(cfg, gcbound, gc_content, uniq_content, gcbias,
                       tile_fac, reg_win, cov, cov_uniq, cov_map, reflen,
-                      ref_index, cnvs)
+                      ref_index, chrom_cnvs)
 
         # Genome-wide read-depth windows (coral.h:296-414)
-        if data_out is not None:
-            _write_windows(cfg, data_out, name, reflen, gcbound, gc_content,
+        if chrom_out is not None:
+            _write_windows(cfg, chrom_out, name, reflen, gcbound, gc_content,
                            uniq_content, cov, cov_uniq, cov_map, cov_curve,
                            tile_fac, reg_win, chr_ploidy, chr_ctrl_ploidy)
+        if nproc > 1:
+            products[ref_index] = (
+                None if cfg.genofile else chrom_cnvs,
+                ({i: c for i, c in enumerate(cnvs) if c.chr == ref_index}
+                 if cfg.genofile else None),
+                chrom_out.getvalue() if cfg.covfile else None)
+
+    if nproc > 1:
+        # stitch the exchanged per-chromosome products in serial order
+        merged = hostaxis.exchange_owned(products)
+        if cfg.genofile:
+            for ri in plan:
+                ent = merged.get(ri)
+                if ent and ent[1]:
+                    for i, c in ent[1].items():
+                        cnvs[i] = c
+        else:
+            cnvs = []
+            for ri in plan:
+                ent = merged.get(ri)
+                if ent and ent[0]:
+                    cnvs.extend(ent[0])
+        if data_out is not None:
+            for ri in plan:
+                ent = merged.get(ri)
+                if ent and ent[2]:
+                    data_out.write(ent[2])
 
     cnvs.sort(key=lambda c: c.sort_key())
     if not cfg.genofile:
         cnvs = merge_adjacent_same_cn(cnvs, cfg.cn_merge_tol)
-    cnv_vcf(cfg, header, cnvs)
+    if hostaxis.is_writer():
+        cnv_vcf(cfg, header, cnvs)
 
     if data_out is not None:
         data_out.close()
+    hostaxis.barrier("cnv-done")
     return 0
 
 
@@ -592,7 +635,8 @@ def run_cnv(cfg) -> int:
     select_windows(cfg, scan_counts)
     gcbound = gc_bias(cfg, bam, fasta, scan_counts, li, gcbias)
 
-    if cfg.stats_file:
+    from delly_tpu.parallel import hostaxis
+    if cfg.stats_file and hostaxis.is_writer():
         with gzip.open(cfg.stats_file, "wt") as stats:
             stats.write(f"LP\t{li.rs},{li.median},{li.mad},"
                         f"{li.minNormalISize},{li.maxNormalISize}\n")

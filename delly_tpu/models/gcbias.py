@@ -121,14 +121,18 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
     header = bam.header
     stage("Estimate GC bias")
     from delly_tpu.io.bam import default_decode_workers
+    from delly_tpu.parallel import hostaxis
     bam.set_decode_workers(default_decode_workers())
-    for ref_index in range(header.n_targets):
-        if not scan_counts[ref_index]:
-            continue
+    plan = [ri for ri in range(header.n_targets)
+            if scan_counts[ri] and fasta.has_seq(header.names[ri])]
+    nproc = hostaxis.process_count()
+
+    def chrom_counts(ref_index):
+        """One chromosome's (reference, coverage) per-GC-bin counts
+        (gcbias.h:238-360) — the host-axis exchange unit; the serial
+        per-bin accumulation replays in chromosome order."""
         reflen = header.lengths[ref_index]
         name = header.names[ref_index]
-        if not fasta.has_seq(name):
-            continue
         seq = fasta.fetch(name)
 
         bin_of = None
@@ -235,8 +239,20 @@ def gc_bias(cfg, bam, fasta, scan_counts: list, li, gcbias: list):
         cvals = cov[idx].astype(np.int64)
         nvals = len(gcbias)
         ref_counts = np.bincount(gvals, minlength=nvals)
-        cov_counts = np.bincount(gvals, weights=cvals, minlength=nvals)
-        for i in range(nvals):
+        cov_counts = np.bincount(gvals, weights=cvals,
+                                 minlength=nvals).astype(np.int64)
+        return ref_counts, cov_counts
+
+    if nproc > 1:
+        contrib = {ri: chrom_counts(ri)
+                   for ri in hostaxis.partition_plan(plan)}
+        contrib = hostaxis.exchange_owned(contrib)
+    else:
+        contrib = None
+    for ref_index in plan:
+        ref_counts, cov_counts = (contrib[ref_index] if contrib is not None
+                                  else chrom_counts(ref_index))
+        for i in range(len(gcbias)):
             if ref_counts[i]:
                 gcbias[i].reference += int(ref_counts[i])
                 gcbias[i].sample += int(cov_counts[i])
@@ -278,12 +294,16 @@ def estimate_regional_gc(cfg, bam, fasta, gcbound, gcbias: list,
     grp = max(1, reg_win // sw)
     cov_curve = np.asarray([gb.coverage for gb in gcbias])
 
-    for ref_index in range(header.n_targets):
-        if not scan_counts[ref_index]:
-            continue
+    from delly_tpu.parallel import hostaxis
+    plan = [ri for ri in range(header.n_targets)
+            if scan_counts[ri] and fasta.has_seq(header.names[ri])]
+    nproc = hostaxis.process_count()
+
+    def chrom_ratios(ref_index):
+        """One chromosome's ordered (bin, ratio) contributions
+        (gcbias.h:120-170) — host-axis exchange unit."""
+        out = []
         name = header.names[ref_index]
-        if not fasta.has_seq(name):
-            continue
         seq = fasta.fetch(name)
         gc_content = gc_content_track(seq, cfg.meanisize, key=(cfg.genome, name)).astype(np.int64)
         reflen = header.lengths[ref_index]
@@ -313,7 +333,20 @@ def estimate_regional_gc(cfg, bam, fasta, gcbound, gcbias: list,
                 gcfrac = (gcnum / winlen) / cfg.meanisize
                 b = int(gcfrac * (nbin - 1) + 0.5)
                 if 0 <= b < nbin:
-                    ratios[b].append(obs_valid / fine_exp)
+                    out.append((b, obs_valid / fine_exp))
+        return out
+
+    if nproc > 1:
+        contrib = {ri: chrom_ratios(ri)
+                   for ri in hostaxis.partition_plan(plan)}
+        contrib = hostaxis.exchange_owned(contrib)
+    else:
+        contrib = None
+    for ref_index in plan:
+        ents = (contrib[ref_index] if contrib is not None
+                else chrom_ratios(ref_index))
+        for b, r in ents:
+            ratios[b].append(r)
 
     weight = [0.0] * nbin
     wsum = 0.0

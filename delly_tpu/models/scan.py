@@ -62,34 +62,28 @@ def scan(cfg, bam, fasta, li, scan_counts: list) -> None:
                         ScanWindow(select=True, start=lo, end=hi))
             scan_counts[ref_index].sort(key=lambda w: (w.start, w.end))
 
-    total_cov = 0
     from delly_tpu.io.bam import default_decode_workers
+    from delly_tpu.parallel import hostaxis
     bam.set_decode_workers(default_decode_workers())
-    for ref_index in range(header.n_targets):
-        reflen = header.lengths[ref_index]
-        if not bam.mapped_count(ref_index):
-            continue
-        if reflen < cfg.min_chr_len and total_cov > 1000000:
-            continue
-        name = header.names[ref_index]
-        if name in ("chrX", "chrY", "X", "Y"):
-            continue
+    nproc = hostaxis.process_count()
 
+    def fill_chrom(ref_index, wins):
+        """One chromosome's window fill into `wins`; returns the
+        chromosome's total_cov contribution (host-axis unit: the
+        cross-chromosome small-chromosome gate replays after the
+        exchange)."""
+        delta = 0
+        reflen = header.lengths[ref_index]
         if not cfg.scan_file:
-            allbins = reflen // cfg.scan_window
-            scan_counts[ref_index] = [
-                ScanWindow(start=i * cfg.scan_window,
-                           end=(i + 1) * cfg.scan_window)
-                for i in range(allbins)]
             bin_of = None
         else:
             bin_of = np.full(reflen, -1, dtype=np.int32)
             # LAST_BIN cap (scan.h:131-137): windows beyond 65534 stay
             # unmapped and collect no fragments
-            if len(scan_counts[ref_index]) >= 65535:
+            if len(wins) >= 65535:
                 print(f"Warning: Too many scan windows on "
                       f"{header.names[ref_index]}", file=sys.stderr)
-            for b, w in enumerate(scan_counts[ref_index][:65535]):
+            for b, w in enumerate(wins[:65535]):
                 bin_of[w.start:w.end] = b
 
         def find_bin(midpoint):
@@ -184,7 +178,6 @@ def scan(cfg, bam, fasta, li, scan_counts: list) -> None:
                 okb = bins >= 0
                 bins = bins[okb]
                 mq = mq[okb]
-                wins = scan_counts[ref_index]
                 nb = len(wins)
                 covb = np.bincount(bins, minlength=nb)
                 uniqb = np.bincount(bins[mq >= cfg.mapq_uniq],
@@ -192,19 +185,74 @@ def scan(cfg, bam, fasta, li, scan_counts: list) -> None:
                 for b in np.nonzero(covb)[0].tolist():
                     wins[b].cov += int(covb[b])
                     wins[b].uniqcov += int(uniqb[b])
-                total_cov += int(covb.sum())
+                delta += int(covb.sum())
 
         if cfg.basecov:
             nz = np.nonzero(cov)[0]
             for pos in nz:
                 b = find_bin(int(pos))
                 if b >= 0:
-                    w = scan_counts[ref_index][b]
+                    w = wins[b]
                     c = int(cov[pos])
                     w.cov += c
                     if 2 * int(cov_uniq[pos]) >= c:
                         w.uniqcov += c
-                    total_cov += 1
+                    delta += 1
+        return delta
+
+    def eligible(ref_index):
+        """Deterministic per-chromosome gates (scan.h:84-92); the
+        total_cov-dependent small-chromosome gate is applied by the
+        caller in serial chromosome order."""
+        if not bam.mapped_count(ref_index):
+            return False
+        return header.names[ref_index] not in ("chrX", "chrY", "X", "Y")
+
+    def fresh_wins(ref_index):
+        if cfg.scan_file:
+            return scan_counts[ref_index]
+        allbins = header.lengths[ref_index] // cfg.scan_window
+        return [ScanWindow(start=i * cfg.scan_window,
+                           end=(i + 1) * cfg.scan_window)
+                for i in range(allbins)]
+
+    if nproc > 1:
+        # Host axis: owners fill their chromosomes unconditionally
+        # (decode-then-drop — the small-chromosome gate needs the
+        # serial running total), then every process replays the gate
+        # over the exchanged per-chromosome results.
+        import copy as _copy
+        results = {}
+        plan = hostaxis.partition_plan(
+            [ri for ri in range(header.n_targets) if eligible(ri)])
+        for ref_index in plan:
+            wins = (_copy.deepcopy(scan_counts[ref_index])
+                    if cfg.scan_file else fresh_wins(ref_index))
+            results[ref_index] = (wins, fill_chrom(ref_index, wins))
+        merged = hostaxis.exchange_owned(results)
+        total_cov = 0
+        for ref_index in range(header.n_targets):
+            ent = merged.get(ref_index)
+            if ent is None:
+                continue
+            if (header.lengths[ref_index] < cfg.min_chr_len
+                    and total_cov > 1000000):
+                continue
+            scan_counts[ref_index] = ent[0]
+            total_cov += ent[1]
+        return
+
+    total_cov = 0
+    for ref_index in range(header.n_targets):
+        if not eligible(ref_index):
+            continue
+        if (header.lengths[ref_index] < cfg.min_chr_len
+                and total_cov > 1000000):
+            continue
+        wins = fresh_wins(ref_index)
+        if not cfg.scan_file:
+            scan_counts[ref_index] = wins
+        total_cov += fill_chrom(ref_index, wins)
 
 
 def select_windows(cfg, scan_counts: list) -> None:

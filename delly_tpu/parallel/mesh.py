@@ -14,8 +14,10 @@ import jax
 from jax.sharding import Mesh
 
 
-def make_mesh(n_devices: int | None = None, interval_axis: int | None = None):
-    devices = jax.devices()
+def make_mesh(n_devices: int | None = None, interval_axis: int | None = None,
+              devices=None):
+    if devices is None:
+        devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = devices[:n_devices]

@@ -125,6 +125,34 @@ def test_sr_multicontig_two_process_byte_identical(tmp_path):
     assert {"DEL", "DUP", "INV", "INS", "BND"} <= types
 
 
+def test_cnv_multicontig_two_process_identical(tmp_path):
+    """cnv driver under 2 processes: all three read passes sharded by
+    chromosome, covfile blocks and CNV calls stitched in order —
+    outputs identical to 1 process."""
+    import gzip
+
+    d2 = tmp_path / "two"
+    d1 = tmp_path / "one"
+    d2.mkdir()
+    d1.mkdir()
+    outs2 = run_world("cnv_multi", d2, timeout=600)
+    assert [o["rc"] for o in outs2] == [0, 0]
+    outs1 = run_world("cnv_multi", d1, nproc=1, timeout=600)
+    assert outs1[0]["rc"] == 0
+    with gzip.open(d2 / "out.cov.gz") as fh:
+        cov2 = fh.read()
+    with gzip.open(d1 / "out.cov.gz") as fh:
+        cov1 = fh.read()
+    assert cov2 == cov1
+    assert cov2.count(b"\n") > 100
+
+    def _norm(p):
+        return [ln for ln in p.read_bytes().splitlines()
+                if not ln.startswith(b"##reference=")]
+
+    assert _norm(d2 / "out.vcf") == _norm(d1 / "out.vcf")
+
+
 def test_kernels_global_mesh_match_single_process(tmp_path):
     """The production batched kernels over a 2-process global mesh
     must equal the single-process (1-process world) results bit for
