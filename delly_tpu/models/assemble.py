@@ -485,6 +485,8 @@ def assemble(cfg, bams, fasta, valid_regions, svs: list, sr_store: list):
     Mutates svs in place (consensus, consBp, srSupport, srAlignQuality,
     svStart/svEnd refinement).
     """
+    from delly_tpu.parallel import hostaxis
+
     n_sv = len(svs)
     seq_store = [[] for _ in range(n_sv)]
     score_store = [[] for _ in range(n_sv)]
@@ -492,6 +494,11 @@ def assemble(cfg, bams, fasta, valid_regions, svs: list, sr_store: list):
     svcons = [False] * n_sv
     header = bams[0].header
     target_lens = header.lengths
+
+    if hostaxis.process_count() > 1:
+        return _assemble_hostaxis(cfg, bams, fasta, valid_regions, svs,
+                                  sr_store, seq_store, score_store,
+                                  max_candidates, svcons)
 
     for ref_index in range(header.n_targets):
         if not valid_regions[ref_index]:
@@ -606,6 +613,177 @@ def assemble(cfg, bams, fasta, valid_regions, svs: list, sr_store: list):
                     seq_store[svid] = []
                     score_store[svid] = []
                     svcons[svid] = True
+
+    # Clean up unfinished SVs (assemble.h:956-963)
+    for svid in range(n_sv):
+        if not svcons[svid]:
+            svs[svid].consensus = ""
+            svs[svid].srSupport = 0
+            svs[svid].srAlignQuality = 0
+
+
+def _assemble_hostaxis(cfg, bams, fasta, valid_regions, svs, sr_store,
+                       seq_store, score_store, max_candidates, svcons):
+    """Host-axis assemble: per-chromosome read-window collection on the
+    interval owner, gate/bookkeeping replayed serially everywhere, and
+    the consensus MSA tasks distributed round-robin with the mutated
+    SV records exchanged per chromosome.
+
+    Byte-identity argument: the collection applies only row-local
+    gates plus a PERMISSIVE per-chromosome candidate cap (the serial
+    cap counts across chromosomes, so it trips no later than the local
+    one); the replay re-applies the exact svcons/max_candidates gates
+    in serial (chromosome, bam, row) order; and the consensus task
+    list is a pure function of the replayed bookkeeping (task outcomes
+    never gate other SVs), so distributing tasks cannot reorder
+    anything."""
+    import numpy as np
+
+    from delly_tpu.models.genotype_sr import _cigar_stats
+    from delly_tpu.parallel import hostaxis
+    from delly_tpu.utils.hashing import hash_lr_batch
+
+    n_sv = len(svs)
+    header = bams[0].header
+    target_lens = header.lengths
+    plan = [ri for ri in range(header.n_targets)
+            if valid_regions[ri] and sr_store[ri]]
+    owners = {ri: hostaxis.owner_of(k) for k, ri in enumerate(plan)}
+    me = hostaxis.process_index()
+    nproc = hostaxis.process_count()
+
+    def collect_chrom(ref_index):
+        """Ordered (svid, subseq, score) contributions, bam-major; the
+        svcons/global-cap gates are left to the replay."""
+        local_count = {}
+        contrib = []
+        hits = {pos for (pos, _seed) in sr_store[ref_index]}
+        hits_arr = np.fromiter(hits, dtype=np.int64, count=len(hits))
+        for bam in bams:
+            view = bam.chrom(ref_index)
+            excl = (FQCFAIL | FDUP | FUNMAP | FSECONDARY
+                    | FSUPPLEMENTARY)
+            cand = (((view["flag"] & excl) == 0)
+                    & np.isin(view["pos"].astype(np.int64), hits_arr))
+            rows = np.nonzero(cand)[0]
+            if not len(rows):
+                continue
+            offs_c = view["offsets"][rows]
+            stats_c = _cigar_stats(view, offs_c)
+            seeds_c = hash_lr_batch(stats_c["name_hash"],
+                                    stats_c["fnv_hash"]).tolist()
+            pos_c = view["pos"][rows].tolist()
+            offs_l = offs_c.tolist()
+            for k in range(len(offs_l)):
+                slices = sr_store[ref_index].get((pos_c[k], seeds_c[k]))
+                if slices is None:
+                    continue
+                rec = view.parse_at(offs_l[k])
+                sequence = rec.seq
+                readlen = len(sequence)
+                for seqsl in slices:
+                    svid = seqsl.svid
+                    sv = svs[svid]
+                    if local_count.get(svid, 0) >= max_candidates:
+                        continue
+                    window = cfg.min_cons_window
+                    window += max(sv.ciposhigh - sv.ciposlow,
+                                  sv.ciendhigh - sv.ciendlow)
+                    window += seqsl.inslen
+                    orig_center = (readlen - seqsl.sstart
+                                   if rec.flag & FREVERSE
+                                   else seqsl.sstart)
+                    s_pos = max(orig_center - window, 0)
+                    e_pos = min(orig_center + window, readlen)
+                    if e_pos - s_pos <= window:
+                        continue
+                    anchor_len = orig_center - s_pos
+                    sv_side_len = e_pos - orig_center
+                    subseq = _orient_subseq(sequence[s_pos:e_pos], sv,
+                                            rec, ref_index)
+                    contrib.append((svid, subseq,
+                                    min(anchor_len, sv_side_len)))
+                    local_count[svid] = local_count.get(svid, 0) + 1
+        return contrib
+
+    task_slot = [0]  # round-robin consensus-task ownership counter
+
+    def run_task(svid, ref_index, ref_index2, early, seqs, scores,
+                 results):
+        """Execute one consensus task if owned; mutated SV ships via
+        `results`. Non-owners leave the SV untouched (the exchanged
+        record replaces it)."""
+        slot = task_slot[0]
+        task_slot[0] += 1
+        if slot % nproc != me:
+            return
+        sv = svs[svid]
+        seq = fasta.fetch(header.names[ref_index]).upper()
+        snd_seq = (fasta.fetch(header.names[ref_index2]).upper()
+                   if ref_index2 != ref_index else None)
+        ok = False
+        if len(seqs) > 1:
+            ok = _run_msa_and_align(cfg, target_lens, seq, snd_seq, sv,
+                                    seqs, scores, early=early)
+        if not ok:
+            sv.consensus = ""
+            sv.srSupport = 0
+            sv.srAlignQuality = 0
+        results[svid] = sv
+
+    for ref_index in plan:
+        contrib = (collect_chrom(ref_index)
+                   if owners[ref_index] == me else None)
+        contrib = hostaxis.allgather_obj(contrib)[owners[ref_index]]
+        results: dict = {}
+        for svid, subseq, score in contrib:
+            sv = svs[svid]
+            if svcons[svid] or len(seq_store[svid]) >= max_candidates:
+                continue
+            seq_store[svid].append(subseq)
+            score_store[svid].append(score)
+            # Early completion for intra-chromosomal SVs
+            if (not is_translocation(sv.svt) and sv.chr == ref_index
+                    and (len(seq_store[svid]) == max_candidates
+                         or len(seq_store[svid]) == sv.srSupport)):
+                if len(seq_store[svid]) > 1:
+                    run_task(svid, ref_index, ref_index, True,
+                             seq_store[svid], score_store[svid],
+                             results)
+                else:
+                    sv.consensus = ""
+                    sv.srSupport = 0
+                    sv.srAlignQuality = 0
+                seq_store[svid] = []
+                score_store[svid] = []
+                svcons[svid] = True
+
+        # Left-overs and translocations (assemble.h:882-943)
+        for ref_index2 in range(ref_index + 1):
+            for svid in range(n_sv):
+                if svcons[svid] or len(seq_store[svid]) <= 1:
+                    continue
+                sv = svs[svid]
+                compute = False
+                if is_translocation(sv.svt):
+                    if (ref_index2 != ref_index and sv.chr == ref_index
+                            and sv.chr2 == ref_index2):
+                        compute = True
+                else:
+                    if (ref_index2 == ref_index and sv.chr == ref_index
+                            and sv.chr2 == ref_index2):
+                        compute = True
+                if compute:
+                    run_task(svid, ref_index, ref_index2, False,
+                             seq_store[svid], score_store[svid],
+                             results)
+                    seq_store[svid] = []
+                    score_store[svid] = []
+                    svcons[svid] = True
+
+        for part in hostaxis.allgather_obj(results):
+            for svid, sv in part.items():
+                svs[svid] = sv
 
     # Clean up unfinished SVs (assemble.h:956-963)
     for svid in range(n_sv):

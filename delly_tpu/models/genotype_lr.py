@@ -82,6 +82,19 @@ class _Job:
     candidates: list  # breakpoint positions the read overlaps
     ref_index: int = -1   # chromosome of the read (methylation window)
     chrom_len: int = 0
+    # host-axis translocation tape entry: when set, the flush records
+    # the pair scores into it instead of tallying (the tra job replays
+    # serially on every process after the exchange)
+    tape: dict | None = None
+
+
+def _rec_blob(view, off: int) -> bytes:
+    """Raw BAM record bytes (block_size prefix + record) at a view
+    offset — the host-axis shipping unit for translocation genotyping
+    attempts (replayed with io.bam.parse_record_at(blob, 0))."""
+    import struct
+    (block_size,) = struct.unpack_from("<i", view.data, off)
+    return bytes(view.data[off:off + 4 + block_size])
 
 
 def _probe_rc_needed(svt: int, pos: int, sv) -> bool:
@@ -138,12 +151,24 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
     annotates SVs (alleles + MEI/TR) on the fly."""
     if not svs:
         return
+    from delly_tpu.parallel import hostaxis
+
     header = bams[0].header
     n_files = len(bams)
     read_sv = [dict() for _ in range(n_files)]  # svid -> candidate count
     methyl_accum = [
         {sv.id: MethylAccum() for sv in svs} for _ in range(n_files)]
     dump_rows = []
+
+    # Host-axis mode (genotype.h:93-397 sharded by chromosome):
+    # non-translocation SVs are chromosome-complete, so their tallies
+    # finish locally on the owner and ship as finished per-SV products;
+    # translocation attempts span two chromosomes and ship as ordered
+    # tape entries (scores + raw record blob) that every process
+    # replays serially, reproducing the read-cap and parity order.
+    nproc = hostaxis.process_count()
+    hx = nproc > 1 and not cfg.dumpfile
+    tra_tape: dict = {}  # (ref_index, file_c) -> ordered entries
 
     stage("SV annotation")
     w = math.log10(cfg.flank_quality / (1.0 - cfg.flank_quality))
@@ -165,6 +190,14 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
         results = _score_jobs(jobs, cfg.flank_quality)
         meth_cache = {}
         for ji, job in enumerate(jobs):
+            if job.tape is not None:
+                # host-axis tra job: record scores for the serial
+                # replay; no local tally
+                job.tape["scores"] = [
+                    (results[(ji, pi, 0)][0], results[(ji, pi, 1)][0],
+                     len(p[0]), len(p[1]))
+                    for pi, p in enumerate(job.pairs)]
+                continue
             sv = svs[job.svid]
             rec, sequence = job_recs[job.rec_idx]
             jct = jct_map[job.file_c][job.svid]
@@ -243,10 +276,12 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
         npairs = 0
 
     sv_chrs = sorted({c for sv in svs for c in (sv.chr, sv.chr2)})
+    plan_all = [ri for ri in sv_chrs if 0 <= ri < header.n_targets]
+    plan_mine = hostaxis.partition_plan(plan_all) if hx else plan_all
     for bam in bams:
         bam.set_decode_workers(getattr(cfg, "max_threads", 1) or 1,
-                               sv_chrs)
-    for ref_index in range(header.n_targets):
+                               plan_mine)
+    for ref_index in plan_mine:
         bp_map = []  # (pos, svid)
         for sv in svs:
             if sv.chr == ref_index:
@@ -275,6 +310,9 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
             # native diff-array walk; records parsed only when the
             # clipped read window overlaps an SV breakpoint.
             bam = bams[file_c]
+            ch_tra: list = []
+            if hx:
+                tra_tape[(ref_index, file_c)] = ch_tra
             view = bam.chrom(ref_index)
             flag_a = view["flag"]
             keep = (((flag_a & (FSECONDARY | FQCFAIL | FDUP | FUNMAP))
@@ -315,10 +353,17 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
                 sequence = None
                 for svid in process:
                     sv = svs[svid]
-                    cnt = read_sv[file_c].get(svid, 0)
-                    if cnt >= cfg.max_geno_read_count:
-                        continue
-                    read_sv[file_c][svid] = cnt + 1
+                    tra_hx = hx and is_translocation(sv.svt)
+                    if tra_hx:
+                        # attempt tape entry: counts toward the
+                        # replayed read cap even without a job
+                        entry = {"svid": svid, "scores": None}
+                        ch_tra.append(entry)
+                    else:
+                        cnt = read_sv[file_c].get(svid, 0)
+                        if cnt >= cfg.max_geno_read_count:
+                            continue
+                        read_sv[file_c][svid] = cnt + 1
 
                     candidates = []
                     if (sv.chr == ref_index and r_start <= sv.svStart
@@ -362,9 +407,13 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
                                      else probe)
                         pairs.append((ref_p, alt_p, probe, probe_alt))
                     if pairs:
+                        if tra_hx:
+                            entry["blob"] = _rec_blob(view, offs_l[i])
+                            entry["candidates"] = candidates
                         jobs.append(_Job(file_c, svid, len(job_recs),
                                          pairs, candidates, ref_index,
-                                         chrom_len))
+                                         chrom_len,
+                                         entry if tra_hx else None))
                         job_recs.append((rec, sequence))
                         npairs += len(pairs)
 
@@ -394,6 +443,108 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
                 rc.rightRC = int(cov_bases[rstart:rend].sum())
 
     _flush_lr_jobs(force=True)
+
+    if hx:
+        # Exchange finished per-SV products (owner-complete for
+        # non-translocation SVs) and replay the translocation tape
+        # serially on every process.
+        owned_set = set(plan_mine)
+        prod = {"sv": {}, "jct": {}, "meth": {}, "rc": {},
+                "tra": tra_tape}
+        for sv in svs:
+            if sv.chr not in owned_set:
+                continue
+            prod["sv"][sv.id] = sv
+            for f in range(n_files):
+                prod["rc"][(f, sv.id)] = rc_map[f][sv.id]
+            if not is_translocation(sv.svt):
+                for f in range(n_files):
+                    prod["jct"][(f, sv.id)] = jct_map[f][sv.id]
+                    prod["meth"][(f, sv.id)] = methyl_accum[f][sv.id]
+        parts = hostaxis.allgather_obj(prod)
+        for part in parts:
+            for svid, sv in part["sv"].items():
+                svs[svid] = sv
+            for (f, svid), jc in part["jct"].items():
+                jct_map[f][svid] = jc
+            for (f, svid), ma in part["meth"].items():
+                methyl_accum[f][svid] = ma
+            for (f, svid), rcv in part["rc"].items():
+                rc_map[f][svid] = rcv
+        merged_tra: dict = {}
+        for part in parts:
+            for key, entries in part["tra"].items():
+                merged_tra.setdefault(key, entries)
+
+        from delly_tpu.io.bam import parse_record_at
+        read_sv_tra = [dict() for _ in range(n_files)]
+        for ref_index in plan_all:
+            chrom_len = header.lengths[ref_index]
+            for file_c in range(n_files):
+                for entry in merged_tra.get((ref_index, file_c), ()):
+                    svid = entry["svid"]
+                    cnt = read_sv_tra[file_c].get(svid, 0)
+                    if cnt >= cfg.max_geno_read_count:
+                        continue
+                    read_sv_tra[file_c][svid] = cnt + 1
+                    scores = entry.get("scores")
+                    if not scores:
+                        continue
+                    jct = jct_map[file_c][svid]
+                    if (len(jct.ref) + len(jct.alt)) \
+                            >= cfg.max_geno_read_count:
+                        continue
+                    refedsum = 0
+                    altedsum = 0
+                    n_inform = 0
+                    for ref_score, alt_score, l_ref, l_alt in scores:
+                        score_a = ((1.0 - cfg.flank_quality) * l_alt
+                                   / (alt_score + 1))
+                        score_r = ((1.0 - cfg.flank_quality) * l_ref
+                                   / (ref_score + 1))
+                        if score_r > 0.6 or score_a > 0.6:
+                            refedsum += ref_score
+                            altedsum += alt_score
+                            n_inform += 1
+                    if n_inform == 0:
+                        continue
+                    delta = refedsum - altedsum
+                    ex = min(abs(delta) * w, 4.0)
+                    mq = int(10.0 * math.log10(1.0 + math.pow(10.0, ex)))
+                    qual = min(mq, cfg.geno_cap)
+                    rec = parse_record_at(entry["blob"], 0)
+                    hp = 0
+                    ps = -1
+                    hp_tag = rec.aux("HP")
+                    if hp_tag is not None:
+                        hp = int(hp_tag) & 0xFF
+                    ps_tag = rec.aux("PS")
+                    if ps_tag is not None:
+                        ps = int(ps_tag)
+                    has_methyl, calls = build_methyl_calls(
+                        rec, cfg.methyl_prob)
+                    sv = svs[svid]
+                    sequence = rec.seq
+                    is_alt = delta > 0
+                    if has_methyl:
+                        accumulate_methyl(
+                            cfg, rec, calls, sv, ref_index, chrom_len,
+                            is_alt, entry["candidates"],
+                            methyl_accum[file_c][svid], sequence or "")
+                    if not is_alt:
+                        jct.ref.append(qual)
+                        if hp == 1:
+                            jct.hp1ref.append(qual)
+                        elif hp == 2:
+                            jct.hp2ref.append(qual)
+                    else:
+                        jct.alt.append(qual)
+                        if hp == 1:
+                            jct.hp1alt.append(qual)
+                        elif hp == 2:
+                            jct.hp2alt.append(qual)
+                        if hp > 0 and ps >= 0 and jct.ps < 0:
+                            jct.ps = ps
 
     # Finalize methylation summaries
     for file_c in range(n_files):

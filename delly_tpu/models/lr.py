@@ -45,14 +45,22 @@ def find_junctions(cfg, bams, valid_regions, valid_sr=None) -> dict:
     from delly_tpu.models.genotype_sr import _cigar_stats
     from delly_tpu.utils.hashing import hash_lr_batch
 
+    from delly_tpu.parallel import hostaxis
+
     read_bp = {}
     _log("Split-read scanning")
     header = bams[0].header
+    nproc = hostaxis.process_count()
     plan = [ri for ri in range(header.n_targets) if valid_regions[ri]]
+    plan_mine = hostaxis.partition_plan(plan) if nproc > 1 else plan
+    chrom_bp: dict = {}  # host-axis: per-chromosome partial read_bp
     for bam in bams:
         # pipeline upcoming chromosome view decodes behind the walk
-        bam.set_decode_workers(getattr(cfg, "max_threads", 1) or 1, plan)
-    for ref_index in plan:
+        bam.set_decode_workers(getattr(cfg, "max_threads", 1) or 1,
+                               plan_mine)
+    for ref_index in plan_mine:
+        if nproc > 1:
+            read_bp = chrom_bp[ref_index] = {}
         for bam in bams:
             # SoA prefilter (junction.h:319-460): junctions can only
             # start at a clip > min_clip or an indel op > min_ref_sep,
@@ -86,6 +94,14 @@ def find_junctions(cfg, bams, valid_regions, valid_sr=None) -> dict:
                 rec = view.parse_at(offs_l[i])
                 extract_junctions_lr(read_bp, seed, rec, cfg.min_ref_sep,
                                      cfg.min_clip, cfg.indel_extension)
+    if nproc > 1:
+        # merge per-chromosome partials in plan order (serial append
+        # order), then sort per seed exactly like the serial scan
+        merged = hostaxis.exchange_owned(chrom_bp)
+        read_bp = {}
+        for ref_index in plan:
+            for seed, jl in merged.get(ref_index, {}).items():
+                read_bp.setdefault(seed, []).extend(jl)
     for jv in read_bp.values():
         jv.sort(key=lambda j: j.sort_key())
     return read_bp
@@ -239,6 +255,10 @@ def run_lr(cfg) -> int:
     methyl_map = [[MethylInfo() for _ in svs] for _ in range(n_files)]
 
     genotype_lr(cfg, bams, fasta, svs, jct_map, rc_map, methyl_map)
-    vcf_output(cfg, header, svs, jct_map, rc_map, span_map, methyl_map)
+    from delly_tpu.parallel import hostaxis
+    if hostaxis.is_writer():
+        vcf_output(cfg, header, svs, jct_map, rc_map, span_map,
+                   methyl_map)
+    hostaxis.barrier("lr-done")
     _log("Done.")
     return 0

@@ -84,6 +84,25 @@ def main() -> int:
                        os.path.join(outdir, "out.vcf"), bam])
         out["rc"] = rc
         out["nproc_seen"] = hostaxis.process_count()
+    elif case == "lr_multi":
+        # long-read mixed-SV dataset (DEL/INS/DUP/INV + cross-contig
+        # BND): exercises the lr scan/assembly/genotyping host axis
+        # including the translocation attempt tape
+        import glob
+        gen_dir = os.path.join(outdir, "data")
+        if hostaxis.is_writer():
+            os.makedirs(gen_dir, exist_ok=True)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from bamsynth import make_lr_sv_dataset
+            make_lr_sv_dataset(gen_dir)
+        hostaxis.barrier("data")
+        bam = glob.glob(os.path.join(gen_dir, "*.bam"))[0]
+        fa = glob.glob(os.path.join(gen_dir, "*.fa"))[0]
+        from delly_tpu import cli
+        rc = cli.main(["lr", "-g", fa, "-o",
+                       os.path.join(outdir, "out.vcf"), bam])
+        out["rc"] = rc
+        out["nproc_seen"] = hostaxis.process_count()
     elif case == "cnv_multi":
         # read-depth CNV over the multi-contig genome: 3 sharded read
         # passes (scan, gc-bias, count) + stitched covfile/VCF

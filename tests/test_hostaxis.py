@@ -125,6 +125,30 @@ def test_sr_multicontig_two_process_byte_identical(tmp_path):
     assert {"DEL", "DUP", "INV", "INS", "BND"} <= types
 
 
+def test_lr_two_process_byte_identical(tmp_path):
+    """run_lr under 2 processes: sharded junction scan, distributed
+    consensus tasks, chromosome-owned genotyping with the
+    translocation attempt tape — byte-identical to 1 process."""
+    d2 = tmp_path / "two"
+    d1 = tmp_path / "one"
+    d2.mkdir()
+    d1.mkdir()
+    outs2 = run_world("lr_multi", d2, timeout=600)
+    assert [o["rc"] for o in outs2] == [0, 0]
+    outs1 = run_world("lr_multi", d1, nproc=1, timeout=600)
+    assert outs1[0]["rc"] == 0
+
+    def _norm(p):
+        return [ln for ln in p.read_bytes().splitlines()
+                if not ln.startswith(b"##reference=")]
+
+    v2l = _norm(d2 / "out.vcf")
+    assert v2l == _norm(d1 / "out.vcf")
+    body = [ln.decode() for ln in v2l if not ln.startswith(b"#")]
+    types = {ln.split("SVTYPE=")[1].split(";")[0] for ln in body}
+    assert "BND" in types and "DEL" in types
+
+
 def test_cnv_multicontig_two_process_identical(tmp_path):
     """cnv driver under 2 processes: all three read passes sharded by
     chromosome, covfile blocks and CNV calls stitched in order —
