@@ -241,9 +241,10 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
         clipfire = ((mapq_a >= cfg.mapq_uniq)
                     & ((stats["max_clip"] > cfg.min_clip)
                        | (stats["max_indel"] > cfg.min_ref_sep)))
-        offs_l = offs.tolist()
-        for i in np.nonzero(clipfire)[0].tolist():
-            add_split_read_breakpoints(view.parse_at(offs_l[i]),
+        # scalarize only the firing subset (full-column tolist is
+        # O(reads) Python objects)
+        for off in offs[clipfire].tolist():
+            add_split_read_breakpoints(view.parse_at(off),
                                        cfg.min_clip, cfg.min_ref_sep,
                                        reflen, clips)
         bc = base_coverage_bulk(view, offs, cfg.mapq_uniq, reflen)

@@ -341,8 +341,12 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
             lo_a = np.searchsorted(bp_pos, rs, side="left")
             hi_a = np.searchsorted(bp_pos, re_c, side="right")
             cand &= lo_a < hi_a
-            offs_l = offs.tolist()
-            for i in np.nonzero(cand)[0].tolist():
+            # scalarize only the candidate subset (full-column tolist
+            # is O(reads) Python objects)
+            cand_rows = np.nonzero(cand)[0]
+            offs_l = dict(zip(cand_rows.tolist(),
+                              offs[cand_rows].tolist()))
+            for i in cand_rows.tolist():
                 rec = view.parse_at(offs_l[i])
                 r_start = int(rs[i])
                 r_end = int(re_c[i])

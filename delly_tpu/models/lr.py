@@ -82,16 +82,19 @@ def find_junctions(cfg, bams, valid_regions, valid_sr=None) -> dict:
             sel = sel[vmask]
             offs = offs[vmask]
             stats = {k: v[vmask] for k, v in stats.items()}
-            seeds = hash_lr_batch(stats["name_hash"],
-                                  stats["fnv_hash"]).tolist()
-            jfire = ((stats["max_clip"] > cfg.min_clip)
-                     | (stats["max_indel"] > cfg.min_ref_sep))
-            offs_l = offs.tolist()
-            for i in np.nonzero(jfire)[0].tolist():
-                seed = seeds[i]
+            jfire = np.nonzero((stats["max_clip"] > cfg.min_clip)
+                               | (stats["max_indel"]
+                                  > cfg.min_ref_sep))[0]
+            # scalarize only the firing subset (full-column tolist is
+            # O(reads) Python objects)
+            seeds_j = hash_lr_batch(stats["name_hash"][jfire],
+                                    stats["fnv_hash"][jfire]).tolist()
+            offs_j = offs[jfire].tolist()
+            for k in range(len(offs_j)):
+                seed = seeds_j[k]
                 if valid_sr and seed not in valid_sr:
                     continue
-                rec = view.parse_at(offs_l[i])
+                rec = view.parse_at(offs_j[k])
                 extract_junctions_lr(read_bp, seed, rec, cfg.min_ref_sep,
                                      cfg.min_clip, cfg.indel_extension)
     if nproc > 1:

@@ -89,11 +89,13 @@ def _scan_phase_a(cfg, view, lib, ref_index, ivs, full_chrom, valid_mask,
     # the clip/indel prefilter.
     jfire = np.nonzero((stats["max_clip"] > cfg.min_clip)
                        | (stats["max_indel"] > cfg.min_ref_sep))[0]
-    offs_l = offs.tolist()
-    seeds_l = seeds_a.tolist()
-    for i in jfire.tolist():
-        rec = view.parse_at(offs_l[i])
-        extract_junctions_sr(read_bp, seeds_l[i], rec,
+    # scalarize only the junction-firing subset: a full-column tolist
+    # costs more than the whole decode on high-coverage chromosomes
+    offs_j = offs[jfire].tolist()
+    seeds_j = seeds_a[jfire].tolist()
+    for k in range(len(offs_j)):
+        rec = view.parse_at(offs_j[k])
+        extract_junctions_sr(read_bp, seeds_j[k], rec,
                              cfg.min_ref_sep, cfg.min_clip)
 
     # Paired-end candidates: every per-read gate of the scalar walk

@@ -84,6 +84,27 @@ def main() -> int:
                        os.path.join(outdir, "out.vcf"), bam])
         out["rc"] = rc
         out["nproc_seen"] = hostaxis.process_count()
+    elif case == "sr_path":
+        # timed sr run on a pre-generated dataset (argv: fa bam)
+        import time
+        fa, bam = sys.argv[6], sys.argv[7]
+        from delly_tpu import cli
+        t0 = time.time()
+        rc = cli.main(["sr", "-g", fa, "-o",
+                       os.path.join(outdir, "out.vcf"), bam])
+        out["rc"] = rc
+        out["wall"] = time.time() - t0
+    elif case == "cnv_path":
+        # timed cnv run on a pre-generated dataset (argv: fa bam)
+        import time
+        fa, bam = sys.argv[6], sys.argv[7]
+        from delly_tpu import cli
+        t0 = time.time()
+        rc = cli.main(["cnv", "-g", fa,
+                       "-c", os.path.join(outdir, "out.cov.gz"),
+                       "-o", os.path.join(outdir, "out.vcf"), bam])
+        out["rc"] = rc
+        out["wall"] = time.time() - t0
     elif case == "lr_multi":
         # long-read mixed-SV dataset (DEL/INS/DUP/INV + cross-contig
         # BND): exercises the lr scan/assembly/genotyping host axis
