@@ -199,11 +199,13 @@ def bam_count(cfg, bam, fasta, li, gcbias, gcbound, regcorr, reg_win) -> int:
         seq = fasta.fetch(name)
         gc_content = gc_content_track(seq, cfg.meanisize, key=(cfg.genome, name))
 
-        # Broad-tile regional correction factors (coral.h:164-179)
-        tile_fac = np.zeros(0, dtype=np.float64)
+        # Broad-tile regional correction factors (coral.h:164-179).
+        # float32 storage: the reference keeps std::vector<float>
+        # tileFac and widens per multiply (coral.h:166,177)
+        tile_fac = np.zeros(0, dtype=np.float32)
         if regcorr_arr and reg_win > 0:
             ntile = reflen // reg_win + 1
-            tile_fac = np.ones(ntile, dtype=np.float64)
+            tile_fac = np.ones(ntile, dtype=np.float32)
             in_range = ((gc_content > gcbound[0])
                         & (gc_content < gcbound[1]))
             for t in range(ntile):

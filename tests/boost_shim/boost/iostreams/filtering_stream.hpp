@@ -9,6 +9,8 @@
 #define DP_PROBE_SHIM_BOOST_IOSTREAMS_FILTERING_STREAM
 
 #include <iosfwd>
+#include <sstream>
+#include <streambuf>
 #include <string>
 #include <utility>
 
@@ -17,14 +19,21 @@ namespace iostreams {
 
 class filtering_ostream {
  public:
+  // Optional capture sink: a probe that byte-compares reference text
+  // output (e.g. the coral covfile rows) points this at a live
+  // ostringstream; default-constructed dump streams elsewhere stay
+  // no-ops (capture == nullptr).
+  inline static std::ostringstream* capture = nullptr;
   filtering_ostream() {}
   template <typename T>
   void push(T const&) {}
   template <typename T>
-  filtering_ostream& operator<<(T const&) {
+  filtering_ostream& operator<<(T const& v) {
+    if (capture) *capture << v;
     return *this;
   }
-  filtering_ostream& operator<<(std::ostream& (*)(std::ostream&)) {
+  filtering_ostream& operator<<(std::ostream& (*m)(std::ostream&)) {
+    if (capture) *capture << m;
     return *this;
   }
   bool good() const { return true; }
@@ -41,6 +50,18 @@ class filtering_istream {
   bool good() const { return true; }
   void pop() {}
   void reset() {}
+};
+
+// streambuf form named (never executed) by reference BED/gzip readers
+struct input {};
+struct output {};
+template <typename Mode>
+class filtering_streambuf : public std::streambuf {
+ public:
+  filtering_streambuf() {}
+  template <typename... A>
+  void push(A&&...) {}
+  void pop() {}
 };
 
 struct gzip_compressor {
