@@ -26,8 +26,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--engine",
                     choices=["sr", "lr", "cnv", "merge", "svmix",
-                             "asm"],
+                             "asm", "deepgeno", "deepgeno_lr"],
                     default="sr")
+    ap.add_argument("--coverage", type=int, default=45,
+                    help="background coverage (deepgeno engine)")
+    ap.add_argument("--dels", type=int, default=150,
+                    help="DELs per contig (deepgeno engine)")
     ap.add_argument("--samples", type=int, default=50,
                     help="cohort size (merge engine)")
     ap.add_argument("--repeat", type=int, default=1,
@@ -52,6 +56,10 @@ def main():
         return run_cnv_bench(args)
     if args.engine == "merge":
         return run_merge_bench(args)
+    if args.engine == "deepgeno":
+        return run_deepgeno_bench(args)
+    if args.engine == "deepgeno_lr":
+        return run_deepgeno_lr_bench(args)
     if args.engine == "svmix":
         return run_svmix_bench(args)
     if args.engine == "asm":
@@ -437,6 +445,220 @@ def run_asm_bench(args):
         "sv_hits": f"{hits}/2",
     }))
     return rc
+
+
+def run_deepgeno_bench(args):
+    """Deep-coverage re-genotyping: the coverage.h:271 batching regime
+    where the per-read x per-SV junction realignment DP dominates.
+
+    Discovery runs once (cached) to produce a CONSENSUS site list;
+    the TIMED phase is `sr -v sites` against ~coverage x of reads at
+    the reference-default read cap (maxGenoReadCount=250) — flush
+    batches are >=65k pairs, so the device path carries the DP. Run
+    under JAX_PLATFORMS=cpu for the host floor; the ratio is the
+    device's end-to-end advantage in its natural regime."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.bamsynth import make_deep_geno_dataset
+
+    from delly_tpu.utils.jaxenv import setup as _jax_setup
+    _jax_setup()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    n_contigs = min(args.contigs, 4)
+    clen = args.clen
+    tag = f"deepgeno_c{n_contigs}_d{args.dels}_x{args.coverage}_l{clen}"
+    bam = f"{args.workdir}/{tag}.bam"
+    fa = f"{args.workdir}/{tag}.fa"
+    truth_path = f"{args.workdir}/{tag}.truth"
+    if args.fresh or not (os.path.exists(bam) and os.path.exists(fa)
+                          and os.path.exists(truth_path)):
+        t0 = time.time()
+        bam, fa, truth = make_deep_geno_dataset(
+            args.workdir, n_contigs=n_contigs, contig_len=clen,
+            dels_per_contig=args.dels, coverage=args.coverage,
+            name=tag)
+        with open(truth_path, "w") as fh:
+            for t in truth:
+                fh.write("\t".join(str(x) for x in t) + "\n")
+        print(f"[bench_e2e] generated {bam} "
+              f"({os.path.getsize(bam) / 1e6:.1f} MB) in "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+    truth = [ln.split("\t")
+             for ln in open(truth_path).read().splitlines()]
+
+    from delly_tpu.models.config import SrConfig
+    from delly_tpu.models.sr import run_sr
+    from delly_tpu.utils import log as _log_mod
+
+    sites = f"{args.workdir}/{tag}.sites.vcf"
+    if args.fresh or not os.path.exists(sites):
+        cfg = SrConfig(genome=fa, files=[bam], outfile=sites,
+                       max_threads=args.threads)
+        t0 = time.time()
+        assert run_sr(cfg) == 0
+        print(f"[bench_e2e] discovery {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    n_sites = sum(1 for ln in open(sites) if not ln.startswith("#"))
+
+    out = f"{args.workdir}/{tag}.geno.vcf"
+    wall = None
+    stages = {}
+    marks = []
+    for _rep in range(max(1, args.repeat)):
+        cfg = SrConfig(genome=fa, files=[bam], outfile=out,
+                       vcffile=sites, max_threads=args.threads)
+        marks.clear()
+        _log_mod.hook = lambda msg: marks.append((time.time(), msg))
+        t0 = time.time()
+        try:
+            rc = run_sr(cfg)
+        finally:
+            _log_mod.hook = None
+        t1 = time.time()
+        w = t1 - t0
+        if wall is None or w < wall:
+            wall = w
+            stages = {}
+            pts = [(t0, "startup")] + marks + [(t1, None)]
+            for (ts, msg), (te, _) in zip(pts, pts[1:]):
+                if msg is not None and te - ts >= 0.005:
+                    key = msg.split(",")[0][:40]
+                    stages[key] = round(stages.get(key, 0.0)
+                                        + (te - ts), 2)
+    if rc != 0:
+        print(json.dumps({"metric": "deepgeno_e2e_wall_s", "value": 0,
+                          "error": f"rc={rc}"}))
+        return 1
+
+    # genotype sanity: every truth DEL should be a het/hom-alt call
+    gt_alt = 0
+    calls = 0
+    for ln in open(out):
+        if ln.startswith("#"):
+            continue
+        calls += 1
+        sample = ln.rstrip("\n").split("\t")[9]
+        gt = sample.split(":")[0]
+        if gt in ("0/1", "1/1"):
+            gt_alt += 1
+    n_reads = 2 * (args.coverage * clen // 200) * n_contigs
+    print(json.dumps({
+        "metric": "deepgeno_e2e_wall_s",
+        "value": round(wall, 2),
+        "unit": "s",
+        "n_sites": n_sites,
+        "truth": len(truth),
+        "alt_genotyped": gt_alt,
+        "calls": calls,
+        "n_reads_approx": n_reads,
+        "reads_per_s": round(n_reads / wall, 1) if wall else 0.0,
+        "stages": stages,
+    }))
+    return 0
+
+
+def run_deepgeno_lr_bench(args):
+    """Deep-coverage LONG-READ re-genotyping (genotype.h:93-397): the
+    large-DP regime — every breakpoint-overlapping 4kb read scores
+    REF/ALT probes with ~(2*offset)^2-cell NW DPs, so the batched
+    device kernel carries the pipeline. Discovery runs once (cached);
+    the TIMED phase is `lr -v sites`. Run under JAX_PLATFORMS=cpu for
+    the host floor."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.bamsynth import make_deep_lr_dataset
+
+    from delly_tpu.utils.jaxenv import setup as _jax_setup
+    _jax_setup()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    n_contigs = min(args.contigs, 4)
+    clen = args.clen
+    tag = (f"deeplr_c{n_contigs}_d{args.dels}_x{args.coverage}_l{clen}")
+    bam = f"{args.workdir}/{tag}.bam"
+    fa = f"{args.workdir}/{tag}.fa"
+    truth_path = f"{args.workdir}/{tag}.truth"
+    if args.fresh or not (os.path.exists(bam) and os.path.exists(fa)
+                          and os.path.exists(truth_path)):
+        t0 = time.time()
+        bam, fa, truth = make_deep_lr_dataset(
+            args.workdir, n_contigs=n_contigs, contig_len=clen,
+            dels_per_contig=args.dels, coverage=args.coverage,
+            name=tag)
+        with open(truth_path, "w") as fh:
+            for t in truth:
+                fh.write("\t".join(str(x) for x in t) + "\n")
+        print(f"[bench_e2e] generated {bam} "
+              f"({os.path.getsize(bam) / 1e6:.1f} MB) in "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+    truth = [ln.split("\t")
+             for ln in open(truth_path).read().splitlines()]
+
+    from delly_tpu.models.config import LrConfig
+    from delly_tpu.models.lr import run_lr
+    from delly_tpu.utils import log as _log_mod
+
+    sites = f"{args.workdir}/{tag}.sites.vcf"
+    if args.fresh or not os.path.exists(sites):
+        cfg = LrConfig(genome=fa, files=[bam], outfile=sites,
+                       max_threads=args.threads)
+        t0 = time.time()
+        assert run_lr(cfg) == 0
+        print(f"[bench_e2e] discovery {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    n_sites = sum(1 for ln in open(sites) if not ln.startswith("#"))
+
+    out = f"{args.workdir}/{tag}.geno.vcf"
+    wall = None
+    stages = {}
+    marks = []
+    for _rep in range(max(1, args.repeat)):
+        cfg = LrConfig(genome=fa, files=[bam], outfile=out,
+                       vcffile=sites, max_threads=args.threads)
+        marks.clear()
+        _log_mod.hook = lambda msg: marks.append((time.time(), msg))
+        t0 = time.time()
+        try:
+            rc = run_lr(cfg)
+        finally:
+            _log_mod.hook = None
+        t1 = time.time()
+        w = t1 - t0
+        if wall is None or w < wall:
+            wall = w
+            stages = {}
+            pts = [(t0, "startup")] + marks + [(t1, None)]
+            for (ts, msg), (te, _) in zip(pts, pts[1:]):
+                if msg is not None and te - ts >= 0.005:
+                    key = msg.split(",")[0][:40]
+                    stages[key] = round(stages.get(key, 0.0)
+                                        + (te - ts), 2)
+    if rc != 0:
+        print(json.dumps({"metric": "deepgeno_lr_e2e_wall_s",
+                          "value": 0, "error": f"rc={rc}"}))
+        return 1
+
+    gt_alt = 0
+    calls = 0
+    for ln in open(out):
+        if ln.startswith("#"):
+            continue
+        calls += 1
+        sample = ln.rstrip("\n").split("\t")[9]
+        if sample.split(":")[0] in ("0/1", "1/1"):
+            gt_alt += 1
+    n_bases = args.coverage * clen * n_contigs // 2
+    print(json.dumps({
+        "metric": "deepgeno_lr_e2e_wall_s",
+        "value": round(wall, 2),
+        "unit": "s",
+        "n_sites": n_sites,
+        "truth": len(truth),
+        "alt_genotyped": gt_alt,
+        "calls": calls,
+        "bases_per_s": round(n_bases / wall, 1) if wall else 0.0,
+        "stages": stages,
+    }))
+    return 0
 
 
 def run_svmix_bench(args):

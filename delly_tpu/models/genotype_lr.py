@@ -19,6 +19,7 @@ outcome-equivalent to the reference's streaming loop.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -127,6 +128,11 @@ def _score_jobs(jobs: list, flank_quality: float):
     for item in flat:
         key = (bucket(len(item[3])), bucket(len(item[4])))
         buckets.setdefault(key, []).append(item)
+    # two-phase: ISSUE every bucket's batch first (device dispatches
+    # are async — H2D and kernels for later buckets overlap earlier
+    # ones on remote links), THEN pull. A per-bucket synchronous pull
+    # serializes one full round trip per bucket.
+    pending = []
     for (m, n), items in buckets.items():
         B = len(items)
         q = np.zeros((B, m), dtype=np.uint8)
@@ -140,7 +146,10 @@ def _score_jobs(jobs: list, flank_quality: float):
             t[i, :len(tb)] = np.frombuffer(tb, dtype=np.uint8)
             ql[i] = len(qb)
             tl[i] = len(tb)
-        dists = np.asarray(batched_edit_distance(q, ql, t, tl, MODE_NW))
+        pending.append((items,
+                        batched_edit_distance(q, ql, t, tl, MODE_NW)))
+    for items, out in pending:
+        dists = np.asarray(out)
         for i, (ji, pi, which, qs, _) in enumerate(items):
             results[(ji, pi, which)] = (int(dists[i]), len(qs))
     return results
@@ -181,11 +190,18 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
     jobs: list = []
     job_recs: list = []
     npairs = 0
+    ncells = 0
+    # big-DP LR batches are dispatch-latency-bound on remote links:
+    # accumulate until the flush is worth a round trip (pair count for
+    # the small-probe regime, cell volume for the multi-megacell one)
+    flush_cells = int(os.environ.get("DELLY_TPU_LR_FLUSH_CELLS",
+                                     str(8 << 30)))
 
     def _flush_lr_jobs(force: bool = False) -> None:
-        nonlocal npairs
+        nonlocal npairs, ncells
         if not jobs or (not force and npairs < 16384
-                        and len(job_recs) < 4096):
+                        and len(job_recs) < 16384
+                        and ncells < flush_cells):
             return
         results = _score_jobs(jobs, cfg.flank_quality)
         meth_cache = {}
@@ -274,6 +290,7 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
         jobs.clear()
         job_recs.clear()
         npairs = 0
+        ncells = 0
 
     sv_chrs = sorted({c for sv in svs for c in (sv.chr, sv.chr2)})
     plan_all = [ri for ri in sv_chrs if 0 <= ri < header.n_targets]
@@ -420,6 +437,10 @@ def genotype_lr(cfg, bams, fasta, svs: list, jct_map, rc_map, methyl_map):
                                          entry if tra_hx else None))
                         job_recs.append((rec, sequence))
                         npairs += len(pairs)
+                        ncells += sum(
+                            len(rp) * len(pb)
+                            + len(ap) * len(pa)
+                            for rp, ap, pb, pa in pairs)
 
             # Device-batched NW scoring + sequential tally, deferred
             # until the accumulated batch is large enough

@@ -104,76 +104,111 @@ def generate_probes(cfg, header, fasta, svs):
     cons_probe_arr = [[""] * len(svs) for _ in range(2)]
     bp_region = [[] for _ in range(n_targets)]
     sv_on_chr = [False] * n_targets
-    for ref_index in range(n_targets):
-        seq = None
-        for sv in svs:
-            if sv.chr != ref_index and sv.chr2 != ref_index:
-                continue
-            sv_on_chr[ref_index] = True
-            if seq is None:
-                seq = fasta.fetch(header.names[ref_index])
-            if sv.chr == ref_index and not sv.alleles:
-                ref_base = seq[sv.svStart - 1: sv.svStart].upper()
-                sv.alleles = _add_alleles(ref_base, header.names[sv.chr2],
-                                          sv)
-            if not sv.precise:
-                continue
-            if sv.chr != sv.chr2 and sv.chr2 == ref_index:
-                bp = Breakpoint.from_sv(sv)
-                init_breakpoint(bp, header.lengths, len(sv.consensus), sv.svt)
-                ref_probes[sv.id] = get_sv_ref(seq, bp, ref_index, sv.svt,
-                                               cfg.indelsize,
-                                               cfg.min_cons_window)
-            if sv.chr == ref_index:
-                bp = Breakpoint.from_sv(sv)
-                if is_translocation(sv.svt):
-                    bp.part1 = ref_probes[sv.id]
-                if sv.svt == 4:
-                    buffer_space = max((len(sv.consensus) - sv.insLen) // 3,
-                                       cfg.min_flank_size)
-                    init_breakpoint(bp, header.lengths, buffer_space, sv.svt)
-                else:
-                    init_breakpoint(bp, header.lengths, len(sv.consensus),
-                                    sv.svt)
-                sv_ref = get_sv_ref(seq, bp, ref_index, sv.svt, cfg.indelsize,
-                                    cfg.min_cons_window)
-                aln = cons_ref_alignment(sv.consensus, sv_ref, sv.svt)
-                if aln is None:
+    from concurrent.futures import ThreadPoolExecutor
+
+    nworkers = max(1, int(getattr(cfg, "max_threads", 1) or 1))
+    pool = ThreadPoolExecutor(nworkers) if nworkers > 1 else None
+
+    def probe_task(sv, seq, sv_ref):
+        """The per-SV consensus->junction-probe alignment
+        (coverage.h:181-258): independent across SVs, so it fans out
+        over the thread pool (the native DP cores release the GIL);
+        results apply in SV order, so output order is serial-exact."""
+        aln = cons_ref_alignment(sv.consensus, sv_ref, sv.svt)
+        if aln is None:
+            return None
+        ad = AlignDescriptor()
+        if not find_split(sv.consensus, sv_ref, aln, ad, sv.svt,
+                          cfg.flank_quality, cfg.min_flank_size):
+            return None
+        out = []
+        for bp_point in range(2):
+            if bp_point:
+                region_chr = sv.chr2
+                region_start = max(0, sv.svEnd - cfg.min_flank_size)
+                region_end = min(sv.svEnd + cfg.min_flank_size,
+                                 header.lengths[sv.chr2])
+                cut_cons_s = ad.cEnd - ad.homLeft - cfg.min_flank_size
+                cut_cons_e = ad.cEnd + ad.homRight + cfg.min_flank_size
+                bppos = sv.svEnd
+            else:
+                region_chr = sv.chr
+                region_start = max(0, sv.svStart - cfg.min_flank_size)
+                region_end = min(sv.svStart + cfg.min_flank_size,
+                                 header.lengths[sv.chr])
+                cut_cons_s = ad.cStart - ad.homLeft - cfg.min_flank_size
+                cut_cons_e = ad.cStart + ad.homRight + cfg.min_flank_size
+                bppos = sv.svStart
+            cut_ref_s = cut_ref_start(ad.rStart, ad.rEnd,
+                                      ad.homLeft + cfg.min_flank_size,
+                                      bp_point, sv.svt)
+            cut_ref_e = cut_ref_end(ad.rStart, ad.rEnd,
+                                    ad.homRight + cfg.min_flank_size,
+                                    bp_point, sv.svt)
+            out.append((bp_point,
+                        _substr(sv.consensus, cut_cons_s, cut_cons_e),
+                        _substr(sv_ref, cut_ref_s, cut_ref_e),
+                        region_chr,
+                        BpRegion(region_start, region_end, bppos,
+                                 ad.homLeft, ad.homRight, sv.svt,
+                                 sv.id, bp_point)))
+        return out
+
+    try:
+        for ref_index in range(n_targets):
+            seq = None
+            futs = []  # (sv, future-or-result) in SV order
+            for sv in svs:
+                if sv.chr != ref_index and sv.chr2 != ref_index:
                     continue
-                ad = AlignDescriptor()
-                if not find_split(sv.consensus, sv_ref, aln, ad, sv.svt,
-                                  cfg.flank_quality, cfg.min_flank_size):
+                sv_on_chr[ref_index] = True
+                if seq is None:
+                    seq = fasta.fetch(header.names[ref_index])
+                if sv.chr == ref_index and not sv.alleles:
+                    ref_base = seq[sv.svStart - 1: sv.svStart].upper()
+                    sv.alleles = _add_alleles(ref_base,
+                                              header.names[sv.chr2], sv)
+                if not sv.precise:
                     continue
-                for bp_point in range(2):
-                    if bp_point:
-                        region_chr = sv.chr2
-                        region_start = max(0, sv.svEnd - cfg.min_flank_size)
-                        region_end = min(sv.svEnd + cfg.min_flank_size,
-                                         header.lengths[sv.chr2])
-                        cut_cons_s = ad.cEnd - ad.homLeft - cfg.min_flank_size
-                        cut_cons_e = ad.cEnd + ad.homRight + cfg.min_flank_size
-                        bppos = sv.svEnd
+                if sv.chr != sv.chr2 and sv.chr2 == ref_index:
+                    bp = Breakpoint.from_sv(sv)
+                    init_breakpoint(bp, header.lengths,
+                                    len(sv.consensus), sv.svt)
+                    ref_probes[sv.id] = get_sv_ref(
+                        seq, bp, ref_index, sv.svt, cfg.indelsize,
+                        cfg.min_cons_window)
+                if sv.chr == ref_index:
+                    bp = Breakpoint.from_sv(sv)
+                    if is_translocation(sv.svt):
+                        bp.part1 = ref_probes[sv.id]
+                    if sv.svt == 4:
+                        buffer_space = max(
+                            (len(sv.consensus) - sv.insLen) // 3,
+                            cfg.min_flank_size)
+                        init_breakpoint(bp, header.lengths,
+                                        buffer_space, sv.svt)
                     else:
-                        region_chr = sv.chr
-                        region_start = max(0, sv.svStart - cfg.min_flank_size)
-                        region_end = min(sv.svStart + cfg.min_flank_size,
-                                         header.lengths[sv.chr])
-                        cut_cons_s = ad.cStart - ad.homLeft - cfg.min_flank_size
-                        cut_cons_e = ad.cStart + ad.homRight + cfg.min_flank_size
-                        bppos = sv.svStart
-                    cut_ref_s = cut_ref_start(ad.rStart, ad.rEnd,
-                                              ad.homLeft + cfg.min_flank_size,
-                                              bp_point, sv.svt)
-                    cut_ref_e = cut_ref_end(ad.rStart, ad.rEnd,
-                                            ad.homRight + cfg.min_flank_size,
-                                            bp_point, sv.svt)
-                    cons_probe_arr[bp_point][sv.id] = _substr(
-                        sv.consensus, cut_cons_s, cut_cons_e)
-                    ref_probe_arr[bp_point][sv.id] = _substr(
-                        sv_ref, cut_ref_s, cut_ref_e)
-                    bp_region[region_chr].append(BpRegion(
-                        region_start, region_end, bppos, ad.homLeft,
-                        ad.homRight, sv.svt, sv.id, bp_point))
+                        init_breakpoint(bp, header.lengths,
+                                        len(sv.consensus), sv.svt)
+                    sv_ref = get_sv_ref(seq, bp, ref_index, sv.svt,
+                                        cfg.indelsize,
+                                        cfg.min_cons_window)
+                    if pool is not None:
+                        futs.append(pool.submit(probe_task, sv, seq,
+                                                sv_ref))
+                    else:
+                        futs.append(probe_task(sv, seq, sv_ref))
+            for fut in futs:
+                res = fut if not hasattr(fut, "result") else fut.result()
+                if res is None:
+                    continue
+                for bp_point, consp, refp, region_chr, region in res:
+                    cons_probe_arr[bp_point][region.id] = consp
+                    ref_probe_arr[bp_point][region.id] = refp
+                    bp_region[region_chr].append(region)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
     for ref_index in range(n_targets):
         bp_region[ref_index].sort(key=lambda b: b.bppos)
     return ref_probe_arr, cons_probe_arr, bp_region, sv_on_chr

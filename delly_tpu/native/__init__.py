@@ -419,9 +419,20 @@ def bgzf_deflate(data: bytes, level: int = 6, threads: int | None = None,
 # views that stay valid only until the pool cycles back around (2 calls
 # for nw_matrix — its one caller holds fwd+rev simultaneously — and 1
 # call for edist_matrix, whose callers traceback-and-discard).
-_NW_BUFS = [np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32)]
-_NW_NEXT = [0]
-_ED_BUF = [np.empty(0, dtype=np.int32)]
+# THREAD-LOCAL: callers fan DP work out over thread pools (probe
+# generation, MSA rounds), and a shared scratch would let concurrent
+# fills corrupt each other's matrices.
+import threading as _threading
+
+_TLS = _threading.local()
+
+
+def _tls_pool(name: str, n: int) -> list:
+    pool = getattr(_TLS, name, None)
+    if pool is None:
+        pool = [np.empty(0, dtype=np.int32) for _ in range(n)]
+        setattr(_TLS, name, pool)
+    return pool
 
 
 def _scratch(pool: list, idx: int, cells: int) -> np.ndarray:
@@ -446,8 +457,10 @@ def nw_matrix(s1: bytes, s2: bytes, match: int, mismatch: int, ge: int,
         return None
     m, n = len(s1), len(s2)
     cells = (m + 1) * (n + 1)
-    mat = _scratch(_NW_BUFS, _NW_NEXT[0], cells)[:cells]
-    _NW_NEXT[0] ^= 1
+    pool = _tls_pool("nw", 2)
+    nxt = getattr(_TLS, "nw_next", 0)
+    mat = _scratch(pool, nxt, cells)[:cells]
+    _TLS.nw_next = nxt ^ 1
     mat = mat.reshape(m + 1, n + 1)
     lib.nw_matrix_mt(s1, m, s2, n, match, mismatch, ge,
                      int(horizontal_free), _default_threads(),
@@ -460,7 +473,6 @@ def nw_matrix(s1: bytes, s2: bytes, match: int, mismatch: int, ge: int,
 # fill itself, so the two matrices live in reused buffers. The returned
 # views are only valid until the next call (the single caller,
 # ops/needle.long_needle, tracebacks and discards them immediately).
-_LN_BUFS = [np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32)]
 
 
 def long_needle_scores(s1: bytes, s2: bytes, r1: bytes, r2: bytes,
@@ -478,12 +490,13 @@ def long_needle_scores(s1: bytes, s2: bytes, r1: bytes, r2: bytes,
         return None
     m, n = len(s1), len(s2)
     cells = (m + 1) * (n + 1)
+    pool = _tls_pool("ln", 2)
     for i in range(2):
-        if _LN_BUFS[i].size < cells:
+        if pool[i].size < cells:
             # np.zeros, not np.empty — see _scratch
-            _LN_BUFS[i] = np.zeros(cells, dtype=np.int32)
-    fwd = _LN_BUFS[0][:cells].reshape(m + 1, n + 1)
-    rev = _LN_BUFS[1][:cells].reshape(m + 1, n + 1)
+            pool[i] = np.zeros(cells, dtype=np.int32)
+    fwd = pool[0][:cells].reshape(m + 1, n + 1)
+    rev = pool[1][:cells].reshape(m + 1, n + 1)
     flat = ctypes.c_int64()
     best = ctypes.c_int64()
     if threads is None:
@@ -511,7 +524,7 @@ def edist_matrix(q: bytes, t: bytes, mode: int, eq: bytes | None = None):
         return None
     m, n = len(q), len(t)
     cells = (m + 1) * (n + 1)
-    mat = _scratch(_ED_BUF, 0, cells)[:cells].reshape(m + 1, n + 1)
+    mat = _scratch(_tls_pool("ed", 1), 0, cells)[:cells].reshape(m + 1, n + 1)
     lib.edist_matrix_mt(q, m, t, n, mode, eq, _default_threads(),
                         mat.ctypes.data_as(ctypes.c_void_p))
     return mat

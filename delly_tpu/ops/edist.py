@@ -539,6 +539,24 @@ def _device_min_pairs() -> int:
     return _dev_min_pairs
 
 
+_dev_min_cells = None
+
+
+def _device_min_cells() -> int:
+    """DP cell volume above which a batch goes to the device even
+    below the pair-count gate (DELLY_TPU_DEVICE_MIN_CELLS). Default
+    2^30: the threaded host core clears ~2.5 Gcells/s, so a
+    gigacell batch costs ~0.4 s on the host vs a ~25 ms dispatch +
+    sub-0.1 s kernel on the chip — the LR deep-genotyping regime
+    (few pairs, multi-megacell DPs each) crosses over here."""
+    global _dev_min_cells
+    if _dev_min_cells is None:
+        import os
+        _dev_min_cells = int(os.environ.get(
+            "DELLY_TPU_DEVICE_MIN_CELLS", str(1 << 30)))
+    return _dev_min_cells
+
+
 def _pallas_available() -> bool:
     global _use_pallas
     if _use_pallas is None:
@@ -572,7 +590,13 @@ def batched_edit_distance(queries, qlens, targets, tlens, mode=MODE_NW):
     # backend (merely asking jax.default_backend() initializes the
     # device client, minutes on a contended tunnel). Results are
     # identical (the host core is the CPU-backend production path).
-    if np.shape(queries)[0] < _device_min_pairs():
+    # The gate is pair-count AND cell-volume: LR genotyping flushes few
+    # pairs with multi-megacell DPs each (genotype.h:248-296 probe
+    # windows), where the device wins even at small batch counts.
+    cells = (int(np.shape(queries)[0]) * int(np.shape(queries)[1])
+             * int(np.shape(targets)[1]))
+    if (np.shape(queries)[0] < _device_min_pairs()
+            and cells < _device_min_cells()):
         try:
             from delly_tpu import native
             out = native.edist_many(np.asarray(queries), qlens,

@@ -9,6 +9,8 @@ pairs. See ops/myers.py for the algorithm and boundary conventions.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from delly_tpu.ops.myers import MAX_ALPHA
@@ -36,6 +38,30 @@ def pad_alphabet(letters):
 
 
 _cache = {}
+
+
+def _make_packed_pipeline(nalpha: int, w: int, m: int, n: int,
+                          mode: int, interpret: bool):
+    """Jitted pipeline over 2-bit-packed inputs: device-side unpack
+    (shift+mask, fused ahead of the kernel) feeding the standard
+    pipeline with identity letters — byte-identical distances, 4x
+    less host->device transfer (tunnelled-link bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    inner = _make_pipeline(4, w, m, n, mode, interpret)
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+
+    @jax.jit
+    def run(qp, tp, ql, tl):
+        def unpack(xp):
+            x = (xp[:, :, None] >> jnp.asarray(shifts)[None, None, :])
+            return (x & 3).reshape(xp.shape[0], -1).astype(jnp.uint8)
+
+        letters = jnp.arange(4, dtype=jnp.uint8)
+        return inner(unpack(qp), unpack(tp), ql, tl, letters)
+
+    return run
 
 
 def _make_pipeline(nalpha: int, w: int, m: int, n: int, mode: int,
@@ -112,7 +138,12 @@ def batched_edit_distance_pallas(queries, qlens, targets, tlens,
     t = np.ascontiguousarray(np.asarray(targets), dtype=np.uint8)
     b, m = q.shape
     n = t.shape[1]
-    letters = np.union1d(np.unique(q), np.unique(t))
+    # presence-mask alphabet scan: np.unique sorts (~0.3s on the
+    # multi-megacell LR batches); a 256-slot scatter is ~10ms
+    present = np.zeros(256, dtype=bool)
+    present[q.reshape(-1)] = True
+    present[t.reshape(-1)] = True
+    letters = np.nonzero(present)[0].astype(np.uint8)
     if len(letters) > MAX_ALPHA:
         from delly_tpu.ops import edist
         return edist.batched_edit_distance_rowscan(queries, qlens,
@@ -122,6 +153,24 @@ def batched_edit_distance_pallas(queries, qlens, targets, tlens,
     w = max(1, (m + 31) // 32)
     ql = np.asarray(qlens, dtype=np.int32)
     tl = np.asarray(tlens, dtype=np.int32)
+
+    # Large-DP regimes (LR genotyping probes: multi-kilobase m AND n)
+    # at full flush batch sizes exceed what one pallas program can
+    # hold — the compile helper rejects e.g. 16384 x 2048x2048 — so
+    # cap per-dispatch cell volume and chunk the batch. ~8e9 cells per
+    # dispatch compiles and keeps each dispatch in the multi-ms range.
+    cap_cells = int(os.environ.get("DELLY_TPU_DEVICE_MAX_DISPATCH_CELLS",
+                                   str(8 << 30)))
+    per_pair = max(1, m * n)
+    max_b = max(TILE, (cap_cells // per_pair) // TILE * TILE)
+    if b > max_b:
+        outs = [batched_edit_distance_pallas(
+                    q[lo:lo + max_b], ql[lo:lo + max_b],
+                    t[lo:lo + max_b], tl[lo:lo + max_b], mode,
+                    interpret)
+                for lo in range(0, b, max_b)]
+        return np.concatenate([np.asarray(o) for o in outs])
+
     g = -(-b // TILE)
     # Bucket the tile count to a power of two: the pipeline is jitted,
     # so every distinct padded batch shape is a fresh XLA compile.
@@ -138,12 +187,39 @@ def batched_edit_distance_pallas(queries, qlens, targets, tlens,
         ql = np.pad(ql, (0, pad), constant_values=1)
         tl = np.pad(tl, (0, pad))
 
-    key = (nalpha, w, m, n, mode, interpret)
-    if key not in _cache:
-        _cache[key] = _make_pipeline(nalpha, w, m, n, mode, interpret)
-    out = _cache[key](jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
-                      jnp.asarray(tl), jnp.asarray(letters))
-    out = out[:b]
+    # Large-DP pairs move far more cells than bytes (L^2 cells per 2L
+    # bytes), but a tunnelled link is H2D-bandwidth-bound — pack DNA
+    # to 2 bits/base on the host (4x less transfer) and unpack on
+    # device ahead of the kernel. Only engaged for megacell pairs with
+    # a <=4-letter alphabet; the small-probe production path is
+    # untouched.
+    pack2 = nalpha <= 4 and (m * n) >= (1 << 20) and m % 4 == 0
+    if pack2:
+        lut = np.zeros(256, dtype=np.uint8)
+        lut[letters] = np.arange(len(letters), dtype=np.uint8)
+        qc = lut[q]
+        tc = lut[t]
+
+        def pack(x):
+            return (x[:, 0::4] | (x[:, 1::4] << 2) | (x[:, 2::4] << 4)
+                    | (x[:, 3::4] << 6))
+
+        key = ("p2", nalpha, w, m, n, mode, interpret)
+        if key not in _cache:
+            _cache[key] = _make_packed_pipeline(nalpha, w, m, n, mode,
+                                                interpret)
+        out = _cache[key](jnp.asarray(pack(qc)), jnp.asarray(pack(tc)),
+                          jnp.asarray(ql), jnp.asarray(tl))
+        out = out[:b]
+    else:
+        key = (nalpha, w, m, n, mode, interpret)
+        if key not in _cache:
+            _cache[key] = _make_pipeline(nalpha, w, m, n, mode,
+                                         interpret)
+        out = _cache[key](jnp.asarray(q), jnp.asarray(t),
+                          jnp.asarray(ql), jnp.asarray(tl),
+                          jnp.asarray(letters))
+        out = out[:b]
     # empty queries analytically (the kernel's qlen-1 readout assumes
     # qlen >= 1); NW = tlen, SHW/HW = 0 — matches the host core
     qla = np.asarray(qlens)[:b]

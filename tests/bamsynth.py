@@ -720,6 +720,58 @@ def make_lr_genome_dataset(tmpdir, n_contigs=4, contig_len=1_000_000,
     return bam, fa, truth
 
 
+def make_deep_lr_dataset(tmpdir, n_contigs=2, contig_len=1_000_000,
+                         dels_per_contig=100, coverage=45,
+                         var_reads=15, read_len=4000, seed=167,
+                         name="deeplr"):
+    """Deep-coverage LONG-READ genotyping regime (genotype.h:93-397):
+    many het ~1kb DELs under ~coverage x of 4kb reads. Every read
+    overlapping a breakpoint scores REF/ALT probes with
+    ~(2*offset)^2-cell NW DPs — the large-DP regime where the device
+    kernel dominates the pipeline. Returns (bam, fa, truth)."""
+    rng = random.Random(seed)
+    contigs = [(f"chr{c + 1}", random_contig(rng, contig_len))
+               for c in range(n_contigs)]
+    del_len = 1000
+    recs = []
+    truth = []
+    qid = 0
+    for tid, (cname, ref) in enumerate(contigs):
+        spacing = contig_len // (dels_per_contig + 1)
+        dels = []
+        for k in range(dels_per_contig):
+            posd = spacing * (k + 1)
+            if posd + del_len + read_len >= contig_len:
+                continue
+            dels.append(posd)
+            truth.append((cname, "DEL", posd, del_len))
+            for _ in range(var_reads):
+                lo = rng.randint(800, 1800)
+                hi = rng.randint(800, 1800)
+                p = posd - lo
+                seq = (ref[p:posd]
+                       + ref[posd + del_len:posd + del_len + hi])
+                recs.append((tid, p, encode_record(
+                    f"d{qid}", 0x0, tid, p, 60,
+                    [("M", lo), ("D", del_len), ("M", hi)],
+                    -1, -1, 0, seq)))
+                qid += 1
+        nreads = coverage * contig_len // (2 * read_len)  # het: alt
+        # carriers above carry ~half the depth at breakpoints
+        for _ in range(nreads):
+            p = rng.randint(0, contig_len - read_len - 1)
+            recs.append((tid, p, encode_record(
+                f"b{qid}", 0x0, tid, p, 60, [("M", read_len)],
+                -1, -1, 0, ref[p:p + read_len])))
+            qid += 1
+    recs.sort(key=lambda r: (r[0], r[1]))
+    bam = f"{tmpdir}/{name}.bam"
+    fa = f"{tmpdir}/{name}.fa"
+    write_bam(bam, contigs, [r[2] for r in recs])
+    write_fasta(fa, contigs)
+    return bam, fa, truth
+
+
 def make_somatic_pair_dataset(tmpdir, n_contigs=2, contig_len=100_000,
                               pairs_per_contig=1400, seed=97):
     """Tumor/control pair over a shared genome: one GERMLINE ~6kb DEL
@@ -1083,6 +1135,81 @@ _HDR_DT = np.dtype([("bs", "<i4"), ("tid", "<i4"), ("pos", "<i4"),
                     ("lrn", "u1"), ("mapq", "u1"), ("bin", "<u2"),
                     ("ncig", "<u2"), ("flag", "<u2"), ("lseq", "<i4"),
                     ("mtid", "<i4"), ("mpos", "<i4"), ("tlen", "<i4")])
+
+
+def make_deep_geno_dataset(tmpdir, n_contigs=2, contig_len=600_000,
+                           dels_per_contig=150, coverage=45,
+                           sr_per_sv=8, pe_per_sv=10, seed=131,
+                           name="deepgeno"):
+    """Deep-coverage genotyping regime (coverage.h:271): many het DELs
+    (SR+PE evidence) under ~coverage x of normal pairs, so the
+    per-read x per-SV junction realignment DP dominates the pipeline.
+    Returns (bam, fa, truth)."""
+    rng = random.Random(seed)
+    contigs = [(f"chr{c + 1}",
+                random_contig(rng, contig_len,
+                              gc_blocks=max(1, contig_len // 10_000)))
+               for c in range(n_contigs)]
+    rl, isize = 100, 400
+    recs = []          # (tid, pos, blob) evidence records
+    bulk = []
+    truth = []
+    qid = 0
+
+    def rec(tid, pos, *args):
+        recs.append((tid, pos, encode_record(*args)))
+
+    for tid, (cname, ref) in enumerate(contigs):
+        spacing = contig_len // (dels_per_contig + 1)
+        for k in range(dels_per_contig):
+            bp1 = spacing * (k + 1)
+            size = 800 + (k % 5) * 200
+            bp2 = bp1 + size
+            if bp2 + isize + rl >= contig_len:
+                continue
+            truth.append(("DEL", cname, bp1, bp2))
+            for _ in range(pe_per_sv):
+                off = rng.randint(30, 200)
+                p1 = bp1 - off - rl
+                p2 = bp2 + (isize - off - 2 * rl) + rng.randint(0, 40)
+                tl = p2 + rl - p1
+                rec(tid, p1, f"d{qid}", 0x61, tid, p1, 60,
+                    [("M", rl)], tid, p2, tl, ref[p1:p1 + rl])
+                rec(tid, p2, f"d{qid}", 0x91, tid, p2, 60,
+                    [("M", rl)], tid, p1, -tl, ref[p2:p2 + rl])
+                qid += 1
+            for _ in range(sr_per_sv):
+                off = rng.randint(30, 70)
+                dpos = bp1 - off
+                seq = ref[bp1 - off:bp1] + ref[bp2:bp2 + rl - off]
+                rec(tid, dpos, f"s{qid}", 0x0, tid, dpos, 60,
+                    [("M", off), ("S", rl - off)], -1, -1, 0, seq)
+                rec(tid, bp2, f"s{qid}", 0x800, tid, bp2, 60,
+                    [("S", off), ("M", rl - off)], -1, -1, 0, seq)
+                qid += 1
+
+    # deep normal background as bulk buffers (fast path)
+    qid0 = 10_000_000
+    for tid, (cname, ref) in enumerate(contigs):
+        ref_u8 = np.frombuffer(ref.encode(), dtype=np.uint8)
+        npairs = coverage * contig_len // (2 * rl)
+        g = np.random.default_rng(seed + 7 * tid)
+        p1 = np.sort(g.integers(0, contig_len - isize - 1,
+                                size=npairs)).astype(np.int64)
+        bulk.append(_bulk_pair_records(tid, ref_u8, p1, isize, qid0,
+                                       rl=rl, seed=seed + 7 * tid))
+        qid0 += npairs
+
+    recs.sort(key=lambda r: (r[0], r[1]))
+    blobs = []
+    for tid, (bpos, bbuf, rec_w) in enumerate(bulk):
+        ev = [(p, b) for t, p, b in recs if t == tid]
+        blobs += _merge_sorted_blobs(bpos, bbuf, rec_w, ev)
+    bam = f"{tmpdir}/{name}.bam"
+    fa = f"{tmpdir}/{name}.fa"
+    write_bam(bam, contigs, blobs)
+    write_fasta(fa, contigs)
+    return bam, fa, truth
 
 
 def _bulk_pair_records(tid, ref_u8, p1, isz, qid0, rl=100,
