@@ -338,6 +338,11 @@ def rans_encode_order0(raw: bytes) -> bytes:
 # ---------------------------------------------------------------------
 
 METHOD_RAW, METHOD_GZIP, METHOD_BZIP2, METHOD_LZMA, METHOD_RANS = range(5)
+# CRAM 3.1 block methods (htscodecs plane, reimplemented from spec)
+METHOD_RANSNX16 = 5
+METHOD_ARITH = 6
+METHOD_FQZ = 7
+METHOD_TOK3 = 8
 CT_FILE_HEADER, CT_COMP_HEADER, CT_SLICE_HEADER, _CT_RES, CT_EXTERNAL, \
     CT_CORE = range(6)
 
@@ -371,10 +376,20 @@ def decompress_block(method: int, data: bytes, rsize: int) -> bytes:
         raw = lzma.decompress(data)
     elif method == METHOD_RANS:
         raw = rans_decode(data)
+    elif method == METHOD_RANSNX16:
+        from delly_tpu.io import rans_nx16
+        raw, _ = rans_nx16.decode(data, rsize)
+    elif method == METHOD_TOK3:
+        from delly_tpu.io import tok3
+        raw = tok3.decode(data, rsize)
     else:
+        codec = {METHOD_ARITH: "adaptive arithmetic",
+                 METHOD_FQZ: "fqzcomp"}.get(method, str(method))
         raise ValueError(
-            f"CRAM block compression method {method} not supported "
-            "(CRAM 3.1 codecs need htscodecs)")
+            f"CRAM block compression method {method} ({codec}) not "
+            "supported yet; re-encode with samtools view -O "
+            "cram,version=3.1,use_fqz=0,use_arith=0 (rANS Nx16 and "
+            "the name tokenizer are supported)")
     if len(raw) != rsize:
         raise ValueError(f"CRAM block size mismatch {len(raw)} != {rsize}")
     return raw
@@ -387,11 +402,24 @@ def read_block(buf: bytes, pos: int):
 
 
 def write_block(method: int, ctype: int, content_id: int,
-                raw: bytes) -> bytes:
+                raw: bytes, nx16_flags: int = 0) -> bytes:
     if method == METHOD_GZIP:
         data = gzip.compress(raw, 6)
     elif method == METHOD_RANS:
         data = rans_encode_order0(raw)
+    elif method == METHOD_RANSNX16:
+        from delly_tpu.io import rans_nx16
+        try:
+            data = rans_nx16.encode(raw, nx16_flags)
+        except ValueError:
+            data = rans_nx16.encode(raw, 0)
+    elif method == METHOD_TOK3:
+        from delly_tpu.io import tok3
+        # raw is a NUL-stop name array (the RN series layout)
+        data = tok3.encode(raw.split(b"\x00")[:-1]) if raw else b""
+        if not raw:
+            method = METHOD_RAW
+            data = raw
     else:
         method = METHOD_RAW
         data = raw
@@ -1216,8 +1244,12 @@ def _split_aux(aux: bytes):
 
 
 def write_cram(bam, genome: str, path: str, use_rans: bool = True,
-               slice_size: int = 5000) -> None:
-    """Write a CRAM 3.0 file from an open BamFile (tests / interop).
+               slice_size: int = 5000, version=(3, 0)) -> None:
+    """Write a CRAM 3.x file from an open BamFile (tests / interop).
+
+    version=(3, 1) emits the CRAM 3.1 codec plane: rANS Nx16 external
+    blocks (order-0/1 + RLE/PACK per series) and the tok3 name
+    tokeniser for the RN series.
 
     Mapped reads are stored reference-based ('X' substitutions, I/D/S/N
     features); mates found downstream in the same slice use the NF
@@ -1236,7 +1268,7 @@ def write_cram(bam, genome: str, path: str, use_rans: bool = True,
 
     recs = list(bam.records())
     out = bytearray()
-    out += b"CRAM" + bytes([3, 0]) + b"\x00" * 20
+    out += b"CRAM" + bytes(version) + b"\x00" * 20
 
     sam_text = bam.header.text
     if not sam_text.endswith("\n"):
@@ -1254,7 +1286,8 @@ def write_cram(bam, genome: str, path: str, use_rans: bool = True,
 
     for s0 in range(0, len(recs), slice_size):
         chunk = recs[s0:s0 + slice_size]
-        out += _write_container(chunk, get_ref, rg_ids, use_rans)
+        out += _write_container(chunk, get_ref, rg_ids, use_rans,
+                                version)
     out += CRAM_EOF
     with open(path, "wb") as fh:
         fh.write(out)
@@ -1293,7 +1326,8 @@ def _enc_bytearray_len(len_cid, val_cid):
     return write_itf8(ENC_BYTE_ARRAY_LEN) + write_itf8(len(params)) + params
 
 
-def _write_container(chunk, get_ref, rg_ids, use_rans):
+def _write_container(chunk, get_ref, rg_ids, use_rans,
+                     version=(3, 0)):
     from delly_tpu.io.bam import CIGAR_CHARS
 
     streams = {}
@@ -1573,10 +1607,33 @@ def _write_container(chunk, get_ref, rg_ids, use_rans):
     blocks = bytearray()
     blocks += sl_block
     blocks += write_block(METHOD_RAW, CT_CORE, 0, b"")
+    key_of = {cid: key for key, cid in ids.items()}
     for k, cid in enumerate(ext_ids):
+        raw = bytes(streams[cid])
+        if version >= (3, 1):
+            # CRAM 3.1 codec plane: tok3 names, order-1 qualities,
+            # RLE'd flag/feature series, PACK'd base series (encoder
+            # falls back to plain order-0 when a transform does not
+            # apply)
+            from delly_tpu.io import rans_nx16 as _rx
+            key = key_of.get(cid, "")
+            if key == "RN" and raw:
+                blocks += write_block(METHOD_TOK3, CT_EXTERNAL, cid,
+                                      raw)
+                continue
+            if key in ("QS", "QQ"):
+                fl = _rx.F_ORDER1
+            elif key in ("BF", "CF", "FC", "BS", "MQ", "RL", "FN"):
+                fl = _rx.F_RLE
+            elif key in ("BA", "BB"):
+                fl = _rx.F_PACK | _rx.F_RLE
+            else:
+                fl = 0
+            blocks += write_block(METHOD_RANSNX16, CT_EXTERNAL, cid,
+                                  raw, nx16_flags=fl)
+            continue
         method = METHOD_RANS if (use_rans and k % 2 == 0) else METHOD_GZIP
-        blocks += write_block(method, CT_EXTERNAL, cid,
-                              bytes(streams[cid]))
+        blocks += write_block(method, CT_EXTERNAL, cid, raw)
 
     nblocks = 2 + len(ext_ids) + 1  # comp hdr + slice hdr + core + ext
     body = bytes(ch_block) + bytes(blocks)
