@@ -26,7 +26,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--engine",
                     choices=["sr", "lr", "cnv", "merge", "svmix",
-                             "asm", "deepgeno", "deepgeno_lr"],
+                             "asm", "deepgeno", "deepgeno_lr",
+                             "cohort", "cnv3gb"],
                     default="sr")
     ap.add_argument("--coverage", type=int, default=45,
                     help="background coverage (deepgeno engine)")
@@ -60,6 +61,10 @@ def main():
         return run_deepgeno_bench(args)
     if args.engine == "deepgeno_lr":
         return run_deepgeno_lr_bench(args)
+    if args.engine == "cohort":
+        return run_cohort_bench(args)
+    if args.engine == "cnv3gb":
+        return run_cnv3gb_bench(args)
     if args.engine == "svmix":
         return run_svmix_bench(args)
     if args.engine == "asm":
@@ -657,6 +662,272 @@ def run_deepgeno_lr_bench(args):
         "calls": calls,
         "bases_per_s": round(n_bases / wall, 1) if wall else 0.0,
         "stages": stages,
+    }))
+    return 0
+
+
+def run_cnv3gb_bench(args):
+    """Human-genome-scale CNV point (coral.h:93 three-pass design at
+    hg38 size): 24 x 125 Mb contigs (3 Gb), ~2x fragment coverage
+    (30M pairs), implanted hom/het deletion windows, full
+    scan -> GC-bias -> count run with covfile; records wall, peak RSS
+    and per-stage walls. Validates the retained-arena malloc policy
+    and the GC/coverage track memory behavior at 3 Gb."""
+    import resource
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+
+    from tests.bamsynth import (
+        _bulk_pair_records, _merge_sorted_blobs, random_contig,
+        write_bam, write_fasta,
+    )
+
+    from delly_tpu.utils.jaxenv import setup as _jax_setup
+    _jax_setup()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    n_contigs, clen = 24, 125_000_000
+    coverage = 2
+    rl, isize = 100, 400
+    tag = "cnv3gb"
+    bam = f"{args.workdir}/{tag}.bam"
+    fa = f"{args.workdir}/{tag}.fa"
+    if args.fresh or not (os.path.exists(bam) and os.path.exists(fa)):
+        t0 = time.time()
+        contigs = []
+        blobs = []
+        truth = []
+        for tid in range(n_contigs):
+            ref = random_contig(1000 + tid, clen, gc_blocks=clen
+                                // 100_000)
+            name = f"chr{tid + 1}"
+            contigs.append((name, ref))
+            npairs = coverage * clen // (2 * rl)
+            g = np.random.default_rng(77 + tid)
+            p1 = np.sort(g.integers(0, clen - isize - 1, size=npairs)
+                         ).astype(np.int64)
+            # implanted CNVs: 2 hom-del (drop all) + 3 het (drop half)
+            mid = p1 + isize // 2
+            drop = np.zeros(len(p1), dtype=bool)
+            for k in range(5):
+                s0 = (k + 1) * clen // 7
+                e0 = s0 + 150_000
+                inside = (mid >= s0) & (mid < e0)
+                if k < 2:
+                    drop |= inside
+                    truth.append((name, s0, e0, 0))
+                else:
+                    drop |= inside & (g.random(len(p1)) < 0.5)
+                    truth.append((name, s0, e0, 1))
+            p1 = p1[~drop]
+            ref_u8 = np.frombuffer(ref.encode(), dtype=np.uint8)
+            bpos, bbuf, rec_w = _bulk_pair_records(
+                tid, ref_u8, p1, isize, tid * 10_000_000, rl=rl,
+                seed=77 + tid)
+            blobs += _merge_sorted_blobs(bpos, bbuf, rec_w, [])
+            print(f"[bench_e2e] contig {name} ready "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr)
+        write_fasta(fa, contigs)
+        write_bam(bam, contigs, blobs, sample="cnv3gb")
+        del blobs, contigs
+        print(f"[bench_e2e] generated {bam} "
+              f"({os.path.getsize(bam) / 1e9:.2f} GB) in "
+              f"{time.time() - t0:.0f}s", file=sys.stderr)
+
+    from delly_tpu.models.coral import CnvConfig, run_cnv
+    from delly_tpu.utils import log as _log_mod
+
+    out = f"{args.workdir}/{tag}.bcf"
+    cov = f"{args.workdir}/{tag}.cov.gz"
+    marks = []
+    _log_mod.hook = lambda msg: marks.append((time.time(), msg))
+    t0 = time.time()
+    try:
+        rc = run_cnv(CnvConfig(genome=fa, bam_file=bam, outfile=out,
+                               covfile=cov))
+    finally:
+        _log_mod.hook = None
+    wall = time.time() - t0
+    stages = {}
+    pts = [(t0, "startup")] + marks + [(time.time(), None)]
+    for (ts, msg), (te, _) in zip(pts, pts[1:]):
+        if msg is not None and te - ts >= 0.01:
+            key = msg.split(",")[0][:40]
+            stages[key] = round(stages.get(key, 0.0) + (te - ts), 2)
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    import gzip as _gzip
+    nrows = 0
+    with _gzip.open(cov, "rt") as fh:
+        for _ln in fh:
+            nrows += 1
+    from delly_tpu.io.bcf import bcf_to_vcf_text
+    calls = [ln for ln in bcf_to_vcf_text(
+        open(out, "rb").read()).splitlines()
+        if ln and not ln.startswith("#")]
+    print(json.dumps({
+        "metric": "cnv_3gb_wall_s",
+        "value": round(wall, 1),
+        "unit": "s",
+        "rc": rc,
+        "genome_gb": round(n_contigs * clen / 1e9, 2),
+        "coverage_x": coverage,
+        "peak_rss_gb": round(rss_gb, 2),
+        "covfile_rows": nrows,
+        "cnv_calls": len(calls),
+        "stages": stages,
+    }))
+    return 0
+
+
+def run_cohort_bench(args):
+    """Reference germline workflow (README.md:75-99) end-to-end over a
+    synthetic population: per-sample discovery -> delly-tpu merge ->
+    per-sample `-v sites` genotyping -> mergegeno sample paste ->
+    germline filter. Records per-stage walls and site+genotype
+    accuracy vs the implanted population truth."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.bamsynth import make_population_cohort
+
+    from delly_tpu.utils.jaxenv import setup as _jax_setup
+    _jax_setup()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    n_samples = args.samples
+    tag = f"cohort_{n_samples}"
+    fa = f"{args.workdir}/{tag}.fa"
+    truth_path = f"{args.workdir}/{tag}.truth"
+    bam0 = f"{args.workdir}/{tag}_s000.bam"
+    if args.fresh or not (os.path.exists(bam0)
+                          and os.path.exists(truth_path)):
+        t0 = time.time()
+        bams, fa, truth = make_population_cohort(
+            args.workdir, n_samples=n_samples, name=tag)
+        with open(truth_path, "w") as fh:
+            for c, a, b, af, car in truth:
+                fh.write(f"{c}\t{a}\t{b}\t{af}\t"
+                         + ",".join(str(x) for x in sorted(car)) + "\n")
+        print(f"[bench_e2e] generated {n_samples} samples in "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+    bams = [f"{args.workdir}/{tag}_s{s:03d}.bam"
+            for s in range(n_samples)]
+    truth = []
+    for ln in open(truth_path):
+        c, a, b, af, car = ln.rstrip("\n").split("\t")
+        truth.append((c, int(a), int(b), float(af),
+                      frozenset(int(x) for x in car.split(","))
+                      if car else frozenset()))
+
+    from delly_tpu.models.config import SrConfig
+    from delly_tpu.models.merge import MergeConfig, run_merge
+    from delly_tpu.models.sr import run_sr
+    from delly_tpu.models.filter import FilterConfig, filter_run
+
+    stages = {}
+
+    # 1. per-sample discovery
+    t0 = time.time()
+    disc = []
+    for s, bam in enumerate(bams):
+        out = f"{args.workdir}/{tag}_disc{s:03d}.bcf"
+        assert run_sr(SrConfig(genome=fa, files=[bam], outfile=out,
+                               max_threads=args.threads)) == 0
+        disc.append(out)
+    stages["discovery"] = round(time.time() - t0, 2)
+
+    # 2. cohort site merge
+    t0 = time.time()
+    sites = f"{args.workdir}/{tag}_sites.bcf"
+    assert run_merge(MergeConfig(outfile=sites, files=disc)) == 0
+    stages["merge"] = round(time.time() - t0, 2)
+
+    # 3. per-sample re-genotyping against the merged sites
+    t0 = time.time()
+    geno = []
+    for s, bam in enumerate(bams):
+        out = f"{args.workdir}/{tag}_geno{s:03d}.bcf"
+        assert run_sr(SrConfig(genome=fa, files=[bam], outfile=out,
+                               vcffile=sites,
+                               max_threads=args.threads)) == 0
+        geno.append(out)
+    stages["genotype"] = round(time.time() - t0, 2)
+
+    # 4. sample-column merge (bcftools merge -m id role)
+    import subprocess
+    t0 = time.time()
+    cohort = f"{args.workdir}/{tag}_cohort.bcf"
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "scripts", "mergegeno.py"),
+         "-o", cohort] + geno,
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-800:]
+    stages["mergegeno"] = round(time.time() - t0, 2)
+
+    # 5. germline filter
+    t0 = time.time()
+    germ = f"{args.workdir}/{tag}_germline.bcf"
+    assert filter_run(FilterConfig(filter="germline", vcffile=cohort,
+                                   outfile=germ)) == 0
+    stages["filter"] = round(time.time() - t0, 2)
+
+    # accuracy vs implanted truth
+    from delly_tpu.io.bcf import bcf_to_vcf_text
+    text = bcf_to_vcf_text(open(germ, "rb").read())
+    header_cols = []
+    calls = []
+    for ln in text.splitlines():
+        if ln.startswith("#CHROM"):
+            header_cols = ln.split("\t")[9:]
+            continue
+        if ln.startswith("#") or not ln:
+            continue
+        c = ln.split("\t")
+        if "SVTYPE=DEL" not in c[7]:
+            continue
+        gts = [f.split(":")[0] for f in c[9:]]
+        calls.append((c[0], int(c[1]), gts))
+    sample_idx = {name: i for i, name in enumerate(header_cols)}
+
+    site_tp = 0
+    gt_ok = 0
+    gt_tot = 0
+    for chrom, bp1, _bp2, _af, car in truth:
+        hit = None
+        for cc, cp, gts in calls:
+            if cc == chrom and abs(cp - bp1) < 100:
+                hit = gts
+                break
+        if hit is None:
+            continue
+        site_tp += 1
+        for s in range(n_samples):
+            col = sample_idx.get(f"S{s:03d}", s)
+            gt = hit[col]
+            want_alt = s in car
+            is_alt = gt in ("0/1", "1/1")
+            gt_tot += 1
+            gt_ok += (is_alt == want_alt)
+    precision_tp = 0
+    for cc, cp, _g in calls:
+        if any(cc == c and abs(cp - a) < 100
+               for c, a, _b, _af, _car in truth):
+            precision_tp += 1
+
+    print(json.dumps({
+        "metric": "cohort_germline_site_recall",
+        "value": round(site_tp / len(truth), 4) if truth else 0.0,
+        "unit": "recall",
+        "samples": n_samples,
+        "truth_sites": len(truth),
+        "filtered_calls": len(calls),
+        "precision": round(precision_tp / len(calls), 4) if calls
+        else 0.0,
+        "genotype_concordance": round(gt_ok / gt_tot, 4) if gt_tot
+        else 0.0,
+        "stages": stages,
+        "wall_s": round(sum(stages.values()), 2),
     }))
     return 0
 

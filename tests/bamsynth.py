@@ -720,6 +720,107 @@ def make_lr_genome_dataset(tmpdir, n_contigs=4, contig_len=1_000_000,
     return bam, fa, truth
 
 
+def make_population_cohort(tmpdir, n_samples=50, n_contigs=2,
+                           contig_len=300_000, n_svs=30,
+                           pairs_per_contig=18_000, seed=211,
+                           name="cohort"):
+    """Population cohort over one shared genome: `n_svs` het DELs
+    with drawn allele frequencies; sample s carries SV i with
+    probability af[i]. Returns (bam_paths, fa, truth) with
+    truth = [(chrom, bp1, bp2, af, frozenset(carrier sample idx))].
+
+    The reference's germline workflow corpus (README.md:75-99):
+    per-sample discovery -> merge -> per-sample -v genotyping ->
+    sample merge -> germline filter."""
+    rng = random.Random(seed)
+    contigs = [(f"chr{c + 1}",
+                random_contig(rng, contig_len,
+                              gc_blocks=max(1, contig_len // 10_000)))
+               for c in range(n_contigs)]
+    rl, isize = 100, 400
+    # population sites: spaced DELs, sizes 500-6000, AF in [0.1, 0.9]
+    sites = []
+    per_chr = -(-n_svs // n_contigs)
+    for tid in range(n_contigs):
+        spacing = (contig_len - 40_000) // (per_chr + 1)
+        for k in range(per_chr):
+            if len(sites) >= n_svs:
+                break
+            bp1 = 20_000 + spacing * (k + 1)
+            size = 500 + (k * 997) % 5500
+            sites.append((tid, bp1, bp1 + size,
+                          0.1 + 0.8 * rng.random()))
+    carriers = [frozenset(s for s in range(n_samples)
+                          if rng.random() < af)
+                for (_t, _a, _b, af) in sites]
+    truth = [(contigs[t][0], a, b, round(af, 3), carriers[i])
+             for i, (t, a, b, af) in enumerate(sites)]
+
+    fa = f"{tmpdir}/{name}.fa"
+    write_fasta(fa, contigs)
+    bam_paths = []
+    for s in range(n_samples):
+        recs = []
+        qid = 0
+
+        def rec(tid, pos, *args):
+            recs.append((tid, pos, encode_record(*args)))
+
+        for i, (tid, bp1, bp2, _af) in enumerate(sites):
+            if s not in carriers[i]:
+                continue
+            ref = contigs[tid][1]
+            for _ in range(8):
+                off = rng.randint(30, 200)
+                p1 = bp1 - off - rl
+                p2 = bp2 + (isize - off - 2 * rl) + rng.randint(0, 40)
+                tl = p2 + rl - p1
+                rec(tid, p1, f"d{s}_{qid}", 0x61, tid, p1, 60,
+                    [("M", rl)], tid, p2, tl, ref[p1:p1 + rl])
+                rec(tid, p2, f"d{s}_{qid}", 0x91, tid, p2, 60,
+                    [("M", rl)], tid, p1, -tl, ref[p2:p2 + rl])
+                qid += 1
+            for _ in range(7):
+                off = rng.randint(30, 70)
+                dpos = bp1 - off
+                seq = ref[bp1 - off:bp1] + ref[bp2:bp2 + rl - off]
+                rec(tid, dpos, f"s{s}_{qid}", 0x0, tid, dpos, 60,
+                    [("M", off), ("S", rl - off)], -1, -1, 0, seq)
+                rec(tid, bp2, f"s{s}_{qid}", 0x800, tid, bp2, 60,
+                    [("S", off), ("M", rl - off)], -1, -1, 0, seq)
+                qid += 1
+        bulk = []
+        for tid, (cname, ref) in enumerate(contigs):
+            ref_u8 = np.frombuffer(ref.encode(), dtype=np.uint8)
+            g = np.random.default_rng(seed + 1000 * s + tid)
+            p1 = np.sort(g.integers(0, contig_len - isize - 1,
+                                    size=pairs_per_contig)
+                         ).astype(np.int64)
+            # het coverage loss: carriers lose ~half the fragments
+            # whose midpoint falls inside a carried deletion (the
+            # germline filter's RD-ratio gate demands it, as on real
+            # data)
+            mid = p1 + isize // 2
+            drop = np.zeros(len(p1), dtype=bool)
+            for i, (t2, bp1s, bp2s, _af) in enumerate(sites):
+                if t2 == tid and s in carriers[i]:
+                    inside = (mid >= bp1s) & (mid < bp2s)
+                    drop |= inside & (g.random(len(p1)) < 0.5)
+            p1 = p1[~drop]
+            bulk.append(_bulk_pair_records(
+                tid, ref_u8, p1, isize, 10_000_000 + s * 100_000,
+                rl=rl, seed=seed + 1000 * s + tid))
+        recs.sort(key=lambda r: (r[0], r[1]))
+        blobs = []
+        for tid, (bpos, bbuf, rec_w) in enumerate(bulk):
+            ev = [(p, b) for t, p, b in recs if t == tid]
+            blobs += _merge_sorted_blobs(bpos, bbuf, rec_w, ev)
+        path = f"{tmpdir}/{name}_s{s:03d}.bam"
+        write_bam(path, contigs, blobs, sample=f"S{s:03d}")
+        bam_paths.append(path)
+    return bam_paths, fa, truth
+
+
 def make_deep_lr_dataset(tmpdir, n_contigs=2, contig_len=1_000_000,
                          dels_per_contig=100, coverage=45,
                          var_reads=15, read_len=4000, seed=167,
