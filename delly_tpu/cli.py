@@ -465,6 +465,24 @@ def _mesh_scope(command: str, input_files=None):
 
 
 def _run_command(args) -> int:
+    if args.command in ("merge", "filter", "asm"):
+        # host-dominant single-process steps: under a multi-process
+        # world, only process 0 executes (every process writing the
+        # same outputs would race); everyone meets at the barrier so a
+        # pod-wide script can chain commands safely
+        from delly_tpu.parallel import hostaxis
+        if hostaxis.process_count() > 1:
+            if not hostaxis.is_writer():
+                hostaxis.barrier(f"{args.command}-done")
+                return 0
+            try:
+                return _run_command_inner(args)
+            finally:
+                hostaxis.barrier(f"{args.command}-done")
+    return _run_command_inner(args)
+
+
+def _run_command_inner(args) -> int:
     if args.command == "sr":
         rc = (_startup_checks(args.genome, args.input_files, args.exclude,
                               args.vcffile)
