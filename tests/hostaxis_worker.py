@@ -84,6 +84,26 @@ def main() -> int:
                        os.path.join(outdir, "out.vcf"), bam])
         out["rc"] = rc
         out["nproc_seen"] = hostaxis.process_count()
+    elif case == "merge_gate":
+        # merge is a single-process step: under a 2-process world only
+        # process 0 executes and writes; process 1 waits at the barrier
+        import glob
+        gen_dir = os.path.join(outdir, "data")
+        if hostaxis.is_writer():
+            os.makedirs(gen_dir, exist_ok=True)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from bamsynth import make_multi_sv_dataset
+            make_multi_sv_dataset(gen_dir)
+        hostaxis.barrier("data")
+        bam = glob.glob(os.path.join(gen_dir, "*.bam"))[0]
+        fa = glob.glob(os.path.join(gen_dir, "*.fa"))[0]
+        from delly_tpu import cli
+        disc = os.path.join(outdir, "disc.bcf")
+        rc1 = cli.main(["sr", "-g", fa, "-o", disc, bam])
+        merged = os.path.join(outdir, "merged.bcf")
+        rc2 = cli.main(["merge", "-o", merged, disc])
+        out["rc"] = rc1 or rc2
+        out["merged_exists"] = os.path.exists(merged)
     elif case == "sr_path":
         # timed sr run on a pre-generated dataset (argv: fa bam)
         import time

@@ -177,6 +177,15 @@ def test_cnv_multicontig_two_process_identical(tmp_path):
     assert _norm(d2 / "out.vcf") == _norm(d1 / "out.vcf")
 
 
+def test_merge_gated_to_writer_process(tmp_path):
+    """A pod-wide script chains sr then merge: the sr stage shards,
+    the merge stage runs on process 0 only, and both processes exit
+    cleanly through the barrier."""
+    outs = run_world("merge_gate", tmp_path, timeout=600)
+    assert [o["rc"] for o in outs] == [0, 0]
+    assert outs[0]["merged_exists"] is True
+
+
 def test_kernels_global_mesh_match_single_process(tmp_path):
     """The production batched kernels over a 2-process global mesh
     must equal the single-process (1-process world) results bit for
