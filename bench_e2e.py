@@ -33,6 +33,10 @@ def main():
                     help="background coverage (deepgeno engine)")
     ap.add_argument("--dels", type=int, default=150,
                     help="DELs per contig (deepgeno engine)")
+    ap.add_argument("--cnv-window", dest="cnv_window", type=int,
+                    default=0,
+                    help="fixed CNV window size (cnv3gb engine; 0 = "
+                         "adaptive)")
     ap.add_argument("--samples", type=int, default=50,
                     help="cohort size (merge engine)")
     ap.add_argument("--repeat", type=int, default=1,
@@ -294,8 +298,11 @@ def run_lr_bench(args):
              if any(cc == c and kk == k and abs(pp - p) < 60
                     for cc, kk, pp in calls))
     recall = tp / len(truth) if truth else 0.0
+    import resource
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(json.dumps({
         "metric": "lr_e2e_bases_per_s",
+        "peak_rss_gb": round(rss_gb, 2),
         "value": round(n_bases / wall, 1),
         "unit": "bases/s",
         "wall_s": round(wall, 2),
@@ -705,8 +712,12 @@ def run_cnv3gb_bench(args):
             contigs.append((name, ref))
             npairs = coverage * clen // (2 * rl)
             g = np.random.default_rng(77 + tid)
-            p1 = np.sort(g.integers(0, clen - isize - 1, size=npairs)
+            p1 = np.sort(g.integers(0, clen - isize - 80, size=npairs)
                          ).astype(np.int64)
+            # jittered insert sizes: a constant isize makes the library
+            # MAD zero and the scan's normal-insert gate empty
+            isz = (isize + g.integers(-60, 61, size=npairs)
+                   ).astype(np.int64)
             # implanted CNVs: 2 hom-del (drop all) + 3 het (drop half)
             mid = p1 + isize // 2
             drop = np.zeros(len(p1), dtype=bool)
@@ -721,9 +732,10 @@ def run_cnv3gb_bench(args):
                     drop |= inside & (g.random(len(p1)) < 0.5)
                     truth.append((name, s0, e0, 1))
             p1 = p1[~drop]
+            isz = isz[~drop]
             ref_u8 = np.frombuffer(ref.encode(), dtype=np.uint8)
             bpos, bbuf, rec_w = _bulk_pair_records(
-                tid, ref_u8, p1, isize, tid * 10_000_000, rl=rl,
+                tid, ref_u8, p1, isz, tid * 10_000_000, rl=rl,
                 seed=77 + tid)
             blobs += _merge_sorted_blobs(bpos, bbuf, rec_w, [])
             print(f"[bench_e2e] contig {name} ready "
@@ -745,7 +757,9 @@ def run_cnv3gb_bench(args):
     t0 = time.time()
     try:
         rc = run_cnv(CnvConfig(genome=fa, bam_file=bam, outfile=out,
-                               covfile=cov))
+                               covfile=cov,
+                               window_size=args.cnv_window,
+                               window_offset=args.cnv_window))
     finally:
         _log_mod.hook = None
     wall = time.time() - t0
