@@ -114,6 +114,16 @@ def main() -> int:
                        os.path.join(outdir, "out.vcf"), bam])
         out["rc"] = rc
         out["wall"] = time.time() - t0
+    elif case == "lr_path":
+        # timed lr run on a pre-generated dataset (argv: fa bam)
+        import time
+        fa, bam = sys.argv[6], sys.argv[7]
+        from delly_tpu import cli
+        t0 = time.time()
+        rc = cli.main(["lr", "-g", fa, "-o",
+                       os.path.join(outdir, "out.vcf"), bam])
+        out["rc"] = rc
+        out["wall"] = time.time() - t0
     elif case == "cnv_path":
         # timed cnv run on a pre-generated dataset (argv: fa bam)
         import time
