@@ -382,14 +382,17 @@ def decompress_block(method: int, data: bytes, rsize: int) -> bytes:
     elif method == METHOD_TOK3:
         from delly_tpu.io import tok3
         raw = tok3.decode(data, rsize)
+    elif method == METHOD_FQZ:
+        from delly_tpu.io import fqzcomp
+        raw = fqzcomp.decode_block(data, rsize)
     else:
-        codec = {METHOD_ARITH: "adaptive arithmetic",
-                 METHOD_FQZ: "fqzcomp"}.get(method, str(method))
+        codec = {METHOD_ARITH: "adaptive arithmetic"}.get(
+            method, str(method))
         raise ValueError(
             f"CRAM block compression method {method} ({codec}) not "
             "supported yet; re-encode with samtools view -O "
-            "cram,version=3.1,use_fqz=0,use_arith=0 (rANS Nx16 and "
-            "the name tokenizer are supported)")
+            "cram,version=3.1,use_arith=0 (rANS Nx16, fqzcomp and the "
+            "name tokenizer are supported)")
     if len(raw) != rsize:
         raise ValueError(f"CRAM block size mismatch {len(raw)} != {rsize}")
     return raw
@@ -402,8 +405,11 @@ def read_block(buf: bytes, pos: int):
 
 
 def write_block(method: int, ctype: int, content_id: int,
-                raw: bytes, nx16_flags: int = 0) -> bytes:
-    if method == METHOD_GZIP:
+                raw: bytes, nx16_flags: int = 0,
+                payload: bytes | None = None) -> bytes:
+    if payload is not None:
+        data = payload
+    elif method == METHOD_GZIP:
         data = gzip.compress(raw, 6)
     elif method == METHOD_RANS:
         data = rans_encode_order0(raw)
@@ -1244,7 +1250,8 @@ def _split_aux(aux: bytes):
 
 
 def write_cram(bam, genome: str, path: str, use_rans: bool = True,
-               slice_size: int = 5000, version=(3, 0)) -> None:
+               slice_size: int = 5000, version=(3, 0),
+               use_fqz: bool = False) -> None:
     """Write a CRAM 3.x file from an open BamFile (tests / interop).
 
     version=(3, 1) emits the CRAM 3.1 codec plane: rANS Nx16 external
@@ -1287,7 +1294,7 @@ def write_cram(bam, genome: str, path: str, use_rans: bool = True,
     for s0 in range(0, len(recs), slice_size):
         chunk = recs[s0:s0 + slice_size]
         out += _write_container(chunk, get_ref, rg_ids, use_rans,
-                                version)
+                                version, use_fqz)
     out += CRAM_EOF
     with open(path, "wb") as fh:
         fh.write(out)
@@ -1327,12 +1334,13 @@ def _enc_bytearray_len(len_cid, val_cid):
 
 
 def _write_container(chunk, get_ref, rg_ids, use_rans,
-                     version=(3, 0)):
+                     version=(3, 0), use_fqz=False):
     from delly_tpu.io.bam import CIGAR_CHARS
 
     streams = {}
     ids = {}
     nid = [1]
+    qs_lens = []  # QS consumption boundaries (fqzcomp record model)
 
     def st(key):
         if key not in ids:
@@ -1520,6 +1528,7 @@ def _write_container(chunk, get_ref, rg_ids, use_rans,
                 elif code == "B":
                     put_byte("BA", payload[0])
                     put_byte("QS", payload[1])
+                    qs_lens.append(1)
                 elif code == "I":
                     put_stop_array("IN", payload)
                 elif code == "S":
@@ -1530,12 +1539,14 @@ def _write_container(chunk, get_ref, rg_ids, use_rans,
             put_int("MQ", rec.mapq)
             if cf & 0x1:
                 st("QS").extend(quals)
+                qs_lens.append(len(quals))
             end = rec.pos + rec.alignment_length()
             max_end = max(max_end, end)
         else:
             for b in seq:
                 put_byte("BA", b)
             st("QS").extend(quals)
+            qs_lens.append(len(quals))
             max_end = max(max_end, rec.pos + 1)
 
     # compression header
@@ -1620,6 +1631,18 @@ def _write_container(chunk, get_ref, rg_ids, use_rans,
             if key == "RN" and raw:
                 blocks += write_block(METHOD_TOK3, CT_EXTERNAL, cid,
                                       raw)
+                continue
+            if key == "QS" and use_fqz and raw:
+                from delly_tpu.io import fqzcomp
+                recs_q = []
+                a = 0
+                for ln in qs_lens:
+                    recs_q.append(raw[a:a + ln])
+                    a += ln
+                assert a == len(raw)
+                blocks += write_block(
+                    METHOD_FQZ, CT_EXTERNAL, cid, raw,
+                    payload=fqzcomp.encode(recs_q, store_lens=True))
                 continue
             if key in ("QS", "QQ"):
                 fl = _rx.F_ORDER1

@@ -71,12 +71,28 @@ def test_sr_engine_identical_on_cram31(tmp_path):
 
 
 def test_unsupported_31_codecs_named(tmp_path):
-    """fqzcomp / arithmetic blocks fail with an actionable message."""
+    """arithmetic blocks fail with an actionable message."""
     from delly_tpu.io.cram import decompress_block
-    for method, name in ((6, "arithmetic"), (7, "fqzcomp")):
-        try:
-            decompress_block(method, b"\x00\x01", 10)
-            raise AssertionError("should have raised")
-        except ValueError as exc:
-            assert name in str(exc)
-            assert "samtools" in str(exc)
+    try:
+        decompress_block(6, b"\x00\x01", 10)
+        raise AssertionError("should have raised")
+    except ValueError as exc:
+        assert "arithmetic" in str(exc)
+        assert "samtools" in str(exc)
+
+
+def test_sr_cram31_fqz_roundtrip(tmp_path):
+    """version=3.1 with fqzcomp quality blocks: record equality and
+    the method-7 byte actually present."""
+    cram = str(tmp_path / "srfqz.cram")
+    bam = BamFile(f"{EXAMPLE}/sr.bam")
+    write_cram(bam, f"{EXAMPLE}/ref.fa", cram, version=(3, 1),
+               use_fqz=True)
+    cr = BamFile(cram, genome=f"{EXAMPLE}/ref.fa")
+    n = 0
+    for x, y in zip(bam.records(), cr.records()):
+        assert x.qname == y.qname
+        assert x.seq == y.seq
+        assert bytes(x.qual) == bytes(y.qual)
+        n += 1
+    assert n > 100
