@@ -385,14 +385,12 @@ def decompress_block(method: int, data: bytes, rsize: int) -> bytes:
     elif method == METHOD_FQZ:
         from delly_tpu.io import fqzcomp
         raw = fqzcomp.decode_block(data, rsize)
+    elif method == METHOD_ARITH:
+        from delly_tpu.io import arith_nx
+        raw, _ = arith_nx.decode(data, rsize)
     else:
-        codec = {METHOD_ARITH: "adaptive arithmetic"}.get(
-            method, str(method))
         raise ValueError(
-            f"CRAM block compression method {method} ({codec}) not "
-            "supported yet; re-encode with samtools view -O "
-            "cram,version=3.1,use_arith=0 (rANS Nx16, fqzcomp and the "
-            "name tokenizer are supported)")
+            f"CRAM block compression method {method} not supported")
     if len(raw) != rsize:
         raise ValueError(f"CRAM block size mismatch {len(raw)} != {rsize}")
     return raw

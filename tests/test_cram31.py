@@ -70,15 +70,19 @@ def test_sr_engine_identical_on_cram31(tmp_path):
     assert outs[0] == outs[1]
 
 
-def test_unsupported_31_codecs_named(tmp_path):
-    """arithmetic blocks fail with an actionable message."""
+def test_arith_blocks_decode(tmp_path):
+    """method-6 (adaptive arithmetic) blocks decode through the block
+    layer; unknown methods still fail loudly."""
+    from delly_tpu.io import arith_nx
     from delly_tpu.io.cram import decompress_block
+    payload = b"CNV quality payload " * 20
+    enc = arith_nx.encode(payload, 0)
+    assert decompress_block(6, enc, len(payload)) == payload
     try:
-        decompress_block(6, b"\x00\x01", 10)
+        decompress_block(99, b"\x00\x01", 10)
         raise AssertionError("should have raised")
     except ValueError as exc:
-        assert "arithmetic" in str(exc)
-        assert "samtools" in str(exc)
+        assert "99" in str(exc)
 
 
 def test_sr_cram31_fqz_roundtrip(tmp_path):
