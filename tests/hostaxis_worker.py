@@ -84,6 +84,28 @@ def main() -> int:
                        os.path.join(outdir, "out.vcf"), bam])
         out["rc"] = rc
         out["nproc_seen"] = hostaxis.process_count()
+    elif case == "sr_regeno":
+        # -v re-genotyping under the host axis: discovery once on the
+        # writer, then every process genotypes against the shared
+        # sites with chromosome-owned decode + tape replay
+        import glob
+        gen_dir = os.path.join(outdir, "data")
+        sites = os.path.join(outdir, "sites.bcf")
+        if hostaxis.is_writer():
+            os.makedirs(gen_dir, exist_ok=True)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from bamsynth import make_multi_sv_dataset
+            make_multi_sv_dataset(gen_dir)
+        hostaxis.barrier("data")
+        bam = glob.glob(os.path.join(gen_dir, "*.bam"))[0]
+        fa = glob.glob(os.path.join(gen_dir, "*.fa"))[0]
+        from delly_tpu import cli
+        rc1 = cli.main(["sr", "-g", fa, "-o", sites, bam])
+        hostaxis.barrier("sites")
+        rc2 = cli.main(["sr", "-g", fa, "-v", sites, "-o",
+                        os.path.join(outdir, "out.vcf"), bam])
+        out["rc"] = rc1 or rc2
+        out["nproc_seen"] = hostaxis.process_count()
     elif case == "merge_gate":
         # merge is a single-process step: under a 2-process world only
         # process 0 executes and writes; process 1 waits at the barrier

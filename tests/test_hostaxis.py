@@ -177,6 +177,26 @@ def test_cnv_multicontig_two_process_identical(tmp_path):
     assert _norm(d2 / "out.vcf") == _norm(d1 / "out.vcf")
 
 
+def test_sr_regenotyping_two_process_byte_identical(tmp_path):
+    """`sr -v sites` under 2 processes (the cohort workflow's
+    genotyping step): annotate tapes exchange, output byte-identical
+    to 1 process."""
+    d2 = tmp_path / "two"
+    d1 = tmp_path / "one"
+    d2.mkdir()
+    d1.mkdir()
+    outs2 = run_world("sr_regeno", d2, timeout=600)
+    assert [o["rc"] for o in outs2] == [0, 0]
+    outs1 = run_world("sr_regeno", d1, nproc=1, timeout=600)
+    assert outs1[0]["rc"] == 0
+
+    def _norm(p):
+        return [ln for ln in p.read_bytes().splitlines()
+                if not ln.startswith(b"##reference=")]
+
+    assert _norm(d2 / "out.vcf") == _norm(d1 / "out.vcf")
+
+
 def test_merge_gated_to_writer_process(tmp_path):
     """A pod-wide script chains sr then merge: the sr stage shards,
     the merge stage runs on process 0 only, and both processes exit
