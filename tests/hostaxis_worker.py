@@ -84,6 +84,24 @@ def main() -> int:
                        os.path.join(outdir, "out.vcf"), bam])
         out["rc"] = rc
         out["nproc_seen"] = hostaxis.process_count()
+    elif case == "sr_pair":
+        # multi-sample sr (tumor + control BAMs) under the host axis:
+        # per-file phase-A sharding + serial per-file replay
+        gen_dir = os.path.join(outdir, "data")
+        if hostaxis.is_writer():
+            os.makedirs(gen_dir, exist_ok=True)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from bamsynth import make_somatic_pair_dataset
+            make_somatic_pair_dataset(gen_dir)
+        hostaxis.barrier("data")
+        tumor = os.path.join(gen_dir, "tumor.bam")
+        control = os.path.join(gen_dir, "control.bam")
+        fa = os.path.join(gen_dir, "som.fa")
+        from delly_tpu import cli
+        rc = cli.main(["sr", "-g", fa, "-o",
+                       os.path.join(outdir, "out.vcf"), tumor,
+                       control])
+        out["rc"] = rc
     elif case == "sr_regeno":
         # -v re-genotyping under the host axis: discovery once on the
         # writer, then every process genotypes against the shared

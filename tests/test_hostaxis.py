@@ -197,6 +197,30 @@ def test_sr_regenotyping_two_process_byte_identical(tmp_path):
     assert _norm(d2 / "out.vcf") == _norm(d1 / "out.vcf")
 
 
+def test_sr_multisample_two_process_byte_identical(tmp_path):
+    """Two input BAMs (tumor/control) under 2 processes: per-file
+    interval ownership and the per-file serial replay hold across
+    samples — output byte-identical to 1 process."""
+    d2 = tmp_path / "two"
+    d1 = tmp_path / "one"
+    d2.mkdir()
+    d1.mkdir()
+    outs2 = run_world("sr_pair", d2, timeout=600)
+    assert [o["rc"] for o in outs2] == [0, 0]
+    outs1 = run_world("sr_pair", d1, nproc=1, timeout=600)
+    assert outs1[0]["rc"] == 0
+
+    def _norm(p):
+        return [ln for ln in p.read_bytes().splitlines()
+                if not ln.startswith(b"##reference=")]
+
+    v2l = _norm(d2 / "out.vcf")
+    assert v2l == _norm(d1 / "out.vcf")
+    # two-sample FORMAT columns present
+    chrom = next(ln for ln in v2l if ln.startswith(b"#CHROM"))
+    assert len(chrom.split(b"\t")) == 11
+
+
 def test_merge_gated_to_writer_process(tmp_path):
     """A pod-wide script chains sr then merge: the sr stage shards,
     the merge stage runs on process 0 only, and both processes exit
