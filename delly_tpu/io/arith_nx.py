@@ -65,6 +65,9 @@ def decode(buf: bytes, out_sz: int | None = None, pos: int = 0):
         out_sz, pos = read_uint7(buf, pos)
     if out_sz is None:
         raise ValueError("arith: NOSZ stream needs an explicit size")
+    if out_sz > max(1 << 30, len(buf) * 4096):
+        # corrupt size fields must fail, not allocate unbounded output
+        raise ValueError("arith: implausible uncompressed size")
 
     if flags & F_STRIPE:
         n = buf[pos]

@@ -300,7 +300,14 @@ def decode(buf: bytes, lengths: list | None = None,
             return len(out) < len(lengths)
         return done < total_out
 
+    # corrupt DO_LEN streams can emit endless zero-length or oversized
+    # records; both must terminate with an error, not hang or allocate
+    nrec_cap = ((len(lengths) if lengths is not None else total_out)
+                + 1024)
     while more():
+        if len(out) > nrec_cap:
+            raise ValueError("fqzcomp: corrupt stream (record count "
+                             "exceeds output size)")
         sel = sel_m.decode(rc) if nparam > 1 else 0
         x = stab[sel]
         p = params[x]
@@ -308,6 +315,9 @@ def decode(buf: bytes, lengths: list | None = None,
             ln = (len_m[0].decode(rc) | (len_m[1].decode(rc) << 8)
                   | (len_m[2].decode(rc) << 16)
                   | (len_m[3].decode(rc) << 24))
+            if total_out is not None and done + ln > total_out:
+                raise ValueError("fqzcomp: corrupt stream (record "
+                                 "overruns output size)")
         else:
             ln = lengths[len(out)]
         if p.pflags & PFLAG_DO_DEDUP:
