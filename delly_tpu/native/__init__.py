@@ -332,6 +332,9 @@ def get_lib():
     except Exception:
         _load_failed = True
         return None
+    # a successfully-loaded current build supersedes any stale
+    # hash-keyed siblings left by earlier sources
+    _prune_stale(lib_path)
     _lib = lib
     return _lib
 
