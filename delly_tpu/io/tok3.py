@@ -92,7 +92,14 @@ def encode(names: list, flags_literal: int = 0,
             continue
         st.put_b(0, T_TYPE, T_DIFF)
         st.put_u32(0, T_DIFF, 1 if ni > 0 else 0)
-        toks = _tokenise(name)[:MAX_TOKENS - 2]
+        toks = _tokenise(name)
+        if len(toks) > MAX_TOKENS - 2:
+            # lossless overflow: the tail collapses into one literal
+            # token (read names never contain NUL, the ALPHA stream's
+            # terminator)
+            head = toks[:MAX_TOKENS - 3]
+            tail = b"".join(t[1] for t in toks[MAX_TOKENS - 3:])
+            toks = head + [(T_ALPHA, tail)]
         ref = prev_toks[-1] if prev_toks else []
         for t, (kind, text) in enumerate(toks):
             p = t + 1

@@ -125,6 +125,26 @@ def test_sr_multicontig_two_process_byte_identical(tmp_path):
     assert {"DEL", "DUP", "INV", "INS", "BND"} <= types
 
 
+def test_sr_multicontig_three_process_byte_identical(tmp_path):
+    """Process counts beyond two: a 3-process world over the
+    multi-contig corpus (uneven ownership: 4 chromosomes over 3
+    owners) must still match the 1-process bytes."""
+    d3 = tmp_path / "three"
+    d1 = tmp_path / "one"
+    d3.mkdir()
+    d1.mkdir()
+    outs3 = run_world("sr_multi", d3, nproc=3, timeout=600)
+    assert [o["rc"] for o in outs3] == [0, 0, 0]
+    outs1 = run_world("sr_multi", d1, nproc=1, timeout=600)
+    assert outs1[0]["rc"] == 0
+
+    def _norm(p):
+        return [ln for ln in p.read_bytes().splitlines()
+                if not ln.startswith(b"##reference=")]
+
+    assert _norm(d3 / "out.vcf") == _norm(d1 / "out.vcf")
+
+
 def test_lr_two_process_byte_identical(tmp_path):
     """run_lr under 2 processes: sharded junction scan, distributed
     consensus tasks, chromosome-owned genotyping with the

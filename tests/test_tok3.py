@@ -74,6 +74,14 @@ def test_duplicates_and_singletons():
     _roundtrip([b"a", b"a", b"b", b"a"])
 
 
+def test_token_overflow_lossless():
+    """Names with more tokens than the column cap must round-trip
+    exactly (overflow tail collapses to one literal token)."""
+    long1 = b"a1" * 200              # 400 tokens
+    long2 = b"x" + b":9" * 150
+    _roundtrip([long1, long2, long1, b"short7"])
+
+
 def test_fuzz_mixed():
     rng = random.Random(99)
     pool = _illumina(60) + _ont(30) + _sra(40) + _adversarial()
