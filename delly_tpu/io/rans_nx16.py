@@ -171,7 +171,24 @@ def _lookup(freqs):
 
 
 # ------------------------------------------------------- rANS order-0
+def _native_entropy(buf, pos, out_sz, nway, order1):
+    """Native entropy stage (hostio.cpp rans_nx16_decode), or None."""
+    try:
+        from delly_tpu import native
+        res = native.rans_nx16_entropy(bytes(buf[pos:]), out_sz,
+                                       order1, nway)
+    except Exception:
+        return None
+    if res is None:
+        return None
+    data, consumed = res
+    return data, pos + consumed
+
+
 def _rans_decode_0(buf, pos, out_sz, nway):
+    nat = _native_entropy(buf, pos, out_sz, nway, False)
+    if nat is not None:
+        return nat
     shift = TF_SHIFT
     freqs, pos = _read_freqs0(buf, pos, shift)
     tbl = _lookup(freqs)
@@ -300,6 +317,9 @@ def _write_freqs1(tables, shift) -> bytes:
 
 
 def _rans_decode_1(buf, pos, out_sz, nway):
+    nat = _native_entropy(buf, pos, out_sz, nway, True)
+    if nat is not None:
+        return nat
     tables, shift, pos = _read_freqs1(buf, pos, nway)
     lut = {ctx: _lookup(f) if f else None
            for ctx, f in tables.items()}
@@ -404,20 +424,19 @@ def _rans_encode_1(data: bytes, nway) -> bytes:
 
 # ------------------------------------------------------ meta transforms
 def _unpack_bits(packed: bytes, nsym: int, syms, out_sz: int) -> bytes:
-    out = bytearray(out_sz)
+    import numpy as np
+
     if nsym <= 1:
-        for i in range(out_sz):
-            out[i] = syms[0] if syms else 0
-    elif nsym <= 2:
-        for i in range(out_sz):
-            out[i] = syms[(packed[i >> 3] >> (i & 7)) & 1]
+        return bytes([syms[0] if syms else 0]) * out_sz
+    pk = np.frombuffer(packed, dtype=np.uint8)
+    lut = np.asarray(syms + [0] * (16 - len(syms)), dtype=np.uint8)
+    if nsym <= 2:
+        idx = ((pk[:, None] >> np.arange(8, dtype=np.uint8)) & 1)
     elif nsym <= 4:
-        for i in range(out_sz):
-            out[i] = syms[(packed[i >> 2] >> ((i & 3) << 1)) & 3]
+        idx = ((pk[:, None] >> (np.arange(4, dtype=np.uint8) * 2)) & 3)
     else:
-        for i in range(out_sz):
-            out[i] = syms[(packed[i >> 1] >> ((i & 1) << 2)) & 15]
-    return bytes(out)
+        idx = ((pk[:, None] >> (np.arange(2, dtype=np.uint8) * 4)) & 15)
+    return lut[idx.reshape(-1)[:out_sz]].tobytes()
 
 
 def _pack_bits(data: bytes, syms) -> bytes:

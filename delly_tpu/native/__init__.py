@@ -204,6 +204,13 @@ def get_lib():
     lib.rans_decode_c.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
         ctypes.c_int64]
+    try:
+        lib.rans_nx16_decode.restype = ctypes.c_int64
+        lib.rans_nx16_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+    except AttributeError:
+        pass  # older cached .so
     lib.bam_base_coverage.restype = None
     lib.bam_base_coverage.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
@@ -939,6 +946,23 @@ def itf8_decode_stream(data: bytes):
     cnt = lib.itf8_decode_stream(data, len(data),
                                  out.ctypes.data_as(ctypes.c_void_p))
     return out[:cnt]
+
+
+def rans_nx16_entropy(data: bytes, out_sz: int, order1: bool,
+                      nway: int):
+    """rANS Nx16 entropy stage (CRAM 3.1 method 5, io/rans_nx16.py
+    contract): decode `out_sz` bytes starting at the frequency tables.
+    Returns (bytes, consumed) or None (caller falls back to Python)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rans_nx16_decode"):
+        return None
+    out = np.empty(max(out_sz, 1), dtype=np.uint8)
+    rc = lib.rans_nx16_decode(data, len(data),
+                              out.ctypes.data_as(ctypes.c_void_p),
+                              out_sz, int(order1), int(nway))
+    if rc < 0:
+        return None
+    return out[:out_sz].tobytes(), int(rc)
 
 
 def rans_decode(data: bytes, out_sz: int):

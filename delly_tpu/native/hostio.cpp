@@ -766,6 +766,258 @@ int rans_decode_c(const uint8_t* data, size_t n, uint8_t* out,
   return 0;
 }
 
+// ---------------------------------------------------------------
+// rANS Nx16 entropy stage (CRAM 3.1 method 5; io/rans_nx16.py is the
+// behavioral contract and the fallback). `buf` points at the
+// frequency tables (flags/size/transform parsing stays in Python).
+// Decodes out_sz bytes with nway interleave. Returns bytes consumed
+// or a negative error (Python falls back on any error).
+// ---------------------------------------------------------------
+
+static int nx16_read_uint7(const uint8_t* b, size_t n, size_t& pos,
+                           uint32_t& v) {
+  v = 0;
+  for (;;) {
+    if (pos >= n) return -1;
+    uint8_t c = b[pos++];
+    v = (v << 7) | (c & 0x7F);
+    if (!(c & 0x80)) return 0;
+  }
+}
+
+static int nx16_read_alphabet(const uint8_t* b, size_t n, size_t& pos,
+                              uint8_t* syms, int& nsym) {
+  nsym = 0;
+  int rle = 0;
+  int last = -2;
+  for (;;) {
+    int sym;
+    if (rle > 0) {
+      rle--;
+      sym = last + 1;
+    } else {
+      if (pos >= n) return -1;
+      sym = b[pos++];
+      if (nsym > 0 && sym == 0) break;
+      if (sym == last + 1) {
+        if (pos >= n) return -1;
+        rle = b[pos++];
+      }
+    }
+    if (nsym >= 256 || sym > 255) return -1;
+    syms[nsym++] = (uint8_t)sym;
+    last = sym;
+  }
+  return 0;
+}
+
+// normalize to sum 1<<shift exactly like io/rans_nx16._normalise
+static void nx16_normalise(uint32_t* freq, const uint8_t* syms,
+                           int nsym, int shift) {
+  uint64_t total = 0;
+  for (int i = 0; i < nsym; ++i) total += freq[syms[i]];
+  uint32_t target = 1u << shift;
+  if (total == target || total == 0) return;
+  uint64_t acc = 0;
+  for (int i = 0; i < nsym; ++i) {
+    uint64_t f = freq[syms[i]];
+    uint64_t nf = (f * target) / total;
+    if (nf < 1) nf = 1;
+    freq[syms[i]] = (uint32_t)nf;
+    acc += nf;
+  }
+  int big = 0;
+  for (int i = 1; i < nsym; ++i)
+    if (freq[syms[i]] > freq[syms[big]]) big = i;
+  int64_t fix = (int64_t)target - (int64_t)acc;
+  int64_t nb = (int64_t)freq[syms[big]] + fix;
+  if (nb >= 1) {
+    freq[syms[big]] = (uint32_t)nb;
+  } else {
+    for (int i = 0; i < nsym; ++i) freq[syms[i]] = 1;
+    freq[syms[0]] += target - nsym;
+  }
+}
+
+struct Nx16Table {
+  uint16_t fstart[256];
+  uint16_t ffreq[256];
+  uint8_t lookup[4096];
+  int valid;
+};
+
+static int nx16_build_table(const uint32_t* freq, const uint8_t* syms,
+                            int nsym, Nx16Table& t) {
+  uint32_t c = 0;
+  std::memset(t.fstart, 0, sizeof(t.fstart));
+  std::memset(t.ffreq, 0, sizeof(t.ffreq));
+  for (int i = 0; i < nsym; ++i) {
+    uint8_t s = syms[i];
+    uint32_t f = freq[s];
+    t.fstart[s] = (uint16_t)c;
+    t.ffreq[s] = (uint16_t)f;
+    if (f > 4096 || c > 4096 - f) return -1;
+    std::memset(t.lookup + c, s, f);
+    c += f;
+  }
+  if (c != 4096) return -1;
+  t.valid = 1;
+  return 0;
+}
+
+static inline uint32_t nx16_advance(uint32_t x, const Nx16Table& t,
+                                    uint8_t s, uint32_t m,
+                                    const uint8_t* b, size_t n,
+                                    size_t& pos) {
+  x = t.ffreq[s] * (x >> 12) + m - t.fstart[s];
+  if (x < (1u << 15)) {
+    // mirror the Python slice semantics: missing tail bytes read as 0
+    uint32_t w = 0;
+    if (pos < n) w = b[pos];
+    if (pos + 1 < n) w |= (uint32_t)b[pos + 1] << 8;
+    pos += 2;
+    x = (x << 16) | w;
+  }
+  return x;
+}
+
+static int64_t nx16_decode_o0(const uint8_t* b, size_t n, size_t pos,
+                              uint8_t* out, int64_t out_sz, int nway);
+
+int64_t rans_nx16_decode(const uint8_t* b, size_t n, uint8_t* out,
+                         int64_t out_sz, int order1, int nway) {
+  if (nway != 4 && nway != 32) return -1;
+  if (!order1) return nx16_decode_o0(b, n, 0, out, out_sz, nway);
+
+  // ---- order-1: shared alphabet + per-context tables --------------
+  size_t pos = 0;
+  if (pos >= n) return -1;
+  uint8_t comp = b[pos++];
+  int shift = ((comp >> 4) != 1) ? 12 : 10;
+  if (shift != 12) return -2;  // fast-shift variant: Python fallback
+  std::vector<uint8_t> sub;
+  const uint8_t* tb = b;
+  size_t tn = n;
+  size_t tpos = pos;
+  if (comp & 1) {
+    uint32_t clen, ulen;
+    if (nx16_read_uint7(b, n, pos, clen) != 0) return -1;
+    if (nx16_read_uint7(b, n, pos, ulen) != 0) return -1;
+    if (ulen > (1u << 24)) return -1;
+    sub.resize(ulen);
+    if (nx16_decode_o0(b, n, pos, sub.data(), ulen, 4) < 0) return -1;
+    tb = sub.data();
+    tn = ulen;
+    tpos = 0;
+    pos += clen;
+  }
+  uint8_t syms[256];
+  int nsym = 0;
+  if (nx16_read_alphabet(tb, tn, tpos, syms, nsym) != 0) return -1;
+  std::vector<Nx16Table> tabs(256);
+  for (int i = 0; i < 256; ++i) tabs[i].valid = 0;
+  for (int ci = 0; ci < nsym; ++ci) {
+    uint32_t freq[256] = {0};
+    int zrun = 0;
+    int any = 0;
+    for (int si = 0; si < nsym; ++si) {
+      if (zrun > 0) {
+        zrun--;
+        continue;
+      }
+      uint32_t f;
+      if (nx16_read_uint7(tb, tn, tpos, f) != 0) return -1;
+      if (f == 0) {
+        if (tpos >= tn) return -1;
+        zrun = tb[tpos++];
+        continue;
+      }
+      freq[syms[si]] = f;
+      any = 1;
+    }
+    if (!any) continue;  // empty context table stays invalid
+    nx16_normalise(freq, syms, nsym, shift);
+    if (nx16_build_table(freq, syms, nsym, tabs[syms[ci]]) != 0)
+      return -1;
+  }
+  if (!(comp & 1)) pos = tpos;
+
+  if (nway > 32) return -1;
+  uint32_t st[32];
+  for (int j = 0; j < nway; ++j) {
+    uint32_t w = 0;
+    for (int k = 0; k < 4; ++k) {
+      uint32_t byte = (pos < n) ? b[pos] : 0;
+      pos++;
+      w |= byte << (8 * k);
+    }
+    st[j] = w;
+  }
+  int64_t frac = out_sz / nway;
+  int64_t idx[32], ends[32];
+  uint8_t ctxs[32];
+  for (int j = 0; j < nway; ++j) {
+    idx[j] = j * frac;
+    ends[j] = (j + 1) * frac;
+    ctxs[j] = 0;
+  }
+  ends[nway - 1] = out_sz;
+  int64_t remaining = out_sz;
+  // context-0 availability: contexts are drawn from decoded symbols
+  // (all in the alphabet) plus the initial 0
+  while (remaining > 0) {
+    for (int j = 0; j < nway; ++j) {
+      if (idx[j] >= ends[j]) continue;
+      const Nx16Table& t = tabs[ctxs[j]];
+      if (!t.valid) return -3;
+      uint32_t x = st[j];
+      uint32_t m = x & 4095;
+      uint8_t s = t.lookup[m];
+      out[idx[j]++] = s;
+      remaining--;
+      st[j] = nx16_advance(x, t, s, m, b, n, pos);
+      ctxs[j] = s;
+    }
+  }
+  return (int64_t)pos;
+}
+
+static int64_t nx16_decode_o0(const uint8_t* b, size_t n, size_t pos,
+                              uint8_t* out, int64_t out_sz, int nway) {
+  uint8_t syms[256];
+  int nsym = 0;
+  if (nx16_read_alphabet(b, n, pos, syms, nsym) != 0) return -1;
+  uint32_t freq[256] = {0};
+  for (int i = 0; i < nsym; ++i) {
+    uint32_t f;
+    if (nx16_read_uint7(b, n, pos, f) != 0) return -1;
+    freq[syms[i]] = f;
+  }
+  nx16_normalise(freq, syms, nsym, 12);
+  Nx16Table tab;
+  if (nx16_build_table(freq, syms, nsym, tab) != 0) return -1;
+  if (nway > 32) return -1;
+  uint32_t st[32];
+  for (int j = 0; j < nway; ++j) {
+    uint32_t w = 0;
+    for (int k = 0; k < 4; ++k) {
+      uint32_t byte = (pos < n) ? b[pos] : 0;
+      pos++;
+      w |= byte << (8 * k);
+    }
+    st[j] = w;
+  }
+  for (int64_t i = 0; i < out_sz; ++i) {
+    int j = (int)(i % nway);
+    uint32_t x = st[j];
+    uint32_t m = x & 4095;
+    uint8_t s = tab.lookup[m];
+    out[i] = s;
+    st[j] = nx16_advance(x, tab, s, m, b, n, pos);
+  }
+  return (int64_t)pos;
+}
+
 // Decode an entire ITF-8 stream (CRAM external int series) in one
 // pass. Returns the number of values written (caller sizes `out` with
 // at least `n` entries: one byte per value lower-bounds the stream).
