@@ -347,7 +347,15 @@ def decode(buf: bytes, lengths: list | None = None,
 
 def decode_block(buf: bytes, rsize: int) -> bytes:
     """CRAM block entry: DO_LEN stream -> the concatenated QS series
-    bytes (rsize total)."""
+    bytes (rsize total). Native fast path (hostio.cpp fqz_decode) with
+    this module as the behavioral contract and fallback."""
+    try:
+        from delly_tpu import native
+        out = native.fqz_decode_block(buf, rsize)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     return b"".join(decode(buf, total_out=rsize))
 
 

@@ -209,6 +209,10 @@ def get_lib():
         lib.rans_nx16_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+        lib.fqz_decode.restype = ctypes.c_int
+        lib.fqz_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int64]
     except AttributeError:
         pass  # older cached .so
     lib.bam_base_coverage.restype = None
@@ -963,6 +967,20 @@ def rans_nx16_entropy(data: bytes, out_sz: int, order1: bool,
     if rc < 0:
         return None
     return out[:out_sz].tobytes(), int(rc)
+
+
+def fqz_decode_block(data: bytes, out_sz: int):
+    """fqzcomp DO_LEN stream -> concatenated quality bytes
+    (io/fqzcomp.py contract), or None (caller falls back)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fqz_decode"):
+        return None
+    out = np.empty(max(out_sz, 1), dtype=np.uint8)
+    rc = lib.fqz_decode(data, len(data),
+                        out.ctypes.data_as(ctypes.c_void_p), out_sz)
+    if rc != 0:
+        return None
+    return out[:out_sz].tobytes()
 
 
 def rans_decode(data: bytes, out_sz: int):

@@ -1018,6 +1018,238 @@ static int64_t nx16_decode_o0(const uint8_t* b, size_t n, size_t pos,
   return (int64_t)pos;
 }
 
+// ---------------------------------------------------------------
+// fqzcomp quality codec (CRAM 3.1 method 7; io/fqzcomp.py is the
+// behavioral contract and the fallback). Decodes a DO_LEN stream to
+// total_out concatenated quality bytes. Returns 0 or negative error.
+// ---------------------------------------------------------------
+
+struct FqzRC {
+  const uint8_t* b;
+  size_t n, pos;
+  uint64_t code;
+  uint64_t range;
+  uint64_t r;
+  void init(const uint8_t* buf, size_t len, size_t p) {
+    b = buf;
+    n = len;
+    pos = p;
+    range = 0xFFFFFFFFull;
+    code = 0;
+    for (int i = 0; i < 4; ++i) code = (code << 8) | byte_();
+  }
+  uint8_t byte_() {
+    uint8_t v = (pos < n) ? b[pos] : 0;
+    pos++;
+    return v;
+  }
+  uint32_t get_freq(uint32_t tot) {
+    r = range / tot;
+    uint64_t f = code / r;
+    return (uint32_t)((f < tot - 1) ? f : tot - 1);
+  }
+  void decode(uint32_t cum, uint32_t freq) {
+    code -= (uint64_t)cum * r;
+    range = r * freq;
+    while (range < (1ull << 24)) {
+      code = ((code << 8) | byte_()) & 0xFFFFFFFFFFull;
+      range <<= 8;
+    }
+  }
+};
+
+struct FqzModel {
+  std::vector<uint16_t> sym, freq;
+  uint32_t tot;
+  void init(int nsym) {
+    sym.resize(nsym);
+    freq.assign(nsym, 1);
+    for (int i = 0; i < nsym; ++i) sym[i] = (uint16_t)i;
+    tot = nsym;
+  }
+  void rescale() {
+    uint32_t t = 0;
+    for (size_t i = 0; i < freq.size(); ++i) {
+      freq[i] -= freq[i] >> 1;
+      t += freq[i];
+    }
+    tot = t;
+  }
+  int decode(FqzRC& rc) {
+    uint32_t f = rc.get_freq(tot);
+    uint32_t cum = 0;
+    size_t i = 0;
+    while (cum + freq[i] <= f) cum += freq[i++];
+    int s = sym[i];
+    rc.decode(cum, freq[i]);
+    freq[i] += 16;
+    tot += 16;
+    if (i > 0 && freq[i] > freq[i - 1]) {
+      std::swap(sym[i], sym[i - 1]);
+      std::swap(freq[i], freq[i - 1]);
+    }
+    if (tot > (1u << 16) - 16) rescale();
+    return s;
+  }
+};
+
+static int fqz_read_array(const uint8_t* b, size_t n, size_t& pos,
+                          uint8_t* vals, int count) {
+  if (pos >= n) return -1;
+  int cnt = b[pos++];
+  if (cnt == 0) {
+    if (pos + count > n) return -1;
+    std::memcpy(vals, b + pos, count);
+    pos += count;
+    return 0;
+  }
+  int k = 0;
+  for (int i = 0; i < cnt; ++i) {
+    if (pos + 2 > n) return -1;
+    uint8_t v = b[pos], r = b[pos + 1];
+    pos += 2;
+    if (k + r > count) return -1;
+    std::memset(vals + k, v, r);
+    k += r;
+  }
+  return (k == count) ? 0 : -1;
+}
+
+struct FqzParam {
+  uint32_t context;
+  uint8_t pflags, max_sym;
+  int qbits, qshift, qloc, sloc, ploc, dloc;
+  uint8_t qmap[256], qtab[256], dtab[256];
+  uint8_t ptab[1024];
+};
+
+int fqz_decode(const uint8_t* b, size_t n, uint8_t* out,
+               int64_t total_out) {
+  size_t pos = 0;
+  if (pos + 2 > n) return -1;
+  if (b[pos++] != 5) return -1;
+  uint8_t gflags = b[pos++];
+  int nparam = 1;
+  if (gflags & 1) {
+    if (pos >= n) return -1;
+    nparam = b[pos++];
+    if (nparam < 1) return -1;
+  }
+  uint8_t stab[256];
+  for (int i = 0; i < 256; ++i) stab[i] = (uint8_t)i;
+  if (gflags & 2) {
+    if (pos >= n) return -1;
+    pos++;  // max_sel
+    if (fqz_read_array(b, n, pos, stab, 256) != 0) return -1;
+  }
+  std::vector<FqzParam> params(nparam);
+  for (int pi = 0; pi < nparam; ++pi) {
+    FqzParam& p = params[pi];
+    if (pos + 7 > n) return -1;
+    p.context = b[pos] | ((uint32_t)b[pos + 1] << 8);
+    pos += 2;
+    p.pflags = b[pos++];
+    p.max_sym = b[pos++];
+    uint8_t x = b[pos++];
+    p.qbits = x >> 4;
+    p.qshift = x & 15;
+    x = b[pos++];
+    p.qloc = x >> 4;
+    p.sloc = x & 15;
+    x = b[pos++];
+    p.ploc = x >> 4;
+    p.dloc = x & 15;
+    for (int i = 0; i < 256; ++i) {
+      p.qmap[i] = (uint8_t)i;
+      p.qtab[i] = (uint8_t)i;
+      p.dtab[i] = 0;
+    }
+    std::memset(p.ptab, 0, sizeof(p.ptab));
+    if (p.pflags & 16) {
+      if (fqz_read_array(b, n, pos, p.qmap, 256) != 0) return -1;
+    }
+    if (p.pflags & 128) {
+      if (fqz_read_array(b, n, pos, p.qtab, 256) != 0) return -1;
+    }
+    if (p.pflags & 32) {
+      if (fqz_read_array(b, n, pos, p.ptab, 1024) != 0) return -1;
+    }
+    if (p.pflags & 64) {
+      if (fqz_read_array(b, n, pos, p.dtab, 256) != 0) return -1;
+    }
+  }
+
+  FqzRC rc;
+  rc.init(b, n, pos);
+  std::vector<FqzModel*> qual_m(65536, (FqzModel*)nullptr);
+  FqzModel sel_m, dup_m, len_m[4];
+  sel_m.init(nparam > 1 ? nparam : 1);
+  dup_m.init(2);
+  for (int k = 0; k < 4; ++k) len_m[k].init(256);
+  std::vector<uint8_t> prev;
+  int64_t done = 0;
+  int64_t nrec = 0;
+  int64_t nrec_cap = total_out + 1024;
+  int rcode = 0;
+  while (done < total_out) {
+    if (++nrec > nrec_cap) {
+      rcode = -2;
+      break;
+    }
+    int sel = (nparam > 1) ? sel_m.decode(rc) : 0;
+    FqzParam& p = params[stab[sel] % nparam];
+    int64_t ln;
+    if (p.pflags & 4) {
+      ln = (int64_t)len_m[0].decode(rc)
+           | ((int64_t)len_m[1].decode(rc) << 8)
+           | ((int64_t)len_m[2].decode(rc) << 16)
+           | ((int64_t)len_m[3].decode(rc) << 24);
+      if (done + ln > total_out) {
+        rcode = -2;
+        break;
+      }
+    } else {
+      rcode = -3;  // external-lengths form: Python handles it
+      break;
+    }
+    if (p.pflags & 2) {
+      if (dup_m.decode(rc)) {
+        for (int64_t i = 0; i < ln; ++i)
+          out[done + i] = (i < (int64_t)prev.size()) ? prev[i] : 0;
+        done += ln;
+        continue;
+      }
+    }
+    uint32_t qhist = 0, delta = 0;
+    int q1 = 0;
+    uint32_t qmask = (1u << p.qbits) - 1;
+    prev.resize(ln);
+    for (int64_t i = 0; i < ln; ++i) {
+      uint32_t ctx = p.context;
+      ctx += (qhist & qmask) << p.qloc;
+      ctx += (uint32_t)p.ptab[(i < 1023) ? i : 1023] << p.ploc;
+      ctx += (uint32_t)p.dtab[(delta < 255) ? delta : 255] << p.dloc;
+      ctx += (uint32_t)sel << p.sloc;
+      ctx &= 0xFFFF;
+      FqzModel*& m = qual_m[ctx];
+      if (!m) {
+        m = new FqzModel();
+        m->init(p.max_sym + 1);
+      }
+      int q = m->decode(rc);
+      uint8_t v = (p.pflags & 16) ? p.qmap[q] : (uint8_t)q;
+      out[done + i] = v;
+      prev[i] = v;
+      qhist = (qhist << p.qshift) + p.qtab[q];
+      delta += (q1 != q);
+      q1 = q;
+    }
+    done += ln;
+  }
+  for (size_t i = 0; i < qual_m.size(); ++i) delete qual_m[i];
+  return rcode;
+}
+
 // Decode an entire ITF-8 stream (CRAM external int series) in one
 // pass. Returns the number of values written (caller sizes `out` with
 // at least `n` entries: one byte per value lower-bounds the stream).
