@@ -20,6 +20,17 @@ from delly_tpu.io.rans_nx16 import (
 
 
 def _arith_decode_bytes(buf, pos, out_sz, order1: bool):
+    # native fast path (hostio.cpp arith_decode_bytes); the consumed
+    # end position is only meaningful for the terminal entropy stage,
+    # where no caller reads it (STRIPE advances by stored lengths)
+    try:
+        from delly_tpu import native
+        out = native.arith_decode_bytes(bytes(buf[pos:]), out_sz,
+                                        order1)
+        if out is not None:
+            return out, len(buf)
+    except Exception:
+        pass
     rc = RangeDecoder(buf, pos)
     out = bytearray(out_sz)
     if order1:

@@ -213,6 +213,10 @@ def get_lib():
         lib.fqz_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_int64]
+        lib.arith_decode_bytes.restype = ctypes.c_int
+        lib.arith_decode_bytes.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int]
     except AttributeError:
         pass  # older cached .so
     lib.bam_base_coverage.restype = None
@@ -967,6 +971,21 @@ def rans_nx16_entropy(data: bytes, out_sz: int, order1: bool,
     if rc < 0:
         return None
     return out[:out_sz].tobytes(), int(rc)
+
+
+def arith_decode_bytes(data: bytes, out_sz: int, order1: bool):
+    """Adaptive-arithmetic entropy stage (io/arith_nx.py contract), or
+    None (caller falls back)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "arith_decode_bytes"):
+        return None
+    out = np.empty(max(out_sz, 1), dtype=np.uint8)
+    rc = lib.arith_decode_bytes(data, len(data),
+                                out.ctypes.data_as(ctypes.c_void_p),
+                                out_sz, int(order1))
+    if rc != 0:
+        return None
+    return out[:out_sz].tobytes()
 
 
 def fqz_decode_block(data: bytes, out_sz: int):

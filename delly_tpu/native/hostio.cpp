@@ -1250,6 +1250,40 @@ int fqz_decode(const uint8_t* b, size_t n, uint8_t* out,
   return rcode;
 }
 
+// ---------------------------------------------------------------
+// adaptive arithmetic entropy stage (CRAM 3.1 method 6;
+// io/arith_nx.py is the contract and fallback): order-0/1 byte
+// models over the fqzcomp range coder. `b` points at the entropy
+// payload (flag/transform parsing stays in Python). Returns 0 or
+// negative error.
+// ---------------------------------------------------------------
+int arith_decode_bytes(const uint8_t* b, size_t n, uint8_t* out,
+                       int64_t out_sz, int order1) {
+  FqzRC rc;
+  rc.init(b, n, 0);
+  if (order1) {
+    std::vector<FqzModel*> models(256, (FqzModel*)nullptr);
+    int ctx = 0;
+    for (int64_t i = 0; i < out_sz; ++i) {
+      FqzModel*& m = models[ctx];
+      if (!m) {
+        m = new FqzModel();
+        m->init(256);
+      }
+      int v = m->decode(rc);
+      out[i] = (uint8_t)v;
+      ctx = v;
+    }
+    for (size_t i = 0; i < models.size(); ++i) delete models[i];
+  } else {
+    FqzModel m;
+    m.init(256);
+    for (int64_t i = 0; i < out_sz; ++i)
+      out[i] = (uint8_t)m.decode(rc);
+  }
+  return 0;
+}
+
 // Decode an entire ITF-8 stream (CRAM external int series) in one
 // pass. Returns the number of values written (caller sizes `out` with
 // at least `n` entries: one byte per value lower-bounds the stream).
